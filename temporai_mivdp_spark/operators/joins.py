@@ -1,0 +1,99 @@
+"""Join-family operators (SURVEY.md §2.3, J1-J9).
+
+Plain equi-joins (J1-J6) need no wrapper — they are one-liners at call
+sites, with ``F.broadcast`` hints on dimension sides. This module holds the
+joins the reference implemented as Python loops, re-expressed set-wise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def lookup_first_match(
+    df: DataFrame,
+    mapping: DataFrame,
+    df_key: Column | str,
+    map_key: str,
+    value_cols: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """J7/O3: left-join a mapping table with *first-match* semantics.
+
+    The reference loops over distinct ICD-9 codes and takes
+    ``mapping.loc[mapping.diagnosis_code == icd].icd10cm.iloc[0]``
+    (disease_cohort.py:29-53; icu_preprocess_util.py:91-116,369-398) — a
+    per-key scalar lookup with "first row wins". Set-wise: deduplicate the
+    mapping to one row per key with ``row_number() == 1`` over a
+    deterministic order, then broadcast-left-join. The mapping never
+    shuffles the fact side; misses stay NULL (the reference's NaN).
+    """
+    w = Window.partitionBy(map_key).orderBy(*[F.col(c) for c in order_by])
+    first_rows = (
+        mapping.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(map_key, *value_cols)
+    )
+    key_expr = F.col(df_key) if isinstance(df_key, str) else df_key
+    return df.join(F.broadcast(first_rows), on=key_expr == F.col(map_key), how="left").drop(map_key)
+
+
+def interval_exists_label(
+    visits: DataFrame,
+    group_key: str,
+    start_col: str,
+    end_col: str,
+    gap_days: int,
+    label_col: str = "label",
+    id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """J8/W9: readmission-style interval-exists labeling.
+
+    Per ``group_key``, a visit *i* is positive iff ANY later visit *j*
+    satisfies ``start_j > end_i`` and ``start_j <= end_i + gap_days``. The
+    reference walks each subject's sorted visits in a Python loop with
+    row-wise appends, self-flagged "highly inefficient"
+    (day_intervals_cohort_v1.py:268-323; utils/common.py:9).
+
+    Semantics-exact set form: a self-semi-join on the interval predicate.
+    ``lead()`` alone is NOT equivalent — admissions can overlap/nest, so
+    the *next* visit by start time is not necessarily the one inside the
+    gap window. The join keys on ``group_key`` (equi part), so it hash
+    partitions by subject and the interval predicate evaluates within each
+    key group — no cartesian blowup beyond per-subject visit pairs.
+    """
+    id_cols = list(id_cols) if id_cols else []
+    left = visits
+    right = visits.select(
+        F.col(group_key).alias("__gk"), F.col(start_col).alias("__start")
+    )
+    # exists() as join + aggregate: left join all in-gap later visits, then
+    # collapse back to one row per visit with max(matched). Equivalent to a
+    # semi/anti pair but reads `visits` twice instead of three times.
+    agg = (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            on=(
+                (F.col(f"a.{group_key}") == F.col("b.__gk"))
+                & (F.col("b.__start") > F.col(f"a.{end_col}"))
+                & (F.col("b.__start") <= F.col(f"a.{end_col}") + F.expr(f"INTERVAL {int(gap_days)} DAYS"))
+            ),
+            how="left",
+        )
+        .groupBy(*[F.col(f"a.{c}") for c in [group_key, start_col, end_col, *id_cols]])
+        .agg(F.max(F.when(F.col("b.__start").isNotNull(), 1).otherwise(0)).alias(label_col))
+    )
+    return agg
+
+
+def anti_join_filter(df: DataFrame, keys: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """U2-style complement: rows of ``df`` whose key does NOT appear in
+    ``keys`` (the reference's index ``difference`` at
+    data_generation_icu.py:651,741)."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    return df.join(F.broadcast(keys.select(*on_cols).dropDuplicates()), on=on_cols, how="left_anti")

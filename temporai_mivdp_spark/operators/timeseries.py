@@ -1,0 +1,203 @@
+"""Time-series operators (SURVEY.md §2.5, W1-W8) — the heart of the
+reference pipeline, re-expressed as column arithmetic, one groupBy, and
+window functions.
+
+Scale notes: every operator here partitions by the series key (stay_id in
+the clinical pipeline). The whole densify-and-impute chain (grid → join →
+ffill → mask) reuses one hash partitioning on that key, so Catalyst plans a
+single shuffle for the entire stage; series are independent, so skew is
+bounded by the longest single stay, not by data volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def floor_hours(later: Column, earlier: Column) -> Column:
+    """W1 scalar core: floor-to-hour difference ``days*24 + hours``.
+
+    The reference stringifies the timedelta and splits on " " and ":"
+    (day_intervals_cohort_v1.py:103-106; data_generation_icu.py:214-219) —
+    semantically ``floor(seconds/3600)`` for non-negative intervals, which
+    is what we compute. For negative intervals (event before admit, kept
+    until the sanity filter) pandas' days*24+hours floors toward -inf too,
+    matching ``floor``.
+
+    Microsecond arithmetic, not ``unix_timestamp`` — that truncates each
+    timestamp to whole seconds *before* subtracting, which shifts the
+    difference by up to a second and flips hours at exact boundaries.
+    """
+    return F.floor(
+        (F.unix_micros(later) - F.unix_micros(earlier)) / F.lit(3_600_000_000)
+    ).cast("long")
+
+
+def hours_from_anchor(
+    df: DataFrame,
+    event_time: str,
+    anchor_time: str,
+    out_col: str = "event_time_from_admit",
+) -> DataFrame:
+    """W1: normalize event time to hours-from-admission
+    (icu_preprocess_util.py:177-178,223,269,314)."""
+    return df.withColumn(out_col, floor_hours(F.col(event_time), F.col(anchor_time)))
+
+
+def tumbling_bucket(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    bucket: int,
+    aggs: Sequence[Column],
+    bucket_col: str = "start_time",
+) -> DataFrame:
+    """W3: fixed-width tumbling-window aggregation.
+
+    The reference loops ``for i in range(0, los, bucket)`` filtering and
+    aggregating each slice separately with row-wise appends
+    (data_generation_icu.py:522-604). The loop IS a group key:
+    ``floor(time/bucket)`` — one groupBy produces the identical result in a
+    single pass with map-side partial aggregation, and the same expression
+    is a Structured Streaming tumbling window (`F.window`) if the input is
+    a stream.
+    """
+    return (
+        df.withColumn(bucket_col, F.floor(F.col(time_col) / F.lit(bucket)).cast("long"))
+        .groupBy(*keys, bucket_col)
+        .agg(*aggs)
+    )
+
+
+def dense_grid(
+    series_dims: DataFrame,
+    length_col: str,
+    hour_col: str = "hour",
+) -> DataFrame:
+    """W4: dense per-series hour grid ``0 .. length-1``.
+
+    The reference reindexes each stay's frame against ``range(los)`` in a
+    Python loop (data_generation_icu.py:651-656,741-747). Set form:
+    ``explode(sequence(0, length-1))`` over the (stay × item) dimension
+    table — a narrow generator, no shuffle; the observed values then LEFT
+    JOIN onto this grid.
+    """
+    return series_dims.withColumn(
+        hour_col,
+        F.explode(F.sequence(F.lit(0), F.col(length_col).cast("long") - 1)),
+    )
+
+
+def ffill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """W5: forward-fill nulls within a series
+    (data_generation_icu.py:745-756). ``last(ignorenulls)`` over an
+    unbounded-preceding row frame — one window pass."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col or value_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def bfill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """W5: backward-fill (chart value bfill after ffill,
+    data_generation_icu.py:659-667). ``first(ignorenulls)`` over the
+    following frame — same sort as ffill, so Catalyst reuses the window
+    exchange/sort between the two."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return df.withColumn(out_col or value_col, F.first(value_col, ignorenulls=True).over(w))
+
+
+def impute_cascade(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    group_stat: str | None = "mean",
+    default: float | int | None = 0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """W6: the reference's imputation cascade — ffill, then bfill, then the
+    series' own mean (or median), then a constant
+    (data_generation_icu.py:659-667,872-880). One coalesce over three
+    window aggregates sharing a single partitioning+sort."""
+    w_f = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_b = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_all = Window.partitionBy(*keys)
+    parts: list[Column] = [
+        F.last(value_col, ignorenulls=True).over(w_f),
+        F.first(value_col, ignorenulls=True).over(w_b),
+    ]
+    if group_stat == "mean":
+        parts.append(F.avg(value_col).over(w_all))
+    elif group_stat == "median":
+        parts.append(F.percentile(F.col(value_col), F.lit(0.5)).over(w_all))
+    if default is not None:
+        parts.append(F.lit(default).cast("double"))
+    return df.withColumn(out_col or value_col, F.coalesce(*parts))
+
+
+def active_signal(
+    df: DataFrame,
+    keys: Sequence[str],
+    hour_col: str,
+    stop_col: str,
+    signal_col: str = "signal",
+    order_col: str | None = None,
+) -> DataFrame:
+    """W7: medication active-mask derivation.
+
+    The reference pivots stop_time onto the hour grid, ffills, subtracts
+    the row index and thresholds at 0 (data_generation_icu.py:739-766):
+    a med is "on" at hour h while its (forward-filled) stop time exceeds h.
+    Here: ffill the stop column then one ``when`` — no pivot needed.
+    ``order_col`` pins a total order when ``hour_col`` has ties.
+    """
+    filled = ffill(df, keys, order_col or hour_col, stop_col, out_col="__stop_f")
+    return filled.withColumn(
+        signal_col,
+        F.when(F.col("__stop_f") - F.col(hour_col) > 0, F.lit(1)).otherwise(F.lit(0)),
+    ).drop("__stop_f")
+
+
+def event_indicator(
+    grid: DataFrame,
+    observed: DataFrame,
+    on: Sequence[str],
+    signal_col: str = "signal",
+) -> DataFrame:
+    """W8: 0/1 occurrence matrix — grid LEFT JOIN observed, indicator on
+    match (data_generation_icu.py:793-803,827-835)."""
+    marked = observed.select(*on).dropDuplicates().withColumn("__seen", F.lit(1))
+    return grid.join(marked, on=list(on), how="left").withColumn(
+        signal_col, F.when(F.col("__seen").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    ).drop("__seen")

@@ -1,0 +1,884 @@
+"""Driver-facing query catalog.
+
+One entry per implemented operator family from SURVEY.md §2, each expressed
+over the driver's synthetic TPC-H-ish tables (TESTDATA.md) together with an
+ANSI-SQL oracle DuckDB runs on the same parquet files. Column names and
+rounding are pinned identically on both sides — the driver hash-compares
+values after sorting columns by name.
+
+Float discipline: a double SUM/AVG is summation-order-dependent, and the
+two engines' ``round()`` implementations disagree on exact decimal ties
+(Java BigDecimal-on-string vs C-on-binary). So aggregates over the
+2-decimal testdata values are computed in integer cents (exact in any
+order) and divided back — both engines then produce bit-identical doubles
+with NO final rounding. ``round`` survives only where the computation
+paths genuinely differ (percentile interpolation in a8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from temporai_mivdp_spark.operators import (
+    aggregates as agg_ops,
+    joins as join_ops,
+    reshape,
+    sorts,
+    timeseries as ts_ops,
+)
+from temporai_mivdp_spark.functions import scalars
+from temporai_mivdp_spark.sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: scan -> filter -> multi-join -> aggregate (EP-1 cohort shape:
+# J1/J2 equi-join chain + P4 filters + A10 summary aggregation).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "flagship_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0
+             AS revenue,
+           count(*) AS line_count
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus <> 'X'
+    GROUP BY n.n_name
+    """,
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP-1's plan shape (scan -> filter -> join chain -> agg) on testdata.
+
+    Dimension sides (region/nation/customer) are broadcast — the fact
+    table never shuffles for the joins; only the final groupBy exchanges
+    the (tiny) aggregated set. Mirrors cohort extraction where icustays ⋈
+    patients ⋈ admissions (day_intervals_cohort_v1.py:83,138-186).
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "X")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        # Sum integer cents, not raw doubles: per-row products are identical
+        # across engines, but a double SUM is summation-order-dependent —
+        # integer cents make the aggregate bit-exact and hash-stable.
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long"))
+                / 100.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P: projections / filters
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p2_derived_projection",
+    """
+    SELECT c_custkey,
+           right(c_name, 4) AS name_suffix,
+           CAST(right(c_name, 4) AS BIGINT) + c_nationkey AS derived_key,
+           c_acctbal - 100.0 AS adj_balance
+    FROM customer
+    """,
+)
+def p2_derived_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: derived-column projection — the yob / min_valid_year arithmetic
+    (day_intervals_cohort_v1.py:131-132: int(anchor_year_group[-4:])) as
+    substring + cast + arithmetic, all codegen'd."""
+    customer = _t(spark, sf_dir, "customer")
+    suffix = F.substring(F.col("c_name"), -4, 4)
+    return customer.select(
+        "c_custkey",
+        suffix.alias("name_suffix"),
+        (suffix.cast("long") + F.col("c_nationkey")).alias("derived_key"),
+        (F.col("c_acctbal") - 100.0).alias("adj_balance"),
+    )
+
+
+@_register(
+    "p3_p4_null_comparison_filter",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE nullif(value, 0.0) IS NOT NULL
+      AND value >= 10.0 AND value < 180.0
+      AND event_type <> 'error'
+    """,
+)
+def p3_p4_null_comparison_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4: null-predicate + comparison filters (dropna / Age>=18 /
+    los>0 at day_intervals_cohort_v1.py:176,248-249;
+    data_generation_icu.py:220). Pure pushed-down scan predicates."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn("__v", F.nullif(F.col("value"), F.lit(0.0)))
+        .filter(F.col("__v").isNotNull())
+        .filter((F.col("value") >= 10.0) & (F.col("value") < 180.0))
+        .filter(F.col("event_type") != "error")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@_register(
+    "p5_semi_join_filter",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def p5_semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/U4: the reference's ubiquitous ``isin(cohort.stay_id)``
+    (day_intervals_cohort_v1.py:87,113,651) as a broadcast left-semi join."""
+    from temporai_mivdp_spark.operators.filters import semi_join_filter
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return semi_join_filter(orders, keys, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+@_register(
+    "p6_string_match_filter",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE contains(lower(text), 'spark') AND lang = 'en'
+    """,
+)
+def p6_string_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/F6/F7: substring-match filter (the ICD root
+    ``str.contains`` at disease_cohort.py:86)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.lower(F.col("text")).contains("spark") & (F.col("lang") == "en")
+    ).select("doc_id", "lang", "n_chars")
+
+
+@_register(
+    "p7_dedup",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    """,
+)
+def p7_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: drop_duplicates (icu_preprocess_util.py:206,252,319)."""
+    from temporai_mivdp_spark.operators.filters import dedup
+
+    return dedup(_t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_shipdate"))
+
+
+@_register(
+    "p8_split_label_union",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 3000.0 THEN 1 ELSE 0 END AS label
+    FROM orders
+    WHERE o_orderdate IS NOT NULL
+    """,
+)
+def p8_split_label_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/U1/F9: case/ctrl split + re-union collapsed to one ``when``
+    (partition_by_mort at day_intervals_cohort_v1.py:336-367)."""
+    from temporai_mivdp_spark.operators.filters import split_label_union
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    return split_label_union(orders, F.col("o_totalprice") > 3000.0).select("o_orderkey", "label")
+
+
+# ---------------------------------------------------------------------------
+# J: joins
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j7_lookup_first_match",
+    """
+    WITH first_cust AS (
+      SELECT c_nationkey, c_name,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+      FROM customer
+    )
+    SELECT n.n_nationkey, n.n_name, f.c_name AS first_customer
+    FROM nation n
+    LEFT JOIN first_cust f ON f.c_nationkey = n.n_nationkey AND f.rn = 1
+    """,
+)
+def j7_lookup_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/O3: first-match lookup join — the ICD-9→10 ``.iloc[0]`` lookup
+    (disease_cohort.py:29-53) as deterministic row_number()==1 dedup +
+    broadcast left join. Misses stay NULL."""
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    return join_ops.lookup_first_match(
+        nation,
+        customer.select(F.col("c_nationkey").alias("map_key"), "c_name", "c_custkey"),
+        df_key="n_nationkey",
+        map_key="map_key",
+        value_cols=["c_name"],
+        order_by=["c_custkey"],
+    ).select("n_nationkey", "n_name", F.col("c_name").alias("first_customer"))
+
+
+@_register(
+    "j8_interval_exists_label",
+    """
+    SELECT a.o_custkey, a.o_orderkey,
+           CASE WHEN EXISTS (
+             SELECT 1 FROM orders b
+             WHERE b.o_custkey = a.o_custkey
+               AND b.o_orderdate > a.o_orderdate
+               AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+           ) THEN 1 ELSE 0 END AS label
+    FROM orders a
+    """,
+)
+def j8_interval_exists_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/W9: readmission labeling — "any later visit within gap days"
+    (day_intervals_cohort_v1.py:268-323 Python loop) as an equi+interval
+    self-join aggregated back to one row per visit."""
+    orders = _t(spark, sf_dir, "orders")
+    labeled = join_ops.interval_exists_label(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        group_key="o_custkey",
+        start_col="o_orderdate",
+        end_col="o_orderdate",
+        gap_days=30,
+        id_cols=["o_orderkey"],
+    )
+    return labeled.select("o_custkey", "o_orderkey", "label")
+
+
+# ---------------------------------------------------------------------------
+# A: aggregations
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a1_a6_group_counts",
+    """
+    SELECT event_type,
+           count(*) AS total_count,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(value)) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a1_a6_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A6: group count + distinct count (feature summaries at
+    feature_preproc_icu.py:328-342; vocab nuniques at
+    data_generation_icu.py:937-984)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.countDistinct("user_id").alias("n_users"),
+            # integer-cents mean: order-independent, hash-stable (see flagship)
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")) / (100.0 * F.count("value"))
+            ).alias("avg_value"),
+        )
+    )
+
+
+@_register(
+    "a2_two_level_agg",
+    """
+    WITH per_inner AS (
+      SELECT l_partkey, l_orderkey, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_partkey,
+           avg(n) AS mean_frequency,
+           CAST(sum(n) AS BIGINT) AS total_count
+    FROM per_inner GROUP BY l_partkey
+    """,
+)
+def a2_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2(+A1,J6): "mean events per stay per item" two-level aggregation
+    (feature_preproc_icu.py:328-339) — one nested groupBy instead of two
+    aggs + right merge."""
+    out = agg_ops.two_level_agg(
+        _t(spark, sf_dir, "lineitem"),
+        inner_keys=["l_partkey", "l_orderkey"],
+        outer_keys=["l_partkey"],
+    )
+    return out.select("l_partkey", "mean_frequency", "total_count")
+
+
+@_register(
+    "a3_conditional_count",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS missing_count
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a3_conditional_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: conditional "missing" count (amount==0 rows per item,
+    feature_preproc_icu.py:341,375)."""
+    return agg_ops.conditional_count(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], F.col("l_discount") == 0.0
+    )
+
+
+@_register(
+    "a5_max_group_size",
+    """
+    SELECT CAST(max(n) AS BIGINT) AS max_events_per_user
+    FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    """,
+)
+def a5_max_group_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: scalar max of group sizes (vocab caps / *_per_adm at
+    data_generation_icu.py:234-235,609-629) — stays a 1-row DataFrame, no
+    driver-side collect in the plan."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").cast("long").alias("max_events_per_user"))
+    )
+
+
+@_register(
+    "a7_mode_vote_filter",
+    """
+    WITH c AS (
+      SELECT l_partkey AS k, l_linestatus AS v, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT k, count(*) AS nvals, max(n) AS topn, sum(n) AS tot FROM c GROUP BY k
+    ),
+    m AS (
+      SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY n DESC, v ASC) AS rn FROM c
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_linestatus
+    FROM lineitem l
+    JOIN g ON g.k = l.l_partkey
+    JOIN m ON m.k = l.l_partkey AND m.v = l.l_linestatus
+    WHERE g.nvals = 1 OR g.topn * 1.0 / g.tot <= 0.5 OR m.rn = 1
+    """,
+)
+def a7_mode_vote_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/X4: unit-of-measure majority voting (uom_conversion.py:9-26):
+    keep a row unless its group has a >cutoff dominant value and the row
+    holds a minority value. Window-function form of the reference's
+    per-itemid Python loop; cutoff 0.5 here so both branches fire on the
+    synthetic data."""
+    out = agg_ops.mode_vote_filter(
+        _t(spark, sf_dir, "lineitem"), group_key="l_partkey", vote_col="l_linestatus", cut_off=0.5
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_partkey", "l_linestatus")
+
+
+@_register(
+    "a8_winsorize",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS k,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           round(CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+                      WHEN l.l_extendedprice > b.hi THEN b.hi
+                      ELSE l.l_extendedprice END, 4) AS price_winsorized
+    FROM lineitem l JOIN b ON b.k = l.l_returnflag
+    """,
+)
+def a8_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/X3: per-group percentile winsorization
+    (outlier_removal.py:11-37) with EXACT linear-interpolated percentiles
+    matching numpy/duckdb ``quantile_cont``."""
+    out = agg_ops.winsorize(
+        _t(spark, sf_dir, "lineitem"),
+        group_key="l_returnflag",
+        value_col="l_extendedprice",
+        lower_pct=5.0,
+        upper_pct=95.0,
+        impute=True,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_extendedprice", 4).alias("price_winsorized")
+    )
+
+
+@_register(
+    "a9_group_mean_impute",
+    """
+    WITH t AS (
+      SELECT event_id, user_id,
+             round(CASE WHEN event_type = 'error' THEN NULL
+                        ELSE nullif(value, 0.0) END * 100) AS cents
+      FROM events
+    )
+    SELECT event_id,
+           coalesce(cents, avg(cents) OVER (PARTITION BY user_id)) / 100.0 AS value_imputed
+    FROM t
+    """,
+)
+def a9_group_mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: null -> per-group mean imputation
+    (data_generation_icu.py:659-667). Nulls are synthesized (error rows /
+    zero values) since the testdata has none."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "__v",
+        F.round(
+            F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+                F.nullif(F.col("value"), F.lit(0.0))
+            )
+            * 100,
+            0,
+        ),
+    )
+    out = agg_ops.group_mean_impute(events, "user_id", "__v", out_col="value_imputed")
+    return out.select(
+        "event_id", (F.col("value_imputed") / 100.0).alias("value_imputed")
+    )
+
+
+@_register(
+    "a10_summary_counts",
+    """
+    SELECT count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM orders
+    """,
+)
+def a10_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/S7: one-row cohort summary (day_intervals_cohort_v1.py:667-683)
+    as a single multi-measure aggregate."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n_finished"),
+        (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W: time-series
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "w1_hours_from_anchor",
+    """
+    SELECT event_id,
+           CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT)
+             AS hours_from_first
+    FROM events
+    """,
+)
+def w1_hours_from_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/F4: hours-from-admission normalization — the reference's
+    stringify-and-split timedelta math (data_generation_icu.py:214-219)
+    as floor((t-anchor)/3600)."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "__anchor", F.min("ts").over(Window.partitionBy("user_id"))
+    )
+    out = ts_ops.hours_from_anchor(events, "ts", "__anchor", out_col="hours_from_first")
+    return out.select("event_id", "hours_from_first")
+
+
+@_register(
+    "w2_task_window_trim",
+    """
+    WITH t AS (
+      SELECT e.*,
+             CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) AS h
+      FROM events e
+    )
+    SELECT event_id, user_id, least(h, 72) AS h_clamped
+    FROM t WHERE h <= 168
+    """,
+)
+def w2_task_window_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/F11: fixed observation window + clamp
+    (data_generation_icu.py:392-424: keep events inside include_time,
+    clamp stop times). Pure column arithmetic + filter."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "__anchor", F.min("ts").over(Window.partitionBy("user_id"))
+    )
+    trimmed = (
+        ts_ops.hours_from_anchor(events, "ts", "__anchor", out_col="h")
+        .filter(F.col("h") <= 168)
+        .withColumn("h_clamped", scalars.clamp(F.col("h"), hi=72.0).cast("long"))
+    )
+    return trimmed.select("event_id", "user_id", "h_clamped")
+
+
+@_register(
+    "w3_tumbling_bucket",
+    """
+    WITH t AS (
+      SELECT e.*,
+             CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) AS h
+      FROM events e
+    )
+    SELECT user_id,
+           CAST(floor(h / 6) AS BIGINT) AS start_time,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(value)) AS avg_value
+    FROM t GROUP BY 1, 2
+    """,
+)
+def w3_tumbling_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: tumbling-bucket aggregation — the reference's
+    ``for i in range(0, los, bucket)`` loop (data_generation_icu.py:522-604)
+    as one groupBy on floor(h/bucket) with map-side combine."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "__anchor", F.min("ts").over(Window.partitionBy("user_id"))
+    )
+    hourly = ts_ops.hours_from_anchor(events, "ts", "__anchor", out_col="h")
+    return ts_ops.tumbling_bucket(
+        hourly,
+        keys=["user_id"],
+        time_col="h",
+        bucket=6,
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")) / (100.0 * F.count("value"))
+            ).alias("avg_value"),
+        ],
+    )
+
+
+@_register(
+    "w4_w8_dense_grid_indicator",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT u.user_id, g.h
+      FROM users u CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) g
+    ),
+    seen AS (SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS h FROM events)
+    SELECT grid.user_id, grid.h AS hour,
+           CASE WHEN seen.h IS NOT NULL THEN 1 ELSE 0 END AS signal
+    FROM grid LEFT JOIN seen ON seen.user_id = grid.user_id AND seen.h = grid.h
+    """,
+)
+def w4_w8_dense_grid_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4+W8: dense grid reindex + 0/1 occurrence indicator
+    (data_generation_icu.py:651-656,793-803): explode a sequence per
+    series, left-join observations, indicator on match."""
+    events = _t(spark, sf_dir, "events")
+    users = events.select("user_id").dropDuplicates().withColumn("__len", F.lit(24))
+    grid = ts_ops.dense_grid(users, "__len", hour_col="hour").drop("__len")
+    observed = events.select("user_id", F.hour("ts").cast("long").alias("hour"))
+    return ts_ops.event_indicator(grid, observed, on=["user_id", "hour"])
+
+
+@_register(
+    "w5_w6_ffill_impute",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           coalesce(
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+             0.0) AS v_filled
+    FROM t
+    """,
+)
+def w5_w6_ffill_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5+W6: forward-fill -> backward-fill -> constant imputation cascade
+    (data_generation_icu.py:659-667,745-756) as one coalesce over two
+    window aggregates sharing a single sort."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(F.col("value"))
+    )
+    out = ts_ops.impute_cascade(
+        events.withColumn("__ord", F.struct(F.col("ts"), F.col("event_id"))),
+        keys=["user_id"],
+        order_col="__ord",
+        value_col="v",
+        group_stat=None,
+        default=0.0,
+        out_col="v_filled",
+    )
+    return out.select("event_id", F.col("v_filled").alias("v_filled"))
+
+
+@_register(
+    "w7_active_signal",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) AS h,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) + 24
+                  ELSE NULL END AS stop_h
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN last_value(stop_h IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY h, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - h > 0
+                THEN 1 ELSE 0 END AS signal
+    FROM t
+    """,
+)
+def w7_active_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: medication active-signal mask (data_generation_icu.py:739-766):
+    ffill the stop hour, signal = (stop - hour > 0). 'purchase' events act
+    as 24h prescriptions on the synthetic stream."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "__anchor", F.min("ts").over(Window.partitionBy("user_id"))
+    )
+    hourly = ts_ops.hours_from_anchor(events, "ts", "__anchor", out_col="h").withColumn(
+        "stop_h",
+        F.when(F.col("event_type") == "purchase", F.col("h") + 24).cast("long"),
+    )
+    ordered = hourly.withColumn("__ord", F.struct(F.col("h"), F.col("event_id")))
+    out = ts_ops.active_signal(
+        ordered, keys=["user_id"], hour_col="h", stop_col="stop_h", order_col="__ord"
+    )
+    return out.select("event_id", "signal")
+
+
+# ---------------------------------------------------------------------------
+# O: sorts / top-k
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "o2_topk_by_count",
+    """
+    SELECT l_partkey, count(*) AS total_count
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY total_count DESC, l_partkey ASC LIMIT 10
+    """,
+)
+def o2_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-k most frequent values (feature caps at
+    icu_preprocess_util.py:451-452) with deterministic tie-break."""
+    return sorts.top_k_by_count(_t(spark, sf_dir, "lineitem"), "l_partkey", k=10)
+
+
+@_register(
+    "o3_first_row_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def o3_first_row_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: deterministic first-row-of-group (``.iloc[0]`` at
+    data_generation_icu.py:711-714)."""
+    return sorts.first_row_per_group(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
+        group_keys="o_custkey",
+        order_by=["o_orderdate", "o_orderkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# U: set ops
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "u2_grid_anti_join",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT u.user_id, g.h
+      FROM users u CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) g
+    ),
+    seen AS (SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS h FROM events)
+    SELECT grid.user_id, grid.h AS missing_hour
+    FROM grid
+    WHERE NOT EXISTS (
+      SELECT 1 FROM seen WHERE seen.user_id = grid.user_id AND seen.h = grid.h
+    )
+    """,
+)
+def u2_grid_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: missing-hours complement (index difference at
+    data_generation_icu.py:651) as a left-anti join against the grid."""
+    events = _t(spark, sf_dir, "events")
+    users = events.select("user_id").dropDuplicates().withColumn("__len", F.lit(24))
+    grid = ts_ops.dense_grid(users, "__len", hour_col="missing_hour").drop("__len")
+    observed = events.select("user_id", F.hour("ts").cast("long").alias("missing_hour"))
+    return join_ops.anti_join_filter(grid, observed, on=["user_id", "missing_hour"])
+
+
+# ---------------------------------------------------------------------------
+# F: scalar function suite
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "f_scalar_suite",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           lower(o_orderpriority) AS priority_lc,
+           substr(o_orderpriority, 1, 1) AS priority_code,
+           CASE WHEN o_totalprice > 3000 THEN 'high' ELSE 'low' END AS price_band,
+           least(greatest(o_totalprice, 1000.0), 5000.0) AS price_clamped,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled
+    FROM orders
+    """,
+)
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F12/F14 scalar surface in one projection: year extraction (F3),
+    interval arithmetic (F2), lower (F6), substring (F5), ternary (F9),
+    clamp (F11), cast (F8/F12), null-fill (F10) — all whole-stage
+    codegen'd, zero UDFs (SURVEY.md §2.10)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("date").alias("due_date"),
+        F.lower("o_orderpriority").alias("priority_lc"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.when(F.col("o_totalprice") > 3000, "high").otherwise("low").alias("price_band"),
+        scalars.clamp(F.col("o_totalprice"), 1000.0, 5000.0).alias("price_clamped"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_filled"),
+    )
+
+
+@_register(
+    "f13_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def f13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: structured-string parsing (``ast.literal_eval`` at
+    icu_preprocess_util.py:449 generalized to JSON props)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R: pivot / one-hot
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "r1_pivot_mean",
+    """
+    SELECT user_id,
+           avg(round(CASE WHEN event_type = 'click' THEN value END * 100)) / 100.0 AS click,
+           avg(round(CASE WHEN event_type = 'error' THEN value END * 100)) / 100.0 AS error,
+           avg(round(CASE WHEN event_type = 'purchase' THEN value END * 100)) / 100.0 AS purchase,
+           avg(round(CASE WHEN event_type = 'signup' THEN value END * 100)) / 100.0 AS signup,
+           avg(round(CASE WHEN event_type = 'view' THEN value END * 100)) / 100.0 AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def r1_pivot_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: long->wide pivot with explicit vocabulary
+    (data_generation_icu.py:647-649) — no extra distinct() scan."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "__cents", F.round(F.col("value") * 100, 0)
+    )
+    return reshape.pivot_agg(
+        events,
+        index=["user_id"],
+        pivot_col="event_type",
+        values=_EVENT_TYPES,
+        agg=(F.avg("__cents") / 100.0),
+    )
+
+
+@_register(
+    "r2_one_hot",
+    """
+    SELECT user_id,
+           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS et_click,
+           max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS et_error,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS et_purchase,
+           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS et_signup,
+           max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS et_view
+    FROM events GROUP BY user_id
+    """,
+)
+def r2_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: one-hot condition encoding (data_generation_icu.py:913-921)."""
+    return reshape.one_hot(
+        _t(spark, sf_dir, "events"), index="user_id", category_col="event_type",
+        categories=_EVENT_TYPES, prefix="et_",
+    )

@@ -1,0 +1,101 @@
+"""Readers (S1-S3 in SURVEY.md §2.1).
+
+S1  gzipped CSV scan with projection + date parsing
+    (reference: day_intervals_cohort_v1.py:65-71,116-129;
+    icu_preprocess_util.py:155-175) -> ``read_csv_gz`` with explicit schema.
+S2  chunked out-of-core CSV scan (icu_preprocess_util.py:289-327;
+    data_generation_icu.py:298-337) -> unnecessary: Spark scans are
+    partitioned and streamed by design; the per-chunk filter+join becomes a
+    plain transformation on the same DataFrame.
+S3  TSV scan for the ICD map (disease_cohort.py:17) -> ``read_tsv``.
+
+Parquet is the primary storage format for this engine; CSV readers exist
+for compatibility with MIMIC-shaped raw drops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: Tables the driver's synthetic testdata provides (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+#: per-table columns stored as TIMESTAMP(NANOS) in the synthetic parquet
+#: (pandas default); Spark reads them as long-ns (legacy conf in
+#: session.DEFAULT_CONFS) and we convert to TimestampType here. Integer
+#: `div` keeps full precision — a double division of an ns epoch would
+#: lose the low bits past float53.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic parquet table.
+
+    Parquet scans give Catalyst column pruning + predicate pushdown for
+    free; callers should still ``.select`` only what they need so
+    ``ReadSchema`` stays narrow.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan every testdata table; keys match TESTDATA.md names."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def read_csv_gz(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    columns: list[str] | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S1: gzipped-CSV scan with an explicit schema.
+
+    ``parse_dates`` becomes TimestampType fields in the schema; ``usecols``
+    becomes a ``.select`` (Catalyst prunes it into the scan). Gzip is not
+    splittable — at scale, land gzipped CSV once, immediately rewrite to
+    Parquet, and run the pipeline from Parquet.
+    """
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .schema(schema)
+        .csv(path)
+    )
+    return df.select(*columns) if columns else df
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S3: TSV scan (the ICD-9→10 map is a ~24k-row dimension — broadcast
+    it at join time, never shuffle the fact side against it)."""
+    reader = spark.read.option("sep", "\t").option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")  # small dims only
+    return reader.csv(path)

@@ -1,0 +1,41 @@
+"""Contract tests for the driver entry points (__spark_entry__.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_has_callable_and_runs(spark):
+    qs = entrymod.queries()
+    assert qs, "query catalog must not be empty"
+    for name, fn in qs.items():
+        df = fn(spark, SF_SMOKE)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_oracle_coverage():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle without query: {missing}"
+    # every SQL-expressible query should carry an oracle; rows-only checks
+    # are the documented exception list
+    no_oracle = set(qs) - set(oracles)
+    allowed_rows_only = set()
+    assert no_oracle <= allowed_rows_only, f"missing oracles: {no_oracle}"
+
+
+@pytest.mark.parametrize("name", ["flagship_revenue_by_nation"])
+def test_flagship_is_broadcast_joined(spark, name):
+    """Plan check: dimension joins must be broadcast, not shuffle."""
+    df = entrymod.queries()[name](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,170 @@
+"""Unit tests for the generic operators, on tiny hand-built frames where
+the expected output is computable by eye. The reference's own test style is
+end-to-end column-set goldens (SURVEY.md §5); we test operator semantics
+directly, which the reference never did.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from temporai_mivdp_spark.operators import (
+    aggregates as agg_ops,
+    joins as join_ops,
+    sorts,
+    timeseries as ts_ops,
+)
+from temporai_mivdp_spark.operators.filters import semi_join_filter, split_label_union
+from tests.conftest import ts
+
+
+def test_semi_join_filter(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    keys = spark.createDataFrame([(1,), (3,), (3,)], ["k"])
+    out = semi_join_filter(df, keys, "k")
+    assert sorted(r.v for r in out.collect()) == ["a", "c"]
+
+
+def test_split_label_union(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 99.0)], ["k", "x"])
+    out = split_label_union(df, F.col("x") > 50)
+    assert {r.k: r.label for r in out.collect()} == {1: 0, 2: 1}
+
+
+def test_lookup_first_match_takes_lowest_order_key(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["k"])
+    mapping = spark.createDataFrame(
+        [(1, "second", 20), (1, "first", 10), (9, "miss", 1)],
+        ["mk", "val", "ord"],
+    )
+    out = join_ops.lookup_first_match(
+        df, mapping, df_key="k", map_key="mk", value_cols=["val"], order_by=["ord"]
+    )
+    rows = {r.k: r.val for r in out.collect()}
+    assert rows == {1: "first", 2: None}
+
+
+def test_interval_exists_label_any_later_not_just_next(spark):
+    # subject 1: v1 ends day 0; v2 starts day 40 (outside gap), v3 starts
+    # day 20 (inside gap) -> v1 must be positive even though the *next*
+    # visit by sort order could be chosen wrongly with lead().
+    rows = [
+        (1, ts("2020-01-01"), ts("2020-01-02")),   # v1: readmit via v3
+        (1, ts("2020-02-11"), ts("2020-02-12")),   # v2: starts day 40
+        (1, ts("2020-01-22"), ts("2020-01-23")),   # v3: starts day 21
+        (2, ts("2020-01-01"), ts("2020-01-02")),   # single visit -> ctrl
+    ]
+    df = spark.createDataFrame(rows, ["subj", "start", "end"])
+    out = join_ops.interval_exists_label(
+        df, group_key="subj", start_col="start", end_col="end", gap_days=30
+    )
+    got = {(r.subj, r.start): r.label for r in out.collect()}
+    assert got[(1, ts("2020-01-01"))] == 1
+    assert got[(1, ts("2020-02-11"))] == 0  # last visit -> ctrl
+    assert got[(1, ts("2020-01-22"))] == 1  # v2 is 20 days after v3 ends
+    assert got[(2, ts("2020-01-01"))] == 0
+
+
+def test_mode_vote_filter_drops_minority_only_above_cutoff(spark):
+    rows = (
+        [(1, "mg")] * 96 + [(1, "ml")] * 4          # 96% mg -> drop ml
+        + [(2, "mg")] * 60 + [(2, "ml")] * 40       # 60% mg -> keep all
+        + [(3, "mg")] * 5                            # single unit -> keep
+    )
+    df = spark.createDataFrame(rows, ["item", "uom"])
+    out = agg_ops.mode_vote_filter(df, "item", "uom", cut_off=0.95)
+    counts = {(r.item, r.uom): r["cnt"] for r in out.groupBy("item", "uom").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {(1, "mg"): 96, (2, "mg"): 60, (2, "ml"): 40, (3, "mg"): 5}
+
+
+def test_winsorize_clips_to_exact_percentiles(spark):
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame([(1, v) for v in vals], ["item", "x"])
+    out = agg_ops.winsorize(df, "item", "x", lower_pct=5, upper_pct=95, impute=True)
+    xs = sorted(r.x for r in out.collect())
+    # numpy-style linear interpolation: p5 of 1..100 = 5.95, p95 = 95.05
+    assert xs[0] == 5.95 and xs[-1] == 95.05
+    assert len(xs) == 100
+
+
+def test_winsorize_drop_mode_removes_outliers(spark):
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame([(1, v) for v in vals], ["item", "x"])
+    out = agg_ops.winsorize(df, "item", "x", lower_pct=5, upper_pct=95, impute=False)
+    xs = sorted(r.x for r in out.collect())
+    assert xs[0] == 6.0 and xs[-1] == 95.0
+
+
+def test_two_level_agg(spark):
+    rows = [(10, 1), (10, 1), (10, 2), (20, 3)]
+    df = spark.createDataFrame(rows, ["item", "stay"])
+    out = agg_ops.two_level_agg(df, inner_keys=["item", "stay"], outer_keys=["item"])
+    got = {r.item: (r.mean_frequency, r.total_count) for r in out.collect()}
+    assert got == {10: (1.5, 3), 20: (1.0, 1)}
+
+
+def test_tumbling_bucket_matches_loop_semantics(spark):
+    rows = [(1, 0, 10.0), (1, 5, 20.0), (1, 6, 30.0), (1, 17, 40.0)]
+    df = spark.createDataFrame(rows, ["stay", "h", "v"])
+    out = ts_ops.tumbling_bucket(
+        df, keys=["stay"], time_col="h", bucket=6, aggs=[F.avg("v").alias("v")]
+    )
+    got = {r.start_time: r.v for r in out.collect()}
+    assert got == {0: 15.0, 1: 30.0, 2: 40.0}
+
+
+def test_dense_grid_and_ffill(spark):
+    dims = spark.createDataFrame([(1, 5)], ["stay", "los"])
+    grid = ts_ops.dense_grid(dims, "los")
+    assert [r.hour for r in grid.orderBy("hour").collect()] == [0, 1, 2, 3, 4]
+
+    obs = spark.createDataFrame([(1, 1, 7.0), (1, 3, 9.0)], ["stay", "hour", "v"])
+    joined = grid.join(obs, ["stay", "hour"], "left")
+    filled = ts_ops.ffill(joined, keys=["stay"], order_col="hour", value_col="v")
+    got = [r.v for r in filled.orderBy("hour").collect()]
+    assert got == [None, 7.0, 7.0, 9.0, 9.0]
+
+
+def test_impute_cascade_ffill_bfill_default(spark):
+    df = spark.createDataFrame(
+        [(1, 0, None), (1, 1, 5.0), (1, 2, None), (2, 0, None)],
+        "stay: long, hour: long, v: double",
+    )
+    out = ts_ops.impute_cascade(df, ["stay"], "hour", "v", group_stat=None, default=0.0)
+    got = {(r.stay, r.hour): r.v for r in out.collect()}
+    assert got == {(1, 0): 5.0, (1, 1): 5.0, (1, 2): 5.0, (2, 0): 0.0}
+
+
+def test_active_signal(spark):
+    # stop hour recorded at start event; signal stays 1 until stop passes
+    df = spark.createDataFrame(
+        [(1, 0, 2), (1, 1, None), (1, 2, None), (1, 3, None)],
+        "stay: long, hour: long, stop: long",
+    )
+    out = ts_ops.active_signal(df, keys=["stay"], hour_col="hour", stop_col="stop")
+    got = {r.hour: r.signal for r in out.collect()}
+    assert got == {0: 1, 1: 1, 2: 0, 3: 0}
+
+
+def test_first_row_per_group_and_topk(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 2), (1, "a", 1), (2, "c", 9)], ["g", "v", "o"]
+    )
+    first = sorts.first_row_per_group(df, "g", order_by=["o"])
+    assert {r.g: r.v for r in first.collect()} == {1: "a", 2: "c"}
+
+    freq = spark.createDataFrame([(1,), (1,), (2,), (3,), (3,)], ["k"])
+    top = sorts.top_k_by_count(freq, "k", k=2).collect()
+    assert [(r.k, r.total_count) for r in top] == [(1, 2), (3, 2)]
+
+
+def test_hours_from_anchor_floors_correctly(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ts("2020-01-01 00:00:00"), ts("2020-01-01 01:59:59")),
+            (1, ts("2020-01-01 00:00:01"), ts("2020-01-01 00:00:00")),  # negative
+        ],
+        ["k", "anchor", "evt"],
+    )
+    out = ts_ops.hours_from_anchor(df, "evt", "anchor", out_col="h")
+    assert sorted(r.h for r in out.collect()) == [-1, 1]
