@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from temporai_mivdp_spark.queries import ORACLE, QUERIES  # noqa: E402
+import temporai_mivdp_spark.queries_llm  # noqa: E402,F401  (registers llm-data queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,20 @@
+"""Large-scale training-data pipeline operators (BASELINE.json north star).
+
+Beyond the reference's clinical surface, the engine ships the operators a
+100 TB LLM-data pipeline needs, all Spark-first:
+
+  dedup        exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
+  similarity   brute-force cosine top-k + IVF-bucketed approximate search
+  text         language-ID heuristic, quality scoring, token counting,
+               document fingerprinting
+  multimodal   opaque-binary media columns: schema, Arrow-batched
+               metadata/feature extraction (decode stubbed — media codecs
+               are not in this container), deterministic fake features
+
+Portability discipline: the dedup/text hashes are built on md5 (identical
+in Spark and DuckDB) so every operator stays oracle-checkable.
+"""
+
+from temporai_mivdp_spark.llmdata import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

@@ -1,0 +1,256 @@
+"""Deduplication operators for document corpora.
+
+Scale design: every method here is a groupBy/join plan with a bounded
+blocking key — nothing compares all pairs.
+
+* exact: one hash-shuffle on the text (or its md5 at 100 TB so the
+  shuffle carries 16 bytes, not documents).
+* n-gram Jaccard: pairs are generated only through shared shingles
+  (inverted-index join), with a frequency cap dropping degenerate
+  stop-shingles that would quadratically blow up a bucket.
+* MinHash+LSH: signatures shrink each doc to ``num_hashes`` ints; banding
+  turns near-dup search into equality joins on band hashes.
+* SimHash: one 16/64-bit fingerprint per doc; near-dups share fingerprint
+  (or low Hamming distance) — again an equality join.
+
+Hashes are md5-derived (first 8 hex chars -> int32 range) so DuckDB
+oracles can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_hash32(col: Column) -> Column:
+    """Portable 32-bit hash: int(md5(x)[:8], 16). Same in DuckDB via
+    ``('0x' || substr(md5(x),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for content comparison: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one row per distinct normalized text with the keeper
+    (min id) and the copy count. At 100 TB, group on ``md5(normalized)``
+    instead of the text itself so the shuffle is fixed-width."""
+    return (
+        docs.withColumn("__k", F.md5(normalize_text(F.col(text_col))))
+        .groupBy("__k")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+def tokenize(docs: DataFrame, text_col: str = "text", out_col: str = "token") -> DataFrame:
+    """Whitespace tokens of the normalized text, one row per position."""
+    return docs.withColumn(
+        out_col, F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    )
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = docs.select(
+        id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
+    )
+    # n-gram i..i+n-1 via transform over the index range; filter ragged tails
+    ngrams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+            )
+        ).alias("shingle"),
+    )
+    return ngrams.filter(F.size(F.split(F.col("shingle"), " ")) == n).dropDuplicates(
+        [id_col, "shingle"]
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Inverted-index plan: explode shingles, self-join on the shingle (only
+    docs sharing at least one shingle ever meet), count intersections,
+    then Jaccard = inter / (|A| + |B| - inter). ``max_shingle_freq`` drops
+    shingles appearing in more than that many docs — at corpus scale a
+    boilerplate shingle shared by millions of docs would otherwise create
+    a quadratic bucket (and contributes almost no discriminative signal).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if max_shingle_freq is not None:
+        freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).filter(
+            F.col("__df") <= max_shingle_freq
+        )
+        sh = sh.join(freq_ok.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sized = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb")), "id_b")
+    )
+    jac = sized.withColumn(
+        "jaccard",
+        F.col("__inter") / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures over word ``shingle_n``-gram shingles, long
+    format (id, h_idx, minhash).
+
+    Shingles, not unigrams: documents drawn from a shared vocabulary have
+    hugely overlapping unigram SETS (Jaccard ~1 even for unrelated docs),
+    which would make every LSH band collide; n-gram shingles keep
+    unrelated docs near Jaccard 0. Each of the ``num_hashes`` functions is
+    md5 seeded by the hash index, so signatures are deterministic and
+    engine-portable. One explode + groupBy — shingle sets never leave
+    their partition unaggregated.
+    """
+    sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h_idx"),
+        "shingle",
+    )
+    hashed = seeded.withColumn(
+        "__h",
+        _md5_hash32(F.concat_ws(":", F.col("h_idx").cast("string"), F.col("shingle"))),
+    )
+    return hashed.groupBy(id_col, "h_idx").agg(F.min("__h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band hash become candidate
+    pairs (id_a < id_b). Pure equality joins — scales as the number of
+    colliding docs per bucket, not corpus^2."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes, text_col=text_col, id_col=id_col)
+    banded = sig.withColumn("band", F.floor(F.col("h_idx") / rows_per_band).cast("long"))
+    band_hash = banded.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash"))))).alias("bh")
+    )
+    a = band_hash.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = band_hash.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprint: per token a portable 32-bit hash; each of the
+    low ``bits`` bit positions votes +count/-count by whether the bit is
+    set; fingerprint sets bits with positive balance. One explode over
+    (token x bit) + one groupBy per doc."""
+    toks = (
+        tokenize(docs, text_col=text_col)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__h", _md5_hash32(F.col("token")))
+    )
+    votes = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "__h",
+        "__cnt",
+    ).select(
+        id_col,
+        "bit",
+        # shiftright's DSL form takes a literal count; the SQL form takes
+        # an expression, which we need since the bit index is a column
+        F.when(F.expr("shiftright(__h, bit) & 1") == 1, F.col("__cnt"))
+        .otherwise(-F.col("__cnt"))
+        .alias("__vote"),
+    )
+    balance = votes.groupBy(id_col, "bit").agg(F.sum("__vote").alias("__bal"))
+    return balance.groupBy(id_col).agg(
+        F.sum(F.when(F.col("__bal") > 0, F.expr("shiftleft(1, bit)")).otherwise(0))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
+
+    ``block_col`` is the blocking key (a cluster id / LSH bucket / shard):
+    only pairs inside a block are compared. ``None`` falls back to all
+    pairs — test-scale only; at 100 TB always pass a block (e.g. an IVF
+    assignment from similarity.assign_ivf_buckets).
+    """
+    from temporai_mivdp_spark.llmdata.similarity import cosine_expr
+
+    cols = [id_col, vec_col] + ([block_col] if block_col else [])
+    a = embeddings.select(*[F.col(c).alias(f"a_{c}") for c in cols])
+    b = embeddings.select(*[F.col(c).alias(f"b_{c}") for c in cols])
+    if block_col:
+        cond = F.col(f"a_{block_col}") == F.col(f"b_{block_col}")
+        paired = a.join(b, on=cond)
+    else:
+        paired = a.crossJoin(b)
+    paired = paired.filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+    sim = paired.withColumn(
+        "cosine", cosine_expr(F.col(f"a_{vec_col}"), F.col(f"b_{vec_col}"))
+    )
+    return sim.filter(F.col("cosine") >= threshold).select(
+        F.col(f"a_{id_col}").alias("id_a"),
+        F.col(f"b_{id_col}").alias("id_b"),
+        F.round("cosine", 6).alias("cosine"),
+    )

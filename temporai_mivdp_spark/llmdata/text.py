@@ -1,0 +1,145 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting. All pure Catalyst expressions (regex + string
+built-ins) — no UDFs, so they run inside whole-stage codegen at full scan
+speed, and each has an exact DuckDB-oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from temporai_mivdp_spark.llmdata.dedup import normalize_text
+
+#: tiny marker lexicons for the n-gram/stopword language heuristic —
+#: enough to separate corpora at scale; swap for fastText offline models
+#: via mapInPandas when available.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "die", "nicht", "ist"],
+    "en": ["the", "and", "of", "is", "to"],
+    "es": ["el", "los", "que", "es", "y"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+#: small english stopword set for the quality heuristic
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (the cheap proxy; a BPE-ish subword count is
+    ``bpe_token_estimate``)."""
+    return F.size(F.split(normalize_text(col), " "))
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """BPE-ish token estimate without a vocab file: split on word
+    boundaries/punctuation/digit runs and charge long words one token per
+    4 chars (the common LLM rule of thumb). Deterministic + portable."""
+    words = F.split(normalize_text(col), r"[^a-z0-9]+")
+    per_word = F.transform(
+        words, lambda w: F.when(F.length(w) == 0, 0).otherwise(
+            F.ceil(F.length(w) / F.lit(4.0)).cast("long")
+        )
+    )
+    return F.aggregate(per_word, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _count_occurrences(text: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whole token in space-normalized text —
+    replace-based counting (portable: identical in DuckDB)."""
+    padded = F.concat(F.lit(" "), normalize_text(text), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
+        / F.lit(len(needle) - 1)
+    ).cast("long")
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality signals (the C4/Gopher-style cheap filters):
+    length, word stats, punctuation/digit ratios, stopword ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _count_occurrences(t, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    return docs.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars / n_tokens).alias("chars_per_token"),
+        (F.length(F.regexp_replace(t, r"[^.!?,;:]", "")) / n_chars).alias("punct_ratio"),
+        (F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars).alias("digit_ratio"),
+        (stop_hits / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scalar quality score in [0,1]: penalize too-short docs, extreme
+    punctuation/digit density, and missing stopwords. A linear
+    combination of the feature columns — tune weights downstream."""
+    q = quality_features(docs, text_col=text_col, id_col=id_col)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 10) * 0.2
+        + F.greatest(F.lit(0.0), F.lit(1.0) - F.col("digit_ratio") * 10) * 0.2
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.2
+    )
+    return q.select(id_col, score.alias("quality_score"))
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-word language heuristic: per language, count whole-token
+    marker hits; predict the argmax (ties: first language alphabetically;
+    zero hits -> 'und'). One projection, no shuffle."""
+    t = F.col(text_col)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        hits = None
+        for w in LANG_MARKERS[lang]:
+            c = _count_occurrences(t, w)
+            hits = c if hits is None else hits + c
+        scores.append((lang, hits))
+    # argmax via a struct sort: (hits desc, lang asc)
+    best = F.greatest(
+        *[F.struct(h.alias("h"), F.lit(i).alias("nl"), F.lit(lang).alias("lang"))
+          for i, (lang, h) in enumerate(sorted(scores, key=lambda x: x[0], reverse=True))]
+    )
+    # greatest() on structs compares fieldwise: highest hits wins; on hit
+    # ties the higher `nl` wins == alphabetically-first language (list was
+    # built reverse-sorted).
+    pred = F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+    out_cols = [id_col, pred.alias("lang_pred")] + [
+        h.alias(f"score_{lang}") for lang, h in scores
+    ]
+    return docs.select(*out_cols)
+
+
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content fingerprint: md5 of the normalized text plus a winnowing-
+    style secondary print (min 32-bit hash over word 4-grams — a stable
+    'rarest shingle' signature that survives small edits better than the
+    full-text hash)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 4, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)),
+    )
+    min_gram_hash = F.array_min(
+        F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+    )
+    return docs.select(
+        id_col,
+        F.md5(normalize_text(F.col(text_col))).alias("content_md5"),
+        min_gram_hash.alias("min_shingle_hash"),
+    )

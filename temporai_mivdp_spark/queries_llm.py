@@ -1,0 +1,356 @@
+"""LLM-data operator queries (dedup / similarity / text / multimodal) with
+DuckDB oracles on the documents/embeddings testdata tables.
+
+Portability notes baked into every oracle:
+* DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's
+  replace-all semantics.
+* the shared 32-bit hash is ``int(md5(x)[:8], 16)`` — Spark ``conv(...,
+  16, 10)`` == DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT``.
+* near-dup queries augment the corpus with a mutated copy of every doc
+  (id + 1_000_000, one appended token) so true near-duplicate pairs exist
+  deterministically — the all-distinct synthetic corpus would otherwise
+  make the checks vacuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporai_mivdp_spark.llmdata import dedup, similarity, text
+from temporai_mivdp_spark.queries import ORACLE, QUERIES, _register, _t
+
+#: DuckDB expression for the normalized text (mirror of dedup.normalize_text)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copy (near-dup seed), see module docstring."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqx")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+_AUG_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text || ' zqx' AS text FROM documents"
+)
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    WITH d2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM d2 GROUP BY md5({_NORM})
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text hash. The corpus is doubled with
+    byte-identical copies (ids +1M) so every group has n_copies=2 and the
+    keeper choice (min id) is exercised."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return dedup.exact_duplicates(doubled)
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH d2 AS ({_AUG_SQL}),
+    toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM d2),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM idx WHERE len(w[i:i+2]) = 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs via inverted-index join — every
+    (doc, mutated doc) pair must surface with jaccard ~ (n-2)/(n+1)."""
+    return dedup.ngram_jaccard_pairs(_augmented(spark, sf_dir), n=3, threshold=0.5)
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH d2 AS ({_AUG_SQL}),
+    toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM d2),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM idx WHERE len(w[i:i+2]) = 3
+    ),
+    seeded AS (
+      SELECT doc_id, g.i AS h_idx, shingle
+      FROM tok, (SELECT unnest(generate_series(0, 7)) AS i) g
+    ),
+    sig AS (
+      SELECT doc_id, h_idx,
+             min(('0x' || substr(md5(h_idx::VARCHAR || ':' || shingle), 1, 8))::BIGINT) AS mh
+      FROM seeded GROUP BY 1, 2
+    ),
+    bh AS (
+      SELECT doc_id, h_idx // 2 AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY mh)) AS bh
+      FROM sig GROUP BY 1, 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 perms) + LSH (4 bands of 2) candidate pairs over the
+    augmented corpus — banding equality joins only, no pair scan."""
+    return dedup.minhash_lsh_candidates(_augmented(spark, sf_dir), num_hashes=8, bands=4)
+
+
+@_register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, token, count(*) AS c,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT AS hv
+      FROM tok GROUP BY doc_id, token
+    ),
+    votes AS (
+      SELECT doc_id, g.b AS bit,
+             sum(CASE WHEN (hv >> g.b) & 1 = 1 THEN c ELSE -c END) AS bal
+      FROM cnt, (SELECT unnest(generate_series(0, 15)) AS b) g
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bal > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (token-count weighted bit votes)."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+@_register(
+    "dedup_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the blocking key
+    stands in for an IVF/LSH bucket at scale — never all-pairs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(emb, threshold=0.3, block_col="label")
+
+
+@_register(
+    "sim_topk_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
+    s AS (
+      SELECT p.pid, e.vec_id,
+             round(list_dot_product(p.pv, e.v)
+                   / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(e.v, e.v))), 6)
+               AS cosine
+      FROM e CROSS JOIN p WHERE e.vec_id <> p.pid
+    )
+    SELECT pid AS probe_id, vec_id AS neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY pid ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM s
+    ) WHERE rank <= 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 probe vectors — the exact-search
+    baseline (zip_with/aggregate dot products, probes broadcast)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, probes, k=10)
+
+
+@_register("sim_topk_ivf")  # approximate: rows-only check (recall tested in tests/)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10 (16 deterministic centroids,
+    nprobe=4): the scale path — probes scan ~nprobe/16 of the corpus.
+    Approximate by design -> no SQL oracle; tests assert recall vs brute
+    force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cents = similarity.deterministic_centroids(emb, n=16)
+    return similarity.ivf_topk(emb, probes, cents, k=10, nprobe=4)
+
+
+@_register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split({_NORM}, ' ')) AS n_tokens,
+           CAST(list_sum(list_transform(
+                 string_split_regex({_NORM}, '[^a-z0-9]+'),
+                 w -> CASE WHEN len(w) = 0 THEN 0
+                           ELSE CAST(ceil(len(w) / 4.0) AS BIGINT) END)) AS BIGINT)
+             AS bpe_estimate
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_estimate"),
+    )
+
+
+def _occ_sql(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((length(pad) - length(replace(pad, '{needle}', ' '))) / {len(needle) - 1} AS BIGINT)"
+    )
+
+
+_STOP_SUM = " + ".join(_occ_sql(w) for w in text.STOPWORDS)
+
+
+@_register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, ' ' || {_NORM} || ' ' AS pad,
+             length(text) AS n_chars,
+             len(string_split({_NORM}, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           n_chars * 1.0 / n_tokens AS chars_per_token,
+           length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / n_chars AS punct_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / n_chars AS digit_ratio,
+           ({_STOP_SUM}) * 1.0 / n_tokens AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals (C4/Gopher-style cheap filters) — one projection."""
+    return text.quality_features(_t(spark, sf_dir, "documents"))
+
+
+_LANG_SCORE_SQL = {
+    lang: " + ".join(_occ_sql(w) for w in words)
+    for lang, words in text.LANG_MARKERS.items()
+}
+
+
+@_register(
+    "text_langid",
+    f"""
+    WITH t AS (
+      SELECT doc_id, ' ' || {_NORM} || ' ' AS pad FROM documents
+    ), s AS (
+      SELECT doc_id,
+             {_LANG_SCORE_SQL['de']} AS score_de,
+             {_LANG_SCORE_SQL['en']} AS score_en,
+             {_LANG_SCORE_SQL['es']} AS score_es,
+             {_LANG_SCORE_SQL['fr']} AS score_fr
+      FROM t
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic with deterministic tie-breaks."""
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w, {_NORM} AS norm FROM documents)
+    SELECT doc_id, md5(norm) AS content_md5,
+           list_min(list_transform(
+             generate_series(1, greatest(len(w) - 3, 1)),
+             i -> CASE WHEN len(w[i:i+3]) = 4
+                       THEN ('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8))::BIGINT
+                       ELSE NULL END)) AS min_shingle_hash
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content md5 + winnowing-style min
+    4-gram hash."""
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5,
+           'application/octet-stream' AS sniffed_mime
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing proof: docs' UTF-8 bytes as the payload of a
+    media table, metadata extracted via Arrow-batched mapInPandas
+    (llmdata.multimodal.extract_metadata) — the exact pattern a real
+    image/audio decode stage uses, oracle-checkable byte-for-byte."""
+    from temporai_mivdp_spark.llmdata import multimodal
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return multimodal.extract_metadata(media)
+
+
+__all__ = ["QUERIES", "ORACLE"]

@@ -29,7 +29,9 @@ def test_oracle_coverage():
     # every SQL-expressible query should carry an oracle; rows-only checks
     # are the documented exception list
     no_oracle = set(qs) - set(oracles)
-    allowed_rows_only = set()
+    # approximate-by-design ops: correctness asserted in tests/ (recall vs
+    # exact baseline), not SQL-reproducible
+    allowed_rows_only = {"sim_topk_ivf"}
     assert no_oracle <= allowed_rows_only, f"missing oracles: {no_oracle}"
 
 

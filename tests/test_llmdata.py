@@ -1,0 +1,166 @@
+"""Unit tests for the LLM-data operators on hand-built corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporai_mivdp_spark.llmdata import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),    # near dup of 1
+        (4, "completely different words about spark engines running fast"),
+        (5, "el rapido zorro marron salta sobre el perro y los gatos"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = {r.keep_id: r.n_copies for r in dedup.exact_duplicates(docs).collect()}
+    assert out[1] == 2          # docs 1+2 collapse, keeper = min id
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert not any({4, 5} & {a, b} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    cand = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_candidates(docs, 8, 4).collect()}
+    assert (1, 2) in cand                       # identical docs always collide
+    assert not any({4, 5} & {a, b} for a, b in cand)
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=16).collect()}
+    assert fp[1] == fp[2]
+    ham_near = bin(fp[1] ^ fp[3]).count("1")
+    ham_far = bin(fp[1] ^ fp[4]).count("1")
+    assert ham_near < ham_far
+    assert all(0 <= v < 2**16 for v in fp.values())
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 tight clusters around axis directions + ids
+    import math
+
+    rows = []
+    for i in range(30):
+        axis = i % 3
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = 0.05 * (i % 5)  # slight spread
+        norm = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / norm for x in v], axis))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+
+
+def test_embedding_neardup_blocked(spark, vectors):
+    pairs = dedup.embedding_near_duplicates(vectors, threshold=0.99, block_col="label")
+    for r in pairs.collect():
+        assert r.id_a % 3 == r.id_b % 3   # only same-cluster pairs
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    probes = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(vectors, probes, k=5).collect()
+    assert len(out) == 5
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    # all top-5 neighbors of a cluster-0 vector are cluster-0 vectors
+    assert all(r.neighbor_id % 3 == 0 for r in out)
+    # descending cosine
+    cosines = [r.cosine for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_topk_recall(spark, vectors):
+    probes = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cents = similarity.deterministic_centroids(vectors, n=6)
+    exact = similarity.brute_force_topk(vectors, probes, k=5)
+    approx = similarity.ivf_topk(vectors, probes, cents, k=5, nprobe=3)
+    e = {(r.probe_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.probe_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is to go"),
+            (2, "le chat et la maison est les chiens"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
+    assert out == {1: "en", 2: "fr", 3: "und"}
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox! It is 42 years old, honestly.")],
+        "doc_id: long, text: string",
+    )
+    q = text.quality_features(df).collect()[0]
+    assert q.n_tokens == 10
+    assert q.punct_ratio > 0 and q.digit_ratio > 0
+    s = text.quality_score(df).collect()[0]
+    assert 0.0 <= s.quality_score <= 1.0
+    tc = df.select(text.bpe_token_estimate(F.col("text")).alias("t")).collect()[0].t
+    assert tc >= 10  # subword estimate >= word count for short words
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a  B c d e f g"), (3, "totally other words here now")],
+        "doc_id: long, text: string",
+    )
+    fp = {r.doc_id: (r.content_md5, r.min_shingle_hash) for r in text.fingerprint(df).collect()}
+    assert fp[1] == fp[2]          # normalization collapses case/whitespace
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_metadata_and_fake_decode(spark):
+    rows = [
+        (1, b"\xff\xd8\xffrest-of-jpeg", "image/jpeg", 10, 10, None),
+        (2, b"\x89PNGrest", "image/png", 5, 5, None),
+        (3, None, None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    meta = {r.media_id: r for r in multimodal.extract_metadata(media).collect()}
+    assert meta[1].sniffed_mime == "image/jpeg"
+    assert meta[2].sniffed_mime == "image/png"
+    assert meta[3].byte_len is None
+    assert meta[1].byte_len == len(rows[0][1])
+
+    feats = {r.media_id: r.features for r in multimodal.decode_image(media, fake=True).collect()}
+    assert feats[1] and len(feats[1].split(",")) == 8
+    assert feats[3] is None
+
+    with pytest.raises(Exception):  # real decode is stubbed
+        multimodal.decode_image(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    rows = [(1, None, "video/mp4", None, None, 3500), (2, None, "image/png", None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r.media_id, r.frame_ms) for r in frames] == [(1, 0), (1, 1000), (1, 2000), (1, 3000)]
