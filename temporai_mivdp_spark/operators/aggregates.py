@@ -69,24 +69,33 @@ def mode_vote_filter(
     Ties for the mode break deterministically by (count desc, value asc) —
     pandas ``value_counts`` ties are insertion-order-dependent, so we pin
     an explicit total order instead of replicating nondeterminism.
+
+    Plan: aggregate votes to the tiny (group, value, count) table first
+    (one map-side-combined shuffle), derive per-group stats and the mode
+    rank on THAT, and broadcast-join the verdicts back. The fact table is
+    never window-sorted — windowing the raw events would sort the full
+    dataset inside each group for four window functions.
     """
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
-    w_cnt = Window.partitionBy(*keys, vote_col)
-    w_grp = Window.partitionBy(*keys)
+    counts = df.groupBy(*keys, vote_col).agg(F.count(F.lit(1)).alias("__vcnt"))
     w_rank = Window.partitionBy(*keys).orderBy(F.col("__vcnt").desc(), F.col(vote_col).asc())
-    scored = (
-        df.withColumn("__vcnt", F.count(F.lit(1)).over(w_cnt))
-        .withColumn("__gcnt", F.count(F.lit(1)).over(w_grp))
-        .withColumn("__nvals", F.size(F.collect_set(vote_col).over(w_grp)))
-        .withColumn("__rank", F.dense_rank().over(w_rank))
-        .withColumn("__top_share", F.max(F.col("__vcnt")).over(w_grp) / F.col("__gcnt"))
+    ranked = counts.withColumn("__rank", F.row_number().over(w_rank))
+    stats = counts.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__nvals"),
+        (F.max("__vcnt") / F.sum("__vcnt")).alias("__top_share"),
     )
-    kept = scored.filter(
+    verdict = ranked.join(stats, on=keys).withColumn(
+        "__keep",
         (F.col("__nvals") == 1)
         | (F.col("__top_share") <= cut_off)
-        | (F.col("__rank") == 1)
+        | (F.col("__rank") == 1),
     )
-    return kept.drop("__vcnt", "__gcnt", "__nvals", "__rank", "__top_share")
+    kept = df.join(
+        F.broadcast(verdict.filter(F.col("__keep")).select(*keys, vote_col)),
+        on=[*keys, vote_col],
+        how="left_semi",
+    )
+    return kept
 
 
 def winsorize(
@@ -96,6 +105,7 @@ def winsorize(
     lower_pct: float,
     upper_pct: float,
     impute: bool = False,
+    exact: bool = True,
 ) -> DataFrame:
     """A8/X3: per-group percentile outlier handling
     (outlier_removal.py:11-37; called feature_preproc_icu.py:257-279).
@@ -103,18 +113,24 @@ def winsorize(
     ``impute=True``: clip values into [p_lower, p_upper] (winsorize).
     ``impute=False``: null out-of-range values and drop them.
 
-    Uses EXACT linear-interpolated percentiles (``F.percentile``) to match
-    numpy's default and the DuckDB oracle's ``quantile_cont`` —
-    ``percentile_approx`` would diverge at parity scale. Computed as a
-    groupBy + broadcast join-back rather than a window: the per-group
-    bounds table is tiny (one row per itemid), so the fact table is
-    touched once and never re-sorted.
+    ``exact=True`` uses linear-interpolated exact percentiles
+    (``F.percentile``) matching numpy's default and DuckDB
+    ``quantile_cont`` — required for oracle parity, but the aggregate
+    buffers every group's values, so memory scales with the largest
+    group. At 100 TB set ``exact=False``: ``percentile_approx`` keeps a
+    bounded t-digest-style sketch per group (still map-side combined) at
+    the cost of bounded rank error. The plan shape is identical either
+    way: one partial-agg pass + broadcast join-back — the fact table is
+    scanned once and never re-sorted.
     """
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
     v = F.col(value_col)
+    pctl = F.percentile if exact else (
+        lambda c, p: F.percentile_approx(c, p, F.lit(10_000))
+    )
     bounds = df.groupBy(*keys).agg(
-        F.percentile(v, F.lit(lower_pct / 100.0)).alias("__lo"),
-        F.percentile(v, F.lit(upper_pct / 100.0)).alias("__hi"),
+        pctl(v, F.lit(lower_pct / 100.0)).alias("__lo"),
+        pctl(v, F.lit(upper_pct / 100.0)).alias("__hi"),
     )
     joined = df.join(F.broadcast(bounds), on=keys, how="left")
     if impute:

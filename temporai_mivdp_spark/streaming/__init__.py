@@ -1,0 +1,23 @@
+"""Structured Streaming variants of the time-series operators.
+
+The reference is batch-only (SURVEY.md §2.5) — its tumbling-bucket
+aggregation (data_generation_icu.py:522-604) is the one operator with a
+natural streaming twin. This package keeps the batch and streaming forms
+of each operator expression-identical so a pipeline can run either mode:
+the bucket ordinal ``floor(hours/bucket)`` of the batch path IS the
+``window(ts, "<bucket> hours")`` tumbling window here.
+"""
+
+from temporai_mivdp_spark.streaming.windows import (
+    read_parquet_stream,
+    stream_dedup,
+    stream_session_windows,
+    stream_tumbling_bucket,
+)
+
+__all__ = [
+    "read_parquet_stream",
+    "stream_dedup",
+    "stream_session_windows",
+    "stream_tumbling_bucket",
+]

@@ -1,0 +1,104 @@
+"""Streaming window operators.
+
+Late data policy: every stateful operator takes a ``watermark`` —
+events older than (max seen event time - watermark) are dropped and their
+windows finalized. State size is bounded by (watermark / bucket) windows
+per key, which is what makes these safe on an unbounded stream; pick the
+watermark from the source's real out-of-orderness, not from wishful
+thinking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """File-based streaming source over a parquet directory (the landing
+    pattern for event feeds at rest). ``maxFilesPerTrigger`` bounds
+    per-micro-batch work."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_tumbling_bucket(
+    events: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    bucket_hours: int,
+    aggs: Sequence[Column],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """W3, streaming form: the batch ``groupBy(floor(hours/bucket))``
+    becomes ``groupBy(window(ts, "<bucket> hours"))`` — same buckets, same
+    aggregates, plus a watermark for late data. Works under every output
+    mode; with ``append`` the bucket emits once its watermark passes."""
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), f"{bucket_hours} hours").alias("bucket"),
+            *keys,
+        )
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("bucket.start").alias("bucket_start"),
+        F.col("bucket.end").alias("bucket_end"),
+        *[c for c in out.columns if c != "bucket"],
+    )
+
+
+def stream_session_windows(
+    events: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based): the streaming generalization of the
+    reference's per-stay event grouping — a session closes after ``gap``
+    of silence per key. State per key is one open session."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_event"),
+            F.max(ts_col).alias("last_event"),
+        )
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            *keys,
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``key_cols`` within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` keeps state
+    bounded — plain dropDuplicates on a stream would grow state forever).
+    The streaming face of llmdata.dedup.exact_duplicates."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

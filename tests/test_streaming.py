@@ -1,0 +1,96 @@
+"""Streaming operator tests: parquet file source -> availableNow trigger ->
+memory sink, asserting the streaming results equal the batch twin's."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporai_mivdp_spark import streaming as st
+from temporai_mivdp_spark.operators.timeseries import hours_from_anchor, tumbling_bucket
+from tests.conftest import ts
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark):
+    rows = [
+        (1, ts("2024-01-01 00:10:00"), 5.0),
+        (1, ts("2024-01-01 01:20:00"), 7.0),
+        (1, ts("2024-01-01 02:05:00"), 9.0),
+        (2, ts("2024-01-01 00:40:00"), 1.0),
+        (2, ts("2024-01-01 07:00:00"), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, value: double")
+    d = tempfile.mkdtemp(prefix="stream-src-")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return d, df
+
+
+def _run_to_memory(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_tumbling_bucket_matches_batch(spark, event_dir):
+    d, batch_df = event_dir
+    src = st.read_parquet_stream(spark, d, batch_df.schema)
+    bucketed = st.stream_tumbling_bucket(
+        src, "ts", ["user_id"], bucket_hours=2,
+        aggs=[F.count(F.lit(1)).alias("n"), F.avg("value").alias("v")],
+    )
+    _run_to_memory(bucketed, "t_buckets")
+    got = {
+        (r.user_id, r.bucket_start): (r.n, r.v)
+        for r in spark.sql("select * from t_buckets").collect()
+    }
+    # batch twin: floor(hours-from-epoch-anchor / 2) buckets
+    anchored = batch_df.withColumn("__a", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    hourly = hours_from_anchor(anchored, "ts", "__a", out_col="h")
+    batch = tumbling_bucket(
+        hourly, keys=["user_id"], time_col="h", bucket=2,
+        aggs=[F.count(F.lit(1)).alias("n"), F.avg("value").alias("v")],
+    )
+    want = {
+        (r.user_id, ts("2024-01-01 00:00:00") + __import__("datetime").timedelta(hours=2 * r.start_time)): (r.n, r.v)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert got[(1, ts("2024-01-01 00:00:00"))] == (2, 6.0)
+    assert got[(2, ts("2024-01-01 06:00:00"))] == (1, 3.0)
+
+
+def test_stream_session_windows(spark, event_dir):
+    d, batch_df = event_dir
+    src = st.read_parquet_stream(spark, d, batch_df.schema)
+    sessions = st.stream_session_windows(src, "ts", ["user_id"], gap="90 minutes")
+    _run_to_memory(sessions, "t_sessions")
+    rows = spark.sql("select * from t_sessions").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    # user 1: all 3 events within 90min gaps -> one session; user 2: two sessions
+    assert sorted(per_user[1]) == [3]
+    assert sorted(per_user[2]) == [1, 1]
+
+
+def test_stream_dedup(spark, event_dir):
+    d, batch_df = event_dir
+    dup_dir = tempfile.mkdtemp(prefix="stream-dup-")
+    batch_df.union(batch_df).coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    src = st.read_parquet_stream(spark, dup_dir, batch_df.schema)
+    deduped = st.stream_dedup(src, ["user_id", "ts"], "ts")
+    q = (
+        deduped.writeStream.format("memory").queryName("t_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select count(*) c from t_dedup").collect()[0].c == batch_df.count()
