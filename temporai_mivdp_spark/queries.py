@@ -882,3 +882,148 @@ def r2_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), index="user_id", category_col="event_type",
         categories=_EVENT_TYPES, prefix="et_",
     )
+
+
+# ---------------------------------------------------------------------------
+# remaining operator-family queries (J5/J6, O1, U1, R3)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j5_left_join_attrs",
+    """
+    WITH attrs AS (
+      SELECT user_id, CAST(round(max(round(value * 100))) AS BIGINT) AS max_cents FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, a.max_cents,
+           CASE WHEN CAST(round(e.value * 100) AS BIGINT) = a.max_cents THEN 1 ELSE 0 END AS is_peak
+    FROM events e LEFT JOIN attrs a ON a.user_id = e.user_id
+    """,
+)
+def j5_left_join_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left-join per-series attributes back onto events (the los /
+    select_time joins at data_generation_icu.py:260,475-518) — broadcast
+    the tiny attr side."""
+    events = _t(spark, sf_dir, "events")
+    attrs = events.groupBy("user_id").agg(
+        F.round(F.max(F.round(F.col("value") * 100, 0)), 0).cast("long").alias("max_cents")
+    )
+    return (
+        events.join(F.broadcast(attrs), "user_id", "left")
+        .withColumn(
+            "is_peak",
+            F.when(F.round(F.col("value") * 100, 0).cast("long") == F.col("max_cents"), 1).otherwise(0),
+        )
+        .select("event_id", "max_cents", "is_peak")
+    )
+
+
+@_register(
+    "j6_right_merge_summary",
+    """
+    WITH freq AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ),
+    mean_freq AS (SELECT event_type, avg(n) AS mean_frequency FROM freq GROUP BY 1),
+    missing AS (
+      SELECT event_type, count(*) AS missing_count FROM events WHERE value < 10 GROUP BY 1
+    ),
+    total AS (SELECT event_type, count(*) AS total_count FROM events GROUP BY 1)
+    SELECT t.event_type,
+           coalesce(m.mean_frequency, 0) AS mean_frequency,
+           coalesce(x.missing_count, 0) AS missing_count,
+           t.total_count
+    FROM total t
+    LEFT JOIN mean_freq m ON m.event_type = t.event_type
+    LEFT JOIN missing x ON x.event_type = t.event_type
+    """,
+)
+def j6_right_merge_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6(+A1-A3): the reference's right-merge summary assembly
+    (feature_preproc_icu.py:331-386) — three aggregates stitched with the
+    total side preserved and zero-filled (its fillna(0))."""
+    events = _t(spark, sf_dir, "events")
+    freq = (
+        events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("event_type").agg(F.avg("n").alias("mean_frequency"))
+    )
+    missing = events.filter(F.col("value") < 10).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("missing_count")
+    )
+    total = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("total_count"))
+    return (
+        total.join(freq, "event_type", "left")
+        .join(missing, "event_type", "left")
+        .na.fill({"mean_frequency": 0, "missing_count": 0})
+        .select("event_type", "mean_frequency", "missing_count", "total_count")
+    )
+
+
+@_register(
+    "o1_multikey_sort",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM orders
+    ORDER BY o_custkey ASC, o_orderdate DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: multi-key sort + limit (sort_values at
+    day_intervals_cohort_v1.py:261,288,368). A global ORDER BY plans a
+    range-partitioned exchange; with LIMIT Spark runs TakeOrdered — no
+    full sort materialization."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy(F.col("o_custkey").asc(), F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@_register(
+    "u1_union_by_name",
+    """
+    SELECT o_orderkey AS id, 'order' AS kind FROM orders WHERE o_totalprice > 4000
+    UNION ALL
+    SELECT c_custkey AS id, 'customer' AS kind FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: vertical concat (pd.concat / the append shim at
+    utils/common.py:10-24) as unionByName — a no-shuffle plan node."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 4000).select(
+        F.col("o_orderkey").alias("id"), F.lit("order").alias("kind")
+    )
+    customers = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("id"), F.lit("customer").alias("kind")
+    )
+    return orders.unionByName(customers)
+
+
+@_register(
+    "r3_multilabel_onehot",
+    """
+    WITH t AS (
+      SELECT p_partkey, list_value(p_type, p_brand) AS labels FROM part
+    )
+    SELECT p_partkey,
+           CASE WHEN list_contains(labels, 'STANDARD') THEN 1 ELSE 0 END AS lbl_standard,
+           CASE WHEN list_contains(labels, 'ECONOMY') THEN 1 ELSE 0 END AS lbl_economy,
+           CASE WHEN list_contains(labels, 'Brand#13') THEN 1 ELSE 0 END AS "lbl_Brand#13"
+    FROM t
+    """,
+)
+def r3_multilabel_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: MultiLabelBinarizer equivalent (icu_preprocess_util.py:448-460)
+    — binarize an array-valued column against a known label set with
+    array_contains; no scikit-learn, no UDF."""
+    from temporai_mivdp_spark.operators.reshape import multi_label_one_hot
+
+    part = _t(spark, sf_dir, "part").withColumn(
+        "labels", F.array(F.col("p_type"), F.col("p_brand"))
+    )
+    return multi_label_one_hot(
+        part, index="p_partkey", array_col="labels",
+        labels=["STANDARD", "ECONOMY", "Brand#13"], prefix="lbl_",
+    ).toDF("p_partkey", "lbl_standard", "lbl_economy", "lbl_Brand#13")

@@ -41,5 +41,8 @@ def write_csv_gz(df: DataFrame, path: str, single_file: bool = False, mode: str 
         out.write.mode(mode)
         .option("header", "true")
         .option("compression", "gzip")
+        # MIMIC-style timestamps; matches readers.read_csv_gz's format so
+        # roundtrips are lossless to the second
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .csv(path)
     )

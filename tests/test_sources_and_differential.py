@@ -1,0 +1,94 @@
+"""S-op roundtrips (csv.gz / tsv / parquet readers+sinks) and the X6
+grouped-map differential test for chart densification."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from temporai_mivdp_spark.mivdp import datagen as dg
+from temporai_mivdp_spark.mivdp.differential import densify_chart_pandas
+from temporai_mivdp_spark.sources import read_csv_gz, read_tsv, write_csv_gz, write_parquet
+from tests.conftest import ts
+
+
+def test_csv_gz_roundtrip_with_schema_and_projection(spark):
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("when", TimestampType()),
+            StructField("v", DoubleType()),
+            StructField("s", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, ts("2150-01-01 06:30:00"), 1.5, "a"), (2, None, None, "b")], schema
+    )
+    d = tempfile.mkdtemp(prefix="csvgz-")
+    write_csv_gz(df, d, single_file=True)
+    back = read_csv_gz(spark, d, schema, columns=["id", "when", "v"])
+    rows = {r.id: (r.when, r.v) for r in back.collect()}
+    assert rows[1] == (ts("2150-01-01 06:30:00"), 1.5)
+    assert rows[2] == (None, None)
+    assert back.columns == ["id", "when", "v"]  # usecols projection
+
+
+def test_tsv_reader(spark):
+    import gzip, os
+
+    d = tempfile.mkdtemp(prefix="tsv-")
+    p = os.path.join(d, "map.tsv")
+    with open(p, "w") as f:
+        f.write("diagnosis_code\ticd10cm\n428\tI50\n585\tN18\n")
+    # inferred schema coerces digit-only codes to ints — exactly why every
+    # production read passes an explicit schema (mivdp.schemas.ICD_MAPPING)
+    inferred = read_tsv(spark, p)
+    assert {r.diagnosis_code for r in inferred.collect()} == {428, 585}
+
+    schema = StructType(
+        [StructField("diagnosis_code", StringType()), StructField("icd10cm", StringType())]
+    )
+    out = read_tsv(spark, p, schema=schema)
+    assert {r.diagnosis_code: r.icd10cm for r in out.collect()} == {"428": "I50", "585": "N18"}
+
+
+def test_parquet_partitioned_sink(spark):
+    df = spark.createDataFrame([(1, 10), (1, 11), (2, 12)], "stay_id: long, v: int")
+    d = tempfile.mkdtemp(prefix="pq-")
+    write_parquet(df, d, partition_by=["stay_id"])
+    back = spark.read.parquet(d)
+    assert back.count() == 3
+    import os
+
+    assert any(x.startswith("stay_id=") for x in os.listdir(d))
+
+
+def test_densify_chart_differential(spark):
+    """Native window/join densification == per-stay pandas densification
+    on a randomized bucketed-chart frame."""
+    import random
+
+    random.seed(7)
+    rows = []
+    for stay in range(1, 8):
+        for item in random.sample([10, 20, 30], k=random.randint(1, 3)):
+            for t in random.sample(range(12), k=random.randint(1, 6)):
+                rows.append((stay, item, t, round(random.uniform(50, 150), 2)))
+    bucketed = spark.createDataFrame(
+        rows, "stay_id: long, itemid: long, start_time: long, valuenum: double"
+    )
+    native = dg.densify_chart(bucketed, n_buckets=12, impute="Mean")
+    pandas_ref = densify_chart_pandas(bucketed, n_buckets=12)
+
+    n = {(r.stay_id, r.hour, r.itemid): (r.signal, round(r.valuenum, 9)) for r in native.collect()}
+    p = {(r.stay_id, r.hour, r.itemid): (r.signal, round(r.valuenum, 9)) for r in pandas_ref.collect()}
+    assert n == p
