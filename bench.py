@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from temporai_mivdp_spark.queries import QUERIES  # noqa: E402
+import temporai_mivdp_spark.queries_llm  # noqa: E402,F401  (registers llm-data queries)
 from temporai_mivdp_spark.session import get_session  # noqa: E402
 
 #: Headline set: the flagship join-agg plus the operators that dominate the
@@ -32,6 +33,10 @@ HEADLINE = [
     "w4_w8_dense_grid_indicator",
     "w5_w6_ffill_impute",
     "a2_two_level_agg",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "text_quality",
 ]
 
 

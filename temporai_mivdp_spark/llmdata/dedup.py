@@ -29,6 +29,12 @@ def _md5_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+#: universal-hash permutation family for MinHash: h_i(x) = (a_i*x+b_i) mod p
+_MERSENNE_P = 2_147_483_647  # 2^31 - 1
+_PERM_A0, _PERM_A_STEP = 1_000_003, 999_983
+_PERM_B0, _PERM_B_STEP = 12_345, 7_919
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for content comparison: lowercase, collapsed
     whitespace, trimmed."""
@@ -100,23 +106,56 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # join/dedup on a 60-bit shingle hash, not the string: the shuffle
+    # carries 8 bytes per shingle instead of ~n words, and the distinct is
+    # a long-compare. Collision odds at 2^60 are negligible, and the
+    # oracle applies the same hash so both engines see identical sets.
+    sh = sh.select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("shingle"),
+    )
+    # Posting-list pair generation instead of a self-join: group ids per
+    # shingle (bounded by the frequency cap -> bounded list), emit each
+    # id pair with a nested transform, count pairs. One groupBy replaces
+    # the shingle-keyed join AND the frequency-cap semi-join, so the
+    # shingle extraction is derived twice (postings + sizes), not four
+    # times. The cap bounds the per-shingle pair fanout quadratically —
+    # at corpus scale it is what keeps a boilerplate shingle from
+    # emitting millions of pairs.
+    posts = sh.groupBy("shingle").agg(
+        F.collect_list(F.col(id_col)).alias("__ids"), F.count(F.lit(1)).alias("__df")
+    )
     if max_shingle_freq is not None:
-        freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).filter(
-            F.col("__df") <= max_shingle_freq
+        posts = posts.filter(F.col("__df") <= max_shingle_freq)
+    ids = F.col("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
         )
-        sh = sh.join(freq_ok.select("shingle"), "shingle", "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        posts.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     sized = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb")), "id_b")
+        inter.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"))),
+            "id_a",
+        ).join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"))),
+            "id_b",
+        )
     )
     jac = sized.withColumn(
         "jaccard",
@@ -144,14 +183,23 @@ def minhash_signatures(
     their partition unaggregated.
     """
     sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
-    seeded = sh.select(
+    # one md5 per shingle, then arithmetic permutations — universal hashing
+    # h_i(x) = (a_i*x + b_i) mod p with p = 2^31-1. 8x cheaper than
+    # md5-per-permutation and still bit-portable to the DuckDB oracle
+    # (pure BIGINT math; a*x < 2^62 so no overflow).
+    base = sh.withColumn("__x", _md5_hash32(F.col("shingle")) % F.lit(_MERSENNE_P))
+    seeded = base.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h_idx"),
-        "shingle",
+        "__x",
     )
     hashed = seeded.withColumn(
         "__h",
-        _md5_hash32(F.concat_ws(":", F.col("h_idx").cast("string"), F.col("shingle"))),
+        (
+            (F.lit(_PERM_A0) + F.col("h_idx") * _PERM_A_STEP) * F.col("__x")
+            + (F.lit(_PERM_B0) + F.col("h_idx") * _PERM_B_STEP)
+        )
+        % F.lit(_MERSENNE_P),
     )
     return hashed.groupBy(id_col, "h_idx").agg(F.min("__h").alias("minhash"))
 

@@ -71,7 +71,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks
     ),
     sh AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS shingle
       FROM idx WHERE len(w[i:i+2]) = 3
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
@@ -105,13 +106,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
       FROM idx WHERE len(w[i:i+2]) = 3
     ),
+    base AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS x
+      FROM tok
+    ),
     seeded AS (
-      SELECT doc_id, g.i AS h_idx, shingle
-      FROM tok, (SELECT unnest(generate_series(0, 7)) AS i) g
+      SELECT doc_id, g.i AS h_idx, x
+      FROM base, (SELECT unnest(generate_series(0, 7)) AS i) g
     ),
     sig AS (
       SELECT doc_id, h_idx,
-             min(('0x' || substr(md5(h_idx::VARCHAR || ':' || shingle), 1, 8))::BIGINT) AS mh
+             min(((1000003 + h_idx * 999983) * x + (12345 + h_idx * 7919)) % 2147483647) AS mh
       FROM seeded GROUP BY 1, 2
     ),
     bh AS (

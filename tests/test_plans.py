@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: pin the plan properties that matter at
+100 TB so a plan-shape regression fails CI."""
+
+from __future__ import annotations
+
+import pytest
+
+from temporai_mivdp_spark import plans
+from temporai_mivdp_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    df = QUERIES["flagship_revenue_by_nation"](spark, SF_SMOKE)
+    s = plans.plan_summary(df)
+    assert s.get("BroadcastHashJoin", 0) >= 3, s
+    assert s.get("SortMergeJoin", 0) <= 1, s  # fact-fact join may sort-merge
+    assert s.get("CartesianProduct", 0) == 0
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["p5_semi_join_filter"](spark, SF_SMOKE)
+    pushed = plans.pushed_filters(df)
+    assert any("c_mktsegment" in f for f in pushed), pushed
+
+
+def test_column_pruning(spark):
+    df = QUERIES["p2_derived_projection"](spark, SF_SMOKE)
+    schemas = plans.read_schema_columns(df)
+    assert schemas, "expected a parquet scan"
+    # the projection touches 4 of customer's 5 columns — the unused
+    # c_mktsegment must be pruned out of the scan
+    assert all("c_mktsegment" not in cols for cols in schemas), schemas
+
+
+def test_single_shuffle_for_window_chain(spark):
+    """The ffill/impute chain must reuse ONE partitioning, not re-shuffle
+    per window function."""
+    df = QUERIES["w5_w6_ffill_impute"](spark, SF_SMOKE)
+    assert plans.count_exchanges(df) <= 1, plans.plan_summary(df)
+
+
+def test_mode_vote_never_windows_facts(spark):
+    df = QUERIES["a7_mode_vote_filter"](spark, SF_SMOKE)
+    s = plans.plan_summary(df)
+    # windows only over the tiny counts table; facts join back via broadcast
+    assert s.get("BroadcastHashJoin", 0) >= 1, s
+
+
+@pytest.mark.parametrize(
+    "name", ["w3_tumbling_bucket", "a2_two_level_agg", "a1_a6_group_counts"]
+)
+def test_aggregations_are_partial(spark, name):
+    """groupBy aggregates must plan partial (map-side) aggregation —
+    visible as 2+ HashAggregate nodes around the exchange."""
+    df = QUERIES[name](spark, SF_SMOKE)
+    s = plans.plan_summary(df)
+    n_aggs = s.get("HashAggregate", 0) + s.get("ObjectHashAggregate", 0) + s.get("SortAggregate", 0)
+    assert n_aggs >= 2, s
