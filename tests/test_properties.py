@@ -1,0 +1,145 @@
+"""Property-based differential tests (hypothesis): the set-wise Spark
+operators vs direct Python re-statements of the reference semantics on
+randomized inputs. These hunt the edge cases fixture tests miss —
+overlapping admissions, ties, empty groups, all-null series.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from temporai_mivdp_spark.operators.aggregates import mode_vote_filter, winsorize
+from temporai_mivdp_spark.operators.joins import interval_exists_label
+from temporai_mivdp_spark.operators.timeseries import tumbling_bucket
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def visit_sets(draw):
+    n = draw(st.integers(1, 12))
+    base = dt.datetime(2150, 1, 1)
+    visits = []
+    for i in range(n):
+        subj = draw(st.integers(1, 3))
+        start_off = draw(st.integers(0, 200))
+        dur = draw(st.integers(1, 60))
+        visits.append(
+            (subj, i, base + dt.timedelta(days=start_off), base + dt.timedelta(days=start_off + dur))
+        )
+    return visits
+
+
+@given(visits=visit_sets(), gap=st.integers(1, 90))
+@_SETTINGS
+def test_interval_exists_label_matches_bruteforce(spark, visits, gap):
+    """Reference semantics (day_intervals_cohort_v1.py:268-323): visit i
+    positive iff ANY visit of the subject has admit in (disch_i,
+    disch_i + gap]. Brute force in Python, set-wise in Spark."""
+    df = spark.createDataFrame(visits, "subj: long, vid: long, start: timestamp, end: timestamp")
+    got = {
+        r.vid: r.label
+        for r in interval_exists_label(
+            df, group_key="subj", start_col="start", end_col="end", gap_days=gap, id_cols=["vid"]
+        ).collect()
+    }
+    for subj, vid, start, end in visits:
+        expect = int(
+            any(
+                s2 == subj and st2 > end and (st2 - end) <= dt.timedelta(days=gap)
+                for s2, _, st2, _ in visits
+            )
+        )
+        assert got[vid] == expect, (vid, visits, gap)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.sampled_from(["mg", "ml", "iu"])),
+        min_size=1,
+        max_size=60,
+    ),
+    cut_off=st.sampled_from([0.5, 0.8, 0.95]),
+)
+@_SETTINGS
+def test_mode_vote_matches_bruteforce(spark, rows, cut_off):
+    """uom_conversion.py:9-26 semantics via direct Python."""
+    df = spark.createDataFrame([(i, g, v) for i, (g, v) in enumerate(rows)], "rid: long, item: long, uom: string")
+    kept = {r.rid for r in mode_vote_filter(df, "item", "uom", cut_off=cut_off).collect()}
+    from collections import Counter
+
+    by_item: dict[int, list[tuple[int, str]]] = {}
+    for rid, (g, v) in enumerate(rows):
+        by_item.setdefault(g, []).append((rid, v))
+    expect = set()
+    for g, members in by_item.items():
+        counts = Counter(v for _, v in members)
+        if len(counts) > 1:
+            # deterministic mode: count desc, value asc
+            mode, top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if top / len(members) > cut_off:
+                expect |= {rid for rid, v in members if v == mode}
+                continue
+        expect |= {rid for rid, _ in members}
+    assert kept == expect
+
+
+@given(
+    vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=2, max_size=80),
+    lo=st.integers(0, 20),
+    hi=st.integers(80, 100),
+)
+@_SETTINGS
+def test_winsorize_matches_numpy(spark, vals, lo, hi):
+    """outlier_removal.py semantics: numpy linear-interpolation
+    percentiles, clip mode."""
+    import numpy as np
+
+    df = spark.createDataFrame([(1, float(v)) for v in vals], "g: long, x: double")
+    got = sorted(
+        r.x for r in winsorize(df, "g", "x", lower_pct=lo, upper_pct=hi, impute=True).collect()
+    )
+    p_lo, p_hi = np.percentile(vals, lo), np.percentile(vals, hi)
+    want = sorted(float(min(max(v, p_lo), p_hi)) for v in vals)
+    assert all(abs(a - b) < 1e-6 * max(1.0, abs(b)) for a, b in zip(got, want))
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 47), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=60,
+    ),
+    bucket=st.sampled_from([1, 2, 6]),
+)
+@_SETTINGS
+def test_tumbling_bucket_matches_loop(spark, events, bucket):
+    """data_generation_icu.py:522-604 loop semantics vs one groupBy."""
+    df = spark.createDataFrame(events, "k: long, h: long, v: double")
+    got = {
+        (r.k, r.start_time): (r.n, r.s)
+        for r in tumbling_bucket(
+            df, keys=["k"], time_col="h", bucket=bucket,
+            aggs=[F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")],
+        ).collect()
+    }
+    want: dict[tuple[int, int], tuple[int, float]] = {}
+    for i in range(0, 48, bucket):
+        t = i // bucket
+        for k in (1, 2):
+            sub = [v for kk, h, v in events if kk == k and i <= h < i + bucket]
+            if sub:
+                want[(k, t)] = (len(sub), sum(sub))
+    assert set(got) == set(want)
+    for key, (n, s) in want.items():
+        gn, gs = got[key]
+        assert gn == n
+        assert abs(gs - s) <= 1e-9 * max(1.0, abs(s))  # summation-order tolerance
