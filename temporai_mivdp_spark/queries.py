@@ -1027,3 +1027,57 @@ def r3_multilabel_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
         part, index="p_partkey", array_col="labels",
         labels=["STANDARD", "ECONOMY", "Brand#13"], prefix="lbl_",
     ).toDF("p_partkey", "lbl_standard", "lbl_economy", "lbl_Brand#13")
+
+
+@_register(
+    "a4_group_max_nanmean",
+    """
+    SELECT user_id, event_type,
+           CAST(max(event_id) AS BIGINT) AS max_event_id,
+           sum(CASE WHEN event_type <> 'error'
+                    THEN CAST(round(value * 100) AS BIGINT) END)
+             / (100.0 * count(CASE WHEN event_type <> 'error' THEN 1 END)) AS mean_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def a4_group_max_nanmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the smooth_meds dictionary aggregate — max passthrough + null-
+    skipping mean in one groupBy (data_generation_icu.py:541-552:
+    ``{"stop_time": "max", "rate": np.nanmean}``). Spark avg/our cents-sum
+    skip nulls exactly like np.nanmean; nulls synthesized from 'error'
+    rows."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "__cents",
+        F.when(F.col("event_type") != "error", F.round(F.col("value") * 100, 0).cast("long")),
+    )
+    return events.groupBy("user_id", "event_type").agg(
+        F.max("event_id").cast("long").alias("max_event_id"),
+        (F.sum("__cents") / (100.0 * F.count("__cents"))).alias("mean_value"),
+    )
+
+
+@_register(
+    "j4_dictionary_join",
+    """
+    SELECT p.p_type,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def j4_dictionary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: fact ⋈ broadcast dictionary (read_diagnoses joins d_icd at
+    icu_preprocess_util.py:82-88) — the dictionary never shuffles the
+    fact side."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).cast("long").alias("total_qty"),
+        )
+    )

@@ -324,3 +324,23 @@ def test_vocab_and_meta(spark, fixtures, mort_cohort):
     assert [r.itemid for r in v.collect()] == [221906]
     meta = dg.per_adm_maxima(meds, ["itemid", "orderid"]).collect()[0]
     assert meta.max_events_per_adm == 1
+
+
+def test_dynamic_wide_export_and_cond_onehot(spark, fixtures, mort_cohort):
+    data = dg.cohort_hours(mort_cohort)
+    kept = dg.trim_anchored_start(data, 24, 6)
+    out_e = feat.extract_out(fixtures["outputevents"], mort_cohort)
+    out_p = dg.trim_events_start(dg.prepare_point_events(out_e, kept), kept, 24)
+    dense = dg.densify_indicator(dg.bucket_point_events(out_p, 24, 1), 24)
+    vocab = [r.itemid for r in dg.vocabulary(dense, "itemid").collect()]
+    wide = dg.dynamic_wide(dense, "signal", vocab, prefix="out_")
+    assert set(wide.columns) == {"stay_id", "hour"} | {f"out_{v}" for v in vocab}
+    row = {r.hour: r for r in wide.filter(F.col("stay_id") == 1001).collect()}
+    assert row[3]["out_226559"] == 1 and row[4]["out_226559"] == 0
+    assert len(row) == 24
+
+    diag = feat.extract_diag(fixtures["diagnoses"], mort_cohort, fixtures["mapping"])
+    cond = feat.group_diag(diag, "convert_group")
+    onehot_long = dg.one_hot_conditions(cond, kept)
+    got = {(r.stay_id, r.new_icd_code) for r in onehot_long.collect()}
+    assert (1001, "I50") in got and (2001, "N18") in got
