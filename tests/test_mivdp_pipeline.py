@@ -344,3 +344,36 @@ def test_dynamic_wide_export_and_cond_onehot(spark, fixtures, mort_cohort):
     onehot_long = dg.one_hot_conditions(cond, kept)
     got = {(r.stay_id, r.new_icd_code) for r in onehot_long.collect()}
     assert (1001, "I50") in got and (2001, "N18") in got
+
+
+def test_cohort_with_disease_filters(spark, fixtures):
+    # "readmission due to I50": only subject 1's stays survive the visit
+    # filter (hadm 101 has an I50-root diagnosis)
+    hids = icd_mod.disease_hadm_ids(fixtures["diagnoses"], fixtures["mapping"], "I50")
+    out = coh.extract_cohort_icu(
+        fixtures["icustays"], fixtures["patients"], fixtures["admissions"],
+        label="readmission", time=30, disease_hadm_ids_df=hids,
+    )
+    assert {r.stay_id for r in out.collect()} == {1001}
+
+    # mortality cohort restricted post-label (extract_data :643-653)
+    out2 = coh.extract_cohort_icu(
+        fixtures["icustays"], fixtures["patients"], fixtures["admissions"],
+        label="mortality", cohort_disease_hadm_ids_df=hids,
+    )
+    assert {r.stay_id for r in out2.collect()} == {1001}
+
+
+def test_non_icu_cohort_path(spark, fixtures):
+    # hosp path: los in whole days via floor_days; hospital_expire_flag
+    # filter only for readmission; min_valid_year required
+    pts = coh.visit_pts_hosp(fixtures["admissions"], fixtures["patients"], use_admn=True)
+    rows = {r.hadm_id: r for r in pts.collect()}
+    # hadm 201 has hospital_expire_flag=1 -> dropped; 301 minor -> dropped
+    assert set(rows) == {101, 102, 401}
+    assert rows[101].los == 3.0 and rows[102].los == 2.0
+    labeled = coh.label_readmission(
+        pts, gap_days=30, admit_col="admittime", disch_col="dischtime"
+    )
+    got = {r.hadm_id: r.label for r in labeled.collect()}
+    assert got == {101: 1, 102: 0, 401: 0}
