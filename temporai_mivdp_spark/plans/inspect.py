@@ -48,9 +48,11 @@ def pushed_filters(df: DataFrame) -> list[str]:
     FileScan node) — empty when a predicate failed to push down."""
     plan = executed_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        if m.group(1).strip():
-            out.extend(p.strip() for p in m.group(1).split(","))
+    # tolerate Spark's "..." list truncation (no closing bracket on line)
+    for m in re.finditer(r"PushedFilters: \[([^\]\n]*)", plan):
+        body = m.group(1).strip().rstrip(",").rstrip("...").rstrip(",")
+        if body:
+            out.extend(p.strip() for p in body.split(",") if p.strip())
     return out
 
 

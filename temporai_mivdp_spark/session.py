@@ -35,6 +35,9 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Deterministic timestamp semantics (matches DuckDB oracle).
     "spark.sql.session.timeZone": "UTC",
+    # Don't truncate plan strings — plan review (plans/) needs full
+    # PushedFilters/ReadSchema lists.
+    "spark.sql.debug.maxToStringFields": "200",
     # ANSI off: we want NULL (not error) on bad casts, matching the
     # reference's `pd.to_numeric(errors="coerce")` semantics
     # (reference: day_intervals_cohort_v1.py:105).
