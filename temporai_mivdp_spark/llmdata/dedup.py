@@ -302,3 +302,71 @@ def embedding_near_duplicates(
         F.col(f"b_{id_col}").alias("id_b"),
         F.round("cosine", 6).alias("cosine"),
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into duplicate clusters: connected
+    components by iterative min-label propagation. Returns
+    (doc_id, cluster_id) where cluster_id is the smallest doc id reachable
+    through the pair graph — the canonical keeper.
+
+    Pairwise dedup alone under-deletes: A~B and B~C leave both B and C if
+    handled independently. Components converge in O(graph diameter)
+    rounds; near-dup graphs are overwhelmingly tiny star/chain components,
+    so a handful of joins settles everything, and the loop exits early on
+    a converged round (change count is computed per round anyway — it
+    costs one action that also materializes the iteration, keeping the
+    lineage shallow).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .dropDuplicates()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("__nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("__nmin") < F.col("cluster_id")).alias("__changed"),
+            )
+        )
+        # one action per round: counts changes AND truncates lineage
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed").localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def keep_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every clustered doc except its cluster's keeper (min id);
+    docs in no cluster pass through untouched."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    from temporai_mivdp_spark.operators.joins import anti_join_filter
+
+    return anti_join_filter(docs, losers, on=id_col)

@@ -359,3 +359,51 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ["QUERIES", "ORACLE"]
+
+
+@_register(
+    "dedup_duplicate_clusters",
+    f"""
+    WITH RECURSIVE d2 AS ({_AUG_SQL}),
+    toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM d2),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS shingle
+      FROM idx WHERE len(w[i:i+2]) = 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component duplicate clusters over the n-gram near-dup
+    pairs (augmented corpus): Spark iterates min-label propagation to a
+    fixpoint; the oracle computes the same transitive closure with a
+    recursive CTE. cluster_id = min reachable doc id."""
+    pairs = dedup.ngram_jaccard_pairs(_augmented(spark, sf_dir), n=3, threshold=0.5)
+    return dedup.duplicate_clusters(pairs)

@@ -164,3 +164,18 @@ def test_frame_sample_plan(spark):
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
     assert [(r.media_id, r.frame_ms) for r in frames] == [(1, 0), (1, 1000), (1, 2000), (1, 3000)]
+
+
+def test_duplicate_clusters_transitive(spark):
+    # chain A~B~C plus isolated pair D~E: clusters must be transitive
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.8)], "id_a: long, id_b: long, jaccard: double"
+    )
+    clusters = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 10, 11, 99]], "doc_id: long, text: string"
+    )
+    kept = {r.doc_id for r in dedup.keep_representatives(docs, dedup.duplicate_clusters(pairs)).collect()}
+    assert kept == {1, 10, 99}   # one keeper per cluster + untouched doc
