@@ -67,15 +67,19 @@ def interval_exists_label(
     key group — no cartesian blowup beyond per-subject visit pairs.
     """
     id_cols = list(id_cols) if id_cols else []
-    left = visits
+    # Label on the narrow distinct (group, start, end) visit set, then join
+    # the labels back onto the full rows: the self-join + aggregate shuffle
+    # carries three columns instead of the whole cohort row (demographics,
+    # timestamps, strings), and the join-back is on the same three keys.
+    slim = visits.select(group_key, start_col, end_col).dropDuplicates()
     right = visits.select(
         F.col(group_key).alias("__gk"), F.col(start_col).alias("__start")
     )
     # exists() as join + aggregate: left join all in-gap later visits, then
     # collapse back to one row per visit with max(matched). Equivalent to a
     # semi/anti pair but reads `visits` twice instead of three times.
-    agg = (
-        left.alias("a")
+    labels = (
+        slim.alias("a")
         .join(
             right.alias("b"),
             on=(
@@ -85,10 +89,11 @@ def interval_exists_label(
             ),
             how="left",
         )
-        .groupBy(*[F.col(f"a.{c}") for c in [group_key, start_col, end_col, *id_cols]])
+        .groupBy(*[F.col(f"a.{c}") for c in [group_key, start_col, end_col]])
         .agg(F.max(F.when(F.col("b.__start").isNotNull(), 1).otherwise(0)).alias(label_col))
     )
-    return agg
+    out = visits.join(labels, on=[group_key, start_col, end_col], how="left")
+    return out.select(group_key, start_col, end_col, *id_cols, label_col)
 
 
 def anti_join_filter(df: DataFrame, keys: DataFrame, on: str | Sequence[str]) -> DataFrame:

@@ -92,3 +92,23 @@ def test_densify_chart_differential(spark):
     n = {(r.stay_id, r.hour, r.itemid): (r.signal, round(r.valuenum, 9)) for r in native.collect()}
     p = {(r.stay_id, r.hour, r.itemid): (r.signal, round(r.valuenum, 9)) for r in pandas_ref.collect()}
     assert n == p
+
+
+def test_bucketed_write_joins_without_shuffle(spark):
+    """Two tables bucketed on the same key must join with zero Exchange."""
+    from temporai_mivdp_spark.plans import plan_summary
+    from temporai_mivdp_spark.sources.sinks import write_bucketed
+
+    facts = spark.createDataFrame([(i % 50, i) for i in range(1000)], "k: long, v: long")
+    dim = spark.createDataFrame([(i, f"n{i}") for i in range(50)], "k: long, name: string")
+    write_bucketed(facts, "t_bfacts", ["k"], 8, sort_by=["k"])
+    write_bucketed(dim, "t_bdim", ["k"], 8, sort_by=["k"])
+    joined = (
+        spark.table("t_bfacts")
+        .hint("merge")  # force SMJ so the broadcast path can't hide a shuffle
+        .join(spark.table("t_bdim"), "k")
+    )
+    s = plan_summary(joined)
+    n_exchanges = sum(v for kk, v in s.items() if kk.startswith("Exchange"))
+    assert n_exchanges == 0, s
+    assert joined.count() == 1000
