@@ -201,3 +201,98 @@ def event_indicator(
     return grid.join(marked, on=list(on), how="left").withColumn(
         signal_col, F.when(F.col("__seen").isNotNull(), F.lit(1)).otherwise(F.lit(0))
     ).drop("__seen")
+
+
+def rolling_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window_size: int,
+    prefix: str = "roll_",
+) -> DataFrame:
+    """Trailing rolling-window statistics over a numeric time axis
+    (range frame: all rows within the last ``window_size`` time units,
+    inclusive). The natural companion to the hourly grids W4 produces —
+    e.g. 6-hour moving vitals averages. One window partitioning, shared by
+    all four aggregates."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rangeBetween(-(window_size - 1), Window.currentRow)
+    )
+    return (
+        df.withColumn(f"{prefix}avg", F.avg(value_col).over(w))
+        .withColumn(f"{prefix}min", F.min(value_col).over(w))
+        .withColumn(f"{prefix}max", F.max(value_col).over(w))
+        .withColumn(f"{prefix}count", F.count(value_col).over(w))
+    )
+
+
+def linear_interpolate(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of nulls between observations within a series
+    — the smoother alternative to W5's step-wise ffill for continuous
+    vitals. Boundary nulls (before first / after last observation) take
+    the nearest observation (ffill/bfill semantics).
+
+    Four window aggregates over ONE partitioning+sort: previous/next
+    observed value and their time positions, then the interpolation
+    formula in plain arithmetic.
+    """
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.col(order_col).cast("double")
+    obs_t = F.when(F.col(value_col).isNotNull(), t)
+    prev_v = F.last(value_col, ignorenulls=True).over(w_prev)
+    next_v = F.first(value_col, ignorenulls=True).over(w_next)
+    prev_t = F.last(obs_t, ignorenulls=True).over(w_prev)
+    next_t = F.first(obs_t, ignorenulls=True).over(w_next)
+    interpolated = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t))
+    )
+    return df.withColumn(out_col or value_col, interpolated)
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    gap: int,
+    session_col: str = "session_id",
+    time_col: str | None = None,
+) -> DataFrame:
+    """Batch sessionization: a new session starts after more than ``gap``
+    time units of silence per key (the batch twin of
+    streaming.stream_session_windows). lag + conditional cumsum — one
+    window partitioning, two passes sharing its sort.
+
+    ``order_col`` pins the total order (may be a tiebreak struct);
+    ``time_col`` is the numeric axis the gap measures (defaults to
+    ``order_col``).
+    """
+    t = time_col or order_col
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    is_new = F.when(
+        F.lag(t).over(w).isNull() | (F.col(t) - F.lag(t).over(w) > gap),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+    )

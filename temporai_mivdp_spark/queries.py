@@ -1081,3 +1081,130 @@ def j4_dictionary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_quantity"), 0).cast("long")).cast("long").alias("total_qty"),
         )
     )
+
+
+@_register(
+    "ts_rolling_stats",
+    """
+    WITH t AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) AS h,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id,
+           (sum(cents) OVER w * 1.0 / count(cents) OVER w) / 100.0 AS roll_avg,
+           min(cents) OVER w / 100.0 AS roll_min,
+           max(cents) OVER w / 100.0 AS roll_max,
+           count(cents) OVER w AS roll_count
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trailing-window stats (6h range frame) — moving vitals
+    averages over the hourly axis. Cents domain + mirrored division order
+    keep every double bit-exact across engines."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "__anchor", F.min("ts").over(Window.partitionBy("user_id"))
+    )
+    hourly = ts_ops.hours_from_anchor(events, "ts", "__anchor", out_col="h").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    out = ts_ops.rolling_stats(
+        hourly, keys=["user_id"], order_col="h", value_col="cents", window_size=6
+    )
+    return out.select(
+        "event_id",
+        (F.col("roll_avg") / 100.0).alias("roll_avg"),
+        (F.col("roll_min") / 100.0).alias("roll_min"),
+        (F.col("roll_max") / 100.0).alias("roll_max"),
+        "roll_count",
+    )
+
+
+@_register(
+    "ts_linear_interpolate",
+    """
+    WITH t AS (
+      SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS h,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN cents IS NOT NULL THEN cents * 1.0
+                WHEN pv IS NULL THEN nv * 1.0
+                WHEN nv IS NULL THEN pv * 1.0
+                ELSE pv + (nv - pv) * (h * 1.0 - pt) / (nt - pt)
+           END / 100.0 AS v_interp
+    FROM (
+      SELECT event_id, h, cents,
+             last_value(cents IGNORE NULLS) OVER wp AS pv,
+             first_value(cents IGNORE NULLS) OVER wn AS nv,
+             last_value(CASE WHEN cents IS NOT NULL THEN h * 1.0 END IGNORE NULLS) OVER wp AS pt,
+             first_value(CASE WHEN cents IS NOT NULL THEN h * 1.0 END IGNORE NULLS) OVER wn AS nt
+      FROM t
+      WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    """,
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of nulls between observations (the smooth
+    alternative to ffill for continuous vitals); boundary nulls take the
+    nearest observation. Positions = per-user row index so spacing is
+    irregular-but-deterministic."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    events = (
+        _t(spark, sf_dir, "events")
+        .withColumn("h", F.row_number().over(w) - 1)
+        .withColumn(
+            "cents",
+            F.when(F.col("event_type") == "error", F.lit(None).cast("long")).otherwise(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ),
+        )
+    )
+    out = ts_ops.linear_interpolate(
+        events, keys=["user_id"], order_col="h", value_col="cents", out_col="v"
+    )
+    return out.select("event_id", (F.col("v") / 100.0).alias("v_interp"))
+
+
+@_register(
+    "ts_sessionize",
+    """
+    WITH t AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) AS h
+      FROM events
+    )
+    SELECT event_id,
+           CAST(sum(CASE WHEN prev_h IS NULL OR h - prev_h > 2 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY h, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM (
+      SELECT event_id, user_id, h,
+             lag(h) OVER (PARTITION BY user_id ORDER BY h, event_id) AS prev_h
+      FROM t
+    )
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: new session after >2h of silence per user
+    (batch twin of streaming.stream_session_windows) — lag + conditional
+    cumulative sum over one sort."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "__anchor", F.min("ts").over(Window.partitionBy("user_id"))
+    )
+    hourly = ts_ops.hours_from_anchor(events, "ts", "__anchor", out_col="h").withColumn(
+        "__ord", F.struct(F.col("h"), F.col("event_id"))
+    )
+    out = ts_ops.sessionize(
+        hourly, keys=["user_id"], order_col="__ord", gap=2, time_col="h"
+    )
+    return out.select("event_id", "session_id")

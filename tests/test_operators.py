@@ -168,3 +168,27 @@ def test_hours_from_anchor_floors_correctly(spark):
     )
     out = ts_ops.hours_from_anchor(df, "evt", "anchor", out_col="h")
     assert sorted(r.h for r in out.collect()) == [-1, 1]
+
+
+def test_rolling_stats_range_frame(spark):
+    rows = [(1, 0, 10.0), (1, 1, 20.0), (1, 7, 30.0)]  # gap between 1 and 7
+    df = spark.createDataFrame(rows, "k: long, h: long, v: double")
+    out = {r.h: (r.roll_avg, r.roll_count) for r in ts_ops.rolling_stats(
+        df, ["k"], "h", "v", window_size=6).collect()}
+    assert out[0] == (10.0, 1)
+    assert out[1] == (15.0, 2)
+    assert out[7] == (30.0, 1)   # range frame: h=1 is 6 back, outside [-5, 0]
+
+
+def test_linear_interpolate(spark):
+    rows = [(1, 0, 10.0), (1, 1, None), (1, 2, None), (1, 3, 40.0), (1, 4, None)]
+    df = spark.createDataFrame(rows, "k: long, h: long, v: double")
+    out = {r.h: r.v for r in ts_ops.linear_interpolate(df, ["k"], "h", "v").collect()}
+    assert out == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0, 4: 40.0}  # trailing -> nearest
+
+
+def test_sessionize_gap(spark):
+    rows = [(1, 0), (1, 1), (1, 5), (1, 6), (2, 0)]
+    df = spark.createDataFrame(rows, "k: long, h: long")
+    out = {(r.k, r.h): r.session_id for r in ts_ops.sessionize(df, ["k"], "h", gap=2).collect()}
+    assert out == {(1, 0): 1, (1, 1): 1, (1, 5): 2, (1, 6): 2, (2, 0): 1}
