@@ -147,14 +147,15 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
+    # sizes is one row per document — unbounded at corpus scale, so no
+    # broadcast hint: AQE upgrades the join to broadcast when it actually
+    # fits, and falls back to a shuffle join when it doesn't.
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     sized = (
         inter.join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"))),
-            "id_a",
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa")), "id_a"
         ).join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"))),
-            "id_b",
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb")), "id_b"
         )
     )
     jac = sized.withColumn(
@@ -215,6 +216,12 @@ def minhash_lsh_candidates(
     ``num_hashes/bands`` rows; docs sharing any band hash become candidate
     pairs (id_a < id_b). Pure equality joins — scales as the number of
     colliding docs per bucket, not corpus^2."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently create extra bands and change the "
+            "LSH collision threshold"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes=num_hashes, text_col=text_col, id_col=id_col)
     banded = sig.withColumn("band", F.floor(F.col("h_idx") / rows_per_band).cast("long"))
@@ -240,7 +247,11 @@ def simhash(
     """SimHash fingerprint: per token a portable 32-bit hash; each of the
     low ``bits`` bit positions votes +count/-count by whether the bit is
     set; fingerprint sets bits with positive balance. One explode over
-    (token x bit) + one groupBy per doc."""
+    (token x bit) + one groupBy per doc. ``bits`` is capped at 32 (the
+    base hash width); the shift runs in BIGINT so bit 31 does not wrap
+    negative."""
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32] (32-bit base hash), got {bits}")
     toks = (
         tokenize(docs, text_col=text_col)
         .groupBy(id_col, "token")
@@ -263,7 +274,7 @@ def simhash(
     )
     balance = votes.groupBy(id_col, "bit").agg(F.sum("__vote").alias("__bal"))
     return balance.groupBy(id_col).agg(
-        F.sum(F.when(F.col("__bal") > 0, F.expr("shiftleft(1, bit)")).otherwise(0))
+        F.sum(F.when(F.col("__bal") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0))
         .cast("long")
         .alias("simhash")
     )
@@ -354,6 +365,13 @@ def duplicate_clusters(
         labels = updated.drop("__changed").localCheckpoint(eager=True)
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} "
+            "iterations (a component's diameter exceeds the budget); "
+            "raise max_iterations — silently returning non-canonical "
+            "cluster ids would split components"
+        )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -45,14 +45,14 @@ def bpe_token_estimate(col: Column) -> Column:
 
 
 def _count_occurrences(text: Column, word: str) -> Column:
-    """Occurrences of ``word`` as a whole token in space-normalized text —
-    replace-based counting (portable: identical in DuckDB)."""
-    padded = F.concat(F.lit(" "), normalize_text(text), F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
-        / F.lit(len(needle) - 1)
-    ).cast("long")
+    """Occurrences of ``word`` as a whole token — word-boundary regex
+    count (portable: RE2 ``\\b`` matches Java's for ASCII words). A
+    replace-based count would miss consecutive occurrences ("the the the"
+    counts 2, not 3, because adjacent needles share the separating
+    space)."""
+    return F.size(F.regexp_extract_all(normalize_text(text), F.lit(rf"\b{word}\b"), F.lit(0))).cast(
+        "long"
+    )
 
 
 def quality_features(

@@ -264,17 +264,14 @@ def densify_meds(bucketed_meds: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def densify_indicator(bucketed: DataFrame, n_buckets: int) -> DataFrame:
-    """proc/out densification (:784-843): 0/1 occurrence per grid cell.
-    Output: (stay_id, hour, itemid, signal)."""
-    observed = bucketed.select("stay_id", "itemid", F.col("start_time").alias("hour")).withColumn(
-        "__seen", F.lit(1)
-    )
+    """proc/out densification (:784-843): 0/1 occurrence per grid cell via
+    the W8 operator. Output: (stay_id, hour, itemid, signal)."""
+    from temporai_mivdp_spark.operators.timeseries import event_indicator
+
+    observed = bucketed.select("stay_id", "itemid", F.col("start_time").alias("hour"))
     grid = _observed_grid(bucketed, n_buckets)
-    return grid.join(observed.dropDuplicates(), ["stay_id", "itemid", "hour"], "left").select(
-        "stay_id",
-        "hour",
-        "itemid",
-        F.when(F.col("__seen").isNotNull(), 1).otherwise(0).alias("signal"),
+    return event_indicator(grid, observed, on=["stay_id", "itemid", "hour"]).select(
+        "stay_id", "hour", "itemid", "signal"
     )
 
 

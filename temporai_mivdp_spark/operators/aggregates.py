@@ -70,6 +70,12 @@ def mode_vote_filter(
     pandas ``value_counts`` ties are insertion-order-dependent, so we pin
     an explicit total order instead of replicating nondeterminism.
 
+    Null semantics match the reference exactly: ``value_counts()`` skips
+    NaN, so null votes never form the mode and count toward the group
+    total only in the denominator; when the vote fires, null-vote rows
+    are dropped along with the minority (``values != most_frequent`` is
+    True for NaN), and when it doesn't fire they are kept.
+
     Plan: aggregate votes to the tiny (group, value, count) table first
     (one map-side-combined shuffle), derive per-group stats and the mode
     rank on THAT, and broadcast-join the verdicts back. The fact table is
@@ -77,25 +83,32 @@ def mode_vote_filter(
     dataset inside each group for four window functions.
     """
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
-    counts = df.groupBy(*keys, vote_col).agg(F.count(F.lit(1)).alias("__vcnt"))
+    counts = (
+        df.filter(F.col(vote_col).isNotNull())
+        .groupBy(*keys, vote_col)
+        .agg(F.count(F.lit(1)).alias("__vcnt"))
+    )
+    totals = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__gtotal"))
     w_rank = Window.partitionBy(*keys).orderBy(F.col("__vcnt").desc(), F.col(vote_col).asc())
-    ranked = counts.withColumn("__rank", F.row_number().over(w_rank))
-    stats = counts.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("__nvals"),
-        (F.max("__vcnt") / F.sum("__vcnt")).alias("__top_share"),
+    mode = (
+        counts.withColumn("__rank", F.row_number().over(w_rank))
+        .filter(F.col("__rank") == 1)
+        .select(*keys, F.col(vote_col).alias("__mode"), F.col("__vcnt").alias("__topn"))
     )
-    verdict = ranked.join(stats, on=keys).withColumn(
-        "__keep",
-        (F.col("__nvals") == 1)
-        | (F.col("__top_share") <= cut_off)
-        | (F.col("__rank") == 1),
+    nvals = counts.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nvals"))
+    verdict = mode.join(nvals, on=keys).join(totals, on=keys).select(
+        *keys,
+        "__mode",
+        (
+            (F.col("__nvals") > 1)
+            & (F.col("__topn") / F.col("__gtotal") > cut_off)
+        ).alias("__fire"),
     )
-    kept = df.join(
-        F.broadcast(verdict.filter(F.col("__keep")).select(*keys, vote_col)),
-        on=[*keys, vote_col],
-        how="left_semi",
-    )
-    return kept
+    joined = df.join(F.broadcast(verdict), on=keys, how="left")
+    # groups with zero non-null votes have no verdict row -> never fire
+    fired = F.coalesce(F.col("__fire"), F.lit(False))
+    kept = joined.filter((~fired) | (F.col(vote_col) == F.col("__mode")))
+    return kept.drop("__mode", "__fire")
 
 
 def winsorize(

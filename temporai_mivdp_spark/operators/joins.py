@@ -93,7 +93,15 @@ def interval_exists_label(
         .agg(F.max(F.when(F.col("b.__start").isNotNull(), 1).otherwise(0)).alias(label_col))
     )
     out = visits.join(labels, on=[group_key, start_col, end_col], how="left")
-    return out.select(group_key, start_col, end_col, *id_cols, label_col)
+    # rows with NULL start/end never match the (null-unsafe) join-back;
+    # the reference's NaT comparisons are all False for them -> control.
+    return out.select(
+        group_key,
+        start_col,
+        end_col,
+        *id_cols,
+        F.coalesce(F.col(label_col), F.lit(0)).alias(label_col),
+    )
 
 
 def anti_join_filter(df: DataFrame, keys: DataFrame, on: str | Sequence[str]) -> DataFrame:

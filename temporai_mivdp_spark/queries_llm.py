@@ -247,10 +247,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _occ_sql(word: str) -> str:
-    needle = f" {word} "
-    return (
-        f"CAST((length(pad) - length(replace(pad, '{needle}', ' '))) / {len(needle) - 1} AS BIGINT)"
-    )
+    # word-boundary regex count, mirroring text._count_occurrences
+    return f"CAST(len(regexp_extract_all(pad, '\\b{word}\\b')) AS BIGINT)"
 
 
 _STOP_SUM = " + ".join(_occ_sql(w) for w in text.STOPWORDS)

@@ -179,3 +179,31 @@ def test_duplicate_clusters_transitive(spark):
     )
     kept = {r.doc_id for r in dedup.keep_representatives(docs, dedup.duplicate_clusters(pairs)).collect()}
     assert kept == {1, 10, 99}   # one keeper per cluster + untouched doc
+
+
+def test_count_occurrences_consecutive_tokens(spark):
+    df = spark.createDataFrame([(1, "the the the cat")], "doc_id: long, text: string")
+    out = text.language_id(df).collect()[0]
+    assert out.score_en == 3          # replace-based counting would say 2
+
+
+def test_minhash_bands_divisibility_enforced(spark, docs):
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_candidates(docs, num_hashes=10, bands=4)
+
+
+def test_simhash_bits_bounds(spark, docs):
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash(docs, bits=64)
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=32).collect()}
+    assert all(0 <= v < 2**32 for v in fp.values())   # bit 31 must not wrap negative
+
+
+def test_duplicate_clusters_raises_on_budget_exhaustion(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(30)], "id_a: long, id_b: long, jaccard: double"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.duplicate_clusters(chain, max_iterations=2)
+    ok = dedup.duplicate_clusters(chain, max_iterations=40)
+    assert {r.cluster_id for r in ok.collect()} == {0}

@@ -192,3 +192,31 @@ def test_sessionize_gap(spark):
     df = spark.createDataFrame(rows, "k: long, h: long")
     out = {(r.k, r.h): r.session_id for r in ts_ops.sessionize(df, ["k"], "h", gap=2).collect()}
     assert out == {(1, 0): 1, (1, 1): 1, (1, 5): 2, (1, 6): 2, (2, 0): 1}
+
+
+def test_mode_vote_null_votes_follow_reference_semantics(spark):
+    """NULL votes: kept when the vote doesn't fire, dropped (as minority)
+    when it does; all-null groups keep everything."""
+    rows = (
+        [(1, "mg")] * 96 + [(1, "ml")] * 2 + [(1, None)] * 2  # fires (96% > 95%): drop ml AND nulls
+        + [(2, "mg"), (2, None)]                     # 1 distinct non-null -> keep all
+        + [(3, None)] * 3                            # all-null group -> keep all
+        + [(4, "mg")] * 60 + [(4, "ml")] * 30 + [(4, None)] * 10  # 60% <= 95% -> keep all
+    )
+    df = spark.createDataFrame(rows, "item: long, uom: string")
+    out = agg_ops.mode_vote_filter(df, "item", "uom", cut_off=0.95)
+    counts = {r.item: r.n for r in out.groupBy("item").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 96, 2: 2, 3: 3, 4: 100}
+
+
+def test_interval_exists_label_null_dates_get_control(spark):
+    rows = [
+        (1, ts("2020-01-01"), ts("2020-01-02")),
+        (1, None, None),                            # reference: NaT -> ctrl
+        (1, ts("2020-01-10"), ts("2020-01-11")),
+    ]
+    df = spark.createDataFrame(rows, "subj: long, start: timestamp, end: timestamp")
+    out = join_ops.interval_exists_label(df, "subj", "start", "end", gap_days=30)
+    labels = {(r.subj, r.start): r.label for r in out.collect()}
+    assert labels[(1, None)] == 0
+    assert labels[(1, ts("2020-01-01"))] == 1

@@ -99,6 +99,14 @@ def test_bucketed_write_joins_without_shuffle(spark):
     from temporai_mivdp_spark.plans import plan_summary
     from temporai_mivdp_spark.sources.sinks import write_bucketed
 
+    import shutil
+
+    # managed-table locations survive across sessions even though the
+    # in-memory catalog doesn't — clear both before writing
+    for t in ("t_bfacts", "t_bdim"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
     facts = spark.createDataFrame([(i % 50, i) for i in range(1000)], "k: long, v: long")
     dim = spark.createDataFrame([(i, f"n{i}") for i in range(50)], "k: long, name: string")
     write_bucketed(facts, "t_bfacts", ["k"], 8, sort_by=["k"])
