@@ -143,3 +143,42 @@ def fingerprint(
         F.md5(normalize_text(F.col(text_col))).alias("content_md5"),
         min_gram_hash.alias("min_shingle_hash"),
     )
+
+
+#: cleaning regexes — shared with the DuckDB oracles verbatim (RE2-safe:
+#: no backreferences, no lookaround)
+MARKUP_RE = r"<[^>]*>"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+URL_RE = r"https?://[^\s]+"
+
+
+def strip_markup(col: Column) -> Column:
+    """Remove HTML/XML-ish tags and collapse the leftover whitespace —
+    the first pass of every web-corpus cleaning recipe."""
+    return F.trim(F.regexp_replace(F.regexp_replace(col, MARKUP_RE, " "), r"\s+", " "))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, URLs, and phone-number-shaped digit runs with typed
+    placeholder tokens. Regex-only (codegen'd, no UDF); a production
+    pipeline layers NER on top via mapInPandas for names/addresses."""
+    out = F.regexp_replace(col, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def clean_documents(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composed cleaning pass: strip markup -> redact PII -> normalized
+    whitespace; emits the cleaned text plus before/after lengths so a
+    pipeline can quarantine docs the cleaner gutted."""
+    cleaned = redact_pii(strip_markup(F.col(text_col)))
+    return docs.select(
+        id_col,
+        cleaned.alias("text_clean"),
+        F.length(F.col(text_col)).alias("len_raw"),
+        F.length(cleaned).alias("len_clean"),
+    )

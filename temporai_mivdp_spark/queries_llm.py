@@ -405,3 +405,46 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE. cluster_id = min reachable doc id."""
     pairs = dedup.ngram_jaccard_pairs(_augmented(spark, sf_dir), n=3, threshold=0.5)
     return dedup.duplicate_clusters(pairs)
+
+
+@_register(
+    "text_clean_redact",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             'Contact ' || text || ' <b>now</b> at bob@example.com or +1 (555) 123-4567 via https://x.io/a'
+               AS raw
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, raw,
+             trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS stripped
+      FROM t
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(stripped, 'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS text_clean,
+           length(raw) AS len_raw,
+           length(regexp_replace(
+             regexp_replace(
+               regexp_replace(stripped, 'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g')) AS len_clean
+    FROM s
+    """,
+)
+def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping + PII redaction (email/URL/phone -> typed
+    placeholders); PII is synthesized onto each doc since the corpus has
+    none. Pure regexp_replace chain — no UDF."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Contact "), F.col("text"),
+            F.lit(" <b>now</b> at bob@example.com or +1 (555) 123-4567 via https://x.io/a"),
+        ).alias("text"),
+    )
+    return text.clean_documents(docs)

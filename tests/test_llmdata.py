@@ -207,3 +207,15 @@ def test_duplicate_clusters_raises_on_budget_exhaustion(spark):
         dedup.duplicate_clusters(chain, max_iterations=2)
     ok = dedup.duplicate_clusters(chain, max_iterations=40)
     assert {r.cluster_id for r in ok.collect()} == {0}
+
+
+def test_clean_documents_strips_and_redacts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hi <b>Bob</b>!  Mail a.b@x.co or call +1 (555) 123-4567; see https://ex.io/p?q=1 now")],
+        "doc_id: long, text: string",
+    )
+    out = text.clean_documents(df).collect()[0]
+    assert "<b>" not in out.text_clean
+    assert "<EMAIL>" in out.text_clean and "<PHONE>" in out.text_clean and "<URL>" in out.text_clean
+    assert "a.b@x.co" not in out.text_clean and "555" not in out.text_clean
+    assert out.len_raw > out.len_clean
