@@ -50,10 +50,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``ReadSchema`` stays narrow.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # pin UTC even on externally-created sessions (the driver harness owns
-    # the SparkSession): hour()/year()/date casts must match the DuckDB
-    # oracle's timezone-naive semantics
+    # pin the semantics the catalog depends on even on externally-created
+    # sessions (the driver harness owns the SparkSession): UTC so
+    # hour()/year()/date casts match the timezone-naive oracle, ANSI off
+    # so malformed casts coerce to NULL (pandas to_numeric semantics)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
