@@ -1208,3 +1208,68 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly, keys=["user_id"], order_col="__ord", gap=2, time_col="h"
     )
     return out.select("event_id", "session_id")
+
+
+@_register(
+    "olap_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_lines,
+           sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals — not in the reference's surface
+    (SURVEY.md §2.4: no grouping sets), but free OLAP breadth from
+    Catalyst: one pass computes leaf + subtotal + grand-total rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round("l_quantity", 0).cast("long")).alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "total_qty",
+        )
+    )
+
+
+@_register(
+    "window_ranking_family",
+    """
+    SELECT o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           lag(o_orderkey) OVER w AS prev_key,
+           lead(o_orderkey) OVER w AS next_key,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             - CAST(round(lag(o_totalprice) OVER w * 100) AS BIGINT) AS cents_delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/offset window family (rank, dense_rank, ntile, lag,
+    lead) in one pass over a single partitioning — the W9-adjacent surface
+    the engine gets for free beyond the reference's loops."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    prev_cents = F.round(F.lag("o_totalprice").over(w) * 100, 0).cast("long")
+    return orders.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        (cents - prev_cents).alias("cents_delta"),
+    )
