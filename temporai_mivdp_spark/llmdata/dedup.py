@@ -19,7 +19,7 @@ oracles can reproduce them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -116,51 +116,68 @@ def ngram_jaccard_pairs(
         .cast("long")
         .alias("shingle"),
     )
-    # Posting-list pair generation instead of a self-join: group ids per
-    # shingle (bounded by the frequency cap -> bounded list), emit each
-    # id pair with a nested transform, count pairs. One groupBy replaces
-    # the shingle-keyed join AND the frequency-cap semi-join, so the
-    # shingle extraction is derived twice (postings + sizes), not four
-    # times. The cap bounds the per-shingle pair fanout quadratically —
-    # at corpus scale it is what keeps a boilerplate shingle from
-    # emitting millions of pairs.
+    # Per-doc shingle-set size attached via a window count so it rides the
+    # posting lists: without this, sizes needs its own aggregate over `sh`
+    # — Catalyst prunes the two consumers differently, so no
+    # ReusedExchange, and the whole scan+shingle subtree runs twice, plus
+    # two join-backs of the sizes at the end. One extra hash-shuffle by id
+    # here buys one corpus pass and zero joins. Wall-clock parity at sf0.1
+    # (~3.3-3.5s both ways); the win is at corpus scale, where the old
+    # plan re-scans+re-shingles the corpus for sizes and shuffle-joins the
+    # per-doc size table (billions of rows) onto the pairs twice.
+    sh = sh.withColumn(
+        "__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    # Posting-list pair generation instead of a self-join: group (id, sz)
+    # entries per shingle (bounded by the frequency cap -> bounded list),
+    # emit each id pair with a nested transform, count pairs. One groupBy
+    # replaces the shingle-keyed join AND the frequency-cap semi-join. The
+    # cap bounds the per-shingle pair fanout quadratically — at corpus
+    # scale it is what keeps a boilerplate shingle from emitting millions
+    # of pairs.
     posts = sh.groupBy("shingle").agg(
-        F.collect_list(F.col(id_col)).alias("__ids"), F.count(F.lit(1)).alias("__df")
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__sz").alias("sz"))).alias(
+            "__entries"
+        ),
+        F.count(F.lit(1)).alias("__df"),
     )
     if max_shingle_freq is not None:
         posts = posts.filter(F.col("__df") <= max_shingle_freq)
-    ids = F.col("__ids")
+    entries = F.col("__entries")
     pair_structs = F.flatten(
         F.transform(
-            ids,
+            entries,
             lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                F.slice(entries, i + 2, F.size(entries)),
+                lambda y: F.when(
+                    x["id"] < y["id"],
+                    F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["sz"].alias("sa"),
+                        y["sz"].alias("sb"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        y["id"].alias("id_a"),
+                        x["id"].alias("id_b"),
+                        y["sz"].alias("sa"),
+                        x["sz"].alias("sb"),
+                    )
                 ),
             ),
         )
     )
     inter = (
         posts.select(F.explode(pair_structs).alias("__p"))
-        .select("__p.id_a", "__p.id_b")
-        .groupBy("id_a", "id_b")
+        # sa/sb are functionally dependent on the ids, so grouping by them
+        # too changes nothing semantically and saves the join-back
+        .groupBy("__p.id_a", "__p.id_b", "__p.sa", "__p.sb")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    # sizes is one row per document — unbounded at corpus scale, so no
-    # broadcast hint: AQE upgrades the join to broadcast when it actually
-    # fits, and falls back to a shuffle join when it doesn't.
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    sized = (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa")), "id_a"
-        ).join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb")), "id_b"
-        )
-    )
-    jac = sized.withColumn(
+    jac = inter.withColumn(
         "jaccard",
-        F.col("__inter") / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+        F.col("__inter") / (F.col("sa") + F.col("sb") - F.col("__inter")),
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
