@@ -65,24 +65,37 @@ def tokenize(docs: DataFrame, text_col: str = "text", out_col: str = "token") ->
     )
 
 
-def shingles(
+def _shingles_raw(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Word n-gram shingles per document, WITH duplicates: (id, shingle).
+
+    Docs with fewer than ``n`` tokens are dropped up front (empty shingle
+    set) — cheaper than the emit-then-refilter of a ragged tail, and the
+    oracle's ``generate_series`` + length filter excludes them the same
+    way. Consumers that need set semantics dedup on their own key (the
+    string here, or a hash of it — see ``ngram_jaccard_pairs``); MinHash
+    takes ``min`` over the hashes, for which duplicates are a no-op, and
+    skips the distinct shuffle entirely."""
     toks = docs.select(
         id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
-    )
-    # n-gram i..i+n-1 via transform over the index range; filter ragged tails
-    ngrams = toks.select(
+    ).filter(F.size("__toks") >= n)
+    return toks.select(
         id_col,
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
+                F.sequence(F.lit(0), F.size("__toks") - n),
                 lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
             )
         ).alias("shingle"),
     )
-    return ngrams.filter(F.size(F.split(F.col("shingle"), " ")) == n).dropDuplicates(
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    return _shingles_raw(docs, n=n, text_col=text_col, id_col=id_col).dropDuplicates(
         [id_col, "shingle"]
     )
 
@@ -105,16 +118,24 @@ def ngram_jaccard_pairs(
     a quadratic bucket (and contributes almost no discriminative signal).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
-    # join/dedup on a 60-bit shingle hash, not the string: the shuffle
-    # carries 8 bytes per shingle instead of ~n words, and the distinct is
-    # a long-compare. Collision odds at 2^60 are negligible, and the
-    # oracle applies the same hash so both engines see identical sets.
-    sh = sh.select(
-        id_col,
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("shingle"),
+    # hash-then-dedup: the 60-bit shingle hash is computed row-locally in
+    # the same codegen stage as the explode, so the distinct groupBy (and
+    # every shuffle after it) carries 8 bytes per shingle instead of ~n
+    # words. Hashing BEFORE the distinct also keeps md5 out of the string
+    # dropDuplicates path (measured ~20% on the whole query at sf0.1).
+    # Collision odds at 2^60 are negligible, and the oracle applies the
+    # same hash so both engines see identical sets.
+    sh = (
+        _shingles_raw(docs, n=n, text_col=text_col, id_col=id_col)
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("shingle"),
+        )
+        .groupBy(id_col, "shingle")
+        .agg(F.lit(1))
+        .select(id_col, "shingle")
     )
     # Per-doc shingle-set size attached via a window count so it rides the
     # posting lists: without this, sizes needs its own aggregate over `sh`
@@ -135,10 +156,13 @@ def ngram_jaccard_pairs(
     # cap bounds the per-shingle pair fanout quadratically — at corpus
     # scale it is what keeps a boilerplate shingle from emitting millions
     # of pairs.
+    # sort_array orders struct(id, sz) by id (ids are unique per shingle),
+    # so within a posting list x always precedes y — the pair emit needs
+    # no per-pair orientation branch.
     posts = sh.groupBy("shingle").agg(
-        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__sz").alias("sz"))).alias(
-            "__entries"
-        ),
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__sz").alias("sz")))
+        ).alias("__entries"),
         F.count(F.lit(1)).alias("__df"),
     )
     if max_shingle_freq is not None:
@@ -149,21 +173,11 @@ def ngram_jaccard_pairs(
             entries,
             lambda x, i: F.transform(
                 F.slice(entries, i + 2, F.size(entries)),
-                lambda y: F.when(
-                    x["id"] < y["id"],
-                    F.struct(
-                        x["id"].alias("id_a"),
-                        y["id"].alias("id_b"),
-                        x["sz"].alias("sa"),
-                        y["sz"].alias("sb"),
-                    ),
-                ).otherwise(
-                    F.struct(
-                        y["id"].alias("id_a"),
-                        x["id"].alias("id_b"),
-                        y["sz"].alias("sa"),
-                        x["sz"].alias("sb"),
-                    )
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sz"].alias("sa"),
+                    y["sz"].alias("sb"),
                 ),
             ),
         )
@@ -200,7 +214,9 @@ def minhash_signatures(
     engine-portable. One explode + groupBy — shingle sets never leave
     their partition unaggregated.
     """
-    sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
+    # raw (non-distinct) shingles: min over a multiset equals min over its
+    # set, so the distinct shuffle buys nothing here and is skipped.
+    sh = _shingles_raw(docs, n=shingle_n, text_col=text_col, id_col=id_col)
     # one md5 per shingle, then arithmetic permutations — universal hashing
     # h_i(x) = (a_i*x + b_i) mod p with p = 2^31-1. 8x cheaper than
     # md5-per-permutation and still bit-portable to the DuckDB oracle
