@@ -110,3 +110,73 @@ def anti_join_filter(df: DataFrame, keys: DataFrame, on: str | Sequence[str]) ->
     data_generation_icu.py:651,741)."""
     on_cols = [on] if isinstance(on, str) else list(on)
     return df.join(F.broadcast(keys.select(*on_cols).dropDuplicates()), on=on_cols, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str = "ts",
+    right_time: str = "ts",
+    value_cols: Sequence[str] = (),
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the payload of the
+    latest right row with ``right_time <= left_time`` on the same key(s).
+
+    The classic formulation is an inequality join + per-left-row argmax —
+    a quadratic blowup when keys repeat. This is instead the union-tag
+    plan: tag both sides, union them, and run ONE window pass per key
+    ordered by (time, tag) where right rows sort before left rows at
+    equal times (inclusive match); ``last(payload, ignorenulls=True)``
+    carries the most recent right payload forward onto every left row.
+    One hash shuffle on the key, zero joins, no pair explosion — state
+    per task is a single payload struct, so the plan survives keys with
+    billions of rows on either side.
+
+    ``right`` must be unique per (key, right_time); dedup it first if
+    not (the match would otherwise be tie-ambiguous in ANY engine —
+    DuckDB's native ASOF JOIN has the same contract). ``tolerance``
+    (an interval/numeric Column in the same units as the times) nulls
+    out matches older than ``left_time - tolerance``.
+
+    Reference analogue: J9's as-of-style event window trim
+    (data_generation_icu.py:467-520) joins each event to stay-level
+    anchors; this generalizes it to time-varying anchors.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = F.struct(
+        F.col(right_time).alias("__rt"), *[F.col(c) for c in value_cols]
+    )
+    r = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__tag"),
+        payload.alias("__payload"),
+    )
+    l = left.withColumn("__t", F.col(left_time)).withColumn(
+        "__tag", F.lit(1)
+    ).withColumn("__payload", F.lit(None).cast(r.schema["__payload"].dataType))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__tag") == 1)
+    if tolerance is not None:
+        carried = carried.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__rt") >= F.col(left_time) - tolerance,
+                F.col("__match"),
+            ),
+        )
+    out = carried.select(
+        *left.columns,
+        F.col("__match.__rt").alias(f"{right_time}_matched"),
+        *[F.col(f"__match.{c}").alias(c) for c in value_cols],
+    )
+    return out

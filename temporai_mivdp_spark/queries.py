@@ -1273,3 +1273,76 @@ def window_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(w).alias("next_key"),
         (cents - prev_cents).alias("cents_delta"),
     )
+
+
+@_register(
+    "j_asof_event_value",
+    """
+    WITH v AS (
+      SELECT user_id, ts, max_by(value, event_id) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS matched_unix_sec,
+           v.view_value
+    FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def j_asof_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click picks up the latest prior (or
+    simultaneous) view's value for the same user. Union-tag plan — one
+    shuffle, zero joins (operators/joins.py::asof_join); the oracle is
+    DuckDB's native ASOF LEFT JOIN. Matched timestamps are emitted as
+    unix seconds: the raw column is TIMESTAMP(NANOS) in the parquet and
+    the engines truncate it differently below the microsecond."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = join_ops.asof_join(
+        clicks, views, on="user_id", left_time="ts", right_time="ts",
+        value_cols=["view_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts_matched").alias("matched_unix_sec"),
+        "view_value",
+    )
+
+
+@_register(
+    "olap_cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_lines,
+           sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def olap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (returnflag, linestatus): leaf rows plus BOTH
+    one-dimension margins plus the grand total in a single pass —
+    completes the grouping-sets family next to ``olap_rollup``."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round("l_quantity", 0).cast("long")).alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "total_qty",
+        )
+    )

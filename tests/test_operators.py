@@ -220,3 +220,44 @@ def test_interval_exists_label_null_dates_get_control(spark):
     labels = {(r.subj, r.start): r.label for r in out.collect()}
     assert labels[(1, None)] == 0
     assert labels[(1, ts("2020-01-01"))] == 1
+
+
+def test_asof_join_backward_with_tolerance(spark):
+    # user 1: views at t=1h and t=3h; clicks at 0h30, 3h00 (tie -> inclusive
+    # match), 9h00 (beyond 2h tolerance -> nulled). user 2: no views at all.
+    views = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 01:00:00"), 10.0),
+            (1, ts("2024-01-01 03:00:00"), 30.0),
+        ],
+        "user_id long, ts timestamp, v double",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (100, 1, ts("2024-01-01 00:30:00")),
+            (101, 1, ts("2024-01-01 03:00:00")),
+            (102, 1, ts("2024-01-01 09:00:00")),
+            (103, 2, ts("2024-01-01 05:00:00")),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = join_ops.asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["v"],
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    )
+    got = {r.event_id: (r.ts_matched, r.v) for r in out.collect()}
+    assert got[100] == (None, None)  # no view yet
+    assert got[101] == (ts("2024-01-01 03:00:00"), 30.0)  # inclusive tie
+    assert got[102] == (None, None)  # 6h-old view outside tolerance
+    assert got[103] == (None, None)  # user with no right rows
+    # without tolerance the stale view matches
+    out2 = join_ops.asof_join(
+        clicks, views, on="user_id", value_cols=["v"]
+    )
+    got2 = {r.event_id: r.v for r in out2.collect()}
+    assert got2[102] == 30.0
