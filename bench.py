@@ -31,7 +31,7 @@ HEADLINE = [
     "a8_winsorize",
     "w3_tumbling_bucket",
     "w4_w8_dense_grid_indicator",
-    "w5_w6_ffill_impute",
+    "w5_w6_w7_impute_active",
     "a2_two_level_agg",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two tiers:
+Three tiers:
 
 * ``brute_force_topk`` — exact cosine top-k of every probe against the
   corpus. The probe set is broadcast; the corpus streams through one
@@ -12,6 +12,13 @@ Two tiers:
   At 100 TB this is the difference between scanning the corpus per probe
   and scanning ~nprobe/ncentroids of it; the bucket assignment is also the
   natural blocking key for embedding near-dup (dedup module).
+* ``lsh_signatures`` + ``lsh_topk`` — random-hyperplane (SimHash-style)
+  LSH: sign-of-projection bits onto pseudo-random ±1 hyperplanes hashed
+  from (table, bit, dim) — no stored planes, no fitted model, identical
+  on every executor. Candidates are equality-join matches on (table,
+  bucket); exact cosine re-ranks them. Complements IVF: no centroid set
+  to maintain, and table count / bit width trade recall vs. candidate
+  volume at plan-build time.
 
 All math is JVM-side Catalyst higher-order functions (zip_with +
 aggregate) over doubles — no UDFs, no Python in the hot path.
@@ -185,6 +192,111 @@ def ivf_topk(
             / (F.col("__pn") * F.col("__cn2")),
             6,
         ),
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__pid").alias(probe_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def _hyperplane_bucket(vec: Column, table: int, bits: int) -> Column:
+    """Random-hyperplane bucket id for one LSH table: bit b is the sign of
+    the projection onto a ±1 hyperplane whose component for dimension i is
+    ``xxhash64(table, b, i) % 2 ? +1 : -1``. The planes are never
+    materialized — each is re-derived from the hash inside one
+    whole-stage-codegen'd fold, so every executor computes identical
+    signatures with zero broadcast state. Rademacher (±1) projections
+    preserve the sign-agreement ~ angle property of Gaussian planes
+    (Charikar's SimHash construction with a derandomized plane family)."""
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        proj = F.aggregate(
+            F.transform(
+                vec,
+                lambda x, i: x.cast("double")
+                * F.when(
+                    F.pmod(F.xxhash64(F.lit(table), F.lit(b), i), 2) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def lsh_signatures(
+    df: DataFrame,
+    tables: int = 4,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One row per (vector, table) with the table's hyperplane bucket —
+    the hash-table layout of multi-table LSH, flattened relationally.
+    All ``tables`` buckets are computed in a single projection over one
+    corpus scan, then unpivoted with ``stack`` (no per-table rescans,
+    no shuffle)."""
+    sig_cols = [
+        _hyperplane_bucket(F.col(vec_col), t, bits).alias(f"__b{t}")
+        for t in range(tables)
+    ]
+    stack_args = ", ".join(f"{t}, __b{t}" for t in range(tables))
+    return (
+        df.select(id_col, vec_col, *sig_cols)
+        .selectExpr(
+            id_col,
+            vec_col,
+            f"stack({tables}, {stack_args}) AS (table, bucket)",
+        )
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    tables: int = 4,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: a candidate is
+    any corpus vector sharing a bucket with the probe in >=1 of the
+    ``tables`` hash tables; candidates are deduped and re-ranked by exact
+    cosine. Expected candidate volume per probe ~ tables * |corpus| /
+    2^bits — tune ``bits`` to the corpus size so each bucket holds a few
+    hundred vectors; the join itself is a pure equality join on (table,
+    bucket), which scales like any hash join (no cross join, no per-probe
+    corpus scan)."""
+    c_sig = lsh_signatures(corpus, tables=tables, bits=bits, vec_col=vec_col, id_col=id_col)
+    p_sig = lsh_signatures(
+        probes, tables=tables, bits=bits, vec_col=vec_col, id_col=probe_id_col
+    ).select(
+        F.col(probe_id_col).alias("__pid"),
+        F.col(vec_col).alias("__pvec"),
+        "table",
+        "bucket",
+    )
+    candidates = (
+        c_sig.join(F.broadcast(p_sig), ["table", "bucket"])
+        .filter(F.col(id_col) != F.col("__pid"))
+        # a pair matching in several tables must score once
+        .dropDuplicates(["__pid", id_col])
+    )
+    sim = candidates.withColumn("__pn", _norm(F.col("__pvec"))).withColumn(
+        "__cn", _norm(F.col(vec_col))
+    ).withColumn(
+        "cosine",
+        F.round(_dot(F.col("__pvec"), F.col(vec_col)) / (F.col("__pn") * F.col("__cn")), 6),
     )
     w = Window.partitionBy("__pid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (

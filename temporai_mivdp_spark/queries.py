@@ -203,20 +203,6 @@ def p6_string_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "p7_dedup",
-    """
-    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
-    FROM lineitem
-    """,
-)
-def p7_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7: drop_duplicates (icu_preprocess_util.py:206,252,319)."""
-    from temporai_mivdp_spark.operators.filters import dedup
-
-    return dedup(_t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_shipdate"))
-
-
-@_register(
     "p8_split_label_union",
     """
     SELECT o_orderkey,
@@ -373,25 +359,6 @@ def a3_conditional_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "a5_max_group_size",
-    """
-    SELECT CAST(max(n) AS BIGINT) AS max_events_per_user
-    FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
-    """,
-)
-def a5_max_group_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: scalar max of group sizes (vocab caps / *_per_adm at
-    data_generation_icu.py:234-235,609-629) — stays a 1-row DataFrame, no
-    driver-side collect in the plan."""
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").cast("long").alias("max_events_per_user"))
-    )
-
-
-@_register(
     "a7_mode_vote_filter",
     """
     WITH c AS (
@@ -491,19 +458,27 @@ def a9_group_mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "a10_summary_counts",
+    "a5_a10_summary_counts",
     """
-    SELECT count(*) AS n_orders,
-           count(DISTINCT o_custkey) AS n_customers,
-           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_value
-    FROM orders
+    SELECT *
+    FROM (
+      SELECT count(*) AS n_orders,
+             count(DISTINCT o_custkey) AS n_customers,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_value
+      FROM orders
+    ) CROSS JOIN (
+      SELECT CAST(max(n) AS BIGINT) AS max_events_per_user
+      FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    )
     """,
 )
-def a10_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10/S7: one-row cohort summary (day_intervals_cohort_v1.py:667-683)
-    as a single multi-measure aggregate."""
-    return _t(spark, sf_dir, "orders").agg(
+def a5_a10_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/S7 one-row cohort summary (day_intervals_cohort_v1.py:667-683)
+    plus the A5 scalar max-of-group-sizes (*_per_adm vocab caps at
+    data_generation_icu.py:234-235,609-629) — two tiny aggregate rows
+    cross-joined; no driver-side collect in the plan."""
+    order_summary = _t(spark, sf_dir, "orders").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n_finished"),
@@ -511,6 +486,13 @@ def a10_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+    max_group = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").cast("long").alias("max_events_per_user"))
+    )
+    return order_summary.crossJoin(max_group)
 
 
 # ---------------------------------------------------------------------------
@@ -519,41 +501,24 @@ def a10_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "w1_hours_from_anchor",
-    """
-    SELECT event_id,
-           CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT)
-             AS hours_from_first
-    FROM events
-    """,
-)
-def w1_hours_from_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/F4: hours-from-admission normalization — the reference's
-    stringify-and-split timedelta math (data_generation_icu.py:214-219)
-    as floor((t-anchor)/3600)."""
-    events = _t(spark, sf_dir, "events").withColumn(
-        "__anchor", F.min("ts").over(Window.partitionBy("user_id"))
-    )
-    out = ts_ops.hours_from_anchor(events, "ts", "__anchor", out_col="hours_from_first")
-    return out.select("event_id", "hours_from_first")
-
-
-@_register(
-    "w2_task_window_trim",
+    "w1_w2_hours_window_trim",
     """
     WITH t AS (
       SELECT e.*,
              CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) AS h
       FROM events e
     )
-    SELECT event_id, user_id, least(h, 72) AS h_clamped
+    SELECT event_id, user_id, h AS hours_from_first, least(h, 72) AS h_clamped
     FROM t WHERE h <= 168
     """,
 )
-def w2_task_window_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2/F11: fixed observation window + clamp
+def w1_w2_hours_window_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2/F4/F11: hours-from-admission normalization — the reference's
+    stringify-and-split timedelta math (data_generation_icu.py:214-219) as
+    floor((t-anchor)/3600) — feeding the fixed observation window + clamp
     (data_generation_icu.py:392-424: keep events inside include_time,
-    clamp stop times). Pure column arithmetic + filter."""
+    clamp stop times). The raw hour offset is exposed so the W1 floor
+    semantics are hash-checked alongside the W2 trim."""
     events = _t(spark, sf_dir, "events").withColumn(
         "__anchor", F.min("ts").over(Window.partitionBy("user_id"))
     )
@@ -562,7 +527,9 @@ def w2_task_window_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h") <= 168)
         .withColumn("h_clamped", scalars.clamp(F.col("h"), hi=72.0).cast("long"))
     )
-    return trimmed.select("event_id", "user_id", "h_clamped")
+    return trimmed.select(
+        "event_id", "user_id", F.col("h").alias("hours_from_first"), "h_clamped"
+    )
 
 
 @_register(
@@ -628,11 +595,15 @@ def w4_w8_dense_grid_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "w5_w6_ffill_impute",
+    "w5_w6_w7_impute_active",
     """
     WITH t AS (
       SELECT event_id, user_id, ts,
-             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+             CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) AS h,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) + 24
+                  ELSE NULL END AS stop_h
       FROM events
     )
     SELECT event_id,
@@ -643,41 +614,7 @@ def w4_w8_dense_grid_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
              first_value(v IGNORE NULLS) OVER
                (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
-             0.0) AS v_filled
-    FROM t
-    """,
-)
-def w5_w6_ffill_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5+W6: forward-fill -> backward-fill -> constant imputation cascade
-    (data_generation_icu.py:659-667,745-756) as one coalesce over two
-    window aggregates sharing a single sort."""
-    events = _t(spark, sf_dir, "events").withColumn(
-        "v", F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(F.col("value"))
-    )
-    out = ts_ops.impute_cascade(
-        events.withColumn("__ord", F.struct(F.col("ts"), F.col("event_id"))),
-        keys=["user_id"],
-        order_col="__ord",
-        value_col="v",
-        group_stat=None,
-        default=0.0,
-        out_col="v_filled",
-    )
-    return out.select("event_id", F.col("v_filled").alias("v_filled"))
-
-
-@_register(
-    "w7_active_signal",
-    """
-    WITH t AS (
-      SELECT event_id, user_id, ts,
-             CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) AS h,
-             CASE WHEN event_type = 'purchase'
-                  THEN CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) + 24
-                  ELSE NULL END AS stop_h
-      FROM events
-    )
-    SELECT event_id,
+             0.0) AS v_filled,
            CASE WHEN last_value(stop_h IGNORE NULLS) OVER
                   (PARTITION BY user_id ORDER BY h, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - h > 0
@@ -685,22 +622,37 @@ def w5_w6_ffill_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
     """,
 )
-def w7_active_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W7: medication active-signal mask (data_generation_icu.py:739-766):
-    ffill the stop hour, signal = (stop - hour > 0). 'purchase' events act
-    as 24h prescriptions on the synthetic stream."""
+def w5_w6_w7_impute_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5+W6+W7 in one per-event pass: forward-fill -> backward-fill ->
+    constant imputation cascade (data_generation_icu.py:659-667,745-756)
+    as one coalesce over two window aggregates, chained with the
+    medication active-signal mask (data_generation_icu.py:739-766: ffill
+    the stop hour, signal = stop - hour > 0; 'purchase' events act as 24h
+    prescriptions). Both window stacks share the user_id partitioning, so
+    one shuffle feeds the event-time sort and the hour sort."""
     events = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(F.col("value"))
+    ).withColumn(
         "__anchor", F.min("ts").over(Window.partitionBy("user_id"))
     )
     hourly = ts_ops.hours_from_anchor(events, "ts", "__anchor", out_col="h").withColumn(
         "stop_h",
         F.when(F.col("event_type") == "purchase", F.col("h") + 24).cast("long"),
     )
-    ordered = hourly.withColumn("__ord", F.struct(F.col("h"), F.col("event_id")))
-    out = ts_ops.active_signal(
-        ordered, keys=["user_id"], hour_col="h", stop_col="stop_h", order_col="__ord"
+    imputed = ts_ops.impute_cascade(
+        hourly.withColumn("__ord_ts", F.struct(F.col("ts"), F.col("event_id"))),
+        keys=["user_id"],
+        order_col="__ord_ts",
+        value_col="v",
+        group_stat=None,
+        default=0.0,
+        out_col="v_filled",
     )
-    return out.select("event_id", "signal")
+    out = ts_ops.active_signal(
+        imputed.withColumn("__ord_h", F.struct(F.col("h"), F.col("event_id"))),
+        keys=["user_id"], hour_col="h", stop_col="stop_h", order_col="__ord_h",
+    )
+    return out.select("event_id", "v_filled", "signal")
 
 
 # ---------------------------------------------------------------------------
@@ -709,37 +661,52 @@ def w7_active_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "o2_topk_by_count",
+    "o_sort_topk_first",
     """
-    SELECT l_partkey, count(*) AS total_count
-    FROM lineitem GROUP BY l_partkey
-    ORDER BY total_count DESC, l_partkey ASC LIMIT 10
+    WITH topk AS (
+      SELECT l_partkey, count(*) AS total_count
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY total_count DESC, l_partkey ASC LIMIT 10
+    ),
+    f AS (
+      SELECT l.l_partkey, l.l_orderkey, l.l_shipdate,
+             row_number() OVER (PARTITION BY l.l_partkey
+                                ORDER BY l.l_shipdate, l.l_orderkey, l.l_linenumber) AS rn
+      FROM lineitem l JOIN topk t ON t.l_partkey = l.l_partkey
+    )
+    SELECT t.l_partkey, t.total_count,
+           f.l_orderkey AS first_orderkey, f.l_shipdate AS first_shipdate
+    FROM topk t JOIN f ON f.l_partkey = t.l_partkey AND f.rn = 1
+    ORDER BY t.total_count DESC, t.l_partkey ASC
     """,
 )
-def o2_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2: top-k most frequent values (feature caps at
-    icu_preprocess_util.py:451-452) with deterministic tie-break."""
-    return sorts.top_k_by_count(_t(spark, sf_dir, "lineitem"), "l_partkey", k=10)
-
-
-@_register(
-    "o3_first_row_per_group",
-    """
-    SELECT o_custkey, o_orderkey, o_orderdate
-    FROM (
-      SELECT o_custkey, o_orderkey, o_orderdate,
-             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
-      FROM orders
-    ) WHERE rn = 1
-    """,
-)
-def o3_first_row_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3: deterministic first-row-of-group (``.iloc[0]`` at
-    data_generation_icu.py:711-714)."""
-    return sorts.first_row_per_group(
-        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
-        group_keys="o_custkey",
-        order_by=["o_orderdate", "o_orderkey"],
+def o_sort_topk_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2+O3 composed: top-k most frequent partkeys (feature caps at
+    icu_preprocess_util.py:451-452, deterministic tie-break), each joined
+    to its deterministic first row (``.iloc[0]`` at
+    data_generation_icu.py:711-714), multi-key ordered output
+    (sort_values at day_intervals_cohort_v1.py:261,288,368). The top-k
+    agg is map-side combined; the 10-row key set broadcasts back so the
+    first-row window only sorts the ~k matching rows, never the fact
+    table; the final ORDER BY is a TakeOrdered over 10 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    topk = sorts.top_k_by_count(li, "l_partkey", k=10)
+    matched = li.select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate").join(
+        F.broadcast(topk.select("l_partkey")), "l_partkey", "left_semi"
+    )
+    firsts = sorts.first_row_per_group(
+        matched,
+        group_keys="l_partkey",
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+    ).select(
+        "l_partkey",
+        F.col("l_orderkey").alias("first_orderkey"),
+        F.col("l_shipdate").alias("first_shipdate"),
+    )
+    return (
+        topk.join(F.broadcast(firsts), "l_partkey")
+        .select("l_partkey", "total_count", "first_orderkey", "first_shipdate")
+        .orderBy(F.col("total_count").desc(), F.col("l_partkey").asc())
     )
 
 
@@ -749,7 +716,7 @@ def o3_first_row_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "u2_grid_anti_join",
+    "u1_u2_union_anti_grid",
     """
     WITH users AS (SELECT DISTINCT user_id FROM events),
     grid AS (
@@ -764,13 +731,26 @@ def o3_first_row_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
 )
-def u2_grid_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2: missing-hours complement (index difference at
-    data_generation_icu.py:651) as a left-anti join against the grid."""
+def u1_u2_union_anti_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2+P7: missing-hours complement (index difference at
+    data_generation_icu.py:651) as a left-anti join against the dense
+    grid. The grid is assembled from two half-day grids via unionByName
+    with mismatched column order (U1 — the pd.concat / append shim at
+    utils/common.py:10-24: by-name resolution, no shuffle), and both the
+    user dim and the observed set are deduplicated with the P7
+    drop_duplicates operator (icu_preprocess_util.py:206,252,319)."""
+    from temporai_mivdp_spark.operators.filters import dedup
+
     events = _t(spark, sf_dir, "events")
-    users = events.select("user_id").dropDuplicates().withColumn("__len", F.lit(24))
-    grid = ts_ops.dense_grid(users, "__len", hour_col="missing_hour").drop("__len")
-    observed = events.select("user_id", F.hour("ts").cast("long").alias("missing_hour"))
+    users = dedup(events.select("user_id")).withColumn("__len", F.lit(12))
+    am = ts_ops.dense_grid(users, "__len", hour_col="missing_hour").drop("__len")
+    pm = am.select(
+        (F.col("missing_hour") + 12).alias("missing_hour"), "user_id"
+    )  # columns deliberately reordered: unionByName must resolve by name
+    grid = am.unionByName(pm)
+    observed = dedup(
+        events.select("user_id", F.hour("ts").cast("long").alias("missing_hour"))
+    )
     return join_ops.anti_join_filter(grid, observed, on=["user_id", "missing_hour"])
 
 
@@ -838,36 +818,14 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @_register(
-    "r1_pivot_mean",
+    "r1_r2_pivot_onehot",
     """
     SELECT user_id,
            avg(round(CASE WHEN event_type = 'click' THEN value END * 100)) / 100.0 AS click,
            avg(round(CASE WHEN event_type = 'error' THEN value END * 100)) / 100.0 AS error,
            avg(round(CASE WHEN event_type = 'purchase' THEN value END * 100)) / 100.0 AS purchase,
            avg(round(CASE WHEN event_type = 'signup' THEN value END * 100)) / 100.0 AS signup,
-           avg(round(CASE WHEN event_type = 'view' THEN value END * 100)) / 100.0 AS view
-    FROM events GROUP BY user_id
-    """,
-)
-def r1_pivot_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1: long->wide pivot with explicit vocabulary
-    (data_generation_icu.py:647-649) — no extra distinct() scan."""
-    events = _t(spark, sf_dir, "events").withColumn(
-        "__cents", F.round(F.col("value") * 100, 0)
-    )
-    return reshape.pivot_agg(
-        events,
-        index=["user_id"],
-        pivot_col="event_type",
-        values=_EVENT_TYPES,
-        agg=(F.avg("__cents") / 100.0),
-    )
-
-
-@_register(
-    "r2_one_hot",
-    """
-    SELECT user_id,
+           avg(round(CASE WHEN event_type = 'view' THEN value END * 100)) / 100.0 AS view,
            max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS et_click,
            max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS et_error,
            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS et_purchase,
@@ -876,46 +834,32 @@ def r1_pivot_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id
     """,
 )
-def r2_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2: one-hot condition encoding (data_generation_icu.py:913-921)."""
-    return reshape.one_hot(
+def r1_r2_pivot_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+R2: long->wide mean pivot with explicit vocabulary
+    (data_generation_icu.py:647-649 — no extra distinct() scan) joined to
+    the one-hot condition encoding (data_generation_icu.py:913-921). Both
+    sides group on user_id, so AQE plans the 150x150 join broadcast with
+    no extra exchange of the fact table."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "__cents", F.round(F.col("value") * 100, 0)
+    )
+    means = reshape.pivot_agg(
+        events,
+        index=["user_id"],
+        pivot_col="event_type",
+        values=_EVENT_TYPES,
+        agg=(F.avg("__cents") / 100.0),
+    )
+    flags = reshape.one_hot(
         _t(spark, sf_dir, "events"), index="user_id", category_col="event_type",
         categories=_EVENT_TYPES, prefix="et_",
     )
+    return means.join(flags, "user_id")
 
 
 # ---------------------------------------------------------------------------
 # remaining operator-family queries (J5/J6, O1, U1, R3)
 # ---------------------------------------------------------------------------
-
-
-@_register(
-    "j5_left_join_attrs",
-    """
-    WITH attrs AS (
-      SELECT user_id, CAST(round(max(round(value * 100))) AS BIGINT) AS max_cents FROM events GROUP BY user_id
-    )
-    SELECT e.event_id, a.max_cents,
-           CASE WHEN CAST(round(e.value * 100) AS BIGINT) = a.max_cents THEN 1 ELSE 0 END AS is_peak
-    FROM events e LEFT JOIN attrs a ON a.user_id = e.user_id
-    """,
-)
-def j5_left_join_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: left-join per-series attributes back onto events (the los /
-    select_time joins at data_generation_icu.py:260,475-518) — broadcast
-    the tiny attr side."""
-    events = _t(spark, sf_dir, "events")
-    attrs = events.groupBy("user_id").agg(
-        F.round(F.max(F.round(F.col("value") * 100, 0)), 0).cast("long").alias("max_cents")
-    )
-    return (
-        events.join(F.broadcast(attrs), "user_id", "left")
-        .withColumn(
-            "is_peak",
-            F.when(F.round(F.col("value") * 100, 0).cast("long") == F.col("max_cents"), 1).otherwise(0),
-        )
-        .select("event_id", "max_cents", "is_peak")
-    )
 
 
 @_register(
@@ -957,48 +901,6 @@ def j6_right_merge_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"mean_frequency": 0, "missing_count": 0})
         .select("event_type", "mean_frequency", "missing_count", "total_count")
     )
-
-
-@_register(
-    "o1_multikey_sort",
-    """
-    SELECT o_custkey, o_orderkey, o_orderdate
-    FROM orders
-    ORDER BY o_custkey ASC, o_orderdate DESC, o_orderkey ASC
-    LIMIT 100
-    """,
-)
-def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: multi-key sort + limit (sort_values at
-    day_intervals_cohort_v1.py:261,288,368). A global ORDER BY plans a
-    range-partitioned exchange; with LIMIT Spark runs TakeOrdered — no
-    full sort materialization."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_custkey", "o_orderkey", "o_orderdate")
-        .orderBy(F.col("o_custkey").asc(), F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
-        .limit(100)
-    )
-
-
-@_register(
-    "u1_union_by_name",
-    """
-    SELECT o_orderkey AS id, 'order' AS kind FROM orders WHERE o_totalprice > 4000
-    UNION ALL
-    SELECT c_custkey AS id, 'customer' AS kind FROM customer WHERE c_acctbal > 5000
-    """,
-)
-def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1: vertical concat (pd.concat / the append shim at
-    utils/common.py:10-24) as unionByName — a no-shuffle plan node."""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 4000).select(
-        F.col("o_orderkey").alias("id"), F.lit("order").alias("kind")
-    )
-    customers = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
-        F.col("c_custkey").alias("id"), F.lit("customer").alias("kind")
-    )
-    return orders.unionByName(customers)
 
 
 @_register(
@@ -1084,95 +986,103 @@ def j4_dictionary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "ts_rolling_stats",
+    "ts_rolling_interp_peak",
     """
     WITH t AS (
-      SELECT event_id, user_id,
+      SELECT event_id, user_id, value,
              CAST(floor(epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) AS h,
-             CAST(round(value * 100) AS BIGINT) AS cents
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS ncents
       FROM events
+    ),
+    attrs AS (
+      SELECT user_id, CAST(round(max(round(value * 100))) AS BIGINT) AS max_cents
+      FROM events GROUP BY user_id
+    ),
+    interp AS (
+      SELECT event_id,
+             CASE WHEN ncents IS NOT NULL THEN ncents * 1.0
+                  WHEN pv IS NULL THEN nv * 1.0
+                  WHEN nv IS NULL THEN pv * 1.0
+                  ELSE pv + (nv - pv) * (pos * 1.0 - pt) / (nt - pt)
+             END / 100.0 AS v_interp
+      FROM (
+        SELECT event_id, pos, ncents,
+               last_value(ncents IGNORE NULLS) OVER wp AS pv,
+               first_value(ncents IGNORE NULLS) OVER wn AS nv,
+               last_value(CASE WHEN ncents IS NOT NULL THEN pos * 1.0 END IGNORE NULLS) OVER wp AS pt,
+               first_value(CASE WHEN ncents IS NOT NULL THEN pos * 1.0 END IGNORE NULLS) OVER wn AS nt
+        FROM t
+        WINDOW wp AS (PARTITION BY user_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      )
     )
-    SELECT event_id,
+    SELECT t.event_id,
            (sum(cents) OVER w * 1.0 / count(cents) OVER w) / 100.0 AS roll_avg,
            min(cents) OVER w / 100.0 AS roll_min,
            max(cents) OVER w / 100.0 AS roll_max,
-           count(cents) OVER w AS roll_count
+           count(cents) OVER w AS roll_count,
+           i.v_interp,
+           a.max_cents,
+           CASE WHEN cents = a.max_cents THEN 1 ELSE 0 END AS is_peak
     FROM t
-    WINDOW w AS (PARTITION BY user_id ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    JOIN interp i ON i.event_id = t.event_id
+    LEFT JOIN attrs a ON a.user_id = t.user_id
+    WINDOW w AS (PARTITION BY t.user_id ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
     """,
 )
-def ts_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling trailing-window stats (6h range frame) — moving vitals
-    averages over the hourly axis. Cents domain + mirrored division order
-    keep every double bit-exact across engines."""
+def ts_rolling_interp_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event feature assembly in one plan: rolling trailing-window
+    stats (6h range frame — moving vitals averages), linear interpolation
+    of nulls between observations (boundary nulls take the nearest
+    observation; positions = per-user row index), and J5 left-joined
+    per-series attributes (the los / select_time joins at
+    data_generation_icu.py:260,475-518 — tiny attr side broadcast) with a
+    peak indicator. All window stacks share the user_id partitioning: one
+    shuffle, three sorts, zero extra fact-table exchanges. Cents domain +
+    mirrored division order keep every double bit-exact across engines."""
     events = _t(spark, sf_dir, "events").withColumn(
         "__anchor", F.min("ts").over(Window.partitionBy("user_id"))
     )
-    hourly = ts_ops.hours_from_anchor(events, "ts", "__anchor", out_col="h").withColumn(
-        "cents", F.round(F.col("value") * 100, 0).cast("long")
-    )
-    out = ts_ops.rolling_stats(
-        hourly, keys=["user_id"], order_col="h", value_col="cents", window_size=6
-    )
-    return out.select(
-        "event_id",
-        (F.col("roll_avg") / 100.0).alias("roll_avg"),
-        (F.col("roll_min") / 100.0).alias("roll_min"),
-        (F.col("roll_max") / 100.0).alias("roll_max"),
-        "roll_count",
-    )
-
-
-@_register(
-    "ts_linear_interpolate",
-    """
-    WITH t AS (
-      SELECT event_id, user_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS h,
-             CASE WHEN event_type = 'error' THEN NULL
-                  ELSE CAST(round(value * 100) AS BIGINT) END AS cents
-      FROM events
-    )
-    SELECT event_id,
-           CASE WHEN cents IS NOT NULL THEN cents * 1.0
-                WHEN pv IS NULL THEN nv * 1.0
-                WHEN nv IS NULL THEN pv * 1.0
-                ELSE pv + (nv - pv) * (h * 1.0 - pt) / (nt - pt)
-           END / 100.0 AS v_interp
-    FROM (
-      SELECT event_id, h, cents,
-             last_value(cents IGNORE NULLS) OVER wp AS pv,
-             first_value(cents IGNORE NULLS) OVER wn AS nv,
-             last_value(CASE WHEN cents IS NOT NULL THEN h * 1.0 END IGNORE NULLS) OVER wp AS pt,
-             first_value(CASE WHEN cents IS NOT NULL THEN h * 1.0 END IGNORE NULLS) OVER wn AS nt
-      FROM t
-      WINDOW wp AS (PARTITION BY user_id ORDER BY h
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             wn AS (PARTITION BY user_id ORDER BY h
-                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-    )
-    """,
-)
-def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear interpolation of nulls between observations (the smooth
-    alternative to ffill for continuous vitals); boundary nulls take the
-    nearest observation. Positions = per-user row index so spacing is
-    irregular-but-deterministic."""
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    events = (
-        _t(spark, sf_dir, "events")
-        .withColumn("h", F.row_number().over(w) - 1)
+    w_pos = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    hourly = (
+        ts_ops.hours_from_anchor(events, "ts", "__anchor", out_col="h")
+        .withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .withColumn("pos", F.row_number().over(w_pos) - 1)
         .withColumn(
-            "cents",
+            "ncents",
             F.when(F.col("event_type") == "error", F.lit(None).cast("long")).otherwise(
                 F.round(F.col("value") * 100, 0).cast("long")
             ),
         )
     )
-    out = ts_ops.linear_interpolate(
-        events, keys=["user_id"], order_col="h", value_col="cents", out_col="v"
+    rolled = ts_ops.rolling_stats(
+        hourly, keys=["user_id"], order_col="h", value_col="cents", window_size=6
     )
-    return out.select("event_id", (F.col("v") / 100.0).alias("v_interp"))
+    interped = ts_ops.linear_interpolate(
+        rolled, keys=["user_id"], order_col="pos", value_col="ncents", out_col="v"
+    )
+    attrs = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.round(F.max(F.round(F.col("value") * 100, 0)), 0).cast("long").alias("max_cents")
+    )
+    return (
+        interped.join(F.broadcast(attrs), "user_id", "left")
+        .withColumn("is_peak", F.when(F.col("cents") == F.col("max_cents"), 1).otherwise(0))
+        .select(
+            "event_id",
+            (F.col("roll_avg") / 100.0).alias("roll_avg"),
+            (F.col("roll_min") / 100.0).alias("roll_min"),
+            (F.col("roll_max") / 100.0).alias("roll_max"),
+            "roll_count",
+            (F.col("v") / 100.0).alias("v_interp"),
+            "max_cents",
+            "is_peak",
+        )
+    )
 
 
 @_register(
@@ -1216,7 +1126,7 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*) AS n_lines,
-           sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -1323,7 +1233,7 @@ def j_asof_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*) AS n_lines,
-           sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,

@@ -448,3 +448,103 @@ def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.clean_documents(docs)
+
+
+@_register("sim_topk_lsh")  # approximate: rows-only check (recall tested in tests/)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH top-10 (4 tables x 6 bits,
+    planes derandomized from xxhash64 — no stored model): the second
+    scale path next to IVF. Candidates come from equality joins on
+    (table, bucket); exact cosine re-ranks. Approximate by design -> no
+    SQL oracle; tests assert recall vs brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, probes, k=10, tables=4, bits=6)
+
+
+@_register(
+    "pipeline_docs_curation",
+    f"""
+    WITH d2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents
+    ),
+    keep AS (
+      SELECT doc_id, text,
+             min(doc_id) OVER (PARTITION BY md5({_NORM})) AS keep_id
+      FROM d2
+    ),
+    base AS (
+      SELECT doc_id, text, ' ' || {_NORM} || ' ' AS pad,
+             length(text) AS n_chars,
+             len(string_split({_NORM}, ' ')) AS n_tokens
+      FROM keep WHERE doc_id = keep_id
+    ),
+    feat AS (
+      SELECT doc_id, n_chars, n_tokens,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / n_chars AS punct_ratio,
+             CAST(list_sum(list_transform(
+                   string_split_regex({_NORM}, '[^a-z0-9]+'),
+                   w -> CASE WHEN len(w) = 0 THEN 0
+                             ELSE CAST(ceil(len(w) / 4.0) AS BIGINT) END)) AS BIGINT)
+               AS bpe_estimate,
+             {_LANG_SCORE_SQL['de']} AS score_de,
+             {_LANG_SCORE_SQL['en']} AS score_en,
+             {_LANG_SCORE_SQL['es']} AS score_es,
+             {_LANG_SCORE_SQL['fr']} AS score_fr
+      FROM base
+    )
+    SELECT doc_id, n_chars, n_tokens, bpe_estimate,
+           CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM feat
+    WHERE n_tokens >= 10 AND punct_ratio < 0.2
+      AND (CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END) IN ('en', 'und')
+    """,
+)
+def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pipeline in ONE lazy plan —
+    the composition the whole llmdata layer exists for:
+    exact-dedup (keep min-id representative over the doubled corpus) ->
+    quality filtering (token count + punctuation ratio) ->
+    language filtering (marker-word heuristic, keep en/und) ->
+    token accounting (whitespace + BPE-ish estimate).
+    Dedup keeps the window/groupBy on md5(normalized text) (fixed-width
+    shuffle key); quality + langid + token stats are all single-pass
+    projections that Catalyst collapses into the same stage."""
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    keep_w = W.partitionBy(F.md5(dedup.normalize_text(F.col("text"))))
+    kept = (
+        doubled.withColumn("__keep_id", F.min("doc_id").over(keep_w))
+        .filter(F.col("doc_id") == F.col("__keep_id"))
+        .drop("__keep_id")
+    )
+    q = text.quality_features(kept).select("doc_id", "n_chars", "n_tokens", "punct_ratio")
+    lang = text.language_id(kept).select("doc_id", "lang_pred")
+    toks = kept.select(
+        "doc_id", text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_estimate")
+    )
+    return (
+        q.join(lang, "doc_id")
+        .join(toks, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("punct_ratio") < 0.2)
+            & F.col("lang_pred").isin("en", "und")
+        )
+        .select("doc_id", "n_chars", "n_tokens", "bpe_estimate", "lang_pred")
+    )

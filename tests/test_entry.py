@@ -31,7 +31,7 @@ def test_oracle_coverage():
     no_oracle = set(qs) - set(oracles)
     # approximate-by-design ops: correctness asserted in tests/ (recall vs
     # exact baseline), not SQL-reproducible
-    allowed_rows_only = {"sim_topk_ivf"}
+    allowed_rows_only = {"sim_topk_ivf", "sim_topk_lsh"}
     assert no_oracle <= allowed_rows_only, f"missing oracles: {no_oracle}"
 
 

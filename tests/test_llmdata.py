@@ -101,6 +101,37 @@ def test_ivf_topk_recall(spark, vectors):
     assert recall >= 0.8, f"IVF recall too low: {recall}"
 
 
+def test_lsh_topk_recall(spark, vectors):
+    probes = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(vectors, probes, k=5)
+    approx = similarity.lsh_topk(vectors, probes, k=5, tables=6, bits=4)
+    e = {(r.probe_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.probe_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+    # ranks are contiguous from 1 and cosines descend per probe
+    rows = sorted(approx.collect(), key=lambda r: (r.probe_id, r.rank))
+    for pid in {r.probe_id for r in rows}:
+        mine = [r for r in rows if r.probe_id == pid]
+        assert [r.rank for r in mine] == list(range(1, len(mine) + 1))
+        cosines = [r.cosine for r in mine]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_signatures_deterministic(spark, vectors):
+    s1 = similarity.lsh_signatures(vectors, tables=2, bits=4).collect()
+    s2 = similarity.lsh_signatures(vectors, tables=2, bits=4).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    # every vector appears once per table with a bucket inside [0, 2^bits)
+    per_vec = {}
+    for r in s1:
+        per_vec.setdefault(r.vec_id, []).append(r.table)
+        assert 0 <= r.bucket < 16
+    assert all(sorted(tables) == [0, 1] for tables in per_vec.values())
+
+
 def test_language_id_markers(spark):
     df = spark.createDataFrame(
         [

@@ -36,7 +36,7 @@ def test_column_pruning(spark):
 def test_single_shuffle_for_window_chain(spark):
     """The ffill/impute chain must reuse ONE partitioning, not re-shuffle
     per window function."""
-    df = QUERIES["w5_w6_ffill_impute"](spark, SF_SMOKE)
+    df = QUERIES["w5_w6_w7_impute_active"](spark, SF_SMOKE)
     assert plans.count_exchanges(df) <= 1, plans.plan_summary(df)
 
 

@@ -43,7 +43,9 @@ def normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
         if isinstance(v, bool):
             return ("b", v)
         if isinstance(v, int):
-            return ("f", round(float(v), 6)) if abs(v) < 2**52 else ("i", v)
+            # Keep int distinct from float: the driver's value-hash
+            # distinguishes 508966 from 508966.0 (round-1 olap_* lesson).
+            return ("i", v)
         if isinstance(v, (list, tuple)):
             return ("a", tuple(canon(x) for x in v))
         return ("s", str(v))
