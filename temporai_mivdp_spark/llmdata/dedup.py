@@ -129,24 +129,24 @@ def ngram_jaccard_pairs(
     # codegen'd hash while the DuckDB oracle keeps md5; both engines see
     # the same sets. (MinHash can NOT do this: its hash values feed the
     # band signatures, so it stays on the portable md5-based family.)
-    sh = (
+    # ONE shuffle by id builds the distinct set AND its size: collect_set
+    # dedups in the aggregation buffer, F.size reads the set length, and
+    # the explode rebuilds (id, shingle, sz) rows with the size riding
+    # along. The earlier plan spent two full shuffles on the same facts —
+    # a distinct groupBy(id, shingle) followed by a window count
+    # repartitioned by id — and a third variant (separate sizes aggregate
+    # + join-back at the end) re-scans the corpus because Catalyst prunes
+    # the two consumers differently (no ReusedExchange). Per-doc sets are
+    # bounded by document length, so the aggregation buffer is safe at
+    # corpus scale.
+    sets = (
         _shingles_raw(docs, n=n, text_col=text_col, id_col=id_col)
         .select(id_col, F.xxhash64(F.col("shingle")).alias("shingle"))
-        .groupBy(id_col, "shingle")
-        .agg(F.lit(1))
-        .select(id_col, "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__set"))
     )
-    # Per-doc shingle-set size attached via a window count so it rides the
-    # posting lists: without this, sizes needs its own aggregate over `sh`
-    # — Catalyst prunes the two consumers differently, so no
-    # ReusedExchange, and the whole scan+shingle subtree runs twice, plus
-    # two join-backs of the sizes at the end. One extra hash-shuffle by id
-    # here buys one corpus pass and zero joins. Wall-clock parity at sf0.1
-    # (~3.3-3.5s both ways); the win is at corpus scale, where the old
-    # plan re-scans+re-shingles the corpus for sizes and shuffle-joins the
-    # per-doc size table (billions of rows) onto the pairs twice.
-    sh = sh.withColumn(
-        "__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    sh = sets.select(
+        id_col, F.size("__set").alias("__sz"), F.explode("__set").alias("shingle")
     )
     # Posting-list pair generation instead of a self-join: group (id, sz)
     # entries per shingle (bounded by the frequency cap -> bounded list),
