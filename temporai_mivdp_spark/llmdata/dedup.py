@@ -148,16 +148,20 @@ def ngram_jaccard_pairs(
     sh = sets.select(
         id_col, F.size("__set").alias("__sz"), F.explode("__set").alias("shingle")
     )
-    # Posting-list pair generation instead of a self-join: group (id, sz)
-    # entries per shingle (bounded by the frequency cap -> bounded list),
-    # emit each id pair with a nested transform, count pairs. One groupBy
-    # replaces the shingle-keyed join AND the frequency-cap semi-join. The
-    # cap bounds the per-shingle pair fanout quadratically — at corpus
-    # scale it is what keeps a boilerplate shingle from emitting millions
-    # of pairs.
-    # sort_array orders struct(id, sz) by id (ids are unique per shingle),
-    # so within a posting list x always precedes y — the pair emit needs
-    # no per-pair orientation branch.
+    # Posting lists bound the frequency cap (one groupBy replaces a
+    # count-aggregate + semi-join), then pairs come from a sort-merge
+    # SELF-JOIN of the posexploded lists on the shingle — NOT a row-local
+    # nested-transform pair emit. Measured at sf0.1: the HOF emit runs
+    # interpreted (no codegen for lambda bodies) and its per-element
+    # slice() copies make each posting list O(k^2) allocations — 3.7-8s
+    # wall with multi-second GC outliers vs a stable ~2.2s for the join.
+    # The merge hint matters: AQE would otherwise broadcast one side,
+    # which recomputes the whole scan->shingle->set subtree for BOTH
+    # sides and re-introduces the GC spikes; the shuffle join reuses the
+    # posts partitioning (both sides arrive partitioned by shingle) and
+    # sort-merge spills safely however hot a shingle bucket gets.
+    # sort_array orders entries by id (ids are unique per shingle), so
+    # pos_a < pos_b implies id_a < id_b — no orientation branch.
     posts = sh.groupBy("shingle").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__sz").alias("sz")))
@@ -166,26 +170,25 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_freq is not None:
         posts = posts.filter(F.col("__df") <= max_shingle_freq)
-    entries = F.col("__entries")
-    pair_structs = F.flatten(
-        F.transform(
-            entries,
-            lambda x, i: F.transform(
-                F.slice(entries, i + 2, F.size(entries)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["sz"].alias("sa"),
-                    y["sz"].alias("sb"),
-                ),
-            ),
-        )
+    e = posts.select("shingle", F.posexplode("__entries").alias("pos", "ent"))
+    a = e.select(
+        "shingle",
+        F.col("pos").alias("__pa"),
+        F.col("ent.id").alias("id_a"),
+        F.col("ent.sz").alias("sa"),
+    )
+    b = e.select(
+        "shingle",
+        F.col("pos").alias("__pb"),
+        F.col("ent.id").alias("id_b"),
+        F.col("ent.sz").alias("sb"),
     )
     inter = (
-        posts.select(F.explode(pair_structs).alias("__p"))
+        a.join(b.hint("merge"), "shingle")
+        .filter(F.col("__pa") < F.col("__pb"))
         # sa/sb are functionally dependent on the ids, so grouping by them
         # too changes nothing semantically and saves the join-back
-        .groupBy("__p.id_a", "__p.id_b", "__p.sa", "__p.sb")
+        .groupBy("id_a", "id_b", "sa", "sb")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
     jac = inter.withColumn(
