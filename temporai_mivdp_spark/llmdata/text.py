@@ -78,6 +78,50 @@ def quality_features(
     )
 
 
+def repetition_features(
+    docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document, over word ``n``-grams:
+
+    * ``top_ngram_frac`` — tokens covered by the single most frequent
+      n-gram (``max_count * n / n_tokens``); spammy/templated docs score
+      high.
+    * ``dup_ngram_frac`` — fraction of n-gram occurrences that are
+      repeats of an earlier occurrence (``(total - distinct) / total``).
+
+    explode + two groupBys, NOT a row-local HOF: Spark lambdas have no
+    map/dict accumulator, so counting distinct n-grams per row would be
+    O(k^2) interpreted — the shuffle keyed by (id, gram) is map-side
+    combined and stays in codegen. Docs with fewer than ``n`` tokens have
+    no n-grams and are absent from the output (callers left-join and
+    coalesce to 0).
+    """
+    toks = docs.select(
+        id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+            )
+        ).alias("__g"),
+    )
+    gc = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    rep = gc.groupBy(id_col).agg(
+        F.max("__c").alias("__max_c"),
+        F.sum("__c").alias("__tot"),
+        F.count(F.lit(1)).alias("__dist"),
+    )
+    n_tokens = F.col("__tot") + F.lit(n - 1)  # grams = tokens - (n-1)
+    return rep.select(
+        id_col,
+        (F.col("__max_c") * F.lit(n) / n_tokens).alias("top_ngram_frac"),
+        ((F.col("__tot") - F.col("__dist")) / F.col("__tot")).alias("dup_ngram_frac"),
+    )
+
+
 def quality_score(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -260,20 +260,41 @@ _STOP_SUM = " + ".join(_occ_sql(w) for w in text.STOPWORDS)
     WITH t AS (
       SELECT doc_id, text, ' ' || {_NORM} || ' ' AS pad,
              length(text) AS n_chars,
+             string_split({_NORM}, ' ') AS w,
              len(string_split({_NORM}, ' ')) AS n_tokens
       FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM t WHERE n_tokens >= 2)
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, max(c) AS max_c, sum(c) AS tot, count(*) AS dist
+      FROM gc GROUP BY 1
     )
-    SELECT doc_id, n_chars, n_tokens,
+    SELECT t.doc_id, n_chars, n_tokens,
            n_chars * 1.0 / n_tokens AS chars_per_token,
            length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / n_chars AS punct_ratio,
            length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / n_chars AS digit_ratio,
-           ({_STOP_SUM}) * 1.0 / n_tokens AS stopword_ratio
-    FROM t
+           ({_STOP_SUM}) * 1.0 / n_tokens AS stopword_ratio,
+           coalesce(max_c * 2.0 / (tot + 1), 0.0) AS top_ngram_frac,
+           coalesce((tot - dist) * 1.0 / tot, 0.0) AS dup_ngram_frac
+    FROM t LEFT JOIN rep ON t.doc_id = rep.doc_id
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality signals (C4/Gopher-style cheap filters) — one projection."""
-    return text.quality_features(_t(spark, sf_dir, "documents"))
+    """Quality signals (C4/Gopher-style cheap filters) plus word-2gram
+    repetition fractions — projection joined with the repetition agg."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_features(docs)
+    rep = text.repetition_features(docs, n=2)
+    return q.join(rep, "doc_id", "left").select(
+        q["*"],
+        F.coalesce(F.col("top_ngram_frac"), F.lit(0.0)).alias("top_ngram_frac"),
+        F.coalesce(F.col("dup_ngram_frac"), F.lit(0.0)).alias("dup_ngram_frac"),
+    )
 
 
 _LANG_SCORE_SQL = {

@@ -159,6 +159,27 @@ def test_quality_and_tokens(spark):
     assert tc >= 10  # subword estimate >= word count for short words
 
 
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [
+            # "buy now" x3 padded: 8 tokens, 7 bigrams; "buy now" appears 3x
+            (1, "buy now buy now buy now so cheap"),
+            # all-distinct bigrams
+            (2, "one two three four"),
+            # single token: no bigrams at all -> absent from output
+            (3, "lonely"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in text.repetition_features(df, n=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].top_ngram_frac == pytest.approx(3 * 2 / 8)
+    # 7 bigram occurrences, 4 distinct ("buy now","now buy","now so","so cheap")
+    assert out[1].dup_ngram_frac == pytest.approx((7 - 4) / 7)
+    assert out[2].top_ngram_frac == pytest.approx(2 / 4)
+    assert out[2].dup_ngram_frac == 0.0
+
+
 def test_fingerprint_stability(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a  B c d e f g"), (3, "totally other words here now")],
