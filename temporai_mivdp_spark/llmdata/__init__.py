@@ -5,8 +5,10 @@ Beyond the reference's clinical surface, the engine ships the operators a
 
   dedup        exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
   similarity   brute-force cosine top-k + IVF-bucketed approximate search
-  text         language-ID heuristic, quality scoring, token counting,
-               document fingerprinting
+  text         language-ID heuristic, quality scoring + repetition
+               signals, token counting, document fingerprinting
+  sampling     deterministic hash split (train/val/test), stratified
+               hash sampling, concat-and-chunk sequence packing
   multimodal   opaque-binary media columns: schema, Arrow-batched
                metadata/feature extraction (decode stubbed — media codecs
                are not in this container), deterministic fake features
@@ -15,6 +17,6 @@ Portability discipline: the dedup/text hashes are built on md5 (identical
 in Spark and DuckDB) so every operator stays oracle-checkable.
 """
 
-from temporai_mivdp_spark.llmdata import dedup, multimodal, similarity, text
+from temporai_mivdp_spark.llmdata import dedup, multimodal, sampling, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "sampling", "similarity", "text"]

@@ -1,0 +1,133 @@
+"""Deterministic dataset splitting, sampling, and sequence packing.
+
+The three ops every training-data pipeline needs after curation:
+
+* ``hash_split`` — stable train/val/test assignment. Hash-based, not
+  ``randomSplit``: the assignment is a pure function of (seed, key), so
+  it survives reruns, repartitions, late-arriving shards, and engine
+  changes — `randomSplit` re-draws per task and is none of those.
+* ``stratified_hash_sample`` — per-stratum deterministic downsampling
+  (e.g. keep 10% of 'en' but 100% of a rare language). The rate table
+  broadcasts; the keep decision is row-local, so the op is a single
+  scan with no shuffle.
+* ``pack_sequences`` — concat-and-chunk packing: assign each document a
+  pack id by the starting offset of its tokens in the concatenated
+  stream. Window cumsum, the standard LLM pretraining batch layout.
+
+All three are md5-based and bit-portable to the DuckDB oracles
+(``int(md5(x)[:8], 16)`` on both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash buckets for split/sample decisions — 10k gives 0.01% rate
+#: granularity while keeping the arithmetic in exact integers
+_BUCKETS = 10_000
+
+
+def _hash_bucket(key: Column, seed: str) -> Column:
+    """Deterministic bucket in [0, _BUCKETS): 32-bit md5 prefix of
+    seed||key. Portable: DuckDB ``('0x' || substr(md5(s || CAST(k AS
+    VARCHAR)), 1, 8))::BIGINT % 10000``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    return h % F.lit(_BUCKETS)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    key_col: str = "doc_id",
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label with probability proportional to
+    ``weights`` (e.g. ``{"train": 0.9, "val": 0.05, "test": 0.05}``),
+    deterministically in ``(seed, key)``.
+
+    Row-local projection — no shuffle, no RNG state, safe to call on a
+    100 TB scan. Changing ``seed`` re-rolls every assignment; adding a
+    split to ``weights`` only moves rows at range boundaries.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError(f"weights must sum > 0, got {dict(weights)}")
+    bucket = _hash_bucket(F.col(key_col), seed)
+    expr: Column | None = None
+    hi = 0.0
+    # iterate in insertion order so the range layout is reproducible
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        hi += w / total * _BUCKETS
+        cond = bucket < F.lit(int(round(hi)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    seed: str = "sample",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically in
+    ``(seed, key)``: rebalancing a corpus (downsample the dominant
+    language / source / quality band) without a shuffle.
+
+    The rate table is a broadcast join (strata counts are small by
+    definition); the keep decision compares the row's hash bucket to the
+    stratum rate, so resampling with a higher rate is a superset of the
+    lower-rate sample — handy for curriculum re-runs.
+    """
+    spark = df.sparkSession
+    rate_rows = [(k, float(v)) for k, v in rates.items()]
+    rate_df = spark.createDataFrame(rate_rows, f"{strata_col}: string, __rate: double")
+    out = df.join(F.broadcast(rate_df), strata_col, "left")
+    keep = _hash_bucket(F.col(key_col), seed) < (
+        F.coalesce(F.col("__rate"), F.lit(default_rate)) * _BUCKETS
+    )
+    return out.filter(keep).drop("__rate")
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    partition_cols: Sequence[str] | None = None,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    ``order_col`` order and each is assigned the pack (context-window
+    index) its FIRST token lands in: ``floor(exclusive_cumsum /
+    max_tokens)``.
+
+    ``partition_cols`` is the scale knob: ``None`` packs one global
+    stream (a single total-order sort — fine to ~10^8 docs, and required
+    for the exact oracle); at corpus scale pass a shard key (e.g. a hash
+    bucket of the id) so each shard packs independently in parallel —
+    the standard practice, since training shards are independent anyway.
+    Then ``pack_id`` is unique within a shard, and (shard, pack_id) is
+    the global key.
+    """
+    parts = list(partition_cols) if partition_cols else []
+    w = (
+        Window.partitionBy(*parts).orderBy(order_col)
+        if parts
+        else Window.orderBy(order_col)
+    )
+    cum_before = F.coalesce(
+        F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    return df.withColumn(out_col, F.floor(cum_before / F.lit(max_tokens)))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from temporai_mivdp_spark.llmdata import dedup, similarity, text
+from temporai_mivdp_spark.llmdata import dedup, sampling, similarity, text
 from temporai_mivdp_spark.queries import ORACLE, QUERIES, _register, _t
 
 #: DuckDB expression for the normalized text (mirror of dedup.normalize_text)
@@ -516,20 +516,32 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_LANG_SCORE_SQL['es']} AS score_es,
              {_LANG_SCORE_SQL['fr']} AS score_fr
       FROM base
+    ),
+    kept AS (
+      SELECT doc_id, n_chars, n_tokens, bpe_estimate,
+             CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+                  WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                  WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                  WHEN score_es >= score_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM feat
+      WHERE n_tokens >= 10 AND punct_ratio < 0.2
+        AND (CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+                  WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                  WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                  WHEN score_es >= score_fr THEN 'es'
+                  ELSE 'fr' END) IN ('en', 'und')
     )
-    SELECT doc_id, n_chars, n_tokens, bpe_estimate,
-           CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
-                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
-                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
-                WHEN score_es >= score_fr THEN 'es'
-                ELSE 'fr' END AS lang_pred
-    FROM feat
-    WHERE n_tokens >= 10 AND punct_ratio < 0.2
-      AND (CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
-                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
-                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
-                WHEN score_es >= score_fr THEN 'es'
-                ELSE 'fr' END) IN ('en', 'und')
+    SELECT doc_id, n_chars, n_tokens, bpe_estimate, lang_pred,
+           CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 10000 < 9000 THEN 'train'
+                WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(floor(coalesce(sum(bpe_estimate) OVER
+                  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 2048) AS BIGINT) AS pack_id
+    FROM kept
     """,
 )
 def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,10 +550,13 @@ def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup (keep min-id representative over the doubled corpus) ->
     quality filtering (token count + punctuation ratio) ->
     language filtering (marker-word heuristic, keep en/und) ->
-    token accounting (whitespace + BPE-ish estimate).
+    token accounting (whitespace + BPE-ish estimate) ->
+    deterministic train/val/test hash split ->
+    concat-and-chunk sequence packing (2048-token windows).
     Dedup keeps the window/groupBy on md5(normalized text) (fixed-width
     shuffle key); quality + langid + token stats are all single-pass
-    projections that Catalyst collapses into the same stage."""
+    projections that Catalyst collapses into the same stage; the split
+    is row-local and packing is one cumsum window."""
     from pyspark.sql.window import Window as W
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -559,7 +574,7 @@ def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = kept.select(
         "doc_id", text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_estimate")
     )
-    return (
+    kept_docs = (
         q.join(lang, "doc_id")
         .join(toks, "doc_id")
         .filter(
@@ -569,3 +584,7 @@ def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars", "n_tokens", "bpe_estimate", "lang_pred")
     )
+    split = sampling.hash_split(
+        kept_docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed="split"
+    )
+    return sampling.pack_sequences(split, max_tokens=2048, tokens_col="bpe_estimate")

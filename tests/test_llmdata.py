@@ -271,3 +271,56 @@ def test_clean_documents_strips_and_redacts(spark):
     assert "<EMAIL>" in out.text_clean and "<PHONE>" in out.text_clean and "<URL>" in out.text_clean
     assert "a.b@x.co" not in out.text_clean and "555" not in out.text_clean
     assert out.len_raw > out.len_clean
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r.doc_id: r.split for r in sampling.hash_split(df, w).collect()}
+    s2 = {r.doc_id: r.split for r in sampling.hash_split(df, w).collect()}
+    assert s1 == s2  # pure function of (seed, key)
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.02
+    assert abs(c["test"] / 5000 - 0.1) < 0.02
+    # different seed re-rolls
+    s3 = {r.doc_id: r.split for r in sampling.hash_split(df, w, seed="other").collect()}
+    assert s3 != s1
+
+
+def test_stratified_hash_sample_rates_and_nesting(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    df = spark.range(0, 4000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang"
+    )
+    lo = sampling.stratified_hash_sample(df, {"en": 0.2, "de": 1.0}, "lang")
+    hi = sampling.stratified_hash_sample(df, {"en": 0.6, "de": 1.0}, "lang")
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids  # higher rate is a superset (same seed)
+    n_en_lo = sum(1 for i in lo_ids if i % 2 == 0)
+    assert abs(n_en_lo / 2000 - 0.2) < 0.04
+    assert sum(1 for i in lo_ids if i % 2 == 1) == 2000  # de kept whole
+
+
+def test_pack_sequences_chunk_layout(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    df = spark.createDataFrame(
+        [(1, 600), (2, 600), (3, 600), (4, 600), (5, 600)],
+        "doc_id: long, n_tokens: long",
+    )
+    out = {r.doc_id: r.pack_id for r in sampling.pack_sequences(df, 1024).collect()}
+    # offsets 0,600,1200,1800,2400 -> packs 0,0,1,1,2
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+    # sharded packing restarts per shard
+    df2 = df.withColumn("shard", (F.col("doc_id") % 2).cast("long"))
+    sharded = sampling.pack_sequences(df2, 1024, partition_cols=["shard"])
+    packs = {(r.shard, r.doc_id): r.pack_id for r in sharded.collect()}
+    # shard 1: docs 1,3,5 at offsets 0,600,1200 -> packs 0,0,1
+    assert packs[(1, 1)] == 0 and packs[(1, 3)] == 0 and packs[(1, 5)] == 1
