@@ -146,7 +146,10 @@ def winsorize(
     v = F.col(value_col)
     if exact:
         w_rank = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
-        w_grp = Window.partitionBy(*keys)
+        # group size over the SAME (partition, order) spec with an
+        # unbounded frame — merges into the one Window node / one sort
+        # (a spec without the orderBy would plan a second Window pass)
+        w_grp = w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ranked = (
             df.filter(v.isNotNull())  # percentile skips nulls
             .select(*keys, v.alias("__v"))
