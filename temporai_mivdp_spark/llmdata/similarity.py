@@ -107,6 +107,84 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact cosine top-k, vectorized: the Arrow/numpy scale path of
+    ``brute_force_topk`` (same contract: round-6 cosine, id tie-break,
+    self-match excluded — the parity test pins equivalence).
+
+    Plan: the probe matrix is collected once (probes are the small side
+    by contract — same assumption the HOF version's broadcast makes) and
+    closed over a ``mapInPandas`` stage; each Arrow batch of the corpus
+    becomes one BLAS matmul ``C_normed @ P_normed.T`` — SIMD over the
+    whole batch instead of an interpreted fold per pair — and emits only
+    its LOCAL top-k per probe under the total order (-cosine, id). The
+    global window then ranks ``num_batches x probes x k`` candidate rows
+    instead of ``|corpus| x probes`` scored rows, which is what makes the
+    final sort disappear at 100 TB: per-executor reduction first, tiny
+    global merge second. Local top-k under a total order is lossless —
+    the global top-k is contained in the union of per-batch top-ks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = probes.select(probe_id_col, vec_col).toPandas()
+    pids = pdf[probe_id_col].to_numpy()
+    P = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+
+    def score_batches(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b[id_col].to_numpy()
+            C = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            sims = np.round(C @ P.T, 6)  # (batch, probes)
+            sims[ids[:, None] == pids[None, :]] = -np.inf  # self-match
+            kk = min(k, len(ids))
+            # lossless local cut: top-kk by (-cosine, id) per probe
+            out_pid, out_nid, out_cos = [], [], []
+            for j in range(len(pids)):
+                col = sims[:, j]
+                cand = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+                cand = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
+                cand = cand[col[cand] > -np.inf]  # drop masked self-matches
+                out_pid.append(np.full(len(cand), pids[j]))
+                out_nid.append(ids[cand])
+                out_cos.append(col[cand])
+            yield pd.DataFrame(
+                {
+                    "__pid": np.concatenate(out_pid),
+                    "neighbor_id": np.concatenate(out_nid),
+                    "cosine": np.concatenate(out_cos),
+                }
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, schema="__pid long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__pid").alias(probe_id_col),
+            "neighbor_id",
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def assign_ivf_buckets(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -324,3 +324,18 @@ def test_pack_sequences_chunk_layout(spark):
     packs = {(r.shard, r.doc_id): r.pack_id for r in sharded.collect()}
     # shard 1: docs 1,3,5 at offsets 0,600,1200 -> packs 0,0,1
     assert packs[(1, 1)] == 0 and packs[(1, 3)] == 0 and packs[(1, 5)] == 1
+
+
+def test_brute_force_topk_arrow_parity(spark, vectors):
+    probes = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    hof = similarity.brute_force_topk(vectors, probes, k=5).collect()
+    arrow = similarity.brute_force_topk_arrow(vectors, probes, k=5).collect()
+    key = lambda r: (r.probe_id, r.rank)
+    hof_m = {key(r): (r.neighbor_id, r.cosine) for r in hof}
+    arrow_m = {key(r): (r.neighbor_id, r.cosine) for r in arrow}
+    assert set(hof_m) == set(arrow_m)
+    for kk in hof_m:
+        assert hof_m[kk][0] == arrow_m[kk][0], (kk, hof_m[kk], arrow_m[kk])
+        assert abs(hof_m[kk][1] - arrow_m[kk][1]) < 1e-6
