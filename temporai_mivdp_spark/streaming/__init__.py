@@ -11,13 +11,17 @@ the bucket ordinal ``floor(hours/bucket)`` of the batch path IS the
 from temporai_mivdp_spark.streaming.windows import (
     read_parquet_stream,
     stream_dedup,
+    stream_enrich,
     stream_session_windows,
+    stream_sliding_bucket,
     stream_tumbling_bucket,
 )
 
 __all__ = [
     "read_parquet_stream",
     "stream_dedup",
+    "stream_enrich",
     "stream_session_windows",
+    "stream_sliding_bucket",
     "stream_tumbling_bucket",
 ]

@@ -102,3 +102,57 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def stream_sliding_bucket(
+    events: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    window_hours: int = 4,
+    slide_hours: int = 1,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window aggregation: each event lands in
+    ``window_hours / slide_hours`` overlapping windows (rolling stats
+    with a bounded emit rate — the streaming twin of the batch
+    ``rolling_stats`` range window). State per key is
+    ``(watermark + window) / slide`` open windows; the watermark is what
+    keeps that finite on an unbounded stream."""
+    if window_hours % slide_hours != 0:
+        raise ValueError(
+            f"window_hours ({window_hours}) must be a multiple of "
+            f"slide_hours ({slide_hours}); Spark would otherwise emit "
+            "misaligned window boundaries"
+        )
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(
+                F.col(ts_col), f"{window_hours} hours", f"{slide_hours} hours"
+            ).alias("win"),
+            *keys,
+        )
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *[c for c in out.columns if c != "win"],
+    )
+
+
+def stream_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    (broadcast) static dimension — the streaming form of the engine's
+    fact x dictionary broadcast joins (J3/J4). The static side is re-read
+    per trigger if its underlying files change, so slowly-changing dims
+    work without restarting the query; the stream side never shuffles for
+    the join."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return events.join(F.broadcast(dim), keys, how)

@@ -94,3 +94,40 @@ def test_stream_dedup(spark, event_dir):
     )
     q.awaitTermination(120)
     assert spark.sql("select count(*) c from t_dedup").collect()[0].c == batch_df.count()
+
+
+def test_stream_sliding_bucket_overlap(spark, event_dir):
+    d, batch_df = event_dir
+    src = st.read_parquet_stream(spark, d, batch_df.schema)
+    out = st.stream_sliding_bucket(
+        src, "ts", ["user_id"],
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")],
+        window_hours=2, slide_hours=1,
+    )
+    _run_to_memory(out, "slide_t")
+    rows = spark.sql("SELECT * FROM slide_t").collect()
+    # user 1 event at 00:10 belongs to windows [23:00-01:00) and [00:00-02:00)
+    u1 = [r for r in rows if r.user_id == 1]
+    per_event_windows = 2  # window/slide
+    assert sum(r.n for r in u1) == 3 * per_event_windows
+    # the 01:00-03:00 window holds events at 01:20 and 02:05
+    w = [r for r in u1 if r.window_start.hour == 1 and r.window_start.day == 1]
+    assert w and w[0].n == 2 and w[0].total == 16.0
+    with pytest.raises(ValueError, match="multiple"):
+        st.stream_sliding_bucket(src, "ts", ["user_id"], [F.count(F.lit(1)).alias("n")],
+                                 window_hours=3, slide_hours=2)
+
+
+def test_stream_enrich_static_join(spark, event_dir):
+    d, batch_df = event_dir
+    dim = spark.createDataFrame([(1, "gold"), (2, "trial")], "user_id: long, tier: string")
+    src = st.read_parquet_stream(spark, d, batch_df.schema)
+    out = st.stream_enrich(src, dim, on="user_id")
+    q = (
+        out.writeStream.format("memory").queryName("enrich_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM enrich_t").collect()
+    assert len(rows) == 5
+    assert all(r.tier == ("gold" if r.user_id == 1 else "trial") for r in rows)
