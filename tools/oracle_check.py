@@ -65,9 +65,11 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -106,7 +108,7 @@ def main() -> int:
         else:
             print(f"PASS  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{checked - len(failures)}/{checked} pass")
     return 1 if failures else 0
 
 

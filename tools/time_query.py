@@ -1,0 +1,45 @@
+"""Time individual catalog queries in isolation: python tools/time_query.py NAME [NAME...]
+Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+REPS (default 3; prints best)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from temporai_mivdp_spark.queries import QUERIES  # noqa: E402
+import temporai_mivdp_spark.queries_llm  # noqa: E402,F401
+from temporai_mivdp_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = int(os.environ.get("REPS", "3"))
+    spark = get_session(
+        app_name="mivdp-timeq",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, d: str) -> None:
+        QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
+
+    for name in sys.argv[1:]:
+        run(name, "/root/testdata/sf0.001")  # warm-up
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(name, sf_dir)
+            times.append(round(time.perf_counter() - t0, 3))
+        print(f"{name}: best={min(times)} all={times}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
