@@ -112,22 +112,54 @@ def pack_sequences(
     index) its FIRST token lands in: ``floor(exclusive_cumsum /
     max_tokens)``.
 
-    ``partition_cols`` is the scale knob: ``None`` packs one global
-    stream (a single total-order sort — fine to ~10^8 docs, and required
-    for the exact oracle); at corpus scale pass a shard key (e.g. a hash
-    bucket of the id) so each shard packs independently in parallel —
-    the standard practice, since training shards are independent anyway.
-    Then ``pack_id`` is unique within a shard, and (shard, pack_id) is
-    the global key.
+    ``partition_cols`` shards the stream: each shard packs independently
+    in parallel, ``pack_id`` is unique within a shard, and
+    (shard, pack_id) is the global key — the standard layout, since
+    training shards are independent anyway.
+
+    With ``partition_cols=None`` the GLOBAL packing is still fully
+    distributed — a two-level prefix sum instead of the naive
+    single-partition ``Window.orderBy``: range-repartition on
+    ``order_col`` (partition *i* holds keys below partition *i+1*'s, so
+    partition id order IS sort order), cumsum within each partition,
+    then add per-partition offsets from a tiny exclusive-cumsum table
+    (#partitions rows) broadcast back. Bit-identical to the global
+    window for unique ``order_col``; the only total-order structure is
+    the range exchange, which samples boundaries with a deterministic
+    seed and is shared by both consumers (ReusedExchange).
     """
     parts = list(partition_cols) if partition_cols else []
-    w = (
-        Window.partitionBy(*parts).orderBy(order_col)
-        if parts
-        else Window.orderBy(order_col)
+    if parts:
+        w = Window.partitionBy(*parts).orderBy(order_col)
+        cum_before = F.coalesce(
+            F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        )
+        return df.withColumn(out_col, F.floor(cum_before / F.lit(max_tokens)))
+
+    ranged = df.repartitionByRange(F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    cum_before = F.coalesce(
-        F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    wp = Window.partitionBy("__pid").orderBy(order_col)
+    local_cum = F.coalesce(
+        F.sum(tokens_col).over(wp.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),
     )
-    return df.withColumn(out_col, F.floor(cum_before / F.lit(max_tokens)))
+    # exclusive cumsum of per-partition totals: #shuffle-partitions rows,
+    # so the single-partition window here is O(parallelism), not O(rows)
+    wo = Window.orderBy("__pid")
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(tokens_col).alias("__tot"))
+        .select(
+            "__pid",
+            F.coalesce(
+                F.sum("__tot").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ).alias("__off"),
+        )
+    )
+    out = ranged.join(F.broadcast(offsets), "__pid", "left").withColumn(
+        out_col, F.floor((F.col("__off") + local_cum) / F.lit(max_tokens))
+    )
+    return out.drop("__pid", "__off")

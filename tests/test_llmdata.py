@@ -326,6 +326,32 @@ def test_pack_sequences_chunk_layout(spark):
     assert packs[(1, 1)] == 0 and packs[(1, 3)] == 0 and packs[(1, 5)] == 1
 
 
+def test_pack_sequences_distributed_matches_global_window(spark):
+    """The two-level prefix-sum global pack must be bit-identical to the
+    naive single-partition Window.orderBy cumsum, across many range
+    partitions with uneven doc lengths."""
+    import random
+
+    from pyspark.sql import Window
+
+    from temporai_mivdp_spark.llmdata import sampling
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1, 900)) for i in range(5000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id: long, n_tokens: long")
+    got = {r.doc_id: r.pack_id for r in sampling.pack_sequences(df, 2048).collect()}
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r.doc_id: r.pack_id
+        for r in df.withColumn(
+            "pack_id",
+            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(2048)),
+        ).collect()
+    }
+    assert got == naive
+
+
 def test_brute_force_topk_arrow_parity(spark, vectors):
     probes = vectors.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("probe_id"), "embedding"
