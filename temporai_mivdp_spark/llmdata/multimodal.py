@@ -132,6 +132,111 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, out_schema)
 
 
+def resize_image(
+    media: DataFrame, target_w: int, target_h: int, fake: bool = False
+) -> DataFrame:
+    """Resize images to ``target_w × target_h``, emitting a new payload
+    plus the recorded dimensions.
+
+    Real path raises (no PIL/opencv in this container); ``fake=True``
+    produces a deterministic payload — an md5 keystream over
+    ``(content, dims)`` sized like an 8-bit grayscale target — through
+    the REAL plumbing: binary-in/binary-out ``mapInPandas``, Arrow
+    batches, explicit output schema. Resized payloads are uniform-size,
+    so downstream batch memory is exactly ``maxRecordsPerBatch × w × h``
+    — set that conf from the target dims in production."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    n_bytes = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv — not available in this "
+                    "container; pass fake=True for the deterministic stub"
+                )
+
+            def stretch(b: bytes | None) -> bytes | None:
+                if b is None:
+                    return None
+                seed = hashlib.md5(b + f"{target_w}x{target_h}".encode()).digest()
+                out = bytearray()
+                block = seed
+                while len(out) < n_bytes:
+                    block = hashlib.md5(block).digest()
+                    out.extend(block)
+                return bytes(out[:n_bytes])
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": pdf["payload"].map(stretch),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
+def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio feature extraction (duration, rms-like level, zero-crossing
+    proxy). Real path raises — no audio codec in this container; the
+    ``fake=True`` stub derives deterministic values from the content
+    hash through the same mapInPandas plumbing a real extractor uses."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("duration_ms", LongType(), True),
+            StructField("rms", StringType(), True),  # stringified float, stable
+            StructField("zero_crossings", LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires soundfile/librosa — not available in "
+                    "this container; pass fake=True for the deterministic stub"
+                )
+
+            def stats(b: bytes | None) -> tuple[str | None, int | None]:
+                if b is None:
+                    return None, None
+                d = hashlib.md5(b).digest()
+                return str(round(d[0] / 255.0, 6)), int.from_bytes(d[1:3], "big")
+
+            pairs = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_ms": pdf["duration_ms"],
+                    "rms": pairs.map(lambda p: p[0]),
+                    "zero_crossings": pairs.map(lambda p: p[1]).astype("Int64"),
+                }
+            )
+
+    return media.select("media_id", "duration_ms", "payload").mapInPandas(
+        batches, out_schema
+    )
+
+
+def spread_for_decode(media: DataFrame, partitions: int) -> DataFrame:
+    """Repartition by a content-hash prefix before a heavy decode stage:
+    pure-random spread (no key skew possible), stable across retries
+    (hash of content, not of partition id), and decouples decode
+    parallelism from the upstream file layout."""
+    return media.repartition(partitions, F.xxhash64(F.col("payload")))
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each video row into the frame
     timestamps a decoder would extract (sequence + explode — pure

@@ -218,6 +218,40 @@ def test_frame_sample_plan(spark):
     assert [(r.media_id, r.frame_ms) for r in frames] == [(1, 0), (1, 1000), (1, 2000), (1, 3000)]
 
 
+def test_resize_and_audio_stubs(spark):
+    rows = [
+        (1, b"\xff\xd8\xffjpegbytes", "image/jpeg", 100, 80, None),
+        (2, None, None, None, None, None),
+        (3, b"RIFFwavbytes", "audio/wav", None, None, 2500),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    resized = {r.media_id: r for r in multimodal.resize_image(media, 16, 8, fake=True).collect()}
+    assert resized[1].width == 16 and resized[1].height == 8
+    assert len(resized[1].payload) == 16 * 8
+    assert resized[2].payload is None
+    # deterministic: same content + dims -> same payload
+    again = {r.media_id: r for r in multimodal.resize_image(media, 16, 8, fake=True).collect()}
+    assert resized[1].payload == again[1].payload
+    # dims participate in the keystream -> different target, different bytes
+    other = {r.media_id: r for r in multimodal.resize_image(media, 8, 8, fake=True).collect()}
+    assert resized[1].payload[:8] != other[1].payload[:8]
+    with pytest.raises(Exception):
+        multimodal.resize_image(media, 16, 8, fake=False).collect()
+
+    audio = {r.media_id: r for r in multimodal.audio_features(media, fake=True).collect()}
+    assert audio[3].duration_ms == 2500
+    assert audio[3].rms is not None and 0.0 <= float(audio[3].rms) <= 1.0
+    assert audio[3].zero_crossings is not None
+    assert audio[2].rms is None and audio[2].zero_crossings is None
+    with pytest.raises(Exception):
+        multimodal.audio_features(media, fake=False).collect()
+
+    spread = multimodal.spread_for_decode(media, 4)
+    assert spread.rdd.getNumPartitions() == 4
+    assert spread.count() == 3
+
+
 def test_duplicate_clusters_transitive(spark):
     # chain A~B~C plus isolated pair D~E: clusters must be transitive
     pairs = spark.createDataFrame(
