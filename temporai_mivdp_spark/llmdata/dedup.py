@@ -149,17 +149,24 @@ def ngram_jaccard_pairs(
         id_col, F.size("__set").alias("__sz"), F.explode("__set").alias("shingle")
     )
     # Posting lists bound the frequency cap (one groupBy replaces a
-    # count-aggregate + semi-join), then pairs come from a sort-merge
+    # count-aggregate + semi-join), then pairs come from a shuffled-hash
     # SELF-JOIN of the posexploded lists on the shingle — NOT a row-local
     # nested-transform pair emit. Measured at sf0.1: the HOF emit runs
     # interpreted (no codegen for lambda bodies) and its per-element
     # slice() copies make each posting list O(k^2) allocations — 3.7-8s
-    # wall with multi-second GC outliers vs a stable ~2.2s for the join.
-    # The merge hint matters: AQE would otherwise broadcast one side,
+    # wall with multi-second GC outliers vs a stable ~2.1s for the join.
+    # The explicit hint matters: AQE left alone broadcasts one side,
     # which recomputes the whole scan->shingle->set subtree for BOTH
-    # sides and re-introduces the GC spikes; the shuffle join reuses the
-    # posts partitioning (both sides arrive partitioned by shingle) and
-    # sort-merge spills safely however hot a shingle bucket gets.
+    # sides and re-introduces the GC spikes (measured 3.4-13s). Among
+    # shuffle joins, shuffle_hash beat sort-merge ~20% here (2.08s vs
+    # 2.64s best-of-4): both sides arrive partitioned by shingle from the
+    # posts exchange, and hashing skips the per-partition sort. Memory
+    # model at scale: the build side per task is total postings /
+    # shuffle partitions — the same order as a sort buffer, bounded like
+    # every shuffle partition is, and the max_shingle_freq cap has
+    # already removed the skewed keys that would distort it. Corpora
+    # where that cap must be loosened should flip to a merge hint (spill
+    # -safe under arbitrary skew).
     # sort_array orders entries by id (ids are unique per shingle), so
     # pos_a < pos_b implies id_a < id_b — no orientation branch.
     posts = sh.groupBy("shingle").agg(
@@ -184,7 +191,7 @@ def ngram_jaccard_pairs(
         F.col("ent.sz").alias("sb"),
     )
     inter = (
-        a.join(b.hint("merge"), "shingle")
+        a.join(b.hint("shuffle_hash"), "shingle")
         .filter(F.col("__pa") < F.col("__pb"))
         # sa/sb are functionally dependent on the ids, so grouping by them
         # too changes nothing semantically and saves the join-back
