@@ -14,6 +14,7 @@ from temporai_mivdp_spark.sources.readers import (
     load_table,
     load_tables,
     read_csv_gz,
+    read_jsonl,
     read_tsv,
 )
 from temporai_mivdp_spark.sources.sinks import (
@@ -26,6 +27,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_csv_gz",
+    "read_jsonl",
     "read_tsv",
     "write_csv_gz",
     "write_parquet",

@@ -105,3 +105,32 @@ def read_tsv(
     else:
         reader = reader.option("inferSchema", "true")  # small dims only
     return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan — the canonical interchange format for web/LLM
+    document corpora (one JSON object per line; splittable when
+    uncompressed or zstd-framed, unlike gzip).
+
+    Explicit schema always: schema inference reads the whole corpus
+    twice. PERMISSIVE mode routes malformed lines into ``corrupt_col``
+    instead of failing the 100 TB job on one bad shard; pass
+    ``corrupt_col=None`` for strict FAILFAST semantics.
+    """
+    if corrupt_col is not None:
+        from pyspark.sql.types import StringType
+
+        if corrupt_col not in schema.fieldNames():
+            schema = schema.add(corrupt_col, StringType(), True)
+        return (
+            spark.read.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .schema(schema)
+            .json(path)
+        )
+    return spark.read.option("mode", "FAILFAST").schema(schema).json(path)

@@ -61,6 +61,32 @@ def test_tsv_reader(spark):
     assert {r.diagnosis_code: r.icd10cm for r in out.collect()} == {"428": "I50", "585": "N18"}
 
 
+def test_jsonl_reader_permissive_and_strict(spark):
+    import os
+
+    from temporai_mivdp_spark.sources import read_jsonl
+
+    d = tempfile.mkdtemp(prefix="jsonl-")
+    p = os.path.join(d, "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "hello world"}\n')
+        f.write("this is not json\n")
+        f.write('{"doc_id": 2, "text": "zweite zeile"}\n')
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    out = read_jsonl(spark, p, schema).collect()
+    good = {r.doc_id: r.text for r in out if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in out if r._corrupt_record is not None]
+    assert good == {1: "hello world", 2: "zweite zeile"}
+    assert bad == ["this is not json"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # FAILFAST surfaces the malformed line
+        read_jsonl(spark, p, schema, corrupt_col=None).collect()
+
+
 def test_parquet_partitioned_sink(spark):
     df = spark.createDataFrame([(1, 10), (1, 11), (2, 12)], "stay_id: long, v: int")
     d = tempfile.mkdtemp(prefix="pq-")
