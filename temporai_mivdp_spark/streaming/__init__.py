@@ -12,6 +12,7 @@ from temporai_mivdp_spark.streaming.windows import (
     read_parquet_stream,
     stream_dedup,
     stream_enrich,
+    stream_interval_join,
     stream_session_windows,
     stream_sliding_bucket,
     stream_tumbling_bucket,
@@ -21,6 +22,7 @@ __all__ = [
     "read_parquet_stream",
     "stream_dedup",
     "stream_enrich",
+    "stream_interval_join",
     "stream_session_windows",
     "stream_sliding_bucket",
     "stream_tumbling_bucket",

@@ -142,6 +142,50 @@ def stream_sliding_bucket(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    ts_left: str = "ts",
+    ts_right: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: match each left event with right
+    events of the same key arriving in ``(ts_left, ts_left + max_delay]``
+    — the streaming twin of the batch readmission interval-exists join
+    (J8: "a later visit within the gap"), and the general shape of
+    click→conversion / order→payment attribution.
+
+    Both sides carry watermarks and the join condition carries the time
+    range, which is exactly what lets Structured Streaming bound the
+    buffered state: a left row can be dropped once the right watermark
+    passes ``ts_left + max_delay``. Outer modes emit the unmatched row
+    only at that point — ``how="left_outer"`` is the streaming
+    "exists?" label with a delay of the watermark.
+
+    Right-side columns come back suffixed ``_r`` (stream-stream joins
+    forbid ambiguous names across sides).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lw = left.withWatermark(ts_left, watermark)
+    rw = right.withWatermark(ts_right, watermark)
+    for c in rw.columns:
+        rw = rw.withColumnRenamed(c, f"{c}_r")
+    cond = None
+    for k in keys:
+        eq = lw[k] == rw[f"{k}_r"]
+        cond = eq if cond is None else cond & eq
+    tr = F.col(f"{ts_right}_r")
+    cond = (
+        cond
+        & (tr > F.col(ts_left))
+        & (tr <= F.col(ts_left) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def stream_enrich(
     events: DataFrame,
     dim: DataFrame,

@@ -118,6 +118,38 @@ def test_stream_sliding_bucket_overlap(spark, event_dir):
                                  window_hours=3, slide_hours=2)
 
 
+def test_stream_interval_join(spark, event_dir):
+    d, batch_df = event_dir
+    # right stream: follow-up events; one lands 70 min after user 1's
+    # 00:10 event (outside 1h), one 25 min after (inside)
+    follow = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:35:00"), 100.0),   # 25min after 00:10 -> match
+            (1, ts("2024-01-01 01:21:00"), 200.0),   # 71min after 00:10 (no), 1min after 01:20 (yes)
+            (2, ts("2024-01-01 03:00:00"), 300.0),   # >1h after 00:40 -> no match
+        ],
+        "user_id: long, ts: timestamp, value: double",
+    )
+    d2 = tempfile.mkdtemp(prefix="stream-follow-")
+    follow.coalesce(1).write.mode("overwrite").parquet(d2)
+
+    left = st.read_parquet_stream(spark, d, batch_df.schema)
+    right = st.read_parquet_stream(spark, d2, follow.schema)
+    joined = st.stream_interval_join(left, right, on="user_id", max_delay="1 hour")
+    q = (
+        joined.writeStream.format("memory").queryName("ivj_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.ts.minute, r.value_r)
+        for r in spark.sql("SELECT user_id, ts, value_r FROM ivj_t").collect()
+    }
+    # u1@00:10 <- u1@00:35 (25min later); u1@01:20 <- u1@01:21 (1min later).
+    # u1@01:21 is 71min after 00:10 (outside), u2@03:00 is >1h after 00:40.
+    assert got == {(1, 10, 100.0), (1, 20, 200.0)}
+
+
 def test_stream_enrich_static_join(spark, event_dir):
     d, batch_df = event_dir
     dim = spark.createDataFrame([(1, "gold"), (2, "trial")], "user_id: long, tier: string")
