@@ -119,14 +119,26 @@ def pack_sequences(
 
     With ``partition_cols=None`` the GLOBAL packing is still fully
     distributed — a two-level prefix sum instead of the naive
-    single-partition ``Window.orderBy``: range-repartition on
-    ``order_col`` (partition *i* holds keys below partition *i+1*'s, so
-    partition id order IS sort order), cumsum within each partition,
-    then add per-partition offsets from a tiny exclusive-cumsum table
-    (#partitions rows) broadcast back. Bit-identical to the global
-    window for unique ``order_col``; the only total-order structure is
-    the range exchange, which samples boundaries with a deterministic
-    seed and is shared by both consumers (ReusedExchange).
+    single-partition ``Window.orderBy``: split the key space into range
+    shards, cumsum within each shard, then add per-shard offsets from a
+    tiny exclusive-cumsum table (#shards rows) broadcast back.
+
+    The shard boundaries are computed ONCE (``percentile_approx`` of
+    ``order_col``, collected to the driver — this op is therefore
+    eager, it runs a small aggregate job when called) and the shard id
+    is a row-local balanced comparison tree over those literals.
+    Row-local assignment is what makes the plan CORRECT, not just fast:
+    ``repartitionByRange`` + ``spark_partition_id()`` looks equivalent,
+    but each of the two consumers (window pass, offsets pass) would
+    re-execute the range exchange — Spark does not reuse range
+    exchanges across subtrees (verified on 4.1) — and each execution
+    re-SAMPLES boundaries with a different seed, so row→pid could
+    disagree between the passes and silently corrupt the offsets. The
+    boundaries need not be exact quantiles (any split is valid — skew
+    only costs balance); they must only be consistent, which one
+    driver-side computation guarantees. Requires a numeric
+    ``order_col``; bit-identical to the naive global window for unique
+    keys.
     """
     parts = list(partition_cols) if partition_cols else []
     if parts:
@@ -137,19 +149,46 @@ def pack_sequences(
         )
         return df.withColumn(out_col, F.floor(cum_before / F.lit(max_tokens)))
 
-    ranged = df.repartitionByRange(F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    n_shards = min(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")), 256
     )
+    qs = [i / n_shards for i in range(1, n_shards)]
+    sampled = df.agg(
+        F.percentile_approx(F.col(order_col), qs, 10_000).alias("__b")
+    ).first()["__b"]
+    bounds = sorted(set(sampled)) if sampled else []
+
+    def pid_expr(v: Column, lo: int, hi: int) -> Column:
+        # count of boundaries <= v, as a depth-log2(n) when-tree (stays
+        # in codegen; a linear scan over an array literal would run
+        # interpreted per row)
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (
+            F.when(v < F.lit(bounds[mid]), pid_expr(v, lo, mid))
+            .otherwise(pid_expr(v, mid + 1, hi))
+        )
+
+    v = F.col(order_col)
+    # nulls sort first under the window's default asc_nulls_first —
+    # pin them to shard 0 (v < lit(...) is null-valued for null v,
+    # which would otherwise fall through to the LAST shard)
+    pid = F.when(v.isNull(), F.lit(0)).otherwise(pid_expr(v, 0, len(bounds)))
+    sharded = df.withColumn("__pid", pid)
+
     wp = Window.partitionBy("__pid").orderBy(order_col)
     local_cum = F.coalesce(
         F.sum(tokens_col).over(wp.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),
     )
-    # exclusive cumsum of per-partition totals: #shuffle-partitions rows,
-    # so the single-partition window here is O(parallelism), not O(rows)
+    # exclusive cumsum of per-shard totals: #shards rows, so the
+    # single-partition window here is O(parallelism), not O(rows); the
+    # offsets pass re-scans the source but its shuffle is #shards rows
+    # of partial sums (map-side combined)
     wo = Window.orderBy("__pid")
     offsets = (
-        ranged.groupBy("__pid")
+        sharded.groupBy("__pid")
         .agg(F.sum(tokens_col).alias("__tot"))
         .select(
             "__pid",
@@ -159,7 +198,7 @@ def pack_sequences(
             ).alias("__off"),
         )
     )
-    out = ranged.join(F.broadcast(offsets), "__pid", "left").withColumn(
+    out = sharded.join(F.broadcast(offsets), "__pid", "left").withColumn(
         out_col, F.floor((F.col("__off") + local_cum) / F.lit(max_tokens))
     )
     return out.drop("__pid", "__off")

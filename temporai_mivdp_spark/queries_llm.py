@@ -587,4 +587,10 @@ def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = sampling.hash_split(
         kept_docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed="split"
     )
+    # stage boundary before packing: global pack_sequences reads its
+    # input three times (boundary sample, window pass, offsets pass) —
+    # persist the curated metadata (5 narrow columns, orders of
+    # magnitude smaller than the corpus; a production pipeline would
+    # write it to Parquet here) so the curation DAG runs once
+    split = split.persist()
     return sampling.pack_sequences(split, max_tokens=2048, tokens_col="bpe_estimate")
