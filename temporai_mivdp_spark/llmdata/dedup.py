@@ -288,6 +288,39 @@ def minhash_lsh_candidates(
             "a remainder would silently create extra bands and change the "
             "LSH collision threshold"
         )
+    band_hash = lsh_band_index(
+        docs, num_hashes=num_hashes, bands=bands, text_col=text_col, id_col=id_col
+    )
+    a = band_hash.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = band_hash.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def lsh_band_index(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable LSH index of a corpus: (id, band, bh) rows.
+
+    Write this partitioned/bucketed by ``(band, bh)`` once per corpus;
+    incremental dedup of every future shard is then a join against it
+    (``incremental_lsh_candidates``) instead of an O(corpus) recompute —
+    the only state a rolling 100 TB ingest pipeline has to maintain.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently create extra bands and change the "
+            "LSH collision threshold"
+        )
     rows_per_band = num_hashes // bands
     wide = _minhash_wide(docs, num_hashes=num_hashes, text_col=text_col, id_col=id_col)
     # band hashes are row-local over the wide signature: sort the band's
@@ -307,17 +340,56 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ]
     stack_args = ", ".join(f"CAST({b} AS BIGINT), __bh{b}" for b in range(bands))
-    band_hash = wide.select(id_col, *band_cols).selectExpr(
+    return wide.select(id_col, *band_cols).selectExpr(
         id_col, f"stack({bands}, {stack_args}) AS (band, bh)"
     )
-    a = band_hash.select(F.col(id_col).alias("id_a"), "band", "bh")
-    b = band_hash.select(F.col(id_col).alias("id_b"), "band", "bh")
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs of a NEW shard against an EXISTING corpus
+    index (from ``lsh_band_index``): (new_id, old_id) where any band
+    collides. The join is new-shard-sized on one side — never rescans
+    the corpus text; if the index is bucketed by (band, bh) the shuffle
+    is one-sided too."""
+    new_bands = lsh_band_index(
+        new_docs, num_hashes=num_hashes, bands=bands, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("new_id"), "band", "bh")
+    old = index.select(F.col(id_col).alias("old_id"), "band", "bh")
     return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        new_bands.join(old, ["band", "bh"])
+        .select("new_id", "old_id")
         .dropDuplicates()
     )
+
+
+def incremental_exact_novel(
+    new_docs: DataFrame,
+    seen_keys: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_col: str = "content_key",
+) -> DataFrame:
+    """Exact incremental dedup: rows of ``new_docs`` whose normalized
+    content hash is NOT in ``seen_keys`` (a 1-column DataFrame of
+    ``key_col``, the persisted corpus state), deduped within the shard
+    (min id wins). Returns the surviving rows plus ``key_col`` so the
+    caller appends them to the seen-set — constant state per doc, no
+    corpus rescan."""
+    keyed = new_docs.withColumn(key_col, F.md5(normalize_text(F.col(text_col))))
+    w_min = F.min(id_col).over(Window.partitionBy(key_col))
+    in_shard_kept = (
+        keyed.withColumn("__keep", w_min)
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
+    return in_shard_kept.join(seen_keys.select(key_col), key_col, "left_anti")
 
 
 def simhash(

@@ -252,6 +252,41 @@ def test_resize_and_audio_stubs(spark):
     assert spread.count() == 3
 
 
+def test_incremental_dedup_against_index(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely unrelated text about spark physical planning"),
+        ],
+        "doc_id: long, text: string",
+    )
+    new_batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+            (11, "a genuinely novel document that shares no shingles at all"),
+            (12, "a genuinely novel document that shares no shingles at all"),  # in-shard dup of 11
+        ],
+        "doc_id: long, text: string",
+    )
+
+    # LSH path: index the corpus once, join the new shard against it
+    index = dedup.lsh_band_index(corpus, num_hashes=16, bands=4)
+    pairs = dedup.incremental_lsh_candidates(new_batch, index, num_hashes=16, bands=4)
+    got = {(r.new_id, r.old_id) for r in pairs.collect()}
+    assert (10, 1) in got
+    assert not any(n in (11, 12) for n, _ in got)
+
+    # exact path: seen-keys state + in-shard min-id dedup
+    seen = corpus.select(
+        F.md5(dedup.normalize_text(F.col("text"))).alias("content_key")
+    )
+    novel = dedup.incremental_exact_novel(new_batch, seen)
+    assert {r.doc_id for r in novel.collect()} == {11}
+    # appending the survivors' keys to the state makes a rerun a no-op
+    seen2 = seen.unionByName(novel.select("content_key"))
+    assert dedup.incremental_exact_novel(new_batch, seen2).count() == 0
+
+
 def test_duplicate_clusters_transitive(spark):
     # chain A~B~C plus isolated pair D~E: clusters must be transitive
     pairs = spark.createDataFrame(
