@@ -107,6 +107,54 @@ def brute_force_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q[i] = round(x[i] / scale)`` — 4× smaller than float32 at rest and
+    over broadcast/shuffle, the standard storage tier for billion-vector
+    corpora. Row-local HOF projection, no shuffle.
+
+    Cosine between quantized vectors needs NO dequantization: the
+    per-vector scale cancels in ``dot/(|a||b|)``, so similarity search
+    runs directly on the tinyint arrays (``cosine_expr`` accepts them —
+    every element is cast to double on the fly). Zero vectors get
+    scale NULL and an all-zero qvec.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / F.lit(127.0))
+    q = F.transform(
+        v,
+        lambda x: F.coalesce(
+            F.round(x.cast("double") / scale), F.lit(0.0)
+        ).cast("tinyint"),
+    )
+    return df.withColumn(out_col, q).withColumn(scale_col, scale)
+
+
+def dequantize_int8(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of ``quantize_int8`` (lossy: values land on the 254-step
+    grid): ``x[i] = q[i] * scale`` as float."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(qvec_col),
+            lambda x: (x.cast("double") * F.coalesce(F.col(scale_col), F.lit(0.0))).cast(
+                "float"
+            ),
+        ),
+    )
+
+
 def brute_force_topk_arrow(
     corpus: DataFrame,
     probes: DataFrame,

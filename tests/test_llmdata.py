@@ -439,6 +439,48 @@ def test_pack_sequences_distributed_matches_global_window(spark):
     assert sampling.pack_sequences(empty, 2048).count() == 0
 
 
+def test_int8_quantization_roundtrip_and_cosine(spark, vectors):
+    import math
+
+    q = similarity.quantize_int8(vectors, vec_col="embedding")
+    rows = q.collect()
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r.qvec)
+    # cosine on quantized vectors tracks exact cosine (scale cancels)
+    a = q.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"),
+                 F.col("qvec").alias("qa"))
+    b = q.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"),
+                 F.col("qvec").alias("qb"))
+    pairs = (
+        a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+        .select(
+            similarity.cosine_expr(F.col("va"), F.col("vb")).alias("exact"),
+            similarity.cosine_expr(
+                F.transform("qa", lambda x: x.cast("double")),
+                F.transform("qb", lambda x: x.cast("double")),
+            ).alias("approx"),
+        )
+        .collect()
+    )
+    assert pairs and all(abs(p.exact - p.approx) < 0.02 for p in pairs)
+
+    # roundtrip error bounded by the grid step (scale/2 per component)
+    back = similarity.dequantize_int8(q, out_col="back").collect()
+    for r in back:
+        step = (r.qscale or 0.0) / 2 + 1e-9
+        assert all(
+            abs(x - y) <= step for x, y in zip(r.embedding, r.back)
+        ), "dequantized component off the quantization grid"
+
+    # zero vector: null scale, all-zero qvec, finite dequantized zeros
+    z = spark.createDataFrame([(99, [0.0, 0.0, 0.0])], "vec_id: long, embedding: array<float>")
+    zq = similarity.quantize_int8(z).collect()[0]
+    assert zq.qscale is None and list(zq.qvec) == [0, 0, 0]
+    zback = similarity.dequantize_int8(similarity.quantize_int8(z), out_col="back").collect()[0]
+    assert list(zback.back) == [0.0, 0.0, 0.0]
+    assert all(not math.isnan(v) for v in zback.back)
+
+
 def test_brute_force_topk_arrow_parity(spark, vectors):
     probes = vectors.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("probe_id"), "embedding"
