@@ -33,6 +33,7 @@ from temporai_mivdp_spark.operators.timeseries import (
     dense_grid,
     ffill,
     hours_from_anchor,
+    rollup_cascade,
     tumbling_bucket,
 )
 
@@ -55,5 +56,6 @@ __all__ = [
     "dense_grid",
     "ffill",
     "hours_from_anchor",
+    "rollup_cascade",
     "tumbling_bucket",
 ]

@@ -73,6 +73,74 @@ def tumbling_bucket(
     )
 
 
+def rollup_cascade(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    value_col: str,
+    spans: Sequence[int],
+    bucket_col: str = "bucket",
+) -> list[DataFrame]:
+    """Continuous-aggregate cascade (the hypertable-rollup pattern): one
+    materialized aggregate per span in ``spans`` (e.g. ``(1, 24, 168)``
+    for hourly/daily/weekly over an hour-grain ``time_col``), where each
+    coarser level is re-aggregated FROM THE PREVIOUS LEVEL's partials,
+    never from raw.
+
+    That works because every stored measure is mergeable: sum/count/
+    min/max combine associatively, and avg is derived (``sum/count``) at
+    read time rather than stored — the same partial-aggregate algebra
+    Catalyst uses for map-side combine, lifted to the storage layer. At
+    100 TB the raw scan happens once (finest level); each further level
+    reads the previous one, which is orders of magnitude smaller — and a
+    streaming ingest can maintain the finest level with a tumbling
+    window while the coarser ones refresh from it on a schedule.
+
+    ``spans`` must be increasing and each a multiple of the previous.
+    Returns one DataFrame per span with columns ``keys + [bucket_col,
+    v_sum, v_cnt, v_min, v_max]`` (``bucket_col`` = floor(time/span)).
+    """
+    spans = list(spans)
+    if not spans:
+        raise ValueError("spans must be non-empty")
+    for a, b in zip(spans, spans[1:]):
+        if b % a != 0 or b <= a:
+            raise ValueError(
+                f"spans must be increasing and divisible: {b} not a multiple of {a}"
+            )
+    ks = list(keys)
+    v = F.col(value_col)
+    finest = (
+        df.withColumn(
+            bucket_col, F.floor(F.col(time_col) / F.lit(spans[0])).cast("long")
+        )
+        .groupBy(*ks, bucket_col)
+        .agg(
+            F.sum(v).alias("v_sum"),
+            F.count(v).alias("v_cnt"),
+            F.min(v).alias("v_min"),
+            F.max(v).alias("v_max"),
+        )
+    )
+    out = [finest]
+    for prev_span, span in zip(spans, spans[1:]):
+        prev = out[-1]
+        factor = span // prev_span
+        out.append(
+            prev.withColumn(
+                bucket_col, F.floor(F.col(bucket_col) / F.lit(factor)).cast("long")
+            )
+            .groupBy(*ks, bucket_col)
+            .agg(
+                F.sum("v_sum").alias("v_sum"),
+                F.sum("v_cnt").alias("v_cnt"),
+                F.min("v_min").alias("v_min"),
+                F.max("v_max").alias("v_max"),
+            )
+        )
+    return out
+
+
 def dense_grid(
     series_dims: DataFrame,
     length_col: str,

@@ -6,6 +6,7 @@ directly, which the reference never did.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from temporai_mivdp_spark.operators import (
@@ -101,6 +102,42 @@ def test_two_level_agg(spark):
     out = agg_ops.two_level_agg(df, inner_keys=["item", "stay"], outer_keys=["item"])
     got = {r.item: (r.mean_frequency, r.total_count) for r in out.collect()}
     assert got == {10: (1.5, 3), 20: (1.0, 1)}
+
+
+def test_rollup_cascade_levels_match_raw(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i % 5, rng.randrange(0, 24 * 21), rng.uniform(-5, 5)) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "k: long, h: long, v: double")
+    hourly, daily, weekly = ts_ops.rollup_cascade(
+        df, keys=["k"], time_col="h", value_col="v", spans=(1, 24, 168)
+    )
+    # each cascaded level must equal the same aggregate computed from raw
+    for span, level in ((24, daily), (168, weekly)):
+        raw = (
+            df.withColumn("bucket", (F.col("h") / span).cast("long"))
+            .groupBy("k", "bucket")
+            .agg(
+                F.sum("v").alias("v_sum"),
+                F.count("v").alias("v_cnt"),
+                F.min("v").alias("v_min"),
+                F.max("v").alias("v_max"),
+            )
+        )
+        got = {(r.k, r.bucket): (round(r.v_sum, 9), r.v_cnt, r.v_min, r.v_max)
+               for r in level.collect()}
+        want = {(r.k, r.bucket): (round(r.v_sum, 9), r.v_cnt, r.v_min, r.v_max)
+                for r in raw.collect()}
+        assert got == want
+    # derived avg at read time
+    d = daily.withColumn("v_avg", F.col("v_sum") / F.col("v_cnt")).first()
+    assert d.v_avg is not None
+
+    with pytest.raises(ValueError, match="multiple"):
+        ts_ops.rollup_cascade(df, ["k"], "h", "v", spans=(1, 36, 48))
 
 
 def test_tumbling_bucket_matches_loop_semantics(spark):
