@@ -120,9 +120,14 @@ def asof_join(
     right_time: str = "ts",
     value_cols: Sequence[str] = (),
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: attach to each left row the payload of the
-    latest right row with ``right_time <= left_time`` on the same key(s).
+    """As-of join: attach to each left row the payload of the nearest
+    right row on the same key(s) — ``direction="backward"`` (default)
+    takes the latest right row with ``right_time <= left_time``,
+    ``"forward"`` the earliest with ``right_time >= left_time``,
+    ``"nearest"`` whichever of the two is closer (ties -> backward,
+    pandas ``merge_asof`` semantics).
 
     The classic formulation is an inequality join + per-left-row argmax —
     a quadratic blowup when keys repeat. This is instead the union-tag
@@ -144,6 +149,8 @@ def asof_join(
     (data_generation_icu.py:467-520) joins each event to stay-level
     anchors; this generalizes it to time-varying anchors.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     payload = F.struct(
         F.col(right_time).alias("__rt"), *[F.col(c) for c in value_cols]
@@ -158,22 +165,67 @@ def asof_join(
         "__tag", F.lit(1)
     ).withColumn("__payload", F.lit(None).cast(r.schema["__payload"].dataType))
     unioned = l.unionByName(r, allowMissingColumns=True)
-    w = (
+
+    # both directions are the SAME one-pass carry over the SAME
+    # (key-hash) shuffle: backward = running last over ascending time,
+    # forward = running FIRST over the frame ahead — the two window
+    # specs share (partition, order), so Catalyst plans one Exchange +
+    # one Sort and, for "nearest", one Window node computing both.
+    w_back = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__t").asc(), F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    ).filter(F.col("__tag") == 1)
-    if tolerance is not None:
-        carried = carried.withColumn(
-            "__match",
-            F.when(
-                F.col("__match.__rt") >= F.col(left_time) - tolerance,
-                F.col("__match"),
-            ),
+    # at equal __t the right row (tag 0) sorts BEFORE the left row, so
+    # the backward frame ending at current row includes it (inclusive
+    # match) — and the forward frame must then START one row back to
+    # also see it; starting at currentRow would skip the equal-time
+    # right row that already sorted behind us. Harmless otherwise: the
+    # extra row is the left row itself (null payload) or an older right
+    # row that FIRST(ignorenulls) over the ahead-frame only surfaces if
+    # nothing newer exists — it can't, a right row at __t' > __t wins.
+    back = F.last("__payload", ignorenulls=True).over(w_back)
+
+    def dist_to(match: Column) -> Column:
+        # |left_time - rt| without F.abs: intervals (timestamp deltas)
+        # compare fine but don't all support abs()
+        rt = match["__rt"]
+        t = F.col("__t")
+        return F.when(rt >= t, rt - t).otherwise(t - rt)
+
+    def in_tol(match: Column) -> Column:
+        if tolerance is None:
+            return match
+        return F.when(dist_to(match) <= tolerance, match)
+
+    if direction == "backward":
+        carried = unioned.withColumn("__match", back)
+    else:
+        w_fwd = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
+        fwd_raw = F.first("__payload", ignorenulls=True).over(w_fwd)
+        # equal-time right rows sort before the left row: recover them
+        # from the backward carry when they are exactly at __t
+        fwd = F.when(
+            back.isNotNull() & (back["__rt"] == F.col("__t")), back
+        ).otherwise(fwd_raw)
+        if direction == "forward":
+            carried = unioned.withColumn("__match", fwd)
+        else:
+            b, f_ = in_tol(back), in_tol(fwd)
+            nearest = (
+                F.when(b.isNull(), f_)
+                .when(f_.isNull(), b)
+                .when(dist_to(f_) < dist_to(b), f_)
+                .otherwise(b)  # ties -> backward (pandas semantics)
+            )
+            carried = unioned.withColumn("__match", nearest)
+    carried = carried.filter(F.col("__tag") == 1)
+    if direction != "nearest" and tolerance is not None:
+        carried = carried.withColumn("__match", in_tol(F.col("__match")))
     out = carried.select(
         *left.columns,
         F.col("__match.__rt").alias(f"{right_time}_matched"),

@@ -298,3 +298,72 @@ def test_asof_join_backward_with_tolerance(spark):
     )
     got2 = {r.event_id: r.v for r in out2.collect()}
     assert got2[102] == 30.0
+
+
+def test_asof_join_forward_and_nearest(spark):
+    import datetime
+
+    import pandas as pd
+
+    views = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 01:00:00"), 10.0),
+            (1, ts("2024-01-01 03:00:00"), 30.0),
+            (1, ts("2024-01-01 08:00:00"), 80.0),
+        ],
+        "user_id long, ts timestamp, v double",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (100, 1, ts("2024-01-01 00:30:00")),  # fwd->10, nearest->10
+            (101, 1, ts("2024-01-01 03:00:00")),  # equal-time tie -> 30 both
+            (102, 1, ts("2024-01-01 05:30:00")),  # fwd->80; nearest: 2.5h both ways, tie->backward 30
+            (103, 1, ts("2024-01-01 09:00:00")),  # fwd->None, nearest->80
+            (104, 2, ts("2024-01-01 05:00:00")),  # no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    fwd = {
+        r.event_id: r.v
+        for r in join_ops.asof_join(
+            clicks, views, on="user_id", value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {100: 10.0, 101: 30.0, 102: 80.0, 103: None, 104: None}
+    near = {
+        r.event_id: r.v
+        for r in join_ops.asof_join(
+            clicks, views, on="user_id", value_cols=["v"], direction="nearest"
+        ).collect()
+    }
+    assert near == {100: 10.0, 101: 30.0, 102: 30.0, 103: 80.0, 104: None}
+
+    # cross-check every direction against pandas merge_asof
+    lpd = clicks.toPandas().sort_values("ts")
+    rpd = views.toPandas().sort_values("ts")
+    for direction in ("backward", "forward", "nearest"):
+        want = pd.merge_asof(
+            lpd, rpd, on="ts", by="user_id", direction=direction
+        ).set_index("event_id")["v"]
+        got = {
+            r.event_id: r.v
+            for r in join_ops.asof_join(
+                clicks, views, on="user_id", value_cols=["v"], direction=direction
+            ).collect()
+        }
+        for eid, v in got.items():
+            pv = want[eid]
+            assert (v is None and pd.isna(pv)) or v == pv, (direction, eid, v, pv)
+
+    # forward with tolerance: match must be within the window ahead
+    fwd_tol = {
+        r.event_id: r.v
+        for r in join_ops.asof_join(
+            clicks, views, on="user_id", value_cols=["v"], direction="forward",
+            tolerance=F.expr("INTERVAL 1 HOUR"),
+        ).collect()
+    }
+    assert fwd_tol == {100: 10.0, 101: 30.0, 102: None, 103: None, 104: None}
+
+    with pytest.raises(ValueError, match="direction"):
+        join_ops.asof_join(clicks, views, on="user_id", direction="sideways")
