@@ -392,6 +392,76 @@ def incremental_exact_novel(
     return in_shard_kept.join(seen_keys.select(key_col), key_col, "left_anti")
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the n-gram
+    containment against a (small) benchmark/eval corpus.
+
+    For each (doc, bench example) pair sharing at least one shingle,
+    containment = |shingles(doc) ∩ shingles(bench)| / |shingles(bench)| —
+    "what fraction of the eval example's n-grams leak into this doc".
+    Output: one row per input doc — ``max_containment`` (0.0 when no
+    overlap) and ``n_bench_hits`` (bench examples with containment >=
+    threshold). Filter/flag on either downstream.
+
+    Scale shape: the benchmark side is eval-set sized (thousands of
+    rows), so its distinct shingle sets broadcast; the corpus side is one
+    collect_set shuffle keyed by doc id (bounded by document length) and
+    never meets itself — cost is corpus-linear, unlike the near-dup
+    self-joins. Shingle identity goes through ``xxhash64`` (only set
+    cardinalities survive into the output, so any collision-free hash
+    gives the same answer — same argument as ``ngram_jaccard_pairs``).
+    """
+    bsets = (
+        _shingles_raw(bench, n=n, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col).alias("__bid"), F.xxhash64("shingle").alias("__sh"))
+        .groupBy("__bid")
+        .agg(F.collect_set("__sh").alias("__set"))
+        .select("__bid", F.size("__set").alias("__bsz"), F.explode("__set").alias("__sh"))
+    )
+    dsh = (
+        _shingles_raw(docs, n=n, text_col=text_col, id_col=id_col)
+        .select(id_col, F.xxhash64("shingle").alias("__sh"))
+        .groupBy(id_col)
+        .agg(F.collect_set("__sh").alias("__set"))
+        .select(id_col, F.explode("__set").alias("__sh"))
+    )
+    # long/long division -> IEEE double, bit-identical across engines;
+    # the threshold compare must happen on that exact value (the DuckDB
+    # oracle casts to DOUBLE the same way).
+    cont = F.col("__i") / F.col("__bsz")
+    inter = (
+        dsh.join(F.broadcast(bsets), "__sh")
+        .groupBy(id_col, "__bid", "__bsz")
+        .agg(F.count(F.lit(1)).alias("__i"))
+        .select(id_col, cont.alias("__cont"))
+    )
+    per_doc = inter.groupBy(id_col).agg(
+        F.max("__cont").alias("max_containment"),
+        F.sum(F.when(F.col("__cont") >= threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bench_hits"),
+    )
+    # short docs (< n tokens) have no shingles; re-attach every input doc
+    # with zero contamination so the output is total over the corpus
+    return (
+        docs.select(id_col)
+        .dropDuplicates([id_col])
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("max_containment", F.lit(0.0)).alias("max_containment"),
+            F.coalesce("n_bench_hits", F.lit(0).cast("long")).alias("n_bench_hits"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 16,

@@ -99,6 +99,38 @@ def stratified_hash_sample(
     return out.filter(keep).drop("__rate")
 
 
+def source_quota(
+    df: DataFrame,
+    max_per_group: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "quota",
+    out_col: str = "quota_rank",
+) -> DataFrame:
+    """Per-group document cap (the web-corpus "at most N pages per
+    domain" rule): keep at most ``max_per_group`` rows per group, chosen
+    by hash order of ``(seed, key)`` — a pure function of the data, so
+    reruns, repartitions, and late shards elect the same winners (unlike
+    arrival-order ``limit``). Emits ``out_col`` (1-based rank within the
+    group) alongside the surviving rows.
+
+    One window sort per group, partitioned by ``group_col``. A
+    pathologically dominant group (one domain = 10% of the corpus) makes
+    that partition the straggler; for corpora like that, pre-trim giant
+    groups with ``stratified_hash_sample`` (row-local, no shuffle) down
+    to O(max_per_group) survivors first, then apply the exact rank here.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return df.withColumn(out_col, F.row_number().over(w)).filter(
+        F.col(out_col) <= max_per_group
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

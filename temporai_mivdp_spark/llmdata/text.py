@@ -6,6 +6,8 @@ speed, and each has an exact DuckDB-oracle twin.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -153,11 +155,16 @@ def quality_score(
 
 
 def language_id(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """Marker-word language heuristic: per language, count whole-token
     marker hits; predict the argmax (ties: first language alphabetically;
-    zero hits -> 'und'). One projection, no shuffle."""
+    zero hits -> 'und'). One projection, no shuffle. ``passthrough``
+    names extra input columns to carry into the output (keeps sibling
+    per-doc stats in the same projection instead of a self-join)."""
     t = F.col(text_col)
     scores = [
         (lang, _count_any_occurrence(t, LANG_MARKERS[lang]))
@@ -172,7 +179,7 @@ def language_id(
     # ties the higher `nl` wins == alphabetically-first language (list was
     # built reverse-sorted).
     pred = F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
-    out_cols = [id_col, pred.alias("lang_pred")] + [
+    out_cols = [id_col, *passthrough, pred.alias("lang_pred")] + [
         h.alias(f"score_{lang}") for lang, h in scores
     ]
     return docs.select(*out_cols)

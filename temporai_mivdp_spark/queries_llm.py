@@ -150,15 +150,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN (hv >> g.b) & 1 = 1 THEN c ELSE -c END) AS bal
       FROM cnt, (SELECT unnest(generate_series(0, 15)) AS b) g
       GROUP BY 1, 2
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bal > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id, md5(norm) AS content_md5,
+             list_min(list_transform(
+               generate_series(1, greatest(len(w) - 3, 1)),
+               i -> CASE WHEN len(w[i:i+3]) = 4
+                         THEN ('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8))::BIGINT
+                         ELSE NULL END)) AS min_shingle_hash
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w, {_NORM} AS norm FROM documents)
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN bal > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
+    SELECT sh.doc_id, simhash, content_md5, min_shingle_hash
+    FROM sh JOIN fp ON sh.doc_id = fp.doc_id
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints (token-count weighted bit votes)."""
-    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
+    """Fingerprint suite: 16-bit SimHash (token-count weighted bit votes)
+    joined with the content fingerprints (whole-content md5 + winnowing
+    min 4-gram hash). The simhash aggregate already partitions by doc_id,
+    so the join shuffles only the row-local fingerprint projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=16).join(text.fingerprint(docs), "doc_id")
 
 
 @_register(
@@ -223,27 +240,6 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, probes, cents, k=10, nprobe=4)
 
 
-@_register(
-    "text_token_stats",
-    f"""
-    SELECT doc_id,
-           len(string_split({_NORM}, ' ')) AS n_tokens,
-           CAST(list_sum(list_transform(
-                 string_split_regex({_NORM}, '[^a-z0-9]+'),
-                 w -> CASE WHEN len(w) = 0 THEN 0
-                           ELSE CAST(ceil(len(w) / 4.0) AS BIGINT) END)) AS BIGINT)
-             AS bpe_estimate
-    FROM documents
-    """,
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish subword estimate."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        text.token_count(F.col("text")).alias("n_tokens"),
-        text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_estimate"),
-    )
 
 
 def _occ_sql(word: str) -> str:
@@ -307,16 +303,23 @@ _LANG_SCORE_SQL = {
     "text_langid",
     f"""
     WITH t AS (
-      SELECT doc_id, ' ' || {_NORM} || ' ' AS pad FROM documents
+      SELECT doc_id, ' ' || {_NORM} || ' ' AS pad,
+             len(string_split({_NORM}, ' ')) AS n_tokens,
+             CAST(list_sum(list_transform(
+                   string_split_regex({_NORM}, '[^a-z0-9]+'),
+                   w -> CASE WHEN len(w) = 0 THEN 0
+                             ELSE CAST(ceil(len(w) / 4.0) AS BIGINT) END)) AS BIGINT)
+               AS bpe_estimate
+      FROM documents
     ), s AS (
-      SELECT doc_id,
+      SELECT doc_id, n_tokens, bpe_estimate,
              {_LANG_SCORE_SQL['de']} AS score_de,
              {_LANG_SCORE_SQL['en']} AS score_en,
              {_LANG_SCORE_SQL['es']} AS score_es,
              {_LANG_SCORE_SQL['fr']} AS score_fr
       FROM t
     )
-    SELECT doc_id, score_de, score_en, score_es, score_fr,
+    SELECT doc_id, n_tokens, bpe_estimate, score_de, score_en, score_es, score_fr,
            CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
                 WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
                 WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
@@ -326,27 +329,17 @@ _LANG_SCORE_SQL = {
     """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language heuristic with deterministic tie-breaks."""
-    return text.language_id(_t(spark, sf_dir, "documents"))
-
-
-@_register(
-    "text_fingerprint",
-    f"""
-    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w, {_NORM} AS norm FROM documents)
-    SELECT doc_id, md5(norm) AS content_md5,
-           list_min(list_transform(
-             generate_series(1, greatest(len(w) - 3, 1)),
-             i -> CASE WHEN len(w[i:i+3]) = 4
-                       THEN ('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8))::BIGINT
-                       ELSE NULL END)) AS min_shingle_hash
-    FROM t
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: whole-content md5 + winnowing-style min
-    4-gram hash."""
-    return text.fingerprint(_t(spark, sf_dir, "documents"))
+    """Marker-word language heuristic (deterministic tie-breaks) plus
+    token accounting (whitespace tokens + BPE-ish subword estimate) in
+    ONE projection — the `passthrough` hook keeps the sibling per-doc
+    stats in the same codegen stage instead of a self-join."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_estimate"),
+    )
+    return text.language_id(docs, passthrough=["n_tokens", "bpe_estimate"])
 
 
 @_register(
@@ -469,6 +462,78 @@ def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.clean_documents(docs)
+
+
+@_register(
+    "text_contamination",
+    f"""
+    WITH d2 AS ({_AUG_SQL}),
+    toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM d2),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS shingle
+      FROM idx WHERE len(w[i:i+2]) = 3
+    ),
+    bs AS (SELECT doc_id AS bench_id, shingle FROM sh
+           WHERE doc_id % 13 = 0 AND doc_id < 1000000),
+    bsz AS (SELECT bench_id, count(*) AS bsz FROM bs GROUP BY 1),
+    inter AS (
+      SELECT d.doc_id, b.bench_id, count(*) AS i
+      FROM sh d JOIN bs b ON d.shingle = b.shingle GROUP BY 1, 2
+    ),
+    cont AS (
+      SELECT doc_id,
+             max(i / CAST(bsz AS DOUBLE)) AS max_containment,
+             CAST(sum(CASE WHEN i / CAST(bsz AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bench_hits
+      FROM inter JOIN bsz USING (bench_id) GROUP BY doc_id
+    )
+    SELECT ids.doc_id,
+           coalesce(max_containment, 0.0) AS max_containment,
+           coalesce(n_bench_hits, 0) AS n_bench_hits
+    FROM (SELECT DISTINCT doc_id FROM d2) ids LEFT JOIN cont USING (doc_id)
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus doc (augmented corpus, so
+    the mutated near-copies of benchmark docs leak too), max 3-gram
+    containment against a held-out eval set (every 13th original doc)
+    and the count of eval examples with containment >= 0.8. Benchmark
+    shingle sets broadcast; corpus-linear cost."""
+    corpus = _augmented(spark, sf_dir)
+    bench = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "text")
+    )
+    return dedup.benchmark_contamination(corpus, bench, n=3, threshold=0.8)
+
+
+@_register(
+    "sample_source_quota",
+    """
+    SELECT doc_id, source, quota_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('quota' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id
+             ) AS quota_rank
+      FROM documents
+    ) WHERE quota_rank <= 20
+    """,
+)
+def sample_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the "max N pages per domain" corpus
+    rebalancing rule): deterministic hash-order rank within each source,
+    keep the first 20."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.source_quota(
+        docs, max_per_group=20, group_col="source", key_col="doc_id", seed="quota"
+    )
 
 
 @_register("sim_topk_lsh")  # approximate: rows-only check (recall tested in tests/)

@@ -494,3 +494,51 @@ def test_brute_force_topk_arrow_parity(spark, vectors):
     for kk in hof_m:
         assert hof_m[kk][0] == arrow_m[kk][0], (kk, hof_m[kk], arrow_m[kk])
         assert abs(hof_m[kk][1] - arrow_m[kk][1]) < 1e-6
+
+
+def test_benchmark_contamination(spark, docs):
+    # bench = doc 1; doc 2 is an exact copy (containment 1.0), doc 3 a
+    # near copy (high), docs 4/5 share no 3-gram (0.0). Output covers
+    # EVERY corpus doc, including the bench doc itself.
+    bench = docs.filter(F.col("doc_id") == 1)
+    out = {
+        r.doc_id: (r.max_containment, r.n_bench_hits)
+        for r in dedup.benchmark_contamination(docs, bench, n=3, threshold=0.8).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1] == (1.0, 1) and out[2] == (1.0, 1)
+    assert 0.5 < out[3][0] < 1.0
+    assert out[4] == (0.0, 0) and out[5] == (0.0, 0)
+
+
+def test_benchmark_contamination_short_docs(spark):
+    # a doc shorter than n tokens has no shingles -> present with 0.0
+    corpus = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "a benchmark leak sentence here")],
+        "doc_id: long, text: string",
+    )
+    bench = corpus.filter(F.col("doc_id") == 2)
+    out = {r.doc_id: r.max_containment for r in
+           dedup.benchmark_contamination(corpus, bench, n=3).collect()}
+    assert out == {1: 0.0, 2: 1.0}
+
+
+def test_source_quota_deterministic_cap(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out = sampling.source_quota(df, max_per_group=10, group_col="source")
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 10 for v in per.values())
+    assert {r.quota_rank for r in got} == set(range(1, 11))
+    # deterministic: a rerun (and a repartitioned rerun) elects the same winners
+    again = sampling.source_quota(
+        df.repartition(7), max_per_group=10, group_col="source"
+    ).collect()
+    assert {(r.source, r.doc_id) for r in again} == {(r.source, r.doc_id) for r in got}
+    # quota larger than the group passes everything through
+    assert sampling.source_quota(df, max_per_group=1000, group_col="source").count() == 100
