@@ -114,11 +114,13 @@ def source_quota(
     arrival-order ``limit``). Emits ``out_col`` (1-based rank within the
     group) alongside the surviving rows.
 
-    One window sort per group, partitioned by ``group_col``. A
-    pathologically dominant group (one domain = 10% of the corpus) makes
-    that partition the straggler; for corpora like that, pre-trim giant
-    groups with ``stratified_hash_sample`` (row-local, no shuffle) down
-    to O(max_per_group) survivors first, then apply the exact rank here.
+    Because the rank filter sits directly on the ``row_number``, Catalyst
+    plans a WindowGroupLimit pair: every map task pre-trims to the top
+    ``max_per_group`` per group BEFORE the exchange, so the shuffle
+    carries at most ``max_per_group × map_partitions`` rows per group —
+    a pathologically dominant domain never materializes on one reducer.
+    (Keep the filter fused to this op; splitting rank and filter across a
+    materialization boundary loses the pushdown.)
     """
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8),
