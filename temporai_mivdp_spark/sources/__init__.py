@@ -18,17 +18,21 @@ from temporai_mivdp_spark.sources.readers import (
     read_tsv,
 )
 from temporai_mivdp_spark.sources.sinks import (
+    compact_parquet,
+    write_bucketed,
     write_csv_gz,
     write_parquet,
 )
 
 __all__ = [
     "TESTDATA_TABLES",
+    "compact_parquet",
     "load_table",
     "load_tables",
     "read_csv_gz",
     "read_jsonl",
     "read_tsv",
+    "write_bucketed",
     "write_csv_gz",
     "write_parquet",
 ]

@@ -9,7 +9,9 @@ predicate-pushdown-able, and safe to write in parallel from every executor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_parquet(
@@ -54,6 +56,52 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 512,
+    partition_by: list[str] | None = None,
+    codec: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a Parquet dataset into
+    ~``target_file_mb``-sized files. Returns the output file count.
+
+    Incremental pipelines (streaming sinks, per-shard ingest, per-stay
+    writes) accrete thousands of KB-sized files; at 100 TB that turns
+    every downstream scan into a file-listing + task-scheduling storm and
+    wrecks row-group-level pushdown. Compaction is the standing repair:
+    size the output from the ACTUAL on-disk bytes (compressed), not row
+    counts, so the file count tracks data volume as the table grows.
+
+    Uses ``repartition(n)`` (round-robin shuffle) rather than
+    ``coalesce``: coalesce(n) narrows the scan itself to n tasks — a
+    giant input would be read by too few workers — and inherits input
+    skew; the round-robin exchange costs one pass and yields uniform
+    output files. With ``partition_by``, rows are hashed on the partition
+    columns instead so each directory is written by as few tasks as
+    possible while staying parallel.
+    """
+    df = spark.read.parquet(src_path)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    writer = (
+        df.repartition(n, *partition_by) if partition_by else df.repartition(n)
+    ).write.mode("overwrite")
+    if codec:
+        writer = writer.option("compression", codec)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dst_path)
+    return n
 
 
 def write_csv_gz(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:

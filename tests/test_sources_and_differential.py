@@ -146,3 +146,37 @@ def test_bucketed_write_joins_without_shuffle(spark):
     n_exchanges = sum(v for kk, v in s.items() if kk.startswith("Exchange"))
     assert n_exchanges == 0, s
     assert joined.count() == 1000
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark):
+    import glob
+    import os
+
+    from temporai_mivdp_spark.sources.sinks import compact_parquet
+
+    with tempfile.TemporaryDirectory() as d:
+        src, dst = os.path.join(d, "src"), os.path.join(d, "dst")
+        # simulate shard-accreted small files: 40 partitions for 4000 rows
+        spark.range(4000).withColumn("v", F.col("id") * 2).repartition(40).write.parquet(src)
+        assert len(glob.glob(src + "/part-*")) == 40
+        n = compact_parquet(spark, src, dst, target_file_mb=512)
+        assert n == 1  # tiny data -> one target-size file
+        assert len(glob.glob(dst + "/part-*")) == 1
+        a = {(r.id, r.v) for r in spark.read.parquet(dst).collect()}
+        assert len(a) == 4000 and (0, 0) in a and (3999, 7998) in a
+
+
+def test_compact_parquet_partitioned_layout(spark):
+    import glob
+    import os
+
+    from temporai_mivdp_spark.sources.sinks import compact_parquet
+
+    with tempfile.TemporaryDirectory() as d:
+        src, dst = os.path.join(d, "src"), os.path.join(d, "dst")
+        df = spark.range(1000).withColumn("part", (F.col("id") % 3).cast("string"))
+        df.repartition(20).write.parquet(src)
+        compact_parquet(spark, src, dst, target_file_mb=64, partition_by=["part"])
+        dirs = sorted(os.path.basename(p) for p in glob.glob(dst + "/part=*"))
+        assert dirs == ["part=0", "part=1", "part=2"]
+        assert spark.read.parquet(dst).count() == 1000
