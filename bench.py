@@ -65,10 +65,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        # best-of-2: the first sf-scale run still pays shuffle-file and JIT
-        # warmup; the minimum is the stable per-query cost
+        # best-of-3: the first sf-scale run still pays shuffle-file and JIT
+        # warmup, and run 2 can still catch a GC pause from run 1's garbage;
+        # the minimum is the stable per-query cost (tools/scaling.py's
+        # best-of-3 readings track this within noise)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run(name, sf_dir)
             best = min(best, time.perf_counter() - t0)

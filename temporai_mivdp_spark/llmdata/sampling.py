@@ -133,6 +133,27 @@ def source_quota(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Global deterministic training-order shuffle: total order by
+    ``md5(seed || key)`` (key as the tie-break for hash collisions).
+    Changing ``seed`` re-deals the epoch order; the same seed always
+    reproduces it, independent of input partitioning or cluster size —
+    the property ``df.orderBy(rand())`` lacks.
+
+    Physical plan is Spark's distributed sort (sample boundaries ->
+    range exchange -> per-partition sort), the same machinery as any
+    global ``orderBy``; downstream writes preserve the order per output
+    file, which is exactly the contract sequence packing and epoch
+    sharding need.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    return df.orderBy(h.asc(), F.col(key_col).asc())
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

@@ -210,6 +210,35 @@ def fingerprint(
     )
 
 
+def corpus_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group corpus telemetry: doc count, approximate distinct
+    content count (the cheap duplication signal — ``n_docs -
+    approx_distinct`` estimates in-group exact dups without a dedup
+    pass), token volume, and length quantiles.
+
+    Every aggregate here is sketch- or counter-based (HyperLogLog++ for
+    the distinct, KLL-style buffer for ``percentile_approx``), so the
+    shuffle carries one bounded buffer per (partition, group) — this is
+    the query you run over 100 TB FIRST, to size the real dedup and
+    quota passes. Exact where exactness is free, approximate where
+    exactness would buffer values.
+    """
+    t = F.col(text_col)
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct(F.md5(normalize_text(t))).alias("approx_distinct"),
+        F.sum(token_count(t)).cast("long").alias("n_tokens"),
+        F.percentile_approx(
+            F.length(t).cast("double"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+        ).alias("len_p50_p90_p99"),
+    )
+
+
 #: cleaning regexes — shared with the DuckDB oracles verbatim (RE2-safe:
 #: no backreferences, no lookaround)
 MARKUP_RE = r"<[^>]*>"

@@ -542,3 +542,28 @@ def test_source_quota_deterministic_cap(spark):
     assert {(r.source, r.doc_id) for r in again} == {(r.source, r.doc_id) for r in got}
     # quota larger than the group passes everything through
     assert sampling.source_quota(df, max_per_group=1000, group_col="source").count() == 100
+
+
+def test_deterministic_shuffle_reproducible(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id: long")
+    a = [r.doc_id for r in sampling.deterministic_shuffle(df, seed="e1").collect()]
+    b = [r.doc_id for r in sampling.deterministic_shuffle(df.repartition(5), seed="e1").collect()]
+    c = [r.doc_id for r in sampling.deterministic_shuffle(df, seed="e2").collect()]
+    assert a == b                      # partitioning-independent
+    assert a != sorted(a)              # actually shuffled
+    assert a != c                      # seed re-deals
+    assert sorted(a) == sorted(c) == list(range(200))
+
+
+def test_corpus_stats_sketches(spark):
+    rows = [(i, "the quick brown fox" if i % 2 else "all dup text", f"s{i % 2}")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    out = {r.source: r for r in text.corpus_stats(df).collect()}
+    assert out["s0"].n_docs == 50 and out["s1"].n_docs == 50
+    # each source holds ONE distinct text; HLL at this cardinality is exact
+    assert out["s0"].approx_distinct == 1 and out["s1"].approx_distinct == 1
+    assert out["s1"].n_tokens == 50 * 4
+    assert out["s0"].len_p50_p90_p99 == [12.0, 12.0, 12.0]
