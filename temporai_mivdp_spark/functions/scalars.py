@@ -39,7 +39,8 @@ def floor_days(later: Column, earlier: Column) -> Column:
     only the days component for hospital-admission cohorts
     (day_intervals_cohort_v1.py:104-105)."""
     return F.floor(
-        (F.unix_micros(later) - F.unix_micros(earlier)) / F.lit(86_400_000_000)
+        (F.unix_micros(later.cast("timestamp")) - F.unix_micros(earlier.cast("timestamp")))
+        / F.lit(86_400_000_000)
     ).cast("long")
 
 

@@ -18,6 +18,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def epoch_micros(col: Column) -> Column:
+    """Microseconds since the epoch for TIMESTAMP *and* TIMESTAMP_NTZ.
+
+    ``unix_micros`` only accepts TIMESTAMP (with local time zone); parquet
+    files whose timestamps carry no zone (``timestamp[us]``, as the
+    testdata tables do) load as TIMESTAMP_NTZ. The cast is a no-op for
+    TIMESTAMP and interprets NTZ wall-clock in the session time zone
+    (pinned to UTC in session.py); in interval arithmetic the zone offset
+    cancels between the two operands either way.
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def floor_hours(later: Column, earlier: Column) -> Column:
     """W1 scalar core: floor-to-hour difference ``days*24 + hours``.
 
@@ -33,7 +46,7 @@ def floor_hours(later: Column, earlier: Column) -> Column:
     difference by up to a second and flips hours at exact boundaries.
     """
     return F.floor(
-        (F.unix_micros(later) - F.unix_micros(earlier)) / F.lit(3_600_000_000)
+        (epoch_micros(later) - epoch_micros(earlier)) / F.lit(3_600_000_000)
     ).cast("long")
 
 
