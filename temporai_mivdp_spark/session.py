@@ -36,8 +36,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # Deterministic timestamp semantics (matches DuckDB oracle).
     "spark.sql.session.timeZone": "UTC",
     # Don't truncate plan strings — plan review (plans/) needs full
-    # PushedFilters/ReadSchema lists.
+    # PushedFilters/ReadSchema lists, and plan fingerprints
+    # (plans/fingerprint.py) need truncation-free FileScan metadata:
+    # the default 100-char cut point shifts with expression-id digit
+    # widths, which would make fingerprints depend on session history.
     "spark.sql.debug.maxToStringFields": "200",
+    "spark.sql.maxMetadataStringLength": "2000",
     # ANSI off: we want NULL (not error) on bad casts, matching the
     # reference's `pd.to_numeric(errors="coerce")` semantics
     # (reference: day_intervals_cohort_v1.py:105).

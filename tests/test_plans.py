@@ -7,6 +7,7 @@ import pytest
 
 from temporai_mivdp_spark import plans
 from temporai_mivdp_spark.queries import QUERIES
+import temporai_mivdp_spark.queries_llm  # noqa: F401  (registers llm-data queries)
 from tests.conftest import SF_SMOKE
 
 
@@ -57,3 +58,20 @@ def test_aggregations_are_partial(spark, name):
     s = plans.plan_summary(df)
     n_aggs = s.get("HashAggregate", 0) + s.get("ObjectHashAggregate", 0) + s.get("SortAggregate", 0)
     assert n_aggs >= 2, s
+
+
+def test_plan_fingerprint_stable_across_session_history(spark):
+    """Fingerprints must not shift with session state: the expression-id
+    and lambda-variable counters are session-global, so building/running
+    other plans in between must not change a query's fingerprint (this is
+    what makes bench fingerprints diffable against PLANS.json)."""
+    from temporai_mivdp_spark.plans.fingerprint import plan_fingerprint
+
+    names = ["flagship_revenue_by_nation", "dedup_ngram_jaccard", "text_quality"]
+    before = {n: plan_fingerprint(QUERIES[n](spark, SF_SMOKE)) for n in names}
+    # churn the session-global counters: build + execute an unrelated plan
+    QUERIES["a2_two_level_agg"](spark, SF_SMOKE).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    after = {n: plan_fingerprint(QUERIES[n](spark, SF_SMOKE)) for n in names}
+    assert before == after
