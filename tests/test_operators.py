@@ -367,3 +367,61 @@ def test_asof_join_forward_and_nearest(spark):
 
     with pytest.raises(ValueError, match="direction"):
         join_ops.asof_join(clicks, views, on="user_id", direction="sideways")
+
+
+def test_interval_exists_label_point_visits_range_window_path(spark):
+    """start_col == end_col takes the one-shuffle RANGE-window fast path;
+    semantics must be identical to the join path: strictly-later, within
+    gap, sub-day precision for timestamps, NULLs -> control, duplicate
+    instants don't self-match."""
+    rows = [
+        (1, 10, ts("2020-01-01 12:00:00")),
+        (1, 11, ts("2020-01-01 12:00:00")),  # duplicate instant: no self/peer match
+        (1, 12, ts("2020-01-31 11:59:59")),  # 29.99d later -> labels 10,11 positive
+        (1, 13, ts("2020-03-15 00:00:00")),  # isolated -> control
+        (2, 20, None),                       # NaT -> control
+        (2, 21, ts("2020-05-01 00:00:00")),
+        (2, 22, ts("2020-05-31 00:00:01")),  # 30d + 1s after 21 -> 21 control
+    ]
+    df = spark.createDataFrame(rows, "subj: long, vid: long, t: timestamp")
+    out = join_ops.interval_exists_label(
+        df, group_key="subj", start_col="t", end_col="t", gap_days=30, id_cols=["vid"]
+    )
+    # one-shuffle plan: the point path must not re-introduce a join.
+    # (Inspect BEFORE collect — post-execution the adaptive plan string
+    # contains both Final and Initial plans, double-counting nodes.)
+    from temporai_mivdp_spark import plans
+
+    assert plans.count_exchanges(out) == 1, plans.plan_summary(out)
+    got = {r.vid: r.label for r in out.collect()}
+    assert got == {10: 1, 11: 1, 12: 0, 13: 0, 20: 0, 21: 0, 22: 0}
+
+
+def test_interval_exists_label_point_path_dates_whole_day_gap(spark):
+    import datetime as dt
+
+    rows = [
+        (1, 1, dt.date(2020, 1, 1)),
+        (1, 2, dt.date(2020, 1, 31)),  # exactly 30 days later -> inclusive
+        (1, 3, dt.date(2020, 4, 1)),
+    ]
+    df = spark.createDataFrame(rows, "subj: long, vid: long, d: date")
+    out = join_ops.interval_exists_label(
+        df, group_key="subj", start_col="d", end_col="d", gap_days=30, id_cols=["vid"]
+    )
+    got = {r.vid: r.label for r in out.collect()}
+    assert got == {1: 1, 2: 0, 3: 0}
+
+
+def test_two_level_agg_single_exchange_matches_two_shuffle_form(spark):
+    rows = [(p, o) for p in range(5) for o in range(p + 1) for _ in range(3)]
+    df = spark.createDataFrame(rows, "pk: long, ok: long")
+    fast = agg_ops.two_level_agg(df, ["pk", "ok"], ["pk"])
+    slow = agg_ops.two_level_agg(df, ["pk", "ok"], ["pk"], single_exchange=False)
+    from temporai_mivdp_spark import plans
+
+    # plan checks before collect: post-execution adaptive plan strings
+    # contain both Final and Initial plans (node counts double)
+    assert plans.count_exchanges(fast) == 1
+    assert plans.count_exchanges(slow) == 2
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
