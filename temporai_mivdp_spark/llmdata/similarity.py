@@ -13,12 +13,13 @@ Three tiers:
   and scanning ~nprobe/ncentroids of it; the bucket assignment is also the
   natural blocking key for embedding near-dup (dedup module).
 * ``lsh_signatures`` + ``lsh_topk`` — random-hyperplane (SimHash-style)
-  LSH: sign-of-projection bits onto pseudo-random ±1 hyperplanes hashed
-  from (table, bit, dim) — no stored planes, no fitted model, identical
-  on every executor. Candidates are equality-join matches on (table,
-  bucket); exact cosine re-ranks them. Complements IVF: no centroid set
-  to maintain, and table count / bit width trade recall vs. candidate
-  volume at plan-build time.
+  LSH: sign-of-projection bits onto pseudo-random ±1 hyperplanes
+  derandomized from md5("table:bit:dim") parity and inlined as literal
+  arrays — no fitted model, KB-sized plan constants identical on every
+  executor (and re-derivable by the DuckDB oracle). Candidates are
+  equality-join matches on (table, bucket); exact cosine re-ranks them.
+  Complements IVF: no centroid set to maintain, and table count / bit
+  width trade recall vs. candidate volume at plan-build time.
 
 All math is JVM-side Catalyst higher-order functions (zip_with +
 aggregate) over doubles — no UDFs, no Python in the hot path.
@@ -332,25 +333,37 @@ def ivf_topk(
     )
 
 
-def _hyperplane_bucket(vec: Column, table: int, bits: int) -> Column:
-    """Random-hyperplane bucket id for one LSH table: bit b is the sign of
-    the projection onto a ±1 hyperplane whose component for dimension i is
-    ``xxhash64(table, b, i) % 2 ? +1 : -1``. The planes are never
-    materialized — each is re-derived from the hash inside one
-    whole-stage-codegen'd fold, so every executor computes identical
-    signatures with zero broadcast state. Rademacher (±1) projections
-    preserve the sign-agreement ~ angle property of Gaussian planes
-    (Charikar's SimHash construction with a derandomized plane family)."""
+def plane_signs(table: int, bit: int, dim: int) -> list[float]:
+    """The ±1 components of one LSH hyperplane, derandomized from md5:
+    component i is +1 iff the first hex nibble of ``md5("t:b:i")`` is
+    even. md5 (not a Spark-native hash) so ANY engine — the DuckDB
+    oracle included — can re-derive the identical plane family; in
+    practice the planes are tiny plan-time constants (tables x bits x
+    dim ≈ KBs) inlined as literal arrays, so executors ship them with
+    the serialized plan: zero broadcast state, zero per-row hashing.
+    Rademacher (±1) projections preserve the sign-agreement ~ angle
+    property of Gaussian planes (Charikar's SimHash construction with a
+    derandomized plane family)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{table}:{bit}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for i in range(dim)
+    ]
+
+
+def _hyperplane_bucket(vec: Column, table: int, bits: int, dim: int) -> Column:
+    """Random-hyperplane bucket id for one LSH table: bit b is the sign
+    of the projection onto the literal ±1 plane from ``plane_signs``.
+    Each projection is one codegen'd zip_with/aggregate fold against a
+    constant array — measured faster than re-deriving plane components
+    from per-element xxhash64 calls (which evaluated tables*bits*dim
+    hashes per row), and engine-portable for the oracle."""
     bucket = F.lit(0).cast("long")
     for b in range(bits):
+        plane = F.array(*[F.lit(s) for s in plane_signs(table, b, dim)])
         proj = F.aggregate(
-            F.transform(
-                vec,
-                lambda x, i: x.cast("double")
-                * F.when(
-                    F.pmod(F.xxhash64(F.lit(table), F.lit(b), i), 2) == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -364,14 +377,25 @@ def lsh_signatures(
     bits: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """One row per (vector, table) with the table's hyperplane bucket —
     the hash-table layout of multi-table LSH, flattened relationally.
     All ``tables`` buckets are computed in a single projection over one
     corpus scan, then unpivoted with ``stack`` (no per-table rescans,
-    no shuffle)."""
+    no shuffle).
+
+    ``dim`` (embedding width) fixes the literal plane arrays at plan
+    build; pass it when known. When ``None`` it is peeked from the first
+    row — one tiny job at build time, never in the per-row path."""
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if not row:
+            dim = 1  # empty input: any plane works, signatures are empty
+        else:
+            dim = int(row[0]["d"])
     sig_cols = [
-        _hyperplane_bucket(F.col(vec_col), t, bits).alias(f"__b{t}")
+        _hyperplane_bucket(F.col(vec_col), t, bits, dim).alias(f"__b{t}")
         for t in range(tables)
     ]
     stack_args = ", ".join(f"{t}, __b{t}" for t in range(tables))
@@ -394,6 +418,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: a candidate is
     any corpus vector sharing a bucket with the probe in >=1 of the
@@ -403,9 +428,11 @@ def lsh_topk(
     hundred vectors; the join itself is a pure equality join on (table,
     bucket), which scales like any hash join (no cross join, no per-probe
     corpus scan)."""
-    c_sig = lsh_signatures(corpus, tables=tables, bits=bits, vec_col=vec_col, id_col=id_col)
+    c_sig = lsh_signatures(
+        corpus, tables=tables, bits=bits, vec_col=vec_col, id_col=id_col, dim=dim
+    )
     p_sig = lsh_signatures(
-        probes, tables=tables, bits=bits, vec_col=vec_col, id_col=probe_id_col
+        probes, tables=tables, bits=bits, vec_col=vec_col, id_col=probe_id_col, dim=dim
     ).select(
         F.col(probe_id_col).alias("__pid"),
         F.col(vec_col).alias("__pvec"),

@@ -226,12 +226,55 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, probes, k=10)
 
 
-@_register("sim_topk_ivf")  # approximate: rows-only check (recall tested in tests/)
+@_register(
+    "sim_topk_ivf",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+      FROM e ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, v, bucket FROM (
+        SELECT e.vec_id, e.v, c.cid AS bucket,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(c.cv, e.v) / c.cn DESC, c.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    pb AS (
+      SELECT pid, pv, bucket FROM (
+        SELECT p.vec_id AS pid, p.v AS pv, c.cid AS bucket,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(c.cv, p.v) / c.cn DESC, c.cid ASC
+               ) AS rn
+        FROM e p CROSS JOIN cents c WHERE p.vec_id < 5
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT pb.pid, a.vec_id,
+             round(list_dot_product(pb.pv, a.v)
+                   / (sqrt(list_dot_product(pb.pv, pb.pv)) * sqrt(list_dot_product(a.v, a.v))),
+                   6) AS cosine
+      FROM assign a JOIN pb USING (bucket) WHERE a.vec_id <> pb.pid
+    )
+    SELECT pid AS probe_id, vec_id AS neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY pid ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-10 (16 deterministic centroids,
     nprobe=4): the scale path — probes scan ~nprobe/16 of the corpus.
-    Approximate by design -> no SQL oracle; tests assert recall vs brute
-    force."""
+    Approximate vs brute force, but fully DETERMINISTIC: centroids are
+    the 16 lowest-id vectors, assignment/probe ranking tie-break on
+    centroid id, final rank on the 1e-6-rounded cosine — so the oracle
+    mirrors the whole plan step by step and the driver hash-checks it
+    like any exact query (recall vs brute force is asserted in tests/)."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
@@ -536,18 +579,62 @@ def sample_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("sim_topk_lsh")  # approximate: rows-only check (recall tested in tests/)
+def _lsh_oracle_sql(tables: int, bits: int, dim: int) -> str:
+    """Mirror SQL for ``sim_topk_lsh``: the md5-derandomized ±1 planes
+    (similarity.plane_signs) are inlined as list literals, so DuckDB
+    computes bit-identical buckets from the identical plane family."""
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for b in range(bits):
+            plane = ", ".join(str(s) for s in similarity.plane_signs(t, b, dim))
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{plane}]) >= 0 THEN {1 << b} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    sig_selects = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket_expr(t)} AS bucket FROM e"
+        for t in range(tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS ({sig_selects}),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS pid, s.vec_id AS nid
+      FROM sig s JOIN sig p ON s.tbl = p.tbl AND s.bucket = p.bucket
+      WHERE p.vec_id < 5 AND s.vec_id <> p.vec_id
+    ),
+    scored AS (
+      SELECT c.pid, c.nid,
+             round(list_dot_product(pe.v, ne.v)
+                   / (sqrt(list_dot_product(pe.v, pe.v)) * sqrt(list_dot_product(ne.v, ne.v))),
+                   6) AS cosine
+      FROM cand c
+      JOIN e pe ON pe.vec_id = c.pid
+      JOIN e ne ON ne.vec_id = c.nid
+    )
+    SELECT pid AS probe_id, nid AS neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY pid ORDER BY cosine DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@_register("sim_topk_lsh", _lsh_oracle_sql(tables=4, bits=6, dim=64))
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH top-10 (4 tables x 6 bits,
-    planes derandomized from xxhash64 — no stored model): the second
-    scale path next to IVF. Candidates come from equality joins on
-    (table, bucket); exact cosine re-ranks. Approximate by design -> no
-    SQL oracle; tests assert recall vs brute force."""
+    planes derandomized from md5 — no stored model): the second scale
+    path next to IVF. Candidates come from equality joins on (table,
+    bucket); exact cosine re-ranks. Approximate vs brute force but fully
+    deterministic, so the oracle re-derives the identical plane family
+    (inlined list literals) and the driver hash-checks the result like
+    any exact query (recall vs brute force is asserted in tests/)."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return similarity.lsh_topk(emb, probes, k=10, tables=4, bits=6)
+    return similarity.lsh_topk(emb, probes, k=10, tables=4, bits=6, dim=64)
 
 
 @_register(
