@@ -546,57 +546,83 @@ def duplicate_clusters(
     max_iterations: int = 20,
 ) -> DataFrame:
     """Resolve near-dup pairs into duplicate clusters: connected
-    components by iterative min-label propagation. Returns
-    (doc_id, cluster_id) where cluster_id is the smallest doc id reachable
-    through the pair graph — the canonical keeper.
+    components by alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — plain groupBy+join rounds, no graph library). Returns
+    (doc_id, cluster_id) where cluster_id is the smallest doc id
+    reachable through the pair graph — the canonical keeper.
 
-    Pairwise dedup alone under-deletes: A~B and B~C leave both B and C if
-    handled independently. Components converge in O(graph diameter)
-    rounds; near-dup graphs are overwhelmingly tiny star/chain components,
-    so a handful of joins settles everything, and the loop exits early on
-    a converged round (change count is computed per round anyway — it
-    costs one action that also materializes the iteration, keeping the
-    lineage shallow).
+    Pairwise dedup alone under-deletes: A~B and B~C leave both B and C
+    if handled independently. Min-label propagation (the previous
+    implementation) converges in O(diameter) rounds, which is fine for
+    the star/chain micro-components of a near-dup graph but degenerates
+    on a pathological long-chain corpus (a 10k-chain needs 10k rounds).
+    Star contraction halves component heights every alternation —
+    O(log n) rounds on ANY topology:
+
+    * large-star (center u, m = min over N(u) ∪ {u}): emit (v, m) for
+      neighbors v > u — strictly larger neighbors re-attach to the
+      local minimum.
+    * small-star: emit (v, m) for v <= u plus the center's own (u, m).
+
+    Both phases preserve connectivity; the edge set monotonically
+    flattens into per-component stars rooted at the minimum id. Each
+    round is one groupBy (per-center min) + one join back, on an edge
+    set that only shrinks; one count action per round doubles as the
+    convergence check and a localCheckpoint keeps lineage shallow.
     """
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
         .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .dropDuplicates()
-        .withColumn("cluster_id", F.col("id"))
-    )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("__nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("__nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.col("__nmin") < F.col("cluster_id")).alias("__changed"),
+
+    def star_round(e: DataFrame, large: bool) -> DataFrame:
+        mins = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        j = e.join(mins, "u")
+        if large:
+            emitted = j.filter(F.col("v") > F.col("u")).select("v", "m")
+        else:
+            emitted = (
+                j.filter(F.col("v") <= F.col("u"))
+                .select("v", "m")
+                .unionByName(mins.select(F.col("u").alias("v"), "m"))
             )
+        sym = emitted.filter(F.col("v") != F.col("m"))
+        return (
+            sym.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sym.select(F.col("m").alias("u"), F.col("v").alias("v")))
+            .dropDuplicates()
         )
-        # one action per round: counts changes AND truncates lineage
-        changed = updated.filter(F.col("__changed")).count()
-        labels = updated.drop("__changed").localCheckpoint(eager=True)
-        if changed == 0:
+
+    prev_sig = None
+    for it in range(max_iterations):
+        edges = star_round(edges, large=True)
+        edges = star_round(edges, large=False).localCheckpoint(eager=True)
+        # one agg action per round: convergence signature (count + an
+        # order-independent hash-sum) AND materialization point
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
             break
+        prev_sig = sig
     else:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iterations} "
-            "iterations (a component's diameter exceeds the budget); "
-            "raise max_iterations — silently returning non-canonical "
-            "cluster ids would split components"
+            "alternation rounds (components deeper than 2^iterations — "
+            "should be unreachable); raise max_iterations — silently "
+            "returning non-canonical cluster ids would split components"
         )
-    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+    # converged: per-component stars rooted at the min id. Every node's
+    # label is min(N(u) ∪ {u}) — the root's own label is itself.
+    return edges.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("cluster_id")
+    ).select(F.col("u").alias("doc_id"), "cluster_id")
 
 
 def keep_representatives(

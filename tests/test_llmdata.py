@@ -322,12 +322,27 @@ def test_simhash_bits_bounds(spark, docs):
 
 def test_duplicate_clusters_raises_on_budget_exhaustion(spark):
     chain = spark.createDataFrame(
-        [(i, i + 1, 0.9) for i in range(30)], "id_a: long, id_b: long, jaccard: double"
+        [(i, i + 1, 0.9) for i in range(200)], "id_a: long, id_b: long, jaccard: double"
     )
     with pytest.raises(RuntimeError, match="converge"):
-        dedup.duplicate_clusters(chain, max_iterations=2)
+        dedup.duplicate_clusters(chain, max_iterations=1)
     ok = dedup.duplicate_clusters(chain, max_iterations=40)
     assert {r.cluster_id for r in ok.collect()} == {0}
+
+
+def test_duplicate_clusters_chain_converges_in_log_rounds(spark):
+    """Giant-component hardening: a 10k-node chain (diameter 10k) must
+    converge within an O(log n) alternation budget — min-label
+    propagation would need ~10k rounds here, large-star/small-star
+    halves component heights per alternation."""
+    n = 10_000
+    chain = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(n - 1)], "id_a: long, id_b: long, jaccard: double"
+    )
+    out = dedup.duplicate_clusters(chain, max_iterations=16)  # ~log2(10k)+slack
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.cluster_id for r in rows} == {0}
 
 
 def test_clean_documents_strips_and_redacts(spark):
