@@ -2,11 +2,17 @@
 metadata.
 
 The Spark-side plumbing is real and tested — schema, Arrow-batched
-``mapInPandas`` over binary columns, partition sizing — while the actual
-codec work (image decode, resampling, frame extraction) is stubbed: the
-container ships no media libraries, so decode raises ``NotImplementedError``
-unless the deterministic fake is requested (used by tests and the oracle
-harness).
+``mapInPandas`` over binary columns, partition sizing. Codec coverage is
+split by what the stdlib can genuinely do:
+
+* REAL (no external libs): WAV/PCM audio (RIFF parse via ``wave`` +
+  numpy for duration/RMS/zero-crossings), uncompressed 24-bit BMP decode
+  (struct header parse + numpy pixel array) including nearest-neighbor
+  resize, and header-only dimension extraction for BMP/PNG/JPEG.
+* STUBBED: compressed raster decode (JPEG/PNG pixels) and non-PCM audio
+  need PIL/opencv/librosa, absent in this container — those payloads
+  raise ``NotImplementedError`` unless the deterministic fake is
+  requested (used by tests and the oracle harness).
 
 Scale notes for the real thing:
 * media bytes ride in the same rows as metadata only up to a few MB each;
@@ -21,8 +27,12 @@ Scale notes for the real thing:
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -73,6 +83,105 @@ def _sniff(payload: bytes | None) -> str | None:
     return "application/octet-stream"
 
 
+# ---------------------------------------------------------------------------
+# stdlib codecs (the REAL fake=False paths)
+# ---------------------------------------------------------------------------
+
+
+def _wav_stats(b: bytes) -> tuple[int, float, int]:
+    """(duration_ms, rms, zero_crossings) of a RIFF/PCM WAV payload.
+    ``wave`` handles the RIFF chunk walk; numpy vectorizes the sample
+    math. Raises ``NotImplementedError`` for non-PCM encodings (needs a
+    real codec) — mirrors how unsupported image formats behave."""
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            n, sr, sw, ch = (
+                w.getnframes(),
+                w.getframerate(),
+                w.getsampwidth(),
+                w.getnchannels(),
+            )
+            raw = w.readframes(n)
+    except wave.Error as e:
+        raise NotImplementedError(f"not a PCM WAV payload ({e})") from e
+    if sw == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sw}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    duration_ms = int(n * 1000 // sr) if sr else 0
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    zc = (
+        int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        if x.size > 1
+        else 0
+    )
+    return duration_ms, rms, zc
+
+
+def _bmp_pixels(b: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to an (h, w, 3) RGB uint8 array
+    — pure struct + numpy (bottom-up row order and 4-byte row padding
+    handled). Compressed/paletted BMPs raise ``NotImplementedError``."""
+    if len(b) < 54 or b[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    w, h = struct.unpack_from("<ii", b, 18)
+    _planes, bpp = struct.unpack_from("<HH", b, 26)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes without codec libs "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    arr = (
+        np.frombuffer(b, np.uint8, count=stride * h, offset=data_off)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[:, :, ::-1]  # BGR -> RGB
+
+
+def _image_dims(b: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) from raster headers alone — BMP, PNG
+    (IHDR), JPEG (SOF segment scan), GIF. None when unrecognized.
+    Header-only: no decompression, so it works for formats whose pixel
+    decode is stubbed."""
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack_from("<ii", b, 18)
+        return "bmp", w, abs(h)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack_from(">II", b, 16)
+        return "png", w, h
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack_from("<HH", b, 6)
+        return "gif", w, h
+    if b[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack_from(">HH", b, i + 5)
+                return "jpeg", w, h
+            (seg_len,) = struct.unpack_from(">H", b, i + 2)
+            i += 2 + seg_len
+        return None
+    return None
+
+
 def extract_metadata(media: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over the binary column: byte
     length, content hash, magic-number mime sniff. This is the pattern
@@ -99,10 +208,14 @@ def extract_metadata(media: DataFrame) -> DataFrame:
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode images to fixed-size float features.
 
-    ``fake=False`` raises: no codec libraries in this container. The
-    ``fake=True`` path produces deterministic pseudo-features (md5-seeded)
-    with the REAL plumbing — schema, batching, output shape — so the
-    downstream pipeline is testable end-to-end.
+    The real path decodes what stdlib can: uncompressed 24-bit BMP
+    payloads (struct + numpy, see ``_bmp_pixels``) into 8 features —
+    width, height, mean R/G/B, luminance std/min/max. Compressed formats
+    (JPEG/PNG pixels) still raise ``NotImplementedError`` — they need
+    PIL/opencv, absent in this container. The ``fake=True`` path
+    produces deterministic pseudo-features (md5-seeded) with the same
+    plumbing — schema, batching, output shape — so mixed-format
+    pipelines are testable end-to-end.
     """
     out_schema = StructType(
         [
@@ -113,20 +226,58 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/opencv — not available in this "
-                    "container; pass fake=True for the deterministic stub"
-                )
-
             def feat(b: bytes | None) -> str | None:
                 if b is None:
                     return None
-                d = hashlib.md5(b).digest()
-                return ",".join(str(round(x / 255.0, 6)) for x in d[:8])
+                if fake:
+                    d = hashlib.md5(b).digest()
+                    return ",".join(str(round(x / 255.0, 6)) for x in d[:8])
+                px = _bmp_pixels(b).astype(np.float64)
+                lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+                vals = [
+                    float(px.shape[1]),
+                    float(px.shape[0]),
+                    float(px[:, :, 0].mean()),
+                    float(px[:, :, 1].mean()),
+                    float(px[:, :, 2].mean()),
+                    float(lum.std()),
+                    float(lum.min()),
+                    float(lum.max()),
+                ]
+                return ",".join(str(round(v, 6)) for v in vals)
 
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "features": pdf["payload"].map(feat)}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
+def image_dims(media: DataFrame) -> DataFrame:
+    """Header-only image dimensions — BMP/PNG/GIF fixed offsets, JPEG
+    SOF-segment scan (``_image_dims``); no decompression, so it covers
+    formats whose pixel decode is stubbed. Unrecognized payloads yield
+    NULL dims rather than failing the batch (a corpus sweep should
+    classify, not crash)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("format", StringType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf["payload"].map(lambda b: _image_dims(b) if b is not None else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": dims.map(lambda d: d[0] if d else None),
+                    "width": dims.map(lambda d: d[1] if d else None).astype("Int32"),
+                    "height": dims.map(lambda d: d[2] if d else None).astype("Int32"),
+                }
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, out_schema)
@@ -138,13 +289,16 @@ def resize_image(
     """Resize images to ``target_w × target_h``, emitting a new payload
     plus the recorded dimensions.
 
-    Real path raises (no PIL/opencv in this container); ``fake=True``
-    produces a deterministic payload — an md5 keystream over
-    ``(content, dims)`` sized like an 8-bit grayscale target — through
-    the REAL plumbing: binary-in/binary-out ``mapInPandas``, Arrow
-    batches, explicit output schema. Resized payloads are uniform-size,
-    so downstream batch memory is exactly ``maxRecordsPerBatch × w × h``
-    — set that conf from the target dims in production."""
+    The real path resamples uncompressed 24-bit BMPs: decode via
+    ``_bmp_pixels``, luminance-convert, nearest-neighbor index into the
+    target grid — all numpy, emitting ``w*h`` grayscale bytes.
+    Compressed formats raise (PIL/opencv not in this container);
+    ``fake=True`` produces a deterministic payload — an md5 keystream
+    over ``(content, dims)`` — through the same plumbing:
+    binary-in/binary-out ``mapInPandas``, Arrow batches, explicit output
+    schema. Resized payloads are uniform-size, so downstream batch
+    memory is exactly ``maxRecordsPerBatch × w × h`` — set that conf
+    from the target dims in production."""
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -157,15 +311,16 @@ def resize_image(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL/opencv — not available in this "
-                    "container; pass fake=True for the deterministic stub"
-                )
-
             def stretch(b: bytes | None) -> bytes | None:
                 if b is None:
                     return None
+                if not fake:
+                    px = _bmp_pixels(b).astype(np.float64)
+                    lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+                    h, w = lum.shape
+                    yi = (np.arange(target_h) * h // target_h).astype(np.intp)
+                    xi = (np.arange(target_w) * w // target_w).astype(np.intp)
+                    return lum[np.ix_(yi, xi)].astype(np.uint8).tobytes()
                 seed = hashlib.md5(b + f"{target_w}x{target_h}".encode()).digest()
                 out = bytearray()
                 block = seed
@@ -187,10 +342,14 @@ def resize_image(
 
 
 def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Audio feature extraction (duration, rms-like level, zero-crossing
-    proxy). Real path raises — no audio codec in this container; the
-    ``fake=True`` stub derives deterministic values from the content
-    hash through the same mapInPandas plumbing a real extractor uses."""
+    """Audio feature extraction (duration, RMS level, zero crossings).
+
+    The real path decodes RIFF/PCM WAV payloads with stdlib ``wave`` +
+    numpy (``_wav_stats``): duration from frames/rate, RMS over
+    [-1, 1]-normalized channel-averaged samples, sign-change count.
+    Compressed audio (mp3/ogg/non-PCM) raises — needs librosa/soundfile.
+    The ``fake=True`` stub derives deterministic values from the content
+    hash through the same mapInPandas plumbing."""
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -202,25 +361,27 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decode requires soundfile/librosa — not available in "
-                    "this container; pass fake=True for the deterministic stub"
-                )
-
-            def stats(b: bytes | None) -> tuple[str | None, int | None]:
+            def stats(b: bytes | None) -> tuple[int | None, str | None, int | None]:
                 if b is None:
-                    return None, None
-                d = hashlib.md5(b).digest()
-                return str(round(d[0] / 255.0, 6)), int.from_bytes(d[1:3], "big")
+                    return None, None, None
+                if fake:
+                    d = hashlib.md5(b).digest()
+                    return None, str(round(d[0] / 255.0, 6)), int.from_bytes(d[1:3], "big")
+                dur, rms, zc = _wav_stats(b)
+                return dur, str(round(rms, 6)), zc
 
-            pairs = pdf["payload"].map(stats)
+            triples = pdf["payload"].map(stats)
+            decoded_ms = triples.map(lambda p: p[0]).astype("Int64")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "duration_ms": pdf["duration_ms"],
-                    "rms": pairs.map(lambda p: p[0]),
-                    "zero_crossings": pairs.map(lambda p: p[1]).astype("Int64"),
+                    # real path: measured duration; fake path: the typed
+                    # metadata column rides through unchanged
+                    "duration_ms": decoded_ms.fillna(pdf["duration_ms"]).astype("Int64")
+                    if not fake
+                    else pdf["duration_ms"],
+                    "rms": triples.map(lambda p: p[1]),
+                    "zero_crossings": triples.map(lambda p: p[2]).astype("Int64"),
                 }
             )
 

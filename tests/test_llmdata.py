@@ -582,3 +582,111 @@ def test_corpus_stats_sketches(spark):
     assert out["s0"].approx_distinct == 1 and out["s1"].approx_distinct == 1
     assert out["s1"].n_tokens == 50 * 4
     assert out["s0"].len_p50_p90_p99 == [12.0, 12.0, 12.0]
+
+
+def _square_wav_bytes(frames: int = 800, rate: int = 8000, amp: int = 16384) -> bytes:
+    """16-bit mono PCM WAV of a per-sample alternating square wave:
+    known RMS (amp/32768) and zero crossings (frames-1)."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = b"".join(
+            (amp if i % 2 == 0 else -amp).to_bytes(2, "little", signed=True)
+            for i in range(frames)
+        )
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def _bmp_bytes_3x2_red_over_blue() -> bytes:
+    """Uncompressed 24-bit BMP, 3x2: top row red, bottom row blue.
+    Bottom-up row order and 4-byte row padding exercised (stride 12)."""
+    import struct as s
+
+    w, h, stride = 3, 2, 12
+    pixel_data = (
+        (b"\xff\x00\x00" * 3 + b"\x00\x00\x00")   # bottom row first: blue (BGR)
+        + (b"\x00\x00\xff" * 3 + b"\x00\x00\x00")  # top row: red (BGR)
+    )
+    info = s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    header = s.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40)
+    return header + info + pixel_data
+
+
+def test_audio_features_real_wav_decode(spark):
+    wav = _square_wav_bytes()
+    rows = [(1, wav, "audio/wav", None, None, None), (2, None, None, None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.audio_features(media, fake=False).collect()}
+    assert got[1].duration_ms == 100           # 800 frames @ 8 kHz
+    assert float(got[1].rms) == 0.5            # |sample| == 16384 == 0.5 FS
+    assert got[1].zero_crossings == 799        # alternates every sample
+    assert got[2].rms is None
+
+    mp3ish = spark.createDataFrame(
+        [(9, b"ID3\x03not-a-wav", "audio/mpeg", None, None, None)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PCM"):
+        multimodal.audio_features(mp3ish, fake=False).collect()
+
+
+def test_decode_image_real_bmp(spark):
+    bmp = _bmp_bytes_3x2_red_over_blue()
+    media = spark.createDataFrame(
+        [(1, bmp, "image/bmp", 3, 2, None)], multimodal.MEDIA_SCHEMA
+    )
+    feats = multimodal.decode_image(media, fake=False).collect()[0].features
+    w, h, mr, mg, mb, lstd, lmin, lmax = (float(x) for x in feats.split(","))
+    assert (w, h) == (3.0, 2.0)
+    assert (mr, mg, mb) == (127.5, 0.0, 127.5)  # half red, half blue
+    assert lmin == pytest.approx(0.114 * 255, abs=1e-3)   # blue luminance
+    assert lmax == pytest.approx(0.299 * 255, abs=1e-3)   # red luminance
+
+
+def test_resize_image_real_bmp_nearest_neighbor(spark):
+    bmp = _bmp_bytes_3x2_red_over_blue()
+    media = spark.createDataFrame(
+        [(1, bmp, "image/bmp", 3, 2, None)], multimodal.MEDIA_SCHEMA
+    )
+    out = multimodal.resize_image(media, 2, 2, fake=False).collect()[0]
+    assert (out.width, out.height) == (2, 2)
+    px = list(out.payload)
+    assert px == [76, 76, 29, 29]  # top row red lum, bottom row blue lum
+
+
+def test_image_dims_header_parsers(spark):
+    import struct as s
+
+    bmp = _bmp_bytes_3x2_red_over_blue()
+    png = (
+        b"\x89PNG\r\n\x1a\n" + s.pack(">I", 13) + b"IHDR"
+        + s.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0) + b"pad"
+    )
+    gif = b"GIF89a" + s.pack("<HH", 32, 16) + b"rest"
+    # minimal JPEG: SOI, APP0 (16 bytes), SOF0 with h=120 w=160
+    jpeg = (
+        b"\xff\xd8" + b"\xff\xe0" + s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + s.pack(">H", 11) + b"\x08" + s.pack(">HH", 120, 160) + b"\x03"
+        + b"\xff\xd9"
+    )
+    rows = [
+        (1, bmp, None, None, None, None),
+        (2, png, None, None, None, None),
+        (3, gif, None, None, None, None),
+        (4, jpeg, None, None, None, None),
+        (5, b"garbage", None, None, None, None),
+        (6, None, None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: (r.format, r.width, r.height) for r in multimodal.image_dims(media).collect()}
+    assert got[1] == ("bmp", 3, 2)
+    assert got[2] == ("png", 640, 480)
+    assert got[3] == ("gif", 32, 16)
+    assert got[4] == ("jpeg", 160, 120)
+    assert got[5] == (None, None, None)
+    assert got[6] == (None, None, None)
