@@ -67,3 +67,105 @@ def test_stream_ffill_carries_state_across_microbatches(spark):
     assert got[ts("2024-01-01 02:00:00")] in (5.0, 9.0)  # 5.0 if batches ordered
     assert got[ts("2024-01-01 03:00:00")] == 9.0
     assert len(got) == 4
+
+
+# ---------------------------------------------------------------------------
+# Skew stress: inject pathologically hot keys and assert the mitigation
+# actually bounds per-partition load (spark_partition_id counts), not just
+# that results are correct. AQE's small-data partition coalescing is
+# disabled around the measurements — at test scale it would merge all
+# output into one partition and hide the distribution being asserted.
+# ---------------------------------------------------------------------------
+
+
+class _no_aqe_coalesce:
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        self.spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", self.prev)
+
+
+def _partition_counts(df):
+    return [
+        r.n
+        for r in df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+
+
+def test_source_quota_hot_source_bounded_per_partition(spark):
+    """One source owns 50% of the corpus (the reference's own reported
+    bottleneck shape: skew-blind appends, day_intervals_cohort_v1.py:20-22).
+    source_quota must (a) plan a map-side partial WindowGroupLimit so the
+    shuffle never carries the full hot group, and (b) leave every output
+    partition bounded by the quota, not by the hot group's size."""
+    from temporai_mivdp_spark.llmdata.sampling import source_quota
+
+    hot = [(i, "hot") for i in range(50_000)]
+    cold = [(50_000 + i, f"s{i % 200}") for i in range(50_000)]
+    docs = spark.createDataFrame(hot + cold, "doc_id: long, source: string").repartition(16)
+
+    out = source_quota(docs, max_per_group=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+    with _no_aqe_coalesce(spark):
+        counts = _partition_counts(out)
+    # 201 groups x <=20 rows, hashed over 32 partitions: any single
+    # partition holds a few groups' quotas — nowhere near the 50k hot rows
+    assert sum(counts) == 201 * 20
+    assert max(counts) <= 20 * 30, counts  # p99 headroom, still << 50_000
+
+
+def test_ngram_jaccard_stop_shingle_capped(spark):
+    """A boilerplate shingle present in EVERY doc would create a
+    quadratic candidate bucket (n^2/2 pairs through one posting list).
+    max_shingle_freq must drop it; threshold=0 exposes the raw candidate
+    pair count, so the bound is observable in the output."""
+    from temporai_mivdp_spark.llmdata import dedup
+
+    n = 120
+    docs = spark.createDataFrame(
+        [(i, f"click here now unique{i} tail{i} words{i}") for i in range(n)],
+        "doc_id: long, text: string",
+    )
+    uncapped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_shingle_freq=None)
+    assert uncapped.count() == n * (n - 1) // 2  # the quadratic bucket, realized
+
+    capped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_shingle_freq=100)
+    assert capped.count() == 0  # stop-shingle dropped -> no candidate blowup
+
+
+def test_salted_join_spreads_hot_key_across_partitions(spark):
+    """One key holds 50% of the fact rows. A plain shuffle join lands all
+    of them on one reducer; salted_join must spread them over multiple
+    partitions with a bounded max share."""
+    hot_n = 20_000
+    facts = spark.createDataFrame(
+        [(1, i) for i in range(hot_n)] + [(2 + (i % 50), i) for i in range(hot_n)],
+        "k: long, v: long",
+    ).repartition(16)
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 60)], "k: long, name: string")
+
+    salted = salted_join(facts, dim, on="k", salt_buckets=8)
+
+    with _no_aqe_coalesce(spark):
+        hot_pids = (
+            salted.filter(F.col("k") == 1)
+            .withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    assert sum(r.n for r in hot_pids) == hot_n  # correctness: no rows lost
+    assert len(hot_pids) >= 4, hot_pids         # hot key spread over partitions
+    # no single partition carries the whole hot key; 8 salt buckets over
+    # 32 partitions can collide, allow 2 buckets' worth of headroom
+    assert max(r.n for r in hot_pids) <= hot_n // 8 * 2, hot_pids
