@@ -17,6 +17,13 @@ Portability discipline: the dedup/text hashes are built on md5 (identical
 in Spark and DuckDB) so every operator stays oracle-checkable.
 """
 
-from temporai_mivdp_spark.llmdata import dedup, multimodal, sampling, similarity, text
+from temporai_mivdp_spark.llmdata import (
+    dedup,
+    multimodal,
+    pipeline,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "sampling", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "pipeline", "sampling", "similarity", "text"]

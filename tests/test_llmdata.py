@@ -690,3 +690,44 @@ def test_image_dims_header_parsers(spark):
     assert got[4] == ("jpeg", 160, 120)
     assert got[5] == (None, None, None)
     assert got[6] == (None, None, None)
+
+
+def test_curation_materialization_bucketed_zero_exchange_and_compacted(spark, tmp_path):
+    """The output-layout half of the curation pipeline: curated metadata
+    and doc payloads land bucketed on doc_id, so the training re-read
+    join plans with ZERO exchanges; packed text shards are compacted to
+    a byte-sized file count."""
+    from temporai_mivdp_spark import plans
+    from temporai_mivdp_spark.llmdata.pipeline import materialize_curation, training_read
+    from temporai_mivdp_spark.queries import QUERIES
+    import temporai_mivdp_spark.queries_llm  # noqa: F401
+    from temporai_mivdp_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    curated = QUERIES["pipeline_docs_curation"](spark, sf)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").repartition(40)
+
+    info = materialize_curation(
+        spark, curated, docs, out_path=str(tmp_path), table_prefix="t_cur",
+        num_buckets=8, target_file_mb=1,
+    )
+
+    # compaction: returned count == real file count, and far fewer than
+    # the 40-partition raw write
+    import glob
+
+    raw_files = glob.glob(str(tmp_path / "text_shards_raw" / "*.parquet"))
+    final_files = glob.glob(str(tmp_path / "text_shards" / "*.parquet"))
+    assert len(final_files) == info["text_files"]
+    assert len(final_files) < len(raw_files)
+
+    # zero-exchange re-read join on the bucketed key (force the shuffle
+    # strategy question: no broadcast escape hatch)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = training_read(spark, "t_cur")
+        assert plans.count_exchanges(joined) == 0, plans.plan_summary(joined)
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
