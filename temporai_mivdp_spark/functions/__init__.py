@@ -7,9 +7,18 @@ at call sites; they all stay inside whole-stage codegen.
 
 from temporai_mivdp_spark.functions.scalars import (
     clamp,
+    epoch_micros,
+    epoch_seconds,
     floor_days,
     parse_string_list,
     to_number,
 )
 
-__all__ = ["clamp", "floor_days", "parse_string_list", "to_number"]
+__all__ = [
+    "clamp",
+    "epoch_micros",
+    "epoch_seconds",
+    "floor_days",
+    "parse_string_list",
+    "to_number",
+]

@@ -22,6 +22,34 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_micros(col: Column) -> Column:
+    """Microseconds since the epoch for TIMESTAMP *and* TIMESTAMP_NTZ.
+
+    ``unix_micros`` only accepts TIMESTAMP (with local time zone);
+    parquet files whose timestamps carry no zone (``timestamp[us]``, as
+    the testdata tables do) load as TIMESTAMP_NTZ. The cast is a no-op
+    for TIMESTAMP and interprets NTZ wall-clock in the session time
+    zone. In interval arithmetic the zone offsets cancel only when the
+    session zone is a FIXED offset — under a DST-observing zone two
+    operands straddling a transition pick up different offsets and the
+    interval shifts by an hour — which is why session.py pins the
+    session time zone to UTC; keep it pinned.
+
+    This is the single home for the NTZ-accepting cast (floor_days,
+    floor_hours, epoch_seconds all route through here or mirror it) so
+    the handling can't drift between call sites.
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def epoch_seconds(col: Column) -> Column:
+    """Whole seconds since the epoch, NTZ-accepting (see
+    ``epoch_micros``). Truncates toward zero like ``unix_timestamp``
+    does for non-negative epochs — use only where second precision is
+    the contract."""
+    return F.floor(epoch_micros(col) / F.lit(1_000_000)).cast("long")
+
+
 def clamp(col: Column, lo: Column | float | None = None, hi: Column | float | None = None) -> Column:
     """F11: clip a column into [lo, hi] (the reference's
     ``stop_time > los -> los`` / ``start < 0 -> 0`` fixes at
@@ -39,8 +67,7 @@ def floor_days(later: Column, earlier: Column) -> Column:
     only the days component for hospital-admission cohorts
     (day_intervals_cohort_v1.py:104-105)."""
     return F.floor(
-        (F.unix_micros(later.cast("timestamp")) - F.unix_micros(earlier.cast("timestamp")))
-        / F.lit(86_400_000_000)
+        (epoch_micros(later) - epoch_micros(earlier)) / F.lit(86_400_000_000)
     ).cast("long")
 
 

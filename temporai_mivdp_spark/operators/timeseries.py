@@ -18,17 +18,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def epoch_micros(col: Column) -> Column:
-    """Microseconds since the epoch for TIMESTAMP *and* TIMESTAMP_NTZ.
-
-    ``unix_micros`` only accepts TIMESTAMP (with local time zone); parquet
-    files whose timestamps carry no zone (``timestamp[us]``, as the
-    testdata tables do) load as TIMESTAMP_NTZ. The cast is a no-op for
-    TIMESTAMP and interprets NTZ wall-clock in the session time zone
-    (pinned to UTC in session.py); in interval arithmetic the zone offset
-    cancels between the two operands either way.
-    """
-    return F.unix_micros(col.cast("timestamp"))
+# single home for the NTZ-accepting epoch cast (ADVICE: three call
+# sites had drifted copies); docstring with the UTC-pinning caveat
+# lives there
+from temporai_mivdp_spark.functions.scalars import epoch_micros  # noqa: E402
 
 
 def floor_hours(later: Column, earlier: Column) -> Column:

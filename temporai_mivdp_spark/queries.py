@@ -1222,7 +1222,7 @@ def j_asof_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.unix_timestamp(F.col("ts_matched").cast("timestamp")).alias("matched_unix_sec"),
+        scalars.epoch_seconds(F.col("ts_matched")).alias("matched_unix_sec"),
         "view_value",
     )
 
