@@ -52,6 +52,18 @@ def write_bucketed(
     file count with hash co-location, and ``sort_by`` pre-sorts within
     buckets so window stages skip their sort too.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # A managed table's location can survive a metastore that forgot
+        # the table (fresh derby per session) — .mode("overwrite") alone
+        # then fails with LOCATION_ALREADY_EXISTS. Drop both.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
