@@ -1,12 +1,20 @@
 """Scale-factor sweep for the headline queries.
 
 Times every bench.py headline query at sf0.001 / sf0.01 / sf0.1 (noop
-sink, best-of-N) and prints a markdown table with the 0.01->0.1 runtime
-ratio — the observable that distinguishes "fixed overhead dominates"
-(ratio ~1) from "data-linear" (ratio ~10) from "superlinear blowup"
-(ratio >> 10, a plan that will not survive a 100 TB corpus). Usage:
+sink, interleaved best-of-N) and prints a markdown table with the
+0.01->0.1 runtime ratio — the observable that distinguishes "fixed
+overhead dominates" (ratio ~1) from "data-linear" (ratio ~10) from
+"superlinear blowup" (ratio >> 10, a plan that will not survive a
+100 TB corpus). Usage:
 
     python tools/scaling.py [repeats]
+
+Methodology matches bench.py: DataFrames are built once (plan
+construction excluded from the timed region) and the timed runs are
+interleaved round-robin across every (query, sf) cell so a transient
+host stall spoils at most one sample per cell instead of all of them
+(consecutive best-of-3 produced nonsense ratios when a stall covered a
+whole cell's samples).
 """
 
 from __future__ import annotations
@@ -31,36 +39,39 @@ def main() -> None:
         app_name="mivdp-scaling",
         master="local[32]",
         shuffle_partitions=32,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: str, sf: str) -> None:
-        QUERIES[name](spark, f"/root/testdata/sf{sf}").write.format("noop").mode(
-            "overwrite"
-        ).save()
+    cells = [(name, sf) for name in HEADLINE for sf in SFS]
+    dfs = {
+        (name, sf): QUERIES[name](spark, f"/root/testdata/sf{sf}")
+        for name, sf in cells
+    }
 
-    # warm-up pass: JIT/codegen/classloading
-    for name in HEADLINE:
-        run(name, "0.001")
+    def run(cell) -> None:
+        dfs[cell].write.format("noop").mode("overwrite").save()
 
-    rows = []
-    for name in HEADLINE:
-        best = {}
-        for sf in SFS:
-            b = float("inf")
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                run(name, sf)
-                b = min(b, time.perf_counter() - t0)
-            best[sf] = b
-        ratio = best["0.1"] / best["0.01"]
-        rows.append((name, *(best[sf] for sf in SFS), ratio))
+    # warm-up: JIT/codegen/classloading + first-touch shuffle files
+    for cell in cells:
+        run(cell)
+
+    best = {cell: float("inf") for cell in cells}
+    for _ in range(repeats):
+        for cell in cells:
+            t0 = time.perf_counter()
+            run(cell)
+            best[cell] = min(best[cell], time.perf_counter() - t0)
 
     print("| query | sf0.001 s | sf0.01 s | sf0.1 s | 0.01→0.1 ratio |")
     print("|---|---|---|---|---|")
-    for name, a, b, c, r in rows:
-        print(f"| {name} | {a:.3f} | {b:.3f} | {c:.3f} | {r:.1f}× |")
+    for name in HEADLINE:
+        a, b, c = (best[(name, sf)] for sf in SFS)
+        print(f"| {name} | {a:.3f} | {b:.3f} | {c:.3f} | {c / b:.1f}× |")
     spark.stop()
 
 
