@@ -234,6 +234,43 @@ def brute_force_topk_arrow(
     )
 
 
+def _centroid_array(centroids: DataFrame, centroid_id_col: str, vec_col: str) -> Column:
+    """The centroid set as ONE literal array-of-structs column
+    (cid, cvec, cn). Collecting it is a tiny driver action (ncentroids
+    rows — an IVF coarse quantizer is small by construction); inlining
+    it makes centroid scoring a row-local expression, which deletes the
+    corpus-wide machinery the DataFrame form needs (cross join + a
+    per-vector argmax shuffle). Python's left-to-right ``sum`` matches
+    the engine-side sequential fold bit-for-bit (both IEEE double), so
+    the inlined norms rank identically to computed ones."""
+    rows = centroids.select(
+        F.col(centroid_id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    ).collect()
+    structs = []
+    for r in sorted(rows, key=lambda r: r["cid"]):
+        vec = [float(x) for x in r["cvec"]]
+        structs.append(
+            F.struct(
+                F.lit(int(r["cid"])).alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+                F.lit(float(sum(x * x for x in vec)) ** 0.5).alias("cn"),
+            )
+        )
+    return F.array(*structs)
+
+
+def _centroid_sims(vec: Column, cents: Column) -> Column:
+    """Per-centroid ranking scores of ``vec``: array of (sim, cid)
+    structs, sim = dot(c, v)/|c| (the vector's own norm is constant
+    within its ranking, so full cosine is unnecessary)."""
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            (_dot(c["cvec"], vec) / c["cn"]).alias("sim"), c["cid"].alias("cid")
+        ),
+    )
+
+
 def assign_ivf_buckets(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -242,23 +279,24 @@ def assign_ivf_buckets(
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine — the
-    inverted file). Centroids broadcast; one pass over the corpus.
-    Deterministic tie-break on centroid id. Ranking by cosine is invariant
-    to the vector's own norm, so only the centroid norms matter — they are
-    folded into the broadcast side once, and per-(vector, centroid) work
-    is a single dot product."""
-    c = centroids.select(
-        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
-    ).withColumn("__cn", _norm(F.col("__cvec")))
-    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
-        "__sim", _dot(F.col("__cvec"), F.col(vec_col)) / F.col("__cn")
+    inverted file), with a deterministic tie-break on centroid id.
+
+    ZERO-shuffle form: the centroid set is inlined as a literal array
+    (``_centroid_array``), so assignment is one row-local projection —
+    score all centroids with a transform, take the lexicographic
+    ``array_max`` of (sim, -cid) structs (max sim, then min cid). The
+    previous DataFrame form (broadcast cross join + per-vector
+    row_number window) shuffled ncentroids×|corpus| rows just to pick
+    each vector's argmax; at 100 TB that shuffle IS the job, and it
+    carried no information the map side didn't already have."""
+    cents = _centroid_array(centroids, centroid_id_col, vec_col)
+    best = F.array_max(
+        F.transform(
+            _centroid_sims(F.col(vec_col), cents),
+            lambda s: F.struct(s["sim"].alias("sim"), (-s["cid"]).alias("negcid")),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("__cid").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col("__cid").alias("bucket"))
-    )
+    return corpus.select(id_col, vec_col, (-best["negcid"]).cast("long").alias("bucket"))
 
 
 def deterministic_centroids(
@@ -289,24 +327,24 @@ def ivf_topk(
     this is what survives a 1000-executor corpus."""
     assigned = assign_ivf_buckets(corpus, centroids, vec_col=vec_col, id_col=id_col)
 
-    c = centroids.select(
-        F.col("centroid_id").alias("__cid"), F.col(vec_col).alias("__cvec")
-    ).withColumn("__cn", _norm(F.col("__cvec")))
+    # probe routing is row-local too: score the literal centroid array,
+    # sort by (-sim, cid) — max sim first, ties to the lower centroid id
+    # — and explode the first nprobe buckets. No cross join, no window.
+    cents = _centroid_array(centroids, "centroid_id", vec_col)
     p = probes.select(F.col(probe_id_col).alias("__pid"), F.col(vec_col).alias("__pvec"))
-    probe_buckets = (
-        p.crossJoin(F.broadcast(c))
-        # probe norm is constant within the per-probe ranking partition, so
-        # dot/|c| ranks identically to full cosine
-        .withColumn("__sim", _dot(F.col("__cvec"), F.col("__pvec")) / F.col("__cn"))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("__pid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
-            ),
-        )
-        .filter(F.col("__rn") <= nprobe)
-        .select("__pid", "__pvec", F.col("__cid").alias("bucket"))
+    routed = F.slice(
+        F.sort_array(
+            F.transform(
+                _centroid_sims(F.col("__pvec"), cents),
+                lambda s: F.struct((-s["sim"]).alias("negsim"), s["cid"].alias("cid")),
+            )
+        ),
+        1,
+        nprobe,
     )
+    probe_buckets = p.select(
+        "__pid", "__pvec", F.explode(routed).alias("__r")
+    ).select("__pid", "__pvec", F.col("__r.cid").cast("long").alias("bucket"))
 
     probe_buckets = probe_buckets.withColumn("__pn", _norm(F.col("__pvec")))
     candidates = assigned.withColumn("__cn2", _norm(F.col(vec_col))).join(
