@@ -143,3 +143,45 @@ def test_tumbling_bucket_matches_loop(spark, events, bucket):
         gn, gs = got[key]
         assert gn == n
         assert abs(gs - s) <= 1e-9 * max(1.0, abs(s))  # summation-order tolerance
+
+
+@st.composite
+def point_visit_sets(draw):
+    """Instant visits (start == end): duplicates, sub-day offsets, and
+    occasional NULLs included — the shapes that distinguish the RANGE
+    window fast path from the join path."""
+    n = draw(st.integers(1, 14))
+    base = dt.datetime(2150, 1, 1)
+    out = []
+    for i in range(n):
+        subj = draw(st.integers(1, 3))
+        if draw(st.integers(0, 9)) == 0:
+            out.append((subj, i, None))
+        else:
+            mins = draw(st.integers(0, 90 * 24 * 60))
+            out.append((subj, i, base + dt.timedelta(minutes=mins)))
+    return out
+
+
+@given(visits=point_visit_sets(), gap=st.integers(1, 45))
+@_SETTINGS
+def test_point_interval_label_matches_general_join_path(spark, visits, gap):
+    """The start==end RANGE-window fast path must agree with the general
+    self-join path on every input — duplicates, NULLs, sub-day gaps."""
+    df = spark.createDataFrame(visits, "subj: long, vid: long, t: timestamp")
+    fast = {
+        r.vid: r.label
+        for r in interval_exists_label(
+            df, group_key="subj", start_col="t", end_col="t", gap_days=gap, id_cols=["vid"]
+        ).collect()
+    }
+    # force the general path by aliasing the same column under two names
+    general_df = df.select("subj", "vid", "t", F.col("t").alias("t2"))
+    general = {
+        r.vid: r.label
+        for r in interval_exists_label(
+            general_df, group_key="subj", start_col="t", end_col="t2",
+            gap_days=gap, id_cols=["vid"],
+        ).collect()
+    }
+    assert fast == general, (visits, gap)
