@@ -75,3 +75,20 @@ def test_plan_fingerprint_stable_across_session_history(spark):
     ).save()
     after = {n: plan_fingerprint(QUERIES[n](spark, SF_SMOKE)) for n in names}
     assert before == after
+
+
+def test_headline_set_and_plans_json_in_sync(spark):
+    """bench.py's HEADLINE names must all exist in the catalog, and the
+    committed PLANS.json must cover exactly the headline set — key drift
+    here silently breaks regression attribution."""
+    import json
+    from pathlib import Path
+
+    from bench import HEADLINE
+
+    assert all(n in QUERIES for n in HEADLINE), sorted(set(HEADLINE) - set(QUERIES))
+    fingerprints = json.loads(
+        (Path(__file__).resolve().parents[1] / "PLANS.json").read_text()
+    )
+    assert sorted(fingerprints) == sorted(HEADLINE)
+    assert all(isinstance(v, str) and len(v) == 12 for v in fingerprints.values())
