@@ -149,26 +149,28 @@ def ngram_jaccard_pairs(
         id_col, F.size("__set").alias("__sz"), F.explode("__set").alias("shingle")
     )
     # Posting lists bound the frequency cap (one groupBy replaces a
-    # count-aggregate + semi-join), then pairs come from a shuffled-hash
-    # SELF-JOIN of the posexploded lists on the shingle — NOT a row-local
-    # nested-transform pair emit. Measured at sf0.1: the HOF emit runs
-    # interpreted (no codegen for lambda bodies) and its per-element
-    # slice() copies make each posting list O(k^2) allocations — 3.7-8s
-    # wall with multi-second GC outliers vs a stable ~2.1s for the join.
-    # The explicit hint matters: AQE left alone broadcasts one side,
-    # which recomputes the whole scan->shingle->set subtree for BOTH
-    # sides and re-introduces the GC spikes (measured 3.4-13s). Among
-    # shuffle joins, shuffle_hash beat sort-merge ~20% here (2.08s vs
-    # 2.64s best-of-4): both sides arrive partitioned by shingle from the
-    # posts exchange, and hashing skips the per-partition sort. Memory
-    # model at scale: the build side per task is total postings /
-    # shuffle partitions — the same order as a sort buffer, bounded like
-    # every shuffle partition is, and the max_shingle_freq cap has
-    # already removed the skewed keys that would distort it. Corpora
-    # where that cap must be loosened should flip to a merge hint (spill
-    # -safe under arbitrary skew).
-    # sort_array orders entries by id (ids are unique per shingle), so
-    # pos_a < pos_b implies id_a < id_b — no orientation branch.
+    # count-aggregate + semi-join), then pairs are emitted ROW-LOCALLY
+    # from each posting list: posexplode the entries and explode the
+    # strictly-later tail slice of the SAME row's list. sort_array
+    # orders entries by id (ids are unique per shingle), so pairing each
+    # entry with its tail gives id_a < id_b with no orientation branch.
+    # History of this stage, all measured at sf0.1:
+    # * nested-transform HOF emit — 3.7-8s with multi-second GC outliers
+    #   (lambda bodies run interpreted); rejected.
+    # * shuffled-hash SELF-JOIN of the posexploded lists on shingle —
+    #   stable 2.0s, but the physical plan instantiates the whole
+    #   scan->shingle->set->posts subtree TWICE (one per join side) and
+    #   neither exchange reuse nor AQE stage reuse deduplicates it
+    #   (verified: persisting `posts` cut 20% — impossible if the stage
+    #   were reused). Two full corpus scans + four heavy aggregation
+    #   exchanges at 100 TB.
+    # * this explode(slice(tail)) emit — equal wall-clock at sf0.1
+    #   (1.98s vs 2.04s) with the subtree computed ONCE and zero join:
+    #   pairs leave the posts partitions map-side and meet their one
+    #   exchange at the (id_a, id_b) count. Slice allocations total
+    #   O(pair count) — the same rows the join had to materialize — and
+    #   the frequency cap already bounds the worst list at
+    #   max_shingle_freq entries, so per-row slice width is bounded too.
     posts = sh.groupBy("shingle").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__sz").alias("sz")))
@@ -177,22 +179,16 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_freq is not None:
         posts = posts.filter(F.col("__df") <= max_shingle_freq)
-    e = posts.select("shingle", F.posexplode("__entries").alias("pos", "ent"))
-    a = e.select(
-        "shingle",
-        F.col("pos").alias("__pa"),
-        F.col("ent.id").alias("id_a"),
-        F.col("ent.sz").alias("sa"),
-    )
-    b = e.select(
-        "shingle",
-        F.col("pos").alias("__pb"),
-        F.col("ent.id").alias("id_b"),
-        F.col("ent.sz").alias("sb"),
+    ea = posts.select(F.posexplode("__entries").alias("__pos", "__ea"), "__entries")
+    pairs = ea.select(
+        F.col("__ea.id").alias("id_a"),
+        F.col("__ea.sz").alias("sa"),
+        F.explode(F.expr("slice(__entries, __pos + 2, size(__entries))")).alias("__eb"),
     )
     inter = (
-        a.join(b.hint("shuffle_hash"), "shingle")
-        .filter(F.col("__pa") < F.col("__pb"))
+        pairs.select(
+            "id_a", "sa", F.col("__eb.id").alias("id_b"), F.col("__eb.sz").alias("sb")
+        )
         # sa/sb are functionally dependent on the ids, so grouping by them
         # too changes nothing semantically and saves the join-back
         .groupBy("id_a", "id_b", "sa", "sb")
