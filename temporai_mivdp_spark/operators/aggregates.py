@@ -93,36 +93,44 @@ def mode_vote_filter(
     are dropped along with the minority (``values != most_frequent`` is
     True for NaN), and when it doesn't fire they are kept.
 
-    Plan: aggregate votes to the tiny (group, value, count) table first
-    (one map-side-combined shuffle), derive per-group stats and the mode
-    rank on THAT, and broadcast-join the verdicts back. The fact table is
-    never window-sorted — windowing the raw events would sort the full
-    dataset inside each group for four window functions.
+    Plan: ONE aggregation of the facts to the tiny (group, value, count)
+    table — null votes included as their own row so the group total
+    needs no second scan — then every per-group statistic (total, number
+    of distinct non-null values, mode, top count) comes from windows
+    sharing that table's single (group) partitioning, and the verdicts
+    broadcast-join back. The fact table is scanned twice (aggregate +
+    join), aggregated once, and never window-sorted; the previous form
+    scanned it three times, aggregated it twice (counts + totals), and
+    instantiated the counts subtree once per consumer — exchange reuse
+    does not deduplicate repeated subplans (measured on the dedup
+    operators), so fused-window is the shape that survives scale.
     """
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
-    counts = (
-        df.filter(F.col(vote_col).isNotNull())
-        .groupBy(*keys, vote_col)
-        .agg(F.count(F.lit(1)).alias("__vcnt"))
+    counts = df.groupBy(*keys, vote_col).agg(F.count(F.lit(1)).alias("__vcnt"))
+    w_part = Window.partitionBy(*keys)
+    # nulls ordered last: the mode (rank 1) is non-null whenever any
+    # non-null vote exists, matching value_counts() skipping NaN
+    w_rank = w_part.orderBy(
+        F.col(vote_col).isNull().asc(), F.col("__vcnt").desc(), F.col(vote_col).asc()
     )
-    totals = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__gtotal"))
-    w_rank = Window.partitionBy(*keys).orderBy(F.col("__vcnt").desc(), F.col(vote_col).asc())
-    mode = (
+    stats = (
         counts.withColumn("__rank", F.row_number().over(w_rank))
-        .filter(F.col("__rank") == 1)
-        .select(*keys, F.col(vote_col).alias("__mode"), F.col("__vcnt").alias("__topn"))
+        .withColumn("__gtotal", F.sum("__vcnt").over(w_part))
+        .withColumn(
+            "__nvals",
+            F.sum(F.when(F.col(vote_col).isNotNull(), 1).otherwise(0)).over(w_part),
+        )
     )
-    nvals = counts.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nvals"))
-    verdict = mode.join(nvals, on=keys).join(totals, on=keys).select(
+    verdict = stats.filter(F.col("__rank") == 1).select(
         *keys,
-        "__mode",
+        F.col(vote_col).alias("__mode"),
         (
             (F.col("__nvals") > 1)
-            & (F.col("__topn") / F.col("__gtotal") > cut_off)
+            & (F.col("__vcnt") / F.col("__gtotal") > cut_off)
         ).alias("__fire"),
     )
     joined = df.join(F.broadcast(verdict), on=keys, how="left")
-    # groups with zero non-null votes have no verdict row -> never fire
+    # groups with zero rows of any kind have no verdict row -> never fire
     fired = F.coalesce(F.col("__fire"), F.lit(False))
     kept = joined.filter((~fired) | (F.col(vote_col) == F.col("__mode")))
     return kept.drop("__mode", "__fire")
