@@ -99,6 +99,48 @@ def stratified_hash_sample(
     return out.filter(keep).drop("__rate")
 
 
+def temperature_resample(
+    df: DataFrame,
+    temperature: float,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+    target_fraction: float = 1.0,
+) -> DataFrame:
+    """Temperature-based source rebalancing — the standard multi-source
+    mixing rule (multilingual/multi-corpus pretraining): sample source i
+    with probability ∝ (n_i/N)^(1/T), so T=1 keeps natural proportions
+    and T→∞ approaches uniform-over-sources, up-weighting rare sources
+    at the head corpus's expense.
+
+    Implementation is one aggregation + a broadcast: per-source counts
+    → renormalized target share → per-source keep rate
+    ``target_fraction · N · p_i / n_i`` (capped at 1 — sampling without
+    replacement cannot up-sample; rare sources saturate at keeping
+    everything, the classic behavior). The keep decision reuses the
+    deterministic md5 bucket of (seed, key): row-local, rerun-stable,
+    no shuffle of the corpus itself.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    total = F.sum("__n").over(Window.partitionBy())
+    share = F.pow(F.col("__n") / total, F.lit(1.0 / temperature))
+    norm = F.sum(share).over(Window.partitionBy())
+    rates = counts.select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_fraction) * (share / norm) * (total / F.col("__n")),
+        ).alias("__rate"),
+    )
+    out = df.join(F.broadcast(rates), group_col, "left")
+    keep = _hash_bucket(F.col(key_col), seed) < (
+        F.coalesce(F.col("__rate"), F.lit(0.0)) * _BUCKETS
+    )
+    return out.filter(keep).drop("__rate")
+
+
 def source_quota(
     df: DataFrame,
     max_per_group: int,

@@ -731,3 +731,36 @@ def test_curation_materialization_bucketed_zero_exchange_and_compacted(spark, tm
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_temperature_resample_rebalances_sources(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    rows = [(i, "head") for i in range(9_000)] + [(9_000 + i, "tail") for i in range(1_000)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+
+    # T=1: natural proportions — keep everything (rates are all 1)
+    t1 = sampling.temperature_resample(df, temperature=1.0)
+    assert t1.count() == 10_000
+
+    # high T → near-uniform target shares: head rate = N·0.5/n_head ≈ 0.556
+    hot = sampling.temperature_resample(df, temperature=100.0)
+    got = {r.source: r.n for r in hot.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got["tail"] == 1_000                    # rare source saturates: keep all
+    assert 4_500 <= got["head"] <= 5_500, got      # ~9000 × 0.556
+
+    # target_fraction scales the whole draw: at 0.2·N both sources land
+    # near the uniform 1000-row share (tail capped at keep-all)
+    eq = sampling.temperature_resample(df, temperature=100.0, target_fraction=0.2)
+    got_eq = {r.source: r.n for r in eq.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert 950 <= got_eq["tail"] <= 1_000, got_eq  # rate ≈ 0.989 at T=100
+    assert 800 <= got_eq["head"] <= 1_200, got_eq
+
+    # deterministic: same seed, same survivors
+    again = sampling.temperature_resample(df, temperature=100.0)
+    assert sorted(r.doc_id for r in hot.collect()) == sorted(r.doc_id for r in again.collect())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="temperature"):
+        sampling.temperature_resample(df, temperature=0.0)
