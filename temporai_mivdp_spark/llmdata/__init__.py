@@ -8,10 +8,15 @@ Beyond the reference's clinical surface, the engine ships the operators a
   text         language-ID heuristic, quality scoring + repetition
                signals, token counting, document fingerprinting
   sampling     deterministic hash split (train/val/test), stratified
-               hash sampling, concat-and-chunk sequence packing
+               hash sampling, temperature source rebalancing,
+               concat-and-chunk sequence packing
   multimodal   opaque-binary media columns: schema, Arrow-batched
-               metadata/feature extraction (decode stubbed — media codecs
-               are not in this container), deterministic fake features
+               metadata/feature extraction; REAL stdlib codecs for
+               WAV/PCM audio + 24-bit BMP + header-only dims
+               (compressed formats stubbed — no codec libs in this
+               container), deterministic fake features
+  pipeline     production output layout: doc_id-bucketed tables
+               (zero-exchange re-read joins) + byte-sized compaction
 
 Portability discipline: the dedup/text hashes are built on md5 (identical
 in Spark and DuckDB) so every operator stays oracle-checkable.
