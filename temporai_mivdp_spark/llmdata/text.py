@@ -127,7 +127,16 @@ def repetition_features(
             )
         ).alias("__g"),
     )
-    gc = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    # one exchange for both aggregation levels: hash-partitioning by the
+    # doc id alone satisfies the clustering requirement of the
+    # (id, gram) groupBy AND the (id) groupBy (same single-exchange
+    # reasoning as operators.aggregates.two_level_agg — gram keys are
+    # near-unique per row, so the lost map-side combine is cheap)
+    gc = (
+        grams.repartition(id_col)
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     rep = gc.groupBy(id_col).agg(
         F.max("__c").alias("__max_c"),
         F.sum("__c").alias("__tot"),
