@@ -484,8 +484,15 @@ def simhash(
 ) -> DataFrame:
     """SimHash fingerprint: per token a portable 32-bit hash; each of the
     low ``bits`` bit positions votes +count/-count by whether the bit is
-    set; fingerprint sets bits with positive balance. One explode over
-    (token x bit) + one groupBy per doc. ``bits`` is capped at 32 (the
+    set; fingerprint sets bits with positive balance.
+
+    Wide form (the ``_minhash_wide`` pattern): all ``bits`` bit balances
+    are conditional sums in ONE groupBy(doc) — each bit's predicate is a
+    row-local shift of the token hash — and the fingerprint assembles
+    row-locally from the balance columns. The earlier long form exploded
+    every token row ``bits``× and paid a (doc, bit) exchange over the
+    multiplied stream plus a second per-doc aggregation; the wide form
+    shuffles each distinct token once. ``bits`` is capped at 32 (the
     base hash width); the shift runs in BIGINT so bit 31 does not wrap
     negative."""
     if not 1 <= bits <= 32:
@@ -496,26 +503,19 @@ def simhash(
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .withColumn("__h", _md5_hash32(F.col("token")))
     )
-    votes = toks.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "__h",
-        "__cnt",
-    ).select(
-        id_col,
-        "bit",
-        # shiftright's DSL form takes a literal count; the SQL form takes
-        # an expression, which we need since the bit index is a column
-        F.when(F.expr("shiftright(__h, bit) & 1") == 1, F.col("__cnt"))
-        .otherwise(-F.col("__cnt"))
-        .alias("__vote"),
+    balances = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(__h, {b}) & 1") == 1, F.col("__cnt"))
+                .otherwise(-F.col("__cnt"))
+            ).alias(f"__b{b}")
+            for b in range(bits)
+        ]
     )
-    balance = votes.groupBy(id_col, "bit").agg(F.sum("__vote").alias("__bal"))
-    return balance.groupBy(id_col).agg(
-        F.sum(F.when(F.col("__bal") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0))
-        .cast("long")
-        .alias("simhash")
+    fingerprint = sum(
+        F.when(F.col(f"__b{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(bits)
     )
+    return balances.select(id_col, fingerprint.cast("long").alias("simhash"))
 
 
 def embedding_near_duplicates(
@@ -532,11 +532,20 @@ def embedding_near_duplicates(
     pairs — test-scale only; at 100 TB always pass a block (e.g. an IVF
     assignment from similarity.assign_ivf_buckets).
     """
-    from temporai_mivdp_spark.llmdata.similarity import cosine_expr
+    from temporai_mivdp_spark.llmdata.similarity import _dot, _norm
 
+    # norms are per-VECTOR, so compute them once on each join side —
+    # folding them inside a per-pair cosine would run two extra
+    # higher-order-function folds per candidate pair (HOF lambdas are
+    # interpreted, not codegen'd; measured ~3x on the blocked self-join)
     cols = [id_col, vec_col] + ([block_col] if block_col else [])
-    a = embeddings.select(*[F.col(c).alias(f"a_{c}") for c in cols])
-    b = embeddings.select(*[F.col(c).alias(f"b_{c}") for c in cols])
+    sided = embeddings.select(*cols).withColumn("__nrm", _norm(F.col(vec_col)))
+    a = sided.select(
+        *[F.col(c).alias(f"a_{c}") for c in cols], F.col("__nrm").alias("a___nrm")
+    )
+    b = sided.select(
+        *[F.col(c).alias(f"b_{c}") for c in cols], F.col("__nrm").alias("b___nrm")
+    )
     if block_col:
         cond = F.col(f"a_{block_col}") == F.col(f"b_{block_col}")
         paired = a.join(b, on=cond)
@@ -544,7 +553,9 @@ def embedding_near_duplicates(
         paired = a.crossJoin(b)
     paired = paired.filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
     sim = paired.withColumn(
-        "cosine", cosine_expr(F.col(f"a_{vec_col}"), F.col(f"b_{vec_col}"))
+        "cosine",
+        _dot(F.col(f"a_{vec_col}"), F.col(f"b_{vec_col}"))
+        / (F.col("a___nrm") * F.col("b___nrm")),
     )
     return sim.filter(F.col("cosine") >= threshold).select(
         F.col(f"a_{id_col}").alias("id_a"),
