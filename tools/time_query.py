@@ -27,15 +27,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: str, d: str) -> None:
-        QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
-
     for name in sys.argv[1:]:
-        run(name, "/root/testdata/sf0.001")  # warm-up
+        # bench.py methodology: build once (plan construction outside the
+        # timed region), warm once, then time executions only
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            run(name, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
         print(f"{name}: best={min(times)} all={times}", flush=True)
     spark.stop()
