@@ -40,6 +40,11 @@ _NORMALIZERS: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"Statistics\([^)]*\)"), ""),         # size estimates
     (re.compile(r"size=\d+"), "size="),
     (re.compile(r"rowCount=\d+"), "rowCount="),
+    # parallelism-dependent counts: shuffle partition numbers inside
+    # partitioning specs and scan split counts vary with the session's
+    # cpu/partition confs without the plan SHAPE changing
+    (re.compile(r"partitioning\((.*?), \d+\)"), r"partitioning(\1)"),
+    (re.compile(r"splits=\d+"), "splits="),
 ]
 
 
