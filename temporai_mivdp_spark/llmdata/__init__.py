@@ -9,7 +9,8 @@ Beyond the reference's clinical surface, the engine ships the operators a
                signals, token counting, document fingerprinting
   sampling     deterministic hash split (train/val/test), stratified
                hash sampling, temperature source rebalancing,
-               concat-and-chunk sequence packing
+               concat-and-chunk sequence packing, context-length
+               document chunking with overlap (zero-shuffle)
   multimodal   opaque-binary media columns: schema, Arrow-batched
                metadata/feature extraction; REAL stdlib codecs for
                WAV/PCM audio + 24-bit BMP + header-only dims

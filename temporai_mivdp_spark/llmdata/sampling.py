@@ -13,6 +13,8 @@ The three ops every training-data pipeline needs after curation:
 * ``pack_sequences`` — concat-and-chunk packing: assign each document a
   pack id by the starting offset of its tokens in the concatenated
   stream. Window cumsum, the standard LLM pretraining batch layout.
+* ``chunk_documents`` — the inverse shaping op: split docs LONGER than
+  the context window into overlapping token chunks, row-locally.
 
 All three are md5-based and bit-portable to the DuckDB oracles
 (``int(md5(x)[:8], 16)`` on both engines).
@@ -299,3 +301,63 @@ def pack_sequences(
         out_col, F.floor((F.col("__off") + local_cum) / F.lit(max_tokens))
     )
     return out.drop("__pid", "__off")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into word-token chunks of at most
+    ``chunk_size`` tokens, consecutive chunks sharing ``overlap`` tokens
+    — the context-length-bounded layout for training on documents longer
+    than the model window (and the standard RAG passage shape).
+
+    Distinct from ``pack_sequences``: packing concatenates SHORT docs
+    into full windows; chunking splits LONG docs so no chunk exceeds
+    the window. A pipeline typically chunks, then packs the chunks.
+
+    Entirely row-local — tokenize, compute the chunk count, explode a
+    chunk-index sequence, slice — so the op adds ZERO shuffles to
+    whatever plan it is embedded in; at 100 TB it is a flat map over
+    the scan, and the output inherits the input's partitioning by
+    ``id_col`` prefix. Tokenization matches the dedup family
+    (``normalize_text`` + single-space split) so chunk boundaries agree
+    with shingle/token accounting elsewhere in the pipeline.
+
+    Chunk starts sit at multiples of ``stride = chunk_size - overlap``;
+    the final chunk is the ragged tail (shorter than ``chunk_size``,
+    never empty). Docs with at most ``chunk_size`` tokens yield
+    themselves as chunk 0. Returns (id, chunk_id, chunk_text,
+    n_tokens) with chunk_id dense from 0 per document.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap=} {chunk_size=}")
+    stride = chunk_size - overlap
+    from .dedup import normalize_text
+
+    toks = docs.select(
+        id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
+    )
+    n = F.size("__toks")
+    # chunks = 1 + ceil((n - chunk_size) / stride) for n > chunk_size:
+    # the first chunk covers chunk_size tokens, each later one extends
+    # coverage by stride. Integer form (n - overlap - 1) div stride + 1
+    # avoids a double-typed ceil in the codegen.
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.floor((n - F.lit(overlap) - 1) / F.lit(stride)) + 1
+    ).cast("int")
+    chunked = toks.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice("__toks", F.col("chunk_id") * stride + 1, chunk_size)
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )

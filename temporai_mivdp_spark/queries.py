@@ -1227,32 +1227,8 @@ def j_asof_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "olap_cube",
-    """
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           count(*) AS n_lines,
-           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def olap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full cube over (returnflag, linestatus): leaf rows plus BOTH
-    one-dimension margins plus the grand total in a single pass —
-    completes the grouping-sets family next to ``olap_rollup``."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.round("l_quantity", 0).cast("long")).alias("total_qty"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n_lines",
-            "total_qty",
-        )
-    )
+# olap_cube was registered here through round 3: the same Expand-based
+# grouping-sets plan as olap_rollup with two extra sets. Displaced from
+# the 50-entry catalog by text_chunk_overlap (queries_llm.py) — the
+# cube/rollup family stays covered by olap_rollup; df.cube() remains a
+# one-liner on any query here.

@@ -746,3 +746,30 @@ def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write it to Parquet here) so the curation DAG runs once
     split = split.persist()
     return sampling.pack_sequences(split, max_tokens=2048, tokens_col="bpe_estimate")
+
+
+@_register(
+    "text_chunk_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    c AS (SELECT doc_id, w, len(w) AS n FROM toks),
+    nc AS (
+      SELECT doc_id, w,
+             CASE WHEN n <= 24 THEN 1 ELSE (n - 8 - 1) // 16 + 1 END AS nch
+      FROM c
+    ),
+    e AS (SELECT doc_id, w, unnest(generate_series(0, nch - 1)) AS chunk_id FROM nc)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(w[chunk_id * 16 + 1 : chunk_id * 16 + 24], ' ') AS chunk_text,
+           CAST(len(w[chunk_id * 16 + 1 : chunk_id * 16 + 24]) AS INT) AS n_tokens
+    FROM e
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length-bounded chunking: every document split into
+    24-token chunks overlapping by 8 (stride 16) — multi-chunk docs,
+    ragged tails, and the <=24-token identity case all occur in the
+    10-99-token corpus. Zero-shuffle row-local plan
+    (llmdata/sampling.py::chunk_documents)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return sampling.chunk_documents(docs, chunk_size=24, overlap=8)

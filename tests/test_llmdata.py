@@ -764,3 +764,50 @@ def test_temperature_resample_rebalances_sources(spark):
 
     with _pytest.raises(ValueError, match="temperature"):
         sampling.temperature_resample(df, temperature=0.0)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Dropping each chunk's first `overlap` tokens (except chunk 0)
+    and concatenating reconstructs the original token stream exactly;
+    every chunk is bounded by chunk_size and non-empty."""
+    from temporai_mivdp_spark.llmdata import sampling
+
+    size, ov = 7, 3
+    texts = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)))
+        # 1 token, under/at/over one chunk, exact stride boundary, long
+        for i, n in enumerate([1, 4, 7, 8, 11, 15, 40])
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = (
+        sampling.chunk_documents(df, chunk_size=size, overlap=ov)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.n_tokens <= size
+        assert r.n_tokens == len(r.chunk_text.split(" "))
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in texts:
+        chunks = by_doc[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        toks: list[str] = []
+        for c in chunks:
+            words = c.chunk_text.split(" ")
+            # consecutive chunks share exactly the `overlap` boundary
+            # tokens (ragged tail may re-cover more; prefix must match)
+            if toks:
+                assert toks[-ov:] == words[:ov] or words == toks[-len(words):]
+            toks += words[ov:] if toks else words
+        assert " ".join(toks) == text
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(df, chunk_size=4, overlap=4)
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(df, chunk_size=4, overlap=-1)
