@@ -6,8 +6,13 @@ natural streaming twin. This package keeps the batch and streaming forms
 of each operator expression-identical so a pipeline can run either mode:
 the bucket ordinal ``floor(hours/bucket)`` of the batch path IS the
 ``window(ts, "<bucket> hours")`` tumbling window here.
+
+``ingest.py`` extends the same twinning to the LLM-data layer: the
+incremental exact/LSH dedup operators become a rolling-ingest
+foreachBatch pipeline with idempotent, partition-per-epoch state.
 """
 
+from temporai_mivdp_spark.streaming.ingest import ingest_dedup_stream
 from temporai_mivdp_spark.streaming.windows import (
     read_parquet_stream,
     stream_dedup,
@@ -19,6 +24,7 @@ from temporai_mivdp_spark.streaming.windows import (
 )
 
 __all__ = [
+    "ingest_dedup_stream",
     "read_parquet_stream",
     "stream_dedup",
     "stream_enrich",

@@ -1,0 +1,146 @@
+"""Rolling-ingest deduplication: the streaming twin of the incremental
+batch dedup (`llmdata/dedup.py::incremental_exact_novel` /
+`incremental_lsh_candidates`).
+
+A 100 TB corpus is not deduplicated once — it is *ingested*, shard after
+shard, and each shard must be deduped against everything already
+accepted WITHOUT rescanning the corpus. The batch layer provides the
+per-shard operators; this module turns them into a Structured Streaming
+pipeline whose only cross-shard memory is two slim state tables:
+
+* ``keys``  — one md5 content key per accepted doc (exact dedup state)
+* ``bands`` — (doc_id, band, bh) LSH rows per accepted doc (near-dup
+  state)
+
+Each micro-batch joins against state (state-sized but key-only — the
+accepted TEXT is never re-read), filters exact and near duplicates,
+writes the survivors to the output, and writes the survivors'
+keys/bands to state.
+
+``foreachBatch`` is at-least-once, so every write is made idempotent
+the same way: output, keys, and bands all land in a partition named by
+``ingest_batch`` (the foreachBatch epoch id, stable across replays via
+the checkpoint) under dynamic partition overwrite, and the state reads
+EXCLUDE the current batch's own partition. A replayed batch therefore
+sees exactly the state its first attempt saw — regardless of which of
+the three writes the failed attempt completed — recomputes the same
+survivors, and overwrites its own partitions byte-for-byte instead of
+appending duplicates or (worse) colliding with its own half-written
+state. Plain ``append`` state writes would NOT be safe: a failure
+between the keys write and the bands write would make the replay see
+its own keys, compute zero survivors, and overwrite the output
+partition with nothing.
+
+At scale, compact each state partition periodically with
+``sources/sinks.py::compact_parquet`` and lay the consolidated state
+out with ``sources/sinks.py::write_bucketed`` (keys bucketed by
+``content_key``, bands by ``(band, bh)``) so the per-batch joins
+shuffle only the shard side — the same zero-exchange re-read layout
+``llmdata/pipeline.py`` demonstrates for the curation output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from temporai_mivdp_spark.llmdata.dedup import (
+    incremental_exact_novel,
+    incremental_lsh_candidates,
+    lsh_band_index,
+)
+
+_KEYS_SCHEMA = "content_key string, ingest_batch long"
+_BANDS_SCHEMA = "doc_id long, band long, bh string, ingest_batch long"
+
+
+def _read_state(
+    spark: SparkSession, path: str, schema: str, exclude_batch: int
+) -> DataFrame:
+    try:
+        df = spark.read.parquet(path)
+    except Exception:  # first batch: state dir does not exist yet
+        df = spark.createDataFrame([], schema)
+    # a replay must not see its own first attempt's rows; the filter is
+    # on the partition column, so it prunes rather than scans
+    return df.filter(F.col("ingest_batch") != exclude_batch)
+
+
+def _write_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    (
+        df.withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(path)
+    )
+
+
+def ingest_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    state_dir: str,
+    output_dir: str,
+    schema: StructType | str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Build (not start) a streaming query that watches ``input_path``
+    for document parquet shards and writes only never-seen-before,
+    not-near-duplicate docs to ``output_dir`` (partitioned by
+    ``ingest_batch``), maintaining dedup state under ``state_dir``.
+
+    Returns the ``DataStreamWriter``; call ``.trigger(availableNow=True)
+    .start()`` (or a processing-time trigger) on it. The checkpoint
+    lives under ``state_dir/checkpoint`` so stream restarts resume with
+    both their offsets and their dedup state intact.
+    """
+    keys_path = f"{state_dir}/keys"
+    bands_path = f"{state_dir}/bands"
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        seen = _read_state(spark, keys_path, _KEYS_SCHEMA, batch_id)
+        index = _read_state(spark, bands_path, _BANDS_SCHEMA, batch_id)
+
+        novel = incremental_exact_novel(
+            batch, seen, text_col=text_col, id_col=id_col
+        )
+        near = (
+            incremental_lsh_candidates(
+                novel,
+                index,
+                num_hashes=num_hashes,
+                bands=bands,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .select(F.col("new_id").alias(id_col))
+            .dropDuplicates()
+        )
+        kept = novel.join(near, id_col, "left_anti")
+        # three consumers (output, keys, bands) of one batch-sized plan
+        kept = kept.persist()
+        try:
+            _write_partition(kept.drop("content_key"), batch_id, output_dir)
+            _write_partition(kept.select("content_key"), batch_id, keys_path)
+            _write_partition(
+                lsh_band_index(
+                    kept,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    text_col=text_col,
+                    id_col=id_col,
+                ),
+                batch_id,
+                bands_path,
+            )
+        finally:
+            kept.unpersist()
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    return stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", f"{state_dir}/checkpoint"
+    )

@@ -163,3 +163,66 @@ def test_stream_enrich_static_join(spark, event_dir):
     rows = spark.sql("SELECT * FROM enrich_t").collect()
     assert len(rows) == 5
     assert all(r.tier == ("gold" if r.user_id == 1 else "trial") for r in rows)
+
+
+def test_ingest_dedup_stream_rolling_shards(spark):
+    """Rolling ingest: shard 2 is deduped against shard 1 purely via the
+    persisted state tables (exact keys + LSH bands) across a stream
+    restart — no corpus rescan, output idempotently partitioned."""
+    import tempfile
+
+    from temporai_mivdp_spark.streaming.ingest import (
+        _read_state,
+        ingest_dedup_stream,
+    )
+
+    base = " ".join(f"tok{i % 17} w{i}" for i in range(20))
+    d3 = " ".join(f"body{i} tok{i % 11}" for i in range(20))
+    shard1 = [
+        (1, "alpha " + base),
+        (2, "beta " + base),
+        (3, d3),
+        (4, "gamma delta " + base),
+        (5, "alpha " + base),  # in-shard exact dup of 1 -> min id keeps 1
+    ]
+    shard2 = [
+        (6, "beta " + base),  # cross-shard exact dup of 2
+        (7, d3 + " zqx"),  # cross-shard NEAR dup of 3 (one appended token)
+        (8, "totally different content " + " ".join(f"q{i}" for i in range(20))),
+    ]
+    schema = "doc_id long, text string"
+    src = tempfile.mkdtemp(prefix="ingest-src-")
+    state = tempfile.mkdtemp(prefix="ingest-state-")
+    out = tempfile.mkdtemp(prefix="ingest-out-")
+
+    def run_available() -> None:
+        writer = ingest_dedup_stream(
+            spark, src, state, out, schema, num_hashes=8, bands=4
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    spark.createDataFrame(shard1, schema).coalesce(1).write.mode("append").parquet(src)
+    run_available()
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2, 3, 4}
+
+    # second shard + stream RESTART: offsets come from the checkpoint,
+    # dedup memory from the state tables
+    spark.createDataFrame(shard2, schema).coalesce(1).write.mode("append").parquet(src)
+    run_available()
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 3, 4, 8}
+    by_batch = {r.doc_id: r.ingest_batch for r in rows}
+    assert by_batch[8] > by_batch[1]
+
+    # replay visibility rule: a batch reading state excludes its OWN
+    # partition (what makes every write idempotent under at-least-once)
+    keys_b1 = _read_state(
+        spark, f"{state}/keys", "content_key string, ingest_batch long", -1
+    )
+    excl = _read_state(
+        spark, f"{state}/keys", "content_key string, ingest_batch long",
+        int(by_batch[8]),
+    )
+    assert keys_b1.count() == 5 and excl.count() == 4
