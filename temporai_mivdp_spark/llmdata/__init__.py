@@ -18,6 +18,9 @@ Beyond the reference's clinical surface, the engine ships the operators a
                container), deterministic fake features
   pipeline     production output layout: doc_id-bucketed tables
                (zero-exchange re-read joins) + byte-sized compaction
+  web          URL canonicalization (tracking params, www, ports,
+               fragments), host/registrable-domain extraction,
+               URL-level dedup, per-domain caps — all built-in exprs
 
 Portability discipline: the dedup/text hashes are built on md5 (identical
 in Spark and DuckDB) so every operator stays oracle-checkable.
@@ -30,6 +33,15 @@ from temporai_mivdp_spark.llmdata import (
     sampling,
     similarity,
     text,
+    web,
 )
 
-__all__ = ["dedup", "multimodal", "pipeline", "sampling", "similarity", "text"]
+__all__ = [
+    "dedup",
+    "multimodal",
+    "pipeline",
+    "sampling",
+    "similarity",
+    "text",
+    "web",
+]

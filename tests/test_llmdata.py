@@ -811,3 +811,65 @@ def test_chunk_documents_rejects_bad_overlap(spark):
         sampling.chunk_documents(df, chunk_size=4, overlap=4)
     with pytest.raises(ValueError):
         sampling.chunk_documents(df, chunk_size=4, overlap=-1)
+
+
+def test_canonicalize_url_cases(spark):
+    from temporai_mivdp_spark.llmdata import web
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/Path/", "http://example.com/Path"),
+        ("https://example.com:443/a?utm_source=x&id=3#frag", "https://example.com/a?id=3"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/?fbclid=abc", "https://example.com/"),
+        ("https://sub.example.co.uk/x?page=2&utm_campaign=c&q=1",
+         "https://sub.example.co.uk/x?page=2&q=1"),
+        ("http://example.com/deep/path", "http://example.com/deep/path"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)], "i long, url string")
+    got = {r.i: r.c for r in df.select("i", web.canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_url_parts_and_domain_heuristic(spark):
+    from temporai_mivdp_spark.llmdata import web
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.b.news.example.com/x"),
+            (2, "https://www.example.co.uk/y"),
+            (3, "http://localhost/z"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: (r.url_host, r.url_domain) for r in web.url_parts(df).collect()}
+    assert got[1] == ("a.b.news.example.com", "example.com")
+    assert got[2] == ("example.co.uk", "example.co.uk")
+    assert got[3] == ("localhost", "localhost")
+
+
+def test_url_duplicates_and_domain_quota(spark):
+    from temporai_mivdp_spark.llmdata import web
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a?utm_source=feed"),
+            (2, "https://www.example.com/a"),
+            (3, "https://example.com/b"),
+            (4, "https://other.org/a/"),
+            (5, "https://other.org/a"),
+        ],
+        "doc_id long, url string",
+    )
+    groups = {r.keep_id: r.n_copies for r in web.url_duplicates(df).collect()}
+    assert groups == {1: 2, 3: 1, 4: 2}
+
+    capped = web.domain_quota(df, max_per_domain=2)
+    by_domain: dict[str, int] = {}
+    for r in capped.collect():
+        by_domain[r.url_domain] = by_domain.get(r.url_domain, 0) + 1
+    assert by_domain == {"example.com": 2, "other.org": 2}
+    # deterministic: same election on rerun
+    again = sorted(r.doc_id for r in web.domain_quota(df, max_per_domain=2).collect())
+    assert again == sorted(r.doc_id for r in capped.collect())
