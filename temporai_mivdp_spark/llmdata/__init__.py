@@ -13,9 +13,9 @@ Beyond the reference's clinical surface, the engine ships the operators a
                document chunking with overlap (zero-shuffle)
   multimodal   opaque-binary media columns: schema, Arrow-batched
                metadata/feature extraction; REAL stdlib codecs for
-               WAV/PCM audio + 24-bit BMP + header-only dims
-               (compressed formats stubbed — no codec libs in this
-               container), deterministic fake features
+               WAV/PCM audio, 24-bit BMP, 8-bit PNG (zlib + all five
+               filters) + header-only dims (JPEG/GIF pixels stubbed —
+               no codec libs in this container), deterministic fakes
   pipeline     production output layout: doc_id-bucketed tables
                (zero-exchange re-read joins) + byte-sized compaction
   web          URL canonicalization (tracking params, www, ports,

@@ -8,11 +8,13 @@ split by what the stdlib can genuinely do:
 * REAL (no external libs): WAV/PCM audio (RIFF parse via ``wave`` +
   numpy for duration/RMS/zero-crossings), uncompressed 24-bit BMP decode
   (struct header parse + numpy pixel array) including nearest-neighbor
-  resize, and header-only dimension extraction for BMP/PNG/JPEG.
-* STUBBED: compressed raster decode (JPEG/PNG pixels) and non-PCM audio
-  need PIL/opencv/librosa, absent in this container — those payloads
-  raise ``NotImplementedError`` unless the deterministic fake is
-  requested (used by tests and the oracle harness).
+  resize, 8-bit non-interlaced PNG decode (chunk walk + stdlib ``zlib``
+  inflate + all five scanline unfilters, gray/RGB/RGBA), and header-only
+  dimension extraction for BMP/PNG/JPEG.
+* STUBBED: JPEG/GIF pixel decode, 16-bit/paletted/interlaced PNG, and
+  non-PCM audio need PIL/opencv/librosa, absent in this container —
+  those payloads raise ``NotImplementedError`` unless the deterministic
+  fake is requested (used by tests and the oracle harness).
 
 Scale notes for the real thing:
 * media bytes ride in the same rows as metadata only up to a few MB each;
@@ -30,6 +32,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -152,6 +155,95 @@ def _bmp_pixels(b: bytes) -> np.ndarray:
     return arr[:, :, ::-1]  # BGR -> RGB
 
 
+def _png_pixels(b: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (grayscale / RGB / RGBA) to an
+    (h, w, 3) RGB uint8 array with the stdlib only: chunk walk, ``zlib``
+    inflate of the IDAT stream, then per-scanline reconstruction of all
+    five PNG filters. Gray is replicated to 3 channels; alpha dropped.
+    16-bit, paletted, and interlaced PNGs raise ``NotImplementedError``.
+
+    Filter cost: None/Up are whole-row numpy; Sub is a per-channel
+    cumsum (byte addition mod 256 is associative, so the running
+    dependency collapses); Average/Paeth have a true per-pixel data
+    dependency (nonlinear predictor) and fall back to a Python loop over
+    the row — encoders that care about decode throughput here should
+    emit filters 0-2, and a 100 TB media sweep should be using the
+    header-only ``image_dims`` anyway unless it truly needs pixels."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG payload")
+    ihdr: bytes | None = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, i)
+        typ = b[i + 4 : i + 8]
+        if typ == b"IHDR":
+            ihdr = b[i + 8 : i + 8 + ln]
+        elif typ == b"IDAT":
+            idat += b[i + 8 : i + 8 + ln]
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise NotImplementedError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG variant needs codec libs (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("PNG pixel data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += 1 + stride
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:  # Sub
+            px = row.reshape(w, ch).astype(np.uint32)
+            rec = (np.cumsum(px, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up (uint8 addition wraps mod 256 natively)
+            rec = row + prev
+        elif f in (3, 4):  # Average / Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                if f == 3:
+                    pred = (a + up) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    arr = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(arr, 3, axis=2)
+    return np.ascontiguousarray(arr[:, :, :3])
+
+
+def _raster_pixels(b: bytes) -> np.ndarray:
+    """Dispatch pixel decode by magic number: BMP or PNG (the stdlib-real
+    paths); everything else raises ``NotImplementedError``."""
+    if b[:2] == b"BM":
+        return _bmp_pixels(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_pixels(b)
+    raise NotImplementedError("pixel decode without codec libs: BMP or PNG only")
+
+
 def _image_dims(b: bytes) -> tuple[str, int, int] | None:
     """(format, width, height) from raster headers alone — BMP, PNG
     (IHDR), JPEG (SOF segment scan), GIF. None when unrecognized.
@@ -208,10 +300,10 @@ def extract_metadata(media: DataFrame) -> DataFrame:
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode images to fixed-size float features.
 
-    The real path decodes what stdlib can: uncompressed 24-bit BMP
-    payloads (struct + numpy, see ``_bmp_pixels``) into 8 features —
-    width, height, mean R/G/B, luminance std/min/max. Compressed formats
-    (JPEG/PNG pixels) still raise ``NotImplementedError`` — they need
+    The real path decodes what stdlib can: uncompressed 24-bit BMP and
+    8-bit non-interlaced PNG payloads (``_raster_pixels``) into 8
+    features — width, height, mean R/G/B, luminance std/min/max. JPEG
+    and GIF pixels still raise ``NotImplementedError`` — they need
     PIL/opencv, absent in this container. The ``fake=True`` path
     produces deterministic pseudo-features (md5-seeded) with the same
     plumbing — schema, batching, output shape — so mixed-format
@@ -232,7 +324,7 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
                 if fake:
                     d = hashlib.md5(b).digest()
                     return ",".join(str(round(x / 255.0, 6)) for x in d[:8])
-                px = _bmp_pixels(b).astype(np.float64)
+                px = _raster_pixels(b).astype(np.float64)
                 lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
                 vals = [
                     float(px.shape[1]),
@@ -289,10 +381,11 @@ def resize_image(
     """Resize images to ``target_w × target_h``, emitting a new payload
     plus the recorded dimensions.
 
-    The real path resamples uncompressed 24-bit BMPs: decode via
-    ``_bmp_pixels``, luminance-convert, nearest-neighbor index into the
-    target grid — all numpy, emitting ``w*h`` grayscale bytes.
-    Compressed formats raise (PIL/opencv not in this container);
+    The real path resamples uncompressed 24-bit BMPs and 8-bit
+    non-interlaced PNGs: decode via ``_raster_pixels``,
+    luminance-convert, nearest-neighbor index into the target grid —
+    all numpy, emitting ``w*h`` grayscale bytes.
+    JPEG/GIF raise (PIL/opencv not in this container);
     ``fake=True`` produces a deterministic payload — an md5 keystream
     over ``(content, dims)`` — through the same plumbing:
     binary-in/binary-out ``mapInPandas``, Arrow batches, explicit output
@@ -315,7 +408,7 @@ def resize_image(
                 if b is None:
                     return None
                 if not fake:
-                    px = _bmp_pixels(b).astype(np.float64)
+                    px = _raster_pixels(b).astype(np.float64)
                     lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
                     h, w = lum.shape
                     yi = (np.arange(target_h) * h // target_h).astype(np.intp)

@@ -873,3 +873,111 @@ def test_url_duplicates_and_domain_quota(spark):
     # deterministic: same election on rerun
     again = sorted(r.doc_id for r in web.domain_quota(df, max_per_domain=2).collect())
     assert again == sorted(r.doc_id for r in capped.collect())
+
+
+def _png_bytes(pixels, color_type: int, filters=None, bit_depth: int = 8) -> bytes:
+    """Minimal PNG encoder (test-side): `pixels` is (h, w, ch) uint8;
+    per-row filter types from `filters` (default all 0). Filtering here
+    is written independently of the decoder (it SUBTRACTS predictors),
+    so decode passing means the decoder truly inverts the spec."""
+    import struct as s
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    filters = filters or [0] * h
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, f in zip(range(h), filters):
+        row = flat[y]
+        out = np.empty(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = int(row[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(row[x]) - pred) & 0xFF
+        raw.append(f)
+        raw += out.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return s.pack(">I", len(data)) + body + s.pack(">I", zlib.crc32(body))
+
+    ihdr = s.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_roundtrip():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _png_pixels
+
+    rng = np.random.default_rng(7)
+    # RGB, 5 rows — one per filter type (None/Sub/Up/Average/Paeth)
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    got = _png_pixels(_png_bytes(rgb, color_type=2, filters=[0, 1, 2, 3, 4]))
+    assert np.array_equal(got, rgb)
+
+    # RGBA: alpha dropped
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    got = _png_pixels(_png_bytes(rgba, color_type=6, filters=[4, 3, 1]))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+    # grayscale: replicated to 3 channels
+    gray = rng.integers(0, 256, size=(2, 6, 1), dtype=np.uint8)
+    got = _png_pixels(_png_bytes(gray, color_type=0, filters=[2, 1]))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+    # 16-bit depth is honestly refused, not garbled
+    import pytest as pt
+
+    with pt.raises(NotImplementedError, match="depth=16"):
+        _png_pixels(_png_bytes(rgb, color_type=2, bit_depth=16))
+
+
+def test_decode_and_resize_real_png(spark):
+    import numpy as np
+
+    # 2x2 RGB: red, green / blue, white — known means and luminances
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    png = _png_bytes(px, color_type=2, filters=[1, 4])
+    media = spark.createDataFrame(
+        [(1, png, "image/png", 2, 2, None)], multimodal.MEDIA_SCHEMA
+    )
+    feats = multimodal.decode_image(media, fake=False).collect()[0].features
+    w, h, mr, mg, mb, lstd, lmin, lmax = (float(x) for x in feats.split(","))
+    assert (w, h) == (2.0, 2.0)
+    assert (mr, mg, mb) == (127.5, 127.5, 127.5)
+    assert lmin == pytest.approx(0.114 * 255, abs=1e-3)  # blue pixel
+    assert lmax == pytest.approx(255.0, abs=1e-3)        # white pixel
+
+    out = multimodal.resize_image(media, 2, 2, fake=False).collect()[0]
+    assert (out.width, out.height) == (2, 2)
+    lum = [
+        round(0.299 * r + 0.587 * g + 0.114 * b)
+        for r, g, b in ((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255))
+    ]
+    assert [abs(a - b) <= 1 for a, b in zip(list(out.payload), lum)] == [True] * 4
