@@ -185,3 +185,45 @@ def test_point_interval_label_matches_general_join_path(spark, visits, gap):
         ).collect()
     }
     assert fast == general, (visits, gap)
+
+
+@given(
+    data=st.lists(
+        st.integers(0, 60),  # token counts, including 0-token (empty text)
+        min_size=1,
+        max_size=8,
+    ),
+    chunk_size=st.integers(2, 12),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+@_SETTINGS
+def test_chunk_documents_matches_bruteforce(spark, data, chunk_size, overlap_frac):
+    """chunk_documents vs a direct Python restatement: chunks start at
+    multiples of stride, each is words[start : start+chunk_size], and
+    chunking stops once a chunk reaches the end of the document."""
+    from temporai_mivdp_spark.llmdata.sampling import chunk_documents
+
+    overlap = min(int(chunk_size * overlap_frac), chunk_size - 1)
+    stride = chunk_size - overlap
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(n))) for i, n in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(
+            df, chunk_size=chunk_size, overlap=overlap
+        ).collect()
+    }
+
+    want = {}
+    for doc_id, text in rows:
+        words = text.split(" ") if text else [""]  # split('', ' ') -> ['']
+        cid = 0
+        start = 0
+        while True:
+            piece = words[start : start + chunk_size]
+            want[(doc_id, cid)] = (" ".join(piece), len(piece))
+            if start + chunk_size >= len(words):
+                break
+            start += stride
+            cid += 1
+    assert got == want
