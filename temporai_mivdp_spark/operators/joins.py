@@ -287,3 +287,63 @@ def asof_join(
         *[F.col(f"__match.{c}").alias(c) for c in value_cols],
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: float,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """All (point, interval) pairs with ``start <= point <= end``
+    (inclusive), written as an EQUALITY join — the binned range join.
+
+    The naive formulation (``join`` on the bare range predicate) has no
+    equi-key, so Spark plans a BroadcastNestedLoopJoin: every point
+    against every interval, quadratic at corpus scale, and an OOM when
+    neither side fits in one executor. Binning restores hash
+    partitioning: points get ``floor(point/bucket)``, each interval
+    explodes into every bucket ordinal it touches, the join runs on
+    ``keys + [bucket]`` equality (shuffled-hash/sort-merge, AQE-eligible),
+    and the exact range predicate filters the bucket-coarse candidates.
+    A pair matches in exactly one bucket — the point's — so no distinct
+    pass is needed.
+
+    Cost is explicit and tunable: each interval contributes
+    ``span/bucket + 1`` rows, each point exactly one, so set ``bucket``
+    near the TYPICAL interval span — smaller buckets inflate the
+    interval side, larger ones inflate the per-bucket candidate count.
+    Numeric columns only; convert timestamps with the epoch helpers
+    (``functions/scalars.py``) so the bucket unit stays explicit.
+
+    ``keys`` are additional equi-columns (same name both sides — e.g. a
+    user/session id); with per-key data the bucket explode only has to
+    bound the skew WITHIN a key. Returns point columns + interval
+    columns (minus the shared keys' duplicates).
+    """
+    if bucket <= 0:
+        raise ValueError(f"bucket width must be positive, got {bucket}")
+    keys = list(keys) if keys else []
+    pb = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / F.lit(bucket)).cast("long")
+    )
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(bucket)).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, on=keys + ["__bucket"], how="inner")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )

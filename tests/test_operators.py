@@ -425,3 +425,68 @@ def test_two_level_agg_single_exchange_matches_two_shuffle_form(spark):
     assert plans.count_exchanges(fast) == 1
     assert plans.count_exchanges(slow) == 2
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_range_join_differential_vs_duckdb(spark):
+    """Binned range join vs DuckDB's plain `BETWEEN` join on random
+    data, across bucket widths that do and don't divide the spans; plan
+    must be an equality join (no BroadcastNestedLoopJoin)."""
+    import random
+
+    import duckdb
+
+    from temporai_mivdp_spark.operators.joins import range_join
+
+    rng = random.Random(11)
+    pts = [
+        (rng.randint(1, 4), pid, round(rng.uniform(-50, 50), 3))
+        for pid in range(120)
+    ]
+    ivs = []
+    for iid in range(60):
+        s = round(rng.uniform(-55, 45), 3)
+        ivs.append((rng.randint(1, 4), iid, s, round(s + rng.uniform(0, 12), 3)))
+    p_df = spark.createDataFrame(pts, "user long, pid long, t double")
+    i_df = spark.createDataFrame(ivs, "user long, iid long, s double, e double")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(user BIGINT, pid BIGINT, t DOUBLE)")
+    con.execute("CREATE TABLE i(user BIGINT, iid BIGINT, s DOUBLE, e DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?,?,?)", pts)
+    con.executemany("INSERT INTO i VALUES (?,?,?,?)", ivs)
+    want = set(
+        tuple(r)
+        for r in con.execute(
+            "SELECT p.pid, i.iid FROM p JOIN i ON p.user = i.user AND p.t BETWEEN i.s AND i.e"
+        ).fetchall()
+    )
+
+    for bucket in (0.7, 5.0, 64.0):
+        out = range_join(p_df, i_df, "t", "s", "e", bucket=bucket, keys=["user"])
+        got = {(r.pid, r.iid) for r in out.select("pid", "iid").collect()}
+        assert got == want, f"bucket={bucket}"
+
+    plan = (
+        range_join(p_df, i_df, "t", "s", "e", bucket=5.0, keys=["user"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan
+
+    with pytest.raises(ValueError):
+        range_join(p_df, i_df, "t", "s", "e", bucket=0)
+
+
+def test_range_join_inclusive_bounds_and_no_keys(spark):
+    from temporai_mivdp_spark.operators.joins import range_join
+
+    p = spark.createDataFrame([(1, 0.0), (2, 4.0), (3, 8.0)], "pid long, t double")
+    i = spark.createDataFrame([(10, 0.0, 4.0), (11, 4.0, 4.0)], "iid long, s double, e double")
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(p, i, "t", "s", "e", bucket=4.0).select("pid", "iid").collect()
+    }
+    # both endpoints inclusive; degenerate [4,4] interval matches the
+    # boundary point; no shared keys -> pure bucket-equality join
+    assert got == {(1, 10), (2, 10), (2, 11)}
