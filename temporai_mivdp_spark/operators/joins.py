@@ -347,3 +347,61 @@ def range_join(
         )
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: float,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """All (left, right) interval pairs that OVERLAP —
+    ``l_start <= r_end AND r_start <= l_end`` (inclusive) — as an
+    equality join, the interval×interval companion of ``range_join``.
+
+    Both sides explode into the bucket ordinals they touch, the join
+    runs on ``keys + [bucket]``, and each qualifying pair is kept in
+    exactly ONE bucket — the first bucket the OVERLAP REGION touches,
+    ``floor(max(l_start, r_start) / bucket)`` — so no distinct pass is
+    needed even though the pair co-occurs in every shared bucket. The
+    overlap region's start lies in both intervals, so that bucket is
+    always among the shared ones; requiring ``__bucket`` to equal it
+    both dedups and (with the exact predicate) filters.
+
+    Same cost model as ``range_join``: rows per interval =
+    ``span/bucket + 1``; pick ``bucket`` near the typical span of the
+    WIDER side. Numeric columns only.
+    """
+    if bucket <= 0:
+        raise ValueError(f"bucket width must be positive, got {bucket}")
+    keys = list(keys) if keys else []
+
+    def explode_buckets(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / F.lit(bucket)).cast("long"),
+                    F.floor(F.col(e) / F.lit(bucket)).cast("long"),
+                )
+            ),
+        )
+
+    lb = explode_buckets(left, left_start, left_end)
+    rb = explode_buckets(right, right_start, right_end)
+    anchor = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / F.lit(bucket)
+    ).cast("long")
+    return (
+        lb.join(rb, on=keys + ["__bucket"], how="inner")
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col("__bucket") == anchor)
+        )
+        .drop("__bucket")
+    )

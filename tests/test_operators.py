@@ -490,3 +490,47 @@ def test_range_join_inclusive_bounds_and_no_keys(spark):
     # both endpoints inclusive; degenerate [4,4] interval matches the
     # boundary point; no shared keys -> pure bucket-equality join
     assert got == {(1, 10), (2, 10), (2, 11)}
+
+
+def test_interval_overlap_join_differential_vs_duckdb(spark):
+    """Interval×interval overlap join vs DuckDB's plain predicate join;
+    the one-bucket anchor rule must dedup pairs exactly (no distinct)."""
+    import random
+
+    import duckdb
+
+    from temporai_mivdp_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(23)
+
+    def mk(n):
+        rows = []
+        for i in range(n):
+            s = round(rng.uniform(-40, 40), 3)
+            rows.append((rng.randint(1, 3), i, s, round(s + rng.uniform(0, 15), 3)))
+        return rows
+
+    lrows, rrows = mk(80), mk(70)
+    l_df = spark.createDataFrame(lrows, "user long, lid long, ls double, le double")
+    r_df = spark.createDataFrame(rrows, "user long, rid long, rs double, re double")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(user BIGINT, lid BIGINT, ls DOUBLE, le DOUBLE)")
+    con.execute("CREATE TABLE r(user BIGINT, rid BIGINT, rs DOUBLE, re DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?,?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?,?)", rrows)
+    want = set(
+        tuple(t)
+        for t in con.execute(
+            "SELECT l.lid, r.rid FROM l JOIN r "
+            "ON l.user = r.user AND l.ls <= r.re AND r.rs <= l.le"
+        ).fetchall()
+    )
+
+    for bucket in (0.9, 6.0, 100.0):
+        out = interval_overlap_join(
+            l_df, r_df, "ls", "le", "rs", "re", bucket=bucket, keys=["user"]
+        )
+        rows = [(r.lid, r.rid) for r in out.select("lid", "rid").collect()]
+        assert len(rows) == len(set(rows)), f"duplicate pairs at bucket={bucket}"
+        assert set(rows) == want, f"bucket={bucket}"
