@@ -57,7 +57,8 @@ def _strip_tracking(query: Column) -> Column:
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of a URL, as a pure expression:
 
-    * scheme and host lowercased; ``www.`` prefix dropped
+    * scheme and host lowercased; ``www.`` prefix and userinfo
+      (``user:pass@``) dropped
     * fragment (``#...``) dropped
     * known tracking query params dropped (``TRACKING_PARAMS``);
       an emptied query drops its ``?`` too
@@ -65,13 +66,17 @@ def canonicalize_url(url: Column) -> Column:
     * default ports ``:80`` (http) / ``:443`` (https) dropped
 
     The output is a URL string again (scheme://host[:port]path[?query]),
-    so it can feed any URL consumer, not just hash keys.
+    so it can feed any URL consumer, not just hash keys. Strings with no
+    ``scheme://`` pass through unchanged (trimmed) — a crawl frontier
+    should not silently mangle relative references or garbage rows; feed
+    them through a resolver first if they must join the canonical space.
     """
-    no_frag = F.regexp_replace(url, r"#.*$", "")
+    no_frag = F.regexp_replace(F.trim(url), r"#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(
         F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1)
     )
+    hostport = F.regexp_replace(hostport, r"^[^/@\[\]]*@", "")  # userinfo
     hostport = F.regexp_replace(hostport, r"^www\.", "")
     hostport = F.when(
         (scheme == "http") & hostport.endswith(":80"),
@@ -86,13 +91,14 @@ def canonicalize_url(url: Column) -> Column:
     )
     query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
     query = _strip_tracking(query)
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         hostport,
         path,
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
     )
+    return F.when(scheme == "", F.trim(url)).otherwise(canon)
 
 
 def url_parts(

@@ -981,3 +981,24 @@ def test_decode_and_resize_real_png(spark):
         for r, g, b in ((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255))
     ]
     assert [abs(a - b) <= 1 for a, b in zip(list(out.payload), lum)] == [True] * 4
+
+
+def test_canonicalize_url_hardening_cases(spark):
+    from temporai_mivdp_spark.llmdata import web
+
+    cases = [
+        ("https://user:pw@Example.com/x", "https://example.com/x"),
+        ("  https://example.com/x  ", "https://example.com/x"),
+        ("not a url", "not a url"),                       # scheme-less: pass through
+        ("/relative/path?q=1", "/relative/path?q=1"),     # relative ref: untouched
+        ("https://[2001:DB8::1]:8080/a", "https://[2001:db8::1]:8080/a"),
+    ]
+    df = spark.createDataFrame(
+        [(i, r) for i, (r, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", web.canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
