@@ -15,6 +15,8 @@ The three ops every training-data pipeline needs after curation:
   stream. Window cumsum, the standard LLM pretraining batch layout.
 * ``chunk_documents`` — the inverse shaping op: split docs LONGER than
   the context window into overlapping token chunks, row-locally.
+* ``sample_exact_k`` — exact-budget uniform draw (eval sets): the k
+  smallest (seed, key) hashes via map-side top-k, no global sort.
 
 All three are md5-based and bit-portable to the DuckDB oracles
 (``int(md5(x)[:8], 16)`` on both engines).
@@ -360,4 +362,41 @@ def chunk_documents(
         "chunk_id",
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("n_tokens"),
+    )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "exact-k",
+) -> DataFrame:
+    """Exactly ``k`` rows (fewer only if the input has fewer), drawn
+    uniformly and DETERMINISTICALLY: the k smallest md5 hashes of
+    ``(seed, key)``. Rate-based sampling (``stratified_hash_sample``)
+    cannot hit an exact budget; ``df.limit(k)`` is arrival-order and
+    changes under repartitioning. This is a pure function of the data —
+    reruns, shard order, and engine changes elect the same rows, and a
+    larger k' > k elects a superset (hash order is fixed), which is what
+    an eval-set curator wants when budgets grow.
+
+    Plan shape: ``orderBy(hash).limit(k)`` becomes TakeOrderedAndProject
+    — each map task keeps its local top-k heap and the driver merges
+    #partitions × k candidates, so there is no global sort and no
+    shuffle of the losers. Driver memory is O(k): keep k in the
+    "eval-set" range (thousands), not the "training-split" range — at
+    that scale use ``hash_split``/``stratified_hash_sample`` rates.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 16
+        ),
+        16,
+        10,
+    ).cast("decimal(20,0)")
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.col("__h").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__h")
     )

@@ -1002,3 +1002,26 @@ def test_canonicalize_url_hardening_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_sample_exact_k_deterministic_nested(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(500)], "doc_id long, text string")
+    s100 = sorted(r.doc_id for r in sampling.sample_exact_k(df, 100).collect())
+    assert len(s100) == 100
+    # deterministic under repartitioning
+    again = sorted(
+        r.doc_id for r in sampling.sample_exact_k(df.repartition(13), 100).collect()
+    )
+    assert again == s100
+    # nesting: a larger budget is a superset of a smaller one
+    s40 = set(r.doc_id for r in sampling.sample_exact_k(df, 40).collect())
+    assert s40 <= set(s100)
+    # over-budget: all rows, no failure
+    assert sampling.sample_exact_k(df, 10_000).count() == 500
+    # plan: top-k, not a global sort
+    plan = (
+        sampling.sample_exact_k(df, 100)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
