@@ -1,6 +1,6 @@
-"""Deterministic dataset splitting, sampling, and sequence packing.
+"""Deterministic dataset splitting, sampling, and sequence shaping.
 
-The three ops every training-data pipeline needs after curation:
+The ops every training-data pipeline needs after curation:
 
 * ``hash_split`` — stable train/val/test assignment. Hash-based, not
   ``randomSplit``: the assignment is a pure function of (seed, key), so
@@ -18,7 +18,7 @@ The three ops every training-data pipeline needs after curation:
 * ``sample_exact_k`` — exact-budget uniform draw (eval sets): the k
   smallest (seed, key) hashes via map-side top-k, no global sort.
 
-All three are md5-based and bit-portable to the DuckDB oracles
+All hash decisions are md5-based and bit-portable to the DuckDB oracles
 (``int(md5(x)[:8], 16)`` on both engines).
 """
 
