@@ -1025,3 +1025,31 @@ def test_sample_exact_k_deterministic_nested(spark):
         sampling.sample_exact_k(df, 100)._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_then_pack_composition(spark):
+    """The documented pipeline order: long docs are chunked to the
+    context window, then chunks pack into training sequences — no chunk
+    exceeds the window, every pack stays within budget."""
+    from temporai_mivdp_spark.llmdata import sampling
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(5 + 13 * i))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    chunks = sampling.chunk_documents(docs, chunk_size=16, overlap=0)
+    keyed = chunks.withColumn(
+        "chunk_key", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+    packed = sampling.pack_sequences(
+        keyed, max_tokens=64, tokens_col="n_tokens", order_col="chunk_key"
+    )
+    rows = packed.collect()
+    assert all(r.n_tokens <= 16 for r in rows)
+    per_pack: dict[int, int] = {}
+    for r in rows:
+        per_pack[r.pack_id] = per_pack.get(r.pack_id, 0) + r.n_tokens
+    # each pack's STARTING offsets lie in one 64-token window; with
+    # 16-token chunks a pack never accumulates more than 64+15 tokens
+    assert all(v <= 64 + 15 for v in per_pack.values())
+    assert len(per_pack) >= 2
