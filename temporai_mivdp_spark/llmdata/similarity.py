@@ -311,6 +311,129 @@ def deterministic_centroids(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    n: int = 16,
+    iterations: int = 8,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_centroids: DataFrame | None = None,
+) -> tuple[DataFrame, list[float]]:
+    """Train the IVF coarse quantizer: spherical k-means (Lloyd's), each
+    round expressed as one distributed pass over the corpus.
+
+    Upgrade path promised at ``deterministic_centroids``: seeds in,
+    trained inverted file out — ``ivf_topk``/``assign_ivf_buckets``
+    consume the result unchanged. The reference has no ANN layer at all
+    (single-node pandas ETL); this is the scale-path component a 100 TB
+    embedding corpus needs so IVF buckets follow the data's actual
+    cluster structure instead of whatever the first n vectors were.
+
+    Round anatomy (why each piece is shaped this way):
+
+    * **Assignment is row-local** — the current centroids are inlined as
+      a literal array (``_centroid_array``), so scoring all n centroids
+      per vector is one codegen'd projection, zero shuffle (same plan as
+      ``assign_ivf_buckets``, here keeping the winning sim).
+    * **Mean update is one bounded shuffle** — ``posexplode`` the vector
+      and hash-aggregate on (bucket, pos). The explode looks like a
+      dim× row blowup, but partial aggregation combines map-side: what
+      crosses the wire is at most n_centroids x dim x n_partitions
+      partial sums, independent of corpus row count. The per-bucket
+      arrays are then reassembled with an ``array_sort(collect_list)``
+      over exactly dim rows per bucket.
+    * **Per-round materialization, not lineage growth** — each round
+      collects the new centroids (n x dim doubles, a KB-scale driver
+      action by construction: the coarse quantizer must stay literal-
+      array-sized for assignment to stay row-local). The next round's
+      plan is rebuilt fresh from the corpus scan, so 20 rounds cost 20
+      linear jobs, not one exponentially nested plan.
+
+    Spherical variant: ranking sim is ``dot(c, v)/|c|`` — scale-
+    invariant in the centroid, so means need no re-normalization. Empty
+    buckets keep their previous centroid (deterministic; no re-seeding
+    randomness). Ties on equal sim break to the lower centroid id,
+    matching ``assign_ivf_buckets``.
+
+    Returns ``(centroids, history)`` where history[r] is the corpus mean
+    of the winning centroid sim after round r (monotone non-decreasing
+    up to IEEE rounding — the convergence signal). Stops early when the
+    max centroid L2 shift drops below ``tol``.
+    """
+    spark = corpus.sparkSession
+    cents = seed_centroids if seed_centroids is not None else deterministic_centroids(
+        corpus, n=n, id_col=id_col, vec_col=vec_col
+    )
+    cur = {
+        int(r["centroid_id"]): [float(x) for x in r[vec_col]]
+        for r in cents.select("centroid_id", vec_col).collect()
+    }
+    history: list[float] = []
+    src = corpus.select(F.col(vec_col).alias("__v"))
+    for _ in range(iterations):
+        carr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+                    F.lit(float(sum(x * x for x in vec)) ** 0.5).alias("cn"),
+                )
+                for cid, vec in sorted(cur.items())
+            ]
+        )
+        best = F.array_max(
+            F.transform(
+                _centroid_sims(F.col("__v"), carr),
+                lambda s: F.struct(s["sim"].alias("sim"), (-s["cid"]).alias("negcid")),
+            )
+        )
+        # two selects: a generator (posexplode) in the same select as the
+        # nested-lambda scoring makes Spark 4.1 re-resolve the lambda and
+        # drop the struct-field aliases (FIELD_NOT_FOUND on `sim`)
+        scored = src.select(
+            (-best["negcid"]).cast("long").alias("__b"),
+            best["sim"].alias("__sim"),
+            F.col("__v"),
+        )
+        assigned = scored.select(
+            "__b", "__sim", F.posexplode(F.col("__v")).alias("__pos", "__x")
+        )
+        per_pos = assigned.groupBy("__b", "__pos").agg(
+            F.sum(F.col("__x").cast("double")).alias("__s"),
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__sim").alias("__ssim"),
+        )
+        per_bucket = per_pos.groupBy("__b").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__pos"), (F.col("__s") / F.col("__c")).alias("m"))
+                )
+            ).alias("__arr"),
+            F.max(F.when(F.col("__pos") == 0, F.col("__c"))).alias("__n"),
+            F.max(F.when(F.col("__pos") == 0, F.col("__ssim"))).alias("__simsum"),
+        )
+        rows = per_bucket.collect()
+        total_n = sum(int(r["__n"]) for r in rows)
+        total_sim = sum(float(r["__simsum"]) for r in rows)
+        history.append(total_sim / total_n if total_n else 0.0)
+        shift = 0.0
+        nxt = dict(cur)  # empty buckets keep their previous centroid
+        for r in rows:
+            mean = [float(s["m"]) for s in r["__arr"]]
+            old = cur[int(r["__b"])]
+            shift = max(shift, sum((a - b) ** 2 for a, b in zip(mean, old)) ** 0.5)
+            nxt[int(r["__b"])] = mean
+        cur = nxt
+        if shift < tol:
+            break
+    out = spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cur.items())],
+        schema=f"centroid_id long, {vec_col} array<double>",
+    )
+    return out, history
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -101,6 +101,54 @@ def test_ivf_topk_recall(spark, vectors):
     assert recall >= 0.8, f"IVF recall too low: {recall}"
 
 
+def test_kmeans_fit_recovers_clusters(spark, vectors):
+    cents, history = similarity.kmeans_fit(vectors, n=3, iterations=10)
+    # convergence signal: corpus mean winning-sim never decreases
+    assert all(b >= a - 1e-9 for a, b in zip(history, history[1:])), history
+    # trained inverted file separates the 3 axis clusters perfectly
+    assigned = similarity.assign_ivf_buckets(vectors, cents)
+    label = {r.vec_id: r.vec_id % 3 for r in vectors.collect()}
+    by_bucket: dict[int, set[int]] = {}
+    for r in assigned.collect():
+        by_bucket.setdefault(r.bucket, set()).add(label[r.vec_id])
+    assert len(by_bucket) == 3
+    assert all(len(labels) == 1 for labels in by_bucket.values()), by_bucket
+
+
+def test_kmeans_fit_deterministic_and_empty_bucket_safe(spark, vectors):
+    # n > true cluster count: some buckets may empty out mid-fit; they
+    # must keep their previous centroid (n centroids out, no crash)
+    c1, h1 = similarity.kmeans_fit(vectors, n=6, iterations=5)
+    c2, h2 = similarity.kmeans_fit(vectors, n=6, iterations=5)
+    assert c1.count() == 6
+    assert h1 == h2
+    v1 = {r.centroid_id: list(r.embedding) for r in c1.collect()}
+    v2 = {r.centroid_id: list(r.embedding) for r in c2.collect()}
+    assert v1 == v2
+
+
+def test_kmeans_trained_ivf_recall_not_worse(spark, vectors):
+    probes = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(vectors, probes, k=5)
+    e = {(r.probe_id, r.neighbor_id) for r in exact.collect()}
+
+    seeds = similarity.deterministic_centroids(vectors, n=6)
+    trained, _ = similarity.kmeans_fit(
+        vectors, n=6, iterations=6, seed_centroids=seeds
+    )
+    rec = {}
+    for name, cents in (("seed", seeds), ("trained", trained)):
+        a = {
+            (r.probe_id, r.neighbor_id)
+            for r in similarity.ivf_topk(vectors, probes, cents, k=5, nprobe=3).collect()
+        }
+        rec[name] = len(e & a) / len(e)
+    assert rec["trained"] >= rec["seed"] - 1e-9, rec
+    assert rec["trained"] >= 0.8, rec
+
+
 def test_lsh_topk_recall(spark, vectors):
     probes = vectors.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
