@@ -490,6 +490,137 @@ def benchmark_contamination(
     )
 
 
+def shingle_bloom(
+    bench: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom filter over a benchmark corpus's word n-grams, as ONE row:
+    ``(m_bits, k_hashes, words array<long>)`` with ``ceil(m_bits/64)``
+    64-bit words — the standard big-eval-suite decontamination index.
+
+    Why a bloom next to ``benchmark_contamination``'s exact hash join:
+    the exact path broadcasts the benchmark's distinct shingle *hashes*
+    (8 bytes each) and charges the corpus one collect_set shuffle. When
+    the eval suite grows to tens of millions of n-grams, the bloom is
+    the ~64x smaller ship (m_bits is chosen, not data-sized) and — more
+    importantly — lets the corpus side probe *row-locally* with zero
+    joins and zero per-shingle shuffle (see ``bloom_contamination``).
+    False positives only (rate ~ (1-e^{-kn/m})^k), never false
+    negatives: a clean verdict from the bloom is definitive.
+
+    Build shape: bench shingles explode to ``k_hashes`` bit positions
+    (``pmod(xxhash64(shingle, j), m_bits)``), one hash-aggregate ORs
+    them into sparse words (map-side combined — duplicates die before
+    the wire), and a final 1-row aggregate densifies via
+    ``map_from_entries`` + a ``sequence`` transform. The result stays
+    a DataFrame so it can be persisted/unioned like any index; it is
+    m_bits/8 bytes regardless of benchmark size.
+    """
+    positions = _shingles_raw(bench, n=n, text_col=text_col, id_col=id_col).select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("shingle", F.lit(j)), F.lit(m_bits))
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("__pos")
+    )
+    sparse = (
+        positions.select(
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            (F.col("__pos") % 64).cast("int").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __b)")).alias("__bits"))
+    )
+    nwords = (m_bits + 63) // 64
+    return sparse.agg(
+        F.map_from_entries(F.collect_list(F.struct("__w", "__bits"))).alias("__m")
+    ).select(
+        F.lit(m_bits).alias("m_bits"),
+        F.lit(k_hashes).alias("k_hashes"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0).cast("long")),
+        ).alias("words"),
+    )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    bloom: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents whose n-grams hit a benchmark bloom
+    (``shingle_bloom``): per doc, ``n_shingles`` (n-gram windows),
+    ``n_bloom_hits`` (windows whose all-k bits are set) and ``hit_frac``.
+
+    The 100 TB shape this buys: the corpus side has NO join and NO
+    per-shingle shuffle — the one-row bloom broadcasts via crossJoin,
+    membership is a row-local ``forall`` over the k probe positions
+    (``bit_get`` on the words array), and the only exchange is the
+    doc-keyed count aggregate, map-side combined. Counting is over raw
+    n-gram *windows* (occurrences), not the distinct-shingle sets of
+    ``benchmark_contamination`` — deduping per (doc, shingle) would
+    reintroduce a full corpus shuffle, which is exactly what the bloom
+    exists to avoid; for flag/filter decisions the occurrence fraction
+    carries the same signal. No false negatives: ``n_bloom_hits = 0``
+    proves zero n-gram overlap with the benchmark.
+
+    Eager in one tiny way: ``m_bits``/``k_hashes`` are peeked from the
+    bloom row at plan-build time (they parameterize the probe
+    expressions), so the bloom build runs once here. Persist the bloom
+    DataFrame if building it is expensive.
+    """
+    params = bloom.select("m_bits", "k_hashes").first()
+    if params is None:
+        raise ValueError("bloom DataFrame is empty — build it with shingle_bloom()")
+    m_bits, k_hashes = int(params["m_bits"]), int(params["k_hashes"])
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64("shingle", F.lit(j)), F.lit(m_bits))
+            for j in range(k_hashes)
+        ]
+    )
+    hit = F.forall(
+        probes,
+        lambda p: F.bit_get(
+            F.element_at(F.col("words"), (p / 64).cast("int") + 1),
+            (p % 64).cast("int"),
+        )
+        == 1,
+    )
+    per_doc = (
+        _shingles_raw(docs, n=n, text_col=text_col, id_col=id_col)
+        .crossJoin(F.broadcast(bloom.select("words")))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit.cast("long")).alias("n_bloom_hits"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .dropDuplicates([id_col])
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce("n_bloom_hits", F.lit(0).cast("long")).alias("n_bloom_hits"),
+            F.coalesce(
+                F.col("n_bloom_hits") / F.col("n_shingles"), F.lit(0.0)
+            ).alias("hit_frac"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 16,

@@ -586,6 +586,69 @@ def test_benchmark_contamination_short_docs(spark):
     assert out == {1: 0.0, 2: 1.0}
 
 
+def test_bloom_contamination_no_false_negatives(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 1)
+    bloom = dedup.shingle_bloom(bench, n=3, m_bits=1 << 16, k_hashes=4)
+    row = bloom.first()
+    assert len(row.words) == (1 << 16) // 64
+    out = {
+        r.doc_id: (r.n_shingles, r.n_bloom_hits, r.hit_frac)
+        for r in dedup.bloom_contamination(docs, bloom, n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # bloom guarantee: an exact copy of a bench doc hits on EVERY window
+    assert out[1][0] == out[1][1] > 0
+    assert out[2] == out[1]
+    # near-copy of bench doc: most windows hit
+    assert 0.5 < out[3][2] <= 1.0
+    # clean docs: definitive zero (FPR at 7 shingles / 64k bits is ~1e-15)
+    assert out[4][1] == 0 and out[5][1] == 0
+
+
+def test_bloom_contamination_short_and_empty(spark):
+    corpus = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "a benchmark leak sentence here")],
+        "doc_id: long, text: string",
+    )
+    bench = corpus.filter(F.col("doc_id") == 2)
+    bloom = dedup.shingle_bloom(bench, n=3, m_bits=1 << 12, k_hashes=2)
+    out = {r.doc_id: (r.n_shingles, r.hit_frac) for r in
+           dedup.bloom_contamination(corpus, bloom, n=3).collect()}
+    assert out[1] == (0, 0.0)       # < n tokens: no shingles, still present
+    assert out[2][1] == 1.0
+    # empty bench -> all-zero words, nothing can hit
+    empty = dedup.shingle_bloom(bench.filter(F.lit(False)), n=3, m_bits=1 << 12)
+    assert all(w == 0 for w in empty.first().words)
+    out2 = dedup.bloom_contamination(corpus, empty, n=3).collect()
+    assert all(r.n_bloom_hits == 0 for r in out2)
+
+
+def test_bloom_agrees_with_exact_contamination(spark):
+    # 40 docs, 10 seeded with a benchmark sentence: bloom flags exactly
+    # the docs the exact path flags (m sized so FP odds are negligible)
+    leak = "the secret benchmark answer is forty two exactly"
+    rows = [
+        (i, (leak + f" filler {i}") if i % 4 == 0 else
+            f"ordinary training document number {i} with plain words {i*7}")
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id: long, text: string")
+    bench = spark.createDataFrame([(100, leak)], "doc_id: long, text: string")
+    exact = {
+        r.doc_id
+        for r in dedup.benchmark_contamination(corpus, bench, n=3).collect()
+        if r.max_containment > 0
+    }
+    bloom = dedup.shingle_bloom(bench, n=3, m_bits=1 << 16, k_hashes=4)
+    flagged = {
+        r.doc_id
+        for r in dedup.bloom_contamination(corpus, bloom, n=3).collect()
+        if r.n_bloom_hits > 0
+    }
+    assert exact <= flagged            # no false negatives, ever
+    assert flagged == exact            # and no false positives at this m
+
+
 def test_source_quota_deterministic_cap(spark):
     from temporai_mivdp_spark.llmdata import sampling
 
