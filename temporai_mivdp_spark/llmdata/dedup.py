@@ -621,6 +621,61 @@ def bloom_contamination(
     )
 
 
+def repeated_spans(
+    docs: DataFrame,
+    window: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated token windows — the memorization /
+    boilerplate surface of a corpus (license headers, navigation chrome,
+    quoted passages) that document-level dedup can't see because the
+    surrounding documents differ.
+
+    One row per ``window``-token span occurring in at least ``min_docs``
+    distinct documents: ``(span_hash, n_docs, n_occurrences, span)``.
+
+    Two-pass shape, sized for 100 TB:
+
+    1. Spans are hashed row-local (``xxhash64``) and aggregated on the
+       8-byte hash alone — (hash, doc) then hash — so the wide shuffles
+       move fixed-width keys, never span text. Map-side combine
+       collapses within-doc repeats before the wire.
+    2. Only the surviving hashes (repeated spans are a tiny fraction of
+       all spans) are joined back against a second shingle scan to
+       recover one example string per span. The join is a broadcast of
+       the survivors when they fit, and the string materialization cost
+       is proportional to the *report*, not the corpus.
+
+    Span identity is the 64-bit hash (collisions merge spans; at 1e12
+    spans the expected collision count is ~30 — acceptable for a
+    report/filter op, same argument as ``ngram_jaccard_pairs``).
+    """
+    spans = _shingles_raw(docs, n=window, text_col=text_col, id_col=id_col).select(
+        id_col, F.xxhash64("shingle").alias("span_hash")
+    )
+    per_doc = spans.groupBy("span_hash", id_col).agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    survivors = (
+        per_doc.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__occ").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    examples = (
+        _shingles_raw(docs, n=window, text_col=text_col, id_col=id_col)
+        .select(F.xxhash64("shingle").alias("span_hash"), "shingle")
+        .join(F.broadcast(survivors), "span_hash")
+        .groupBy("span_hash", "n_docs", "n_occurrences")
+        .agg(F.min("shingle").alias("span"))
+    )
+    return examples.select("span_hash", "n_docs", "n_occurrences", "span")
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 16,

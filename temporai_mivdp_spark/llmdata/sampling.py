@@ -76,6 +76,45 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    clusters: DataFrame | None = None,
+    key_col: str = "doc_id",
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """``hash_split`` with a train/eval leakage guard: every near-dup
+    cluster lands in exactly ONE split.
+
+    Independent per-doc splitting puts copies of the same document on
+    both sides of the train/test boundary, silently inflating eval —
+    the standard failure mode of splitting *after* dedup misses what
+    dedup itself missed (sub-threshold near-dups). Fix: the split key
+    is the doc's ``cluster_id`` from ``duplicate_clusters`` (the
+    canonical min reachable id) when it has one, its own id otherwise,
+    so all members of a cluster hash to the same bucket.
+
+    ``clusters`` is (doc_id, cluster_id); the equality join on the id is
+    the only exchange added over plain ``hash_split`` (clusters usually
+    cover a small fraction of the corpus — Spark broadcasts it when it
+    fits, AQE handles the rest). With ``clusters=None`` this IS
+    ``hash_split``.
+    """
+    if clusters is None:
+        return hash_split(df, weights, key_col=key_col, seed=seed, out_col=out_col)
+    keyed = df.join(
+        clusters.select(
+            F.col("doc_id").alias(key_col), F.col("cluster_id").alias("__ck")
+        ),
+        key_col,
+        "left",
+    ).withColumn("__split_key", F.coalesce("__ck", F.col(key_col)))
+    return hash_split(
+        keyed, weights, key_col="__split_key", seed=seed, out_col=out_col
+    ).drop("__ck", "__split_key")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     rates: Mapping[str, float],

@@ -649,6 +649,62 @@ def test_bloom_agrees_with_exact_contamination(spark):
     assert flagged == exact            # and no false positives at this m
 
 
+def test_repeated_spans_cross_document(spark):
+    header = "licensed under the apache license version two point zero"
+    rows = [
+        (1, header + " alpha body text one two three"),
+        (2, header + " beta totally different continuation here"),
+        (3, "no shared header in this document at all whatsoever today"),
+        # within-doc repeat only: must NOT count as cross-document
+        (4, "unique phrase repeated now unique phrase repeated now padding"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = dedup.repeated_spans(docs, window=9, min_docs=2)
+    rows_out = out.collect()
+    assert rows_out, "shared license header must surface"
+    spans = {r.span for r in rows_out}
+    assert header in spans
+    for r in rows_out:
+        assert r.n_docs >= 2
+        assert r.n_occurrences >= r.n_docs
+    # every reported span is genuinely in >=2 docs of the corpus
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows_out:
+        holders = [d for d, t in texts.items() if r.span in t]
+        assert len(holders) >= 2, (r.span, holders)
+
+
+def test_leakage_safe_split_co_assigns_clusters(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id: long, text: string"
+    )
+    # clusters: {0,1,2} -> 0, {10,11} -> 10
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a: long, id_b: long"
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    out = sampling.leakage_safe_split(
+        docs, {"train": 0.8, "test": 0.2}, clusters=clusters
+    )
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == 200
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11]
+    # unclustered docs split exactly as plain hash_split would
+    plain = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(docs, {"train": 0.8, "test": 0.2}).collect()
+    }
+    clustered_ids = {0, 1, 2, 10, 11}
+    for d in got:
+        if d not in clustered_ids:
+            assert got[d] == plain[d]
+    # both splits are populated
+    assert {"train", "test"} == set(got.values())
+
+
 def test_source_quota_deterministic_cap(spark):
     from temporai_mivdp_spark.llmdata import sampling
 
