@@ -115,6 +115,46 @@ def leakage_safe_split(
     ).drop("__ck", "__split_key")
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    tokens_col: str = "n_tokens",
+    group_col: str | None = None,
+    key_col: str = "doc_id",
+    seed: str = "budget",
+) -> DataFrame:
+    """Deterministic token-budget sampling: keep a pseudo-random subset
+    of documents whose combined token count fills ``budget_tokens`` —
+    per ``group_col`` when given (the "3B tokens per source" mixture
+    recipe), else one global budget.
+
+    Mechanics by composition: rows are ordered by a seeded hash of the
+    key (a deterministic shuffle — every executor agrees, re-runs
+    agree), ``pack_sequences`` lays token counts along that order, and
+    the sample is exactly pack 0: a document is admitted iff the budget
+    was not exhausted before its first token. The budget is honored to
+    within one document's overshoot (the admitted doc that crosses the
+    line stays — matching how packing would consume it). Changing
+    ``seed`` redraws the sample; raising the budget only ever ADDS
+    documents (prefix property — a 2B-token sample is a subset of the
+    3B one, which makes scaling-law data ladders consistent).
+
+    Scale shape is inherited: per-group budgets use a partitioned
+    window; the global variant uses pack_sequences' two-level prefix
+    sum, never a single-partition window.
+    """
+    h = F.xxhash64(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+    packed = pack_sequences(
+        df.withColumn("__ord", h),
+        max_tokens=budget_tokens,
+        tokens_col=tokens_col,
+        order_col="__ord",
+        partition_cols=[group_col] if group_col else None,
+        out_col="__pack",
+    )
+    return packed.filter(F.col("__pack") == 0).drop("__ord", "__pack")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     rates: Mapping[str, float],

@@ -705,6 +705,47 @@ def test_leakage_safe_split_co_assigns_clusters(spark):
     assert {"train", "test"} == set(got.values())
 
 
+def test_token_budget_sample_per_group_and_prefix(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    rows = [(i, f"s{i % 2}", 10) for i in range(100)]  # 2 sources x 500 tokens
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, n_tokens: int")
+    out = sampling.token_budget_sample(
+        df, budget_tokens=100, group_col="source"
+    ).collect()
+    by_src: dict[str, int] = {}
+    for r in out:
+        by_src[r.source] = by_src.get(r.source, 0) + r.n_tokens
+    # budget honored within one doc's overshoot, and actually filled
+    assert set(by_src) == {"s0", "s1"}
+    for tot in by_src.values():
+        assert 100 <= tot < 110, by_src
+
+    # deterministic across runs
+    again = sampling.token_budget_sample(df, budget_tokens=100, group_col="source")
+    assert {r.doc_id for r in out} == {r.doc_id for r in again.collect()}
+
+    # prefix property: a bigger budget only adds documents
+    small = {r.doc_id for r in
+             sampling.token_budget_sample(df, 100, group_col="source").collect()}
+    big = {r.doc_id for r in
+           sampling.token_budget_sample(df, 200, group_col="source").collect()}
+    assert small <= big
+
+
+def test_token_budget_sample_global(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    rows = [(i, 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tokens: int")
+    out = sampling.token_budget_sample(df, budget_tokens=70).collect()
+    total = sum(r.n_tokens for r in out)
+    assert 70 <= total < 77
+    # different seed draws a different prefix
+    other = sampling.token_budget_sample(df, budget_tokens=70, seed="other")
+    assert {r.doc_id for r in out} != {r.doc_id for r in other.collect()}
+
+
 def test_source_quota_deterministic_cap(spark):
     from temporai_mivdp_spark.llmdata import sampling
 
