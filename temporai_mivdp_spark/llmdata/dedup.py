@@ -621,6 +621,38 @@ def bloom_contamination(
     )
 
 
+def expand_contamination(
+    flags: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    flag_col: str = "contaminated",
+    out_col: str = "contaminated_expanded",
+) -> DataFrame:
+    """Propagate contamination flags across near-dup clusters: if ANY
+    member of a cluster is flagged, every member is.
+
+    Closes the paraphrase hole in n-gram decontamination: a benchmark
+    leak that was lightly rewritten evades the n-gram match, but its
+    near-dup edge to the verbatim leak (MinHash/embedding pairs →
+    ``duplicate_clusters``) still ties it to a flagged doc. The cluster
+    key is the canonical min id, so this is one groupBy + two id-keyed
+    joins — no text moves.
+    """
+    keyed = flags.join(
+        clusters.select(F.col("doc_id").alias(id_col), "cluster_id"),
+        id_col,
+        "left",
+    ).withColumn("__k", F.coalesce("cluster_id", F.col(id_col)))
+    any_hit = keyed.groupBy("__k").agg(
+        F.max(F.col(flag_col).cast("int")).alias("__any")
+    )
+    return (
+        keyed.join(any_hit, "__k")
+        .withColumn(out_col, F.col("__any") == 1)
+        .drop("__k", "cluster_id", "__any")
+    )
+
+
 def repeated_spans(
     docs: DataFrame,
     window: int = 20,

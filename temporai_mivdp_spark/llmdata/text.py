@@ -10,6 +10,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from temporai_mivdp_spark.llmdata.dedup import normalize_text
 
@@ -164,6 +165,31 @@ def quality_score(
         + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.2
     )
     return q.select(id_col, score.alias("quality_score"))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace a score with its within-group percentile rank in [0, 1]
+    (``percent_rank`` — 0 for the group min, 1 for the max).
+
+    The calibration step between raw quality scores and a global keep
+    threshold: heuristic scores are not comparable across languages or
+    sources (stopword ratios, punctuation norms differ), so "keep the
+    top 60%" must mean top 60% *within* each group. One rank window per
+    group — a single exchange on ``group_col``; with ``group_col=None``
+    the rank is corpus-global and the plan is a single-partition window
+    (fine for dimension-sized inputs, wrong for a 100 TB fact — pass a
+    group).
+    """
+    out = out_col or f"{value_col}_pct"
+    w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy(F.col(value_col).asc())
+    return df.withColumn(out, F.percent_rank().over(w))
 
 
 def language_id(

@@ -746,6 +746,42 @@ def test_token_budget_sample_global(spark):
     assert {r.doc_id for r in out} != {r.doc_id for r in other.collect()}
 
 
+def test_expand_contamination_across_clusters(spark):
+    flags = spark.createDataFrame(
+        [(1, True), (2, False), (3, False), (4, False), (5, True)],
+        "doc_id: long, contaminated: boolean",
+    )
+    # cluster {1,2,3}: 1 is flagged -> 2,3 inherit; 4 unclustered clean;
+    # 5 unclustered flagged stays flagged
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a: long, id_b: long")
+    clusters = dedup.duplicate_clusters(pairs)
+    out = {
+        r.doc_id: r.contaminated_expanded
+        for r in dedup.expand_contamination(flags, clusters).collect()
+    }
+    assert out == {1: True, 2: True, 3: True, 4: False, 5: True}
+
+
+def test_quantile_normalize_per_group(spark):
+    from temporai_mivdp_spark.llmdata import text as t
+
+    rows = [(i, "en", float(i)) for i in range(10)] + [
+        (100 + i, "fr", float(i) * 0.01) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, score: double")
+    out = t.quantile_normalize(df, "score", group_col="lang")
+    got = {r.doc_id: r.score_pct for r in out.collect()}
+    # group min -> 0, group max -> 1, regardless of raw scale
+    assert got[0] == 0.0 and got[9] == 1.0
+    assert got[100] == 0.0 and got[104] == 1.0
+    # uniform spacing within a 10-element group
+    assert abs(got[5] - 5 / 9) < 1e-9
+    # a single "keep top half" threshold now cuts BOTH groups at their median
+    kept = {d for d, p in got.items() if p >= 0.5}
+    assert len([d for d in kept if d < 100]) == 5
+    assert len([d for d in kept if d >= 100]) == 3  # ranks 2,3,4 of 5
+
+
 def test_source_quota_deterministic_cap(spark):
     from temporai_mivdp_spark.llmdata import sampling
 
