@@ -60,6 +60,40 @@ def test_aggregations_are_partial(spark, name):
     assert n_aggs >= 2, s
 
 
+def test_bloom_contamination_corpus_side_is_joinless(spark):
+    """The corpus side of the bloom probe must carry NO equality join and
+    exactly one exchange (the doc-keyed count): membership is a row-local
+    expression against the broadcast one-row bloom."""
+    from temporai_mivdp_spark.llmdata import dedup
+    from temporai_mivdp_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    bench = docs.limit(5)
+    bloom = dedup.shingle_bloom(bench, n=3, m_bits=1 << 14)
+    out = dedup.bloom_contamination(docs, bloom, n=3)
+    s = plans.plan_summary(out)
+    assert s.get("SortMergeJoin", 0) == 0, s
+    # one-row bloom rides a broadcast nested-loop; the only hash joins
+    # allowed are the final doc-id reattach (left join on id)
+    assert s.get("BroadcastNestedLoopJoin", 0) >= 1, s
+    # partial + final aggregation around the single count exchange
+    n_aggs = s.get("HashAggregate", 0) + s.get("ObjectHashAggregate", 0)
+    assert n_aggs >= 2, s
+
+
+def test_repeated_spans_wide_shuffles_are_hash_only(spark):
+    """Span text may only appear in the survivors join — the wide
+    (hash, doc) and hash aggregations must not carry the span string."""
+    from temporai_mivdp_spark.llmdata import dedup
+    from temporai_mivdp_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    out = dedup.repeated_spans(docs, window=8, min_docs=2)
+    s = plans.plan_summary(out)
+    assert s.get("SortMergeJoin", 0) == 0, s
+    assert s.get("BroadcastHashJoin", 0) >= 1, s  # survivors broadcast back
+
+
 def test_plan_fingerprint_stable_across_session_history(spark):
     """Fingerprints must not shift with session state: the expression-id
     and lambda-variable counters are session-global, so building/running
