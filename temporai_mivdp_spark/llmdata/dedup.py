@@ -621,6 +621,72 @@ def bloom_contamination(
     )
 
 
+def bloom_hit_columns(
+    docs: DataFrame,
+    bloom: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming-safe sibling of ``bloom_contamination``: ADD per-row
+    ``n_shingles`` / ``n_bloom_hits`` / ``hit_frac`` columns with pure
+    row-local expressions — no join, no shuffle, no state.
+
+    The bloom words are inlined as ONE array literal (the index is
+    m_bits/8 bytes by construction, so it ships inside the serialized
+    plan like the LSH planes), the doc's n-gram windows are built as an
+    in-row array, and the hit count is a ``filter``/``size`` over it
+    with the k bit probes conjoined at plan time. Because nothing
+    aggregates, this drops straight into a ``readStream`` ingest path —
+    contamination flags at ingest time, before anything lands — and
+    composes with any downstream batch query.
+
+    Trade-off vs ``bloom_contamination``: the per-element probe runs in
+    Spark's interpreted HOF evaluator rather than the codegen'd
+    explode+aggregate pipeline, so for pure-batch scoring over a static
+    corpus the exploded form measures faster; this form exists for
+    streaming and for plans that must stay shuffle-free. Eager peek of
+    the bloom row at plan-build time (same contract as
+    ``bloom_contamination``).
+    """
+    row = bloom.select("m_bits", "k_hashes", "words").first()
+    if row is None:
+        raise ValueError("bloom DataFrame is empty — build it with shingle_bloom()")
+    m_bits, k_hashes = int(row["m_bits"]), int(row["k_hashes"])
+    words = F.lit([int(w) for w in row["words"]])
+
+    def is_hit(s: Column) -> Column:
+        cond = F.lit(True)
+        for j in range(k_hashes):
+            p = F.pmod(F.xxhash64(s, F.lit(j)), F.lit(m_bits))
+            bit = F.bit_get(
+                F.element_at(words, (p / 64).cast("int") + 1), (p % 64).cast("int")
+            )
+            cond = cond & (bit == 1)
+        return cond
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    spans = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = docs.withColumn("__spans", spans)
+    return (
+        out.withColumn("n_shingles", F.size("__spans").cast("long"))
+        .withColumn(
+            "n_bloom_hits", F.size(F.filter(F.col("__spans"), is_hit)).cast("long")
+        )
+        .withColumn(
+            "hit_frac",
+            F.when(F.col("n_shingles") > 0, F.col("n_bloom_hits") / F.col("n_shingles"))
+            .otherwise(F.lit(0.0)),
+        )
+        .drop("__spans")
+    )
+
+
 def expand_contamination(
     flags: DataFrame,
     clusters: DataFrame,

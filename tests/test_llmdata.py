@@ -746,6 +746,53 @@ def test_token_budget_sample_global(spark):
     assert {r.doc_id for r in out} != {r.doc_id for r in other.collect()}
 
 
+def test_bloom_hit_columns_matches_batch_path(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 1)
+    bloom = dedup.shingle_bloom(bench, n=3, m_bits=1 << 16, k_hashes=4)
+    agg_path = {
+        r.doc_id: (r.n_shingles, r.n_bloom_hits)
+        for r in dedup.bloom_contamination(docs, bloom, n=3).collect()
+    }
+    row_local = {
+        r.doc_id: (r.n_shingles, r.n_bloom_hits)
+        for r in dedup.bloom_hit_columns(docs, bloom, n=3).collect()
+    }
+    assert row_local == agg_path
+    # and it keeps the input columns
+    cols = dedup.bloom_hit_columns(docs, bloom, n=3).columns
+    assert "text" in cols and "hit_frac" in cols
+
+
+def test_bloom_hit_columns_streaming(spark, docs):
+    import tempfile
+
+    bench = docs.filter(F.col("doc_id") == 1)
+    bloom = dedup.shingle_bloom(bench, n=3, m_bits=1 << 14, k_hashes=4)
+    d = tempfile.mkdtemp(prefix="bloom-stream-")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    src = spark.readStream.schema(docs.schema).parquet(d)
+    flagged = dedup.bloom_hit_columns(src, bloom, n=3)
+    assert flagged.isStreaming
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("bloom_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.n_bloom_hits
+        for r in spark.sql("select * from bloom_stream_t").collect()
+    }
+    want = {
+        r.doc_id: r.n_bloom_hits
+        for r in dedup.bloom_hit_columns(docs, bloom, n=3).collect()
+    }
+    assert got == want
+    assert got[1] > 0 and got[4] == 0
+
+
 def test_expand_contamination_across_clusters(spark):
     flags = spark.createDataFrame(
         [(1, True), (2, False), (3, False), (4, False), (5, True)],
