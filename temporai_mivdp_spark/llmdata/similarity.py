@@ -311,6 +311,49 @@ def deterministic_centroids(
     )
 
 
+def mean_vectors(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    count_col: str = "n_vectors",
+) -> DataFrame:
+    """Element-wise mean embedding per group — the corpus-drift /
+    source-fingerprint telemetry op (compare a new shard's per-source
+    centroid against the corpus's to catch distribution shift before
+    training on it), and the summary half of any cluster report.
+
+    Same bounded-shuffle shape as the ``kmeans_fit`` mean update:
+    ``posexplode`` to (group, pos) partial sums (map-side combine keeps
+    the wire at groups x dim x partitions rows regardless of corpus
+    size), then reassemble each group's array from exactly dim rows via
+    ``array_sort(collect_list)``. Null vectors are excluded from both
+    mean and count.
+    """
+    ex = df.filter(F.col(vec_col).isNotNull()).select(
+        group_col, F.posexplode(F.col(vec_col)).alias("__pos", "__x")
+    )
+    per_pos = ex.groupBy(group_col, "__pos").agg(
+        F.sum(F.col("__x").cast("double")).alias("__s"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    return (
+        per_pos.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__pos"), (F.col("__s") / F.col("__c")).alias("m"))
+                )
+            ).alias("__arr"),
+            F.max(F.when(F.col("__pos") == 0, F.col("__c"))).alias(count_col),
+        )
+        .select(
+            group_col,
+            F.transform("__arr", lambda s: s["m"]).alias(vec_col),
+            count_col,
+        )
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     n: int = 16,

@@ -101,6 +101,20 @@ def test_ivf_topk_recall(spark, vectors):
     assert recall >= 0.8, f"IVF recall too low: {recall}"
 
 
+def test_mean_vectors_per_group(spark):
+    rows = [
+        ("a", [1.0, 3.0]),
+        ("a", [3.0, 5.0]),
+        ("b", [10.0, 0.0]),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "src: string, embedding: array<double>")
+    out = {r.src: (list(r.embedding), r.n_vectors)
+           for r in similarity.mean_vectors(df, "src").collect()}
+    assert out["a"] == ([2.0, 4.0], 2)
+    assert out["b"] == ([10.0, 0.0], 1)   # null vector excluded from mean AND count
+
+
 def test_kmeans_fit_recovers_clusters(spark, vectors):
     cents, history = similarity.kmeans_fit(vectors, n=3, iterations=10)
     # convergence signal: corpus mean winning-sim never decreases
