@@ -563,10 +563,10 @@ def bloom_contamination(
     ``n_bloom_hits`` (windows whose all-k bits are set) and ``hit_frac``.
 
     The 100 TB shape this buys: the corpus side has NO join and NO
-    per-shingle shuffle — the one-row bloom broadcasts via crossJoin,
-    membership is a row-local ``forall`` over the k probe positions
-    (``bit_get`` on the words array), and the only exchange is the
-    doc-keyed count aggregate, map-side combined. Counting is over raw
+    per-shingle shuffle — the bloom words are a plan literal, membership
+    is a codegen'd conjunction of ``bit_get`` probes, and the only
+    exchange is the doc-keyed count aggregate, map-side combined.
+    Counting is over raw
     n-gram *windows* (occurrences), not the distinct-shingle sets of
     ``benchmark_contamination`` — deduping per (doc, shingle) would
     reintroduce a full corpus shuffle, which is exactly what the bloom
@@ -574,32 +574,32 @@ def bloom_contamination(
     carries the same signal. No false negatives: ``n_bloom_hits = 0``
     proves zero n-gram overlap with the benchmark.
 
-    Eager in one tiny way: ``m_bits``/``k_hashes`` are peeked from the
-    bloom row at plan-build time (they parameterize the probe
-    expressions), so the bloom build runs once here. Persist the bloom
-    DataFrame if building it is expensive.
+    Eager in one tiny way: the bloom row (params + words) is collected
+    at plan-build time and the words inline as ONE array literal, so the
+    bloom build runs once here and the probe is a plain codegen'd
+    conjunction of ``bit_get`` lookups — no join at all on the corpus
+    side, and no higher-order function. (The first version shipped the
+    words as a crossJoined COLUMN and probed it with ``forall``; the
+    interpreted HOF evaluator re-materialized the 16k-long array per
+    probe and measured ~8x slower than this literal form at sf0.1 —
+    same lesson as the LSH literal planes.)
     """
-    params = bloom.select("m_bits", "k_hashes").first()
-    if params is None:
+    row = bloom.select("m_bits", "k_hashes", "words").first()
+    if row is None:
         raise ValueError("bloom DataFrame is empty — build it with shingle_bloom()")
-    m_bits, k_hashes = int(params["m_bits"]), int(params["k_hashes"])
-    probes = F.array(
-        *[
-            F.pmod(F.xxhash64("shingle", F.lit(j)), F.lit(m_bits))
-            for j in range(k_hashes)
-        ]
-    )
-    hit = F.forall(
-        probes,
-        lambda p: F.bit_get(
-            F.element_at(F.col("words"), (p / 64).cast("int") + 1),
-            (p % 64).cast("int"),
+    m_bits, k_hashes = int(row["m_bits"]), int(row["k_hashes"])
+    words = F.lit([int(w) for w in row["words"]]).cast("array<bigint>")
+    hit = F.lit(True)
+    for j in range(k_hashes):
+        p = F.pmod(F.xxhash64("shingle", F.lit(j)), F.lit(m_bits))
+        hit = hit & (
+            F.bit_get(
+                F.element_at(words, (p / 64).cast("int") + 1), (p % 64).cast("int")
+            )
+            == 1
         )
-        == 1,
-    )
     per_doc = (
         _shingles_raw(docs, n=n, text_col=text_col, id_col=id_col)
-        .crossJoin(F.broadcast(bloom.select("words")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -652,7 +652,7 @@ def bloom_hit_columns(
     if row is None:
         raise ValueError("bloom DataFrame is empty — build it with shingle_bloom()")
     m_bits, k_hashes = int(row["m_bits"]), int(row["k_hashes"])
-    words = F.lit([int(w) for w in row["words"]])
+    words = F.lit([int(w) for w in row["words"]]).cast("array<bigint>")
 
     def is_hit(s: Column) -> Column:
         cond = F.lit(True)

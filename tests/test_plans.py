@@ -73,9 +73,10 @@ def test_bloom_contamination_corpus_side_is_joinless(spark):
     out = dedup.bloom_contamination(docs, bloom, n=3)
     s = plans.plan_summary(out)
     assert s.get("SortMergeJoin", 0) == 0, s
-    # one-row bloom rides a broadcast nested-loop; the only hash joins
-    # allowed are the final doc-id reattach (left join on id)
-    assert s.get("BroadcastNestedLoopJoin", 0) >= 1, s
+    # the bloom is a plan literal: no join of any kind except the final
+    # doc-id reattach (broadcast hash, left)
+    assert s.get("BroadcastNestedLoopJoin", 0) == 0, s
+    assert s.get("CartesianProduct", 0) == 0, s
     # partial + final aggregation around the single count exchange
     n_aggs = s.get("HashAggregate", 0) + s.get("ObjectHashAggregate", 0)
     assert n_aggs >= 2, s
