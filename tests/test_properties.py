@@ -227,3 +227,63 @@ def test_chunk_documents_matches_bruteforce(spark, data, chunk_size, overlap_fra
             start += stride
             cid += 1
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+                 min_size=0, max_size=12).map(" ".join),
+        min_size=1, max_size=12,
+    ),
+    n_bench=st.integers(1, 4),
+)
+@_SETTINGS
+def test_bloom_never_misses_exact_contamination(spark, texts, n_bench):
+    """Bloom guarantee under random corpora: every doc the exact n-gram
+    path finds contaminated must be bloom-flagged (false positives are
+    allowed by design, false negatives never)."""
+    from temporai_mivdp_spark.llmdata import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    bench = docs.limit(n_bench)
+    exact = {
+        r.doc_id
+        for r in dedup.benchmark_contamination(docs, bench, n=2).collect()
+        if r.max_containment > 0
+    }
+    bloom = dedup.shingle_bloom(bench, n=2, m_bits=1 << 12, k_hashes=3)
+    flagged = {
+        r.doc_id
+        for r in dedup.bloom_contamination(docs, bloom, n=2).collect()
+        if r.n_bloom_hits > 0
+    }
+    assert exact <= flagged, (sorted(exact - flagged), texts)
+
+
+@given(
+    tokens=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    budget=st.integers(10, 300),
+)
+@_SETTINGS
+def test_token_budget_prefix_and_bound(spark, tokens, budget):
+    """token_budget_sample invariants on random corpora: (1) the
+    selection minus its largest member stays under budget, (2) a larger
+    budget strictly contains the smaller sample, (3) determinism."""
+    from temporai_mivdp_spark.llmdata.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id: long, n_tokens: int"
+    )
+    sel = token_budget_sample(df, budget).collect()
+    total = sum(r.n_tokens for r in sel)
+    if sel:
+        assert total - max(r.n_tokens for r in sel) < budget
+    # budget filled when enough supply exists
+    if total < budget:
+        assert len(sel) == len(tokens)
+    bigger = {r.doc_id for r in token_budget_sample(df, budget + 100).collect()}
+    assert {r.doc_id for r in sel} <= bigger
+    again = {r.doc_id for r in token_budget_sample(df, budget).collect()}
+    assert {r.doc_id for r in sel} == again
