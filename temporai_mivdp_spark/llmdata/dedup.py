@@ -621,6 +621,34 @@ def bloom_contamination(
     )
 
 
+def merge_blooms(*blooms: DataFrame) -> DataFrame:
+    """OR together blooms built by ``shingle_bloom`` with identical
+    ``m_bits``/``k_hashes`` — the shard-composition rule: build one bloom
+    per benchmark (or per ingest epoch) where the data lives, union the
+    one-row indexes, and fold the bit words with ``zip_with(bit-or)``.
+    Membership in the merged bloom == membership in any input (bloom
+    unions are exact — no precision loss beyond each input's FPR).
+    Raises at plan-build time on parameter mismatch (different m/k would
+    silently corrupt probes)."""
+    if not blooms:
+        raise ValueError("merge_blooms needs at least one bloom")
+    params = [b.select("m_bits", "k_hashes").first() for b in blooms]
+    if len({(int(p["m_bits"]), int(p["k_hashes"])) for p in params if p}) != 1:
+        raise ValueError(f"bloom parameter mismatch: {params}")
+    merged = blooms[0]
+    for b in blooms[1:]:
+        merged = merged.unionByName(b)
+    return merged.groupBy("m_bits", "k_hashes").agg(
+        F.reduce(
+            F.collect_list("words"),
+            F.expr("CAST(NULL AS ARRAY<BIGINT>)"),
+            lambda acc, w: F.when(acc.isNull(), w).otherwise(
+                F.zip_with(acc, w, lambda a, b: a.bitwiseOR(b))
+            ),
+        ).alias("words")
+    )
+
+
 def bloom_hit_columns(
     docs: DataFrame,
     bloom: DataFrame,

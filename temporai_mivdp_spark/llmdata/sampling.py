@@ -258,6 +258,38 @@ def source_quota(
     )
 
 
+def cluster_quota(
+    df: DataFrame,
+    centroids: DataFrame,
+    max_per_cluster: int,
+    vec_col: str = "embedding",
+    key_col: str = "doc_id",
+    seed: str = "cluster-quota",
+) -> DataFrame:
+    """Diversity-balanced sampling: cap how many documents any one
+    embedding cluster contributes. ``assign_ivf_buckets`` (row-local
+    literal-centroid scoring — zero shuffle) labels each doc with its
+    nearest ``kmeans_fit`` centroid; ``source_quota`` then keeps at most
+    ``max_per_cluster`` per bucket by deterministic hash order.
+
+    The mixture-shaping counterpart of per-domain caps: domains bound
+    *provenance* concentration, clusters bound *semantic* concentration
+    (one topic flooding the corpus through many domains slips past a
+    domain cap but not this)."""
+    from temporai_mivdp_spark.llmdata.similarity import assign_ivf_buckets
+
+    labeled = assign_ivf_buckets(
+        df, centroids, vec_col=vec_col, id_col=key_col, keep_all=True
+    )
+    return source_quota(
+        labeled,
+        max_per_group=max_per_cluster,
+        group_col="bucket",
+        key_col=key_col,
+        seed=seed,
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str = "doc_id",

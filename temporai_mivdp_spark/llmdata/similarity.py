@@ -277,6 +277,7 @@ def assign_ivf_buckets(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_id_col: str = "centroid_id",
+    keep_all: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine — the
     inverted file), with a deterministic tie-break on centroid id.
@@ -288,7 +289,12 @@ def assign_ivf_buckets(
     previous DataFrame form (broadcast cross join + per-vector
     row_number window) shuffled ncentroids×|corpus| rows just to pick
     each vector's argmax; at 100 TB that shuffle IS the job, and it
-    carried no information the map side didn't already have."""
+    carried no information the map side didn't already have.
+
+    ``keep_all=True`` appends ``bucket`` to EVERY input column instead of
+    projecting down to (id, vec, bucket) — for consumers that label and
+    keep going (``cluster_quota``), where re-joining the projection back
+    on the id would be a pointless self-join."""
     cents = _centroid_array(centroids, centroid_id_col, vec_col)
     best = F.array_max(
         F.transform(
@@ -296,7 +302,10 @@ def assign_ivf_buckets(
             lambda s: F.struct(s["sim"].alias("sim"), (-s["cid"]).alias("negcid")),
         )
     )
-    return corpus.select(id_col, vec_col, (-best["negcid"]).cast("long").alias("bucket"))
+    bucket = (-best["negcid"]).cast("long").alias("bucket")
+    if keep_all:
+        return corpus.withColumn("bucket", bucket)
+    return corpus.select(id_col, vec_col, bucket)
 
 
 def deterministic_centroids(

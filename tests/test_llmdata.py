@@ -807,6 +807,46 @@ def test_bloom_hit_columns_streaming(spark, docs):
     assert got[1] > 0 and got[4] == 0
 
 
+def test_merge_blooms_union_semantics(spark, docs):
+    b1 = dedup.shingle_bloom(docs.filter(F.col("doc_id") == 1), n=3, m_bits=1 << 14)
+    b4 = dedup.shingle_bloom(docs.filter(F.col("doc_id") == 4), n=3, m_bits=1 << 14)
+    merged = dedup.merge_blooms(b1, b4)
+    row = merged.first()
+    assert len(row.words) == (1 << 14) // 64
+    # merged hits == union of per-bloom hits
+    def hits(bloom):
+        return {
+            r.doc_id: r.n_bloom_hits
+            for r in dedup.bloom_contamination(docs, bloom, n=3).collect()
+        }
+    h1, h4, hm = hits(b1), hits(b4), hits(merged)
+    for d in h1:
+        assert hm[d] >= max(h1[d], h4[d])
+    assert hm[1] > 0 and hm[4] > 0 and hm[5] == 0
+    # parameter mismatch is a build-time error
+    import pytest as pt
+    other = dedup.shingle_bloom(docs.limit(1), n=3, m_bits=1 << 12)
+    with pt.raises(ValueError):
+        dedup.merge_blooms(b1, other)
+
+
+def test_cluster_quota_caps_semantic_concentration(spark, vectors):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    cents, _ = similarity.kmeans_fit(vectors, n=3, iterations=5)
+    docs = vectors.select(F.col("vec_id").alias("doc_id"), "embedding")
+    out = sampling.cluster_quota(docs, cents, max_per_cluster=4, key_col="doc_id")
+    got = out.collect()
+    per_bucket: dict[int, int] = {}
+    for r in got:
+        per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + 1
+    assert per_bucket and all(c <= 4 for c in per_bucket.values()), per_bucket
+    assert len(per_bucket) == 3  # every axis-cluster still represented
+    # deterministic
+    again = sampling.cluster_quota(docs, cents, max_per_cluster=4, key_col="doc_id")
+    assert {r.doc_id for r in got} == {r.doc_id for r in again.collect()}
+
+
 def test_expand_contamination_across_clusters(spark):
     flags = spark.createDataFrame(
         [(1, True), (2, False), (3, False), (4, False), (5, True)],
