@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from temporai_mivdp_spark.llmdata.dedup import normalize_text
+from temporai_mivdp_spark.llmdata.dedup import normalize_text, tokenize
 
 #: tiny marker lexicons for the n-gram/stopword language heuristic —
 #: enough to separate corpora at scale; swap for fastText offline models
@@ -165,6 +165,53 @@ def quality_score(
         + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.2
     )
     return q.select(id_col, score.alias("quality_score"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the keyword/topic surface
+    used for corpus browsing, domain tagging, and spotting boilerplate
+    (terms whose idf collapses to ~0 are corpus-wide chrome).
+
+    Plan: one (doc, term) count aggregate (bounded by document length,
+    map-side combined), a term-level document-frequency aggregate over
+    its output (vocabulary-sized), idf as a plain expression with the
+    corpus doc count inlined as a literal (one tiny count job at plan
+    build — same eager contract as the bloom/pack boundary peeks), a
+    term-keyed join back (vocab side — AQE broadcasts it when it fits),
+    and a per-doc top-k window. ``idf = ln(N / df)``: a term in every
+    document scores exactly 0 and never makes a top-k over positive
+    scores. ``min_df`` drops hapax noise before the join when raised.
+    """
+    n_docs = docs.select(id_col).distinct().count()
+    tf = (
+        tokenize(docs.select(id_col, text_col), text_col=text_col, out_col="term")
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    scored = tf.join(df_t, "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.filter(F.col("tfidf") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
 
 
 def quantile_normalize(

@@ -863,6 +863,30 @@ def test_expand_contamination_across_clusters(spark):
     assert out == {1: True, 2: True, 3: True, 4: False, 5: True}
 
 
+def test_tfidf_top_terms(spark):
+    from temporai_mivdp_spark.llmdata import text as t
+
+    rows = [
+        (1, "common common spark shuffle"),
+        (2, "common catalyst optimizer"),
+        (3, "common tungsten codegen codegen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = t.tfidf_top_terms(docs, k=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.df))
+    # 'common' is in every doc -> idf 0 -> never ranked
+    for terms in got.values():
+        assert all(term != "common" for _, term, _, _ in terms)
+    # doc 3's top term is its double-count 'codegen'
+    top3 = sorted(got[3])[0]
+    assert top3[1] == "codegen" and top3[2] == 2 and top3[3] == 1
+    # ranks are 1..k without gaps and tfidf positive by construction
+    for terms in got.values():
+        assert [rk for rk, *_ in sorted(terms)] == list(range(1, len(terms) + 1))
+
+
 def test_quantile_normalize_per_group(spark):
     from temporai_mivdp_spark.llmdata import text as t
 
