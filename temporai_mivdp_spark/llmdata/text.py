@@ -167,6 +167,146 @@ def quality_score(
     return q.select(id_col, score.alias("quality_score"))
 
 
+def bigram_lm(
+    clean: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Fit an interpolated bigram language model on a reference corpus —
+    the model half of CCNet-style perplexity filtering (train a small LM
+    on known-good text, score the crawl, drop the high-perplexity tail).
+
+    Returns one row per observed bigram: ``(w1, w2, logp)`` with
+    ``p(w2|w1) = (1-alpha) * count(w1 w2)/count(w1) + alpha * p_uni(w2)``
+    (interpolation, not backoff: every probability is strictly positive
+    wherever the unigram exists, and the model stays a single flat
+    table). Plus the unigram rows as ``(w1=NULL, w2, logp)`` — the
+    fallback ``perplexity`` uses for unseen bigrams, itself interpolated
+    with a uniform floor so unseen *words* cost a finite, vocabulary-
+    scaled penalty rather than -inf.
+
+    Two token-keyed aggregates over the clean corpus (bounded by corpus
+    token count, map-side combined); the result is vocabulary-sized —
+    persist it and broadcast-join it against any crawl.
+    """
+    toks = clean.select(
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    uni = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - 2),
+                    lambda i: F.struct(
+                        F.element_at("__toks", i + 1).alias("w1"),
+                        F.element_at("__toks", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("__b")
+        )
+        .select("__b.w1", "__b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c12"))
+    )
+    totals = uni.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    ).first()
+    n_tokens, vocab = int(totals["__n"]), int(totals["__v"])
+    # unigram with uniform-floor interpolation: finite logp for any word
+    p_uni = (1.0 - alpha) * F.col("__c") / F.lit(float(n_tokens)) + F.lit(
+        alpha / max(vocab, 1)
+    )
+    uni_rows = uni.select(
+        F.lit(None).cast("string").alias("w1"),
+        F.col("w").alias("w2"),
+        F.log(p_uni).alias("logp"),
+    )
+    big_rows = (
+        big.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("__c", "__c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("__c", "__c2"), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (1.0 - alpha) * F.col("__c12") / F.col("__c1")
+                + alpha
+                * (
+                    (1.0 - alpha) * F.col("__c2") / F.lit(float(n_tokens))
+                    + F.lit(alpha / max(vocab, 1))
+                )
+            ).alias("logp"),
+        )
+    )
+    return big_rows.unionByName(uni_rows)
+
+
+def perplexity(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logp: float = -20.0,
+) -> DataFrame:
+    """Score documents against a ``bigram_lm``: per doc, ``n_scored``
+    bigrams and ``ppl = exp(-mean logp)`` (lower = more reference-like;
+    the CCNet keep rule is "drop the highest-perplexity tail").
+
+    Plan shape: docs explode to bigrams (row-local), LEFT join the
+    bigram rows of the LM, fall back to the w2 unigram rows for unseen
+    pairs, then ``oov_logp`` for unseen words; one doc-keyed mean
+    aggregate ends it. Both joins are token-string-keyed against
+    vocabulary-sized sides — AQE broadcasts them when they fit; docs
+    shorter than two tokens surface with NULL ppl rather than silently
+    disappearing.
+    """
+    bigrams = lm.filter(F.col("w1").isNotNull())
+    unigrams = lm.filter(F.col("w1").isNull()).select(
+        F.col("w2").alias("__uw"), F.col("logp").alias("__ulogp")
+    )
+    toks = docs.select(
+        id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
+    )
+    pairs = toks.filter(F.size("__toks") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("__toks", i + 1).alias("w1"),
+                    F.element_at("__toks", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("__b"),
+    ).select(id_col, "__b.w1", "__b.w2")
+    scored = (
+        pairs.join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams, pairs["w2"] == unigrams["__uw"], "left")
+        .select(
+            id_col,
+            F.coalesce("logp", "__ulogp", F.lit(oov_logp)).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.exp(-F.avg("__lp")).alias("ppl"),
+    )
+    return (
+        docs.select(id_col)
+        .dropDuplicates([id_col])
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_scored", F.lit(0).cast("long")).alias("n_scored"),
+            F.col("ppl"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 10,

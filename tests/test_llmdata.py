@@ -887,6 +887,41 @@ def test_tfidf_top_terms(spark):
         assert [rk for rk, *_ in sorted(terms)] == list(range(1, len(terms) + 1))
 
 
+def test_bigram_lm_perplexity_separates_reference_like_text(spark):
+    from temporai_mivdp_spark.llmdata import text as t
+
+    clean = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "the cat ran to the dog"),
+        ],
+        "doc_id: long, text: string",
+    )
+    lm = t.bigram_lm(clean)
+    lm_rows = lm.collect()
+    # probabilities, not counts: every logp is finite and negative
+    assert all(r.logp < 0 for r in lm_rows)
+    # unigram fallback rows present (w1 NULL)
+    assert any(r.w1 is None for r in lm_rows)
+
+    test_docs = spark.createDataFrame(
+        [
+            (10, "the cat sat on the rug"),     # in-distribution
+            (11, "zq xv qq jk wq pp"),          # all-OOV gibberish
+            (12, "a"),                          # too short to score
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: (r.n_scored, r.ppl) for r in t.perplexity(test_docs, lm).collect()}
+    assert out[10][0] == 5 and out[11][0] == 5
+    assert out[10][1] < out[11][1], out   # reference-like text scores lower
+    assert out[12] == (0, None)           # surfaced, not dropped
+    # deterministic
+    again = {r.doc_id: (r.n_scored, r.ppl) for r in t.perplexity(test_docs, lm).collect()}
+    assert again == out
+
+
 def test_quantile_normalize_per_group(spark):
     from temporai_mivdp_spark.llmdata import text as t
 
