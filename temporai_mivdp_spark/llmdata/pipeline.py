@@ -73,6 +73,67 @@ def materialize_curation(
     return {"text_files": n}
 
 
+def guard_corpus(
+    docs: DataFrame,
+    bench: DataFrame,
+    weights: dict[str, float],
+    near_pairs: DataFrame | None = None,
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-integrity layer in one composition: every doc gets a split
+    label that keeps near-dup clusters together AND a contamination flag
+    that sees through paraphrase.
+
+    * ``shingle_bloom(bench)`` + ``bloom_contamination`` — n-gram leak
+      detection with a fixed-size index and a joinless corpus side;
+    * ``duplicate_clusters(near_pairs)`` — near-dup components (pass the
+      MinHash/embedding pairs you already computed for dedup);
+    * ``expand_contamination`` — a flagged doc contaminates its whole
+      cluster (rewritten leaks);
+    * ``leakage_safe_split`` — the split key is the cluster id, so
+      train/test never straddles a duplicate cluster.
+
+    Returns the input columns plus ``split``, ``n_bloom_hits``,
+    ``hit_frac``, ``contaminated`` (cluster-expanded). Drop/require
+    ``contaminated`` downstream; the flag is kept rather than filtered
+    so removal decisions stay auditable.
+    """
+    from temporai_mivdp_spark.llmdata.dedup import (
+        bloom_contamination,
+        duplicate_clusters,
+        expand_contamination,
+        shingle_bloom,
+    )
+    from temporai_mivdp_spark.llmdata.sampling import leakage_safe_split
+
+    bloom = shingle_bloom(bench, n=n, m_bits=m_bits, text_col=text_col, id_col=id_col)
+    flags = bloom_contamination(docs, bloom, n=n, text_col=text_col, id_col=id_col)
+    flags = flags.withColumn("contaminated", flags["n_bloom_hits"] > 0)
+    if near_pairs is not None:
+        clusters = duplicate_clusters(near_pairs)
+        flags = expand_contamination(flags, clusters, id_col=id_col).select(
+            id_col,
+            "n_bloom_hits",
+            "hit_frac",
+            flags["contaminated"].alias("contaminated_direct"),
+            "contaminated_expanded",
+        )
+        flags = flags.select(
+            id_col,
+            "n_bloom_hits",
+            "hit_frac",
+            flags["contaminated_expanded"].alias("contaminated"),
+        )
+    else:
+        clusters = None
+        flags = flags.select(id_col, "n_bloom_hits", "hit_frac", "contaminated")
+    split = leakage_safe_split(docs, weights, clusters=clusters, key_col=id_col)
+    return split.join(flags, id_col)
+
+
 def training_read(spark: SparkSession, table_prefix: str = "curation") -> DataFrame:
     """The downstream consumer's re-read join: curated metadata ⋈ doc
     payloads on the bucketed key. With both sides bucketed on doc_id the

@@ -847,6 +847,38 @@ def test_cluster_quota_caps_semantic_concentration(spark, vectors):
     assert {r.doc_id for r in got} == {r.doc_id for r in again.collect()}
 
 
+def test_guard_corpus_end_to_end(spark):
+    from temporai_mivdp_spark.llmdata.pipeline import guard_corpus
+
+    leak = "the secret benchmark answer is forty two exactly"
+    rows = [
+        (1, leak + " verbatim copy here"),
+        (2, "a light paraphrase that shares no trigram with anything above"),
+        (3, "ordinary clean document with plain words"),
+        (4, "another ordinary clean doc sharing nothing with others"),
+        (5, "near duplicate of doc four another ordinary clean doc sharing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    bench = spark.createDataFrame([(100, leak)], "doc_id: long, text: string")
+    # near-dup edges: the paraphrase (2) pairs with the verbatim leak (1);
+    # clean docs 4 and 5 pair with each other
+    pairs = spark.createDataFrame([(1, 2), (4, 5)], "id_a: long, id_b: long")
+    out = guard_corpus(
+        docs, bench, {"train": 0.7, "test": 0.3}, near_pairs=pairs, n=3
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # verbatim leak flagged directly; paraphrase inherits via its cluster
+    assert got[1].contaminated and got[1].n_bloom_hits > 0
+    assert got[2].contaminated and got[2].n_bloom_hits == 0
+    assert not got[3].contaminated and not got[4].contaminated
+    # near-dup cluster co-assigned to one split
+    assert got[4].split == got[5].split
+    assert got[1].split == got[2].split
+    # original columns survive
+    assert got[3].text.startswith("ordinary")
+
+
 def test_expand_contamination_across_clusters(spark):
     flags = spark.createDataFrame(
         [(1, True), (2, False), (3, False), (4, False), (5, True)],
