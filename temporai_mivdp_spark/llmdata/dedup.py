@@ -490,6 +490,20 @@ def benchmark_contamination(
     )
 
 
+def _bloom_positions(shingle: Column, m_bits: int, k_hashes: int) -> list[Column]:
+    """The k probe positions of one shingle, by Kirsch–Mitzenmacher
+    double hashing: ``pos_j = (h1 + j*h2) mod m`` needs TWO xxhash64
+    evaluations per shingle instead of k (same asymptotic false-positive
+    rate as k independent hashes — Kirsch & Mitzenmacher, "Less Hashing,
+    Same Performance", ESA'06). Both bases are reduced mod m first so
+    the combination arithmetic stays tiny — no 64-bit overflow, which
+    would throw under ANSI mode rather than wrap. Build and probe MUST
+    share this derivation; it is the single definition both use."""
+    b1 = F.pmod(F.xxhash64(shingle), F.lit(m_bits))
+    b2 = F.pmod(F.xxhash64(shingle, F.lit(1)), F.lit(m_bits))
+    return [F.pmod(b1 + j * b2, F.lit(m_bits)) for j in range(k_hashes)]
+
+
 def shingle_bloom(
     bench: DataFrame,
     n: int = 3,
@@ -513,7 +527,7 @@ def shingle_bloom(
     negatives: a clean verdict from the bloom is definitive.
 
     Build shape: bench shingles explode to ``k_hashes`` bit positions
-    (``pmod(xxhash64(shingle, j), m_bits)``), one hash-aggregate ORs
+    (double-hashed — see ``_bloom_positions``), one hash-aggregate ORs
     them into sparse words (map-side combined — duplicates die before
     the wire), and a final 1-row aggregate densifies via
     ``map_from_entries`` + a ``sequence`` transform. The result stays
@@ -522,12 +536,7 @@ def shingle_bloom(
     """
     positions = _shingles_raw(bench, n=n, text_col=text_col, id_col=id_col).select(
         F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64("shingle", F.lit(j)), F.lit(m_bits))
-                    for j in range(k_hashes)
-                ]
-            )
+            F.array(*_bloom_positions(F.col("shingle"), m_bits, k_hashes))
         ).alias("__pos")
     )
     sparse = (
@@ -590,8 +599,7 @@ def bloom_contamination(
     m_bits, k_hashes = int(row["m_bits"]), int(row["k_hashes"])
     words = F.lit([int(w) for w in row["words"]]).cast("array<bigint>")
     hit = F.lit(True)
-    for j in range(k_hashes):
-        p = F.pmod(F.xxhash64("shingle", F.lit(j)), F.lit(m_bits))
+    for p in _bloom_positions(F.col("shingle"), m_bits, k_hashes):
         hit = hit & (
             F.bit_get(
                 F.element_at(words, (p / 64).cast("int") + 1), (p % 64).cast("int")
@@ -684,8 +692,7 @@ def bloom_hit_columns(
 
     def is_hit(s: Column) -> Column:
         cond = F.lit(True)
-        for j in range(k_hashes):
-            p = F.pmod(F.xxhash64(s, F.lit(j)), F.lit(m_bits))
+        for p in _bloom_positions(s, m_bits, k_hashes):
             bit = F.bit_get(
                 F.element_at(words, (p / 64).cast("int") + 1), (p % 64).cast("int")
             )
