@@ -504,6 +504,24 @@ def _bloom_positions(shingle: Column, m_bits: int, k_hashes: int) -> list[Column
     return [F.pmod(b1 + j * b2, F.lit(m_bits)) for j in range(k_hashes)]
 
 
+def _bloom_probe(shingle: Column, words: Column, m_bits: int, k_hashes: int) -> Column:
+    """True iff every probe bit of ``shingle`` is set in ``words`` (the
+    bloom's word array; bit i of the index lives at bit ``i % 64`` of
+    word ``i // 64``). The single probe definition both consumers
+    (``bloom_contamination``, ``bloom_hit_columns``) share — the word
+    layout and ``_bloom_positions`` must move together or the no-false-
+    negative guarantee silently breaks."""
+    cond = F.lit(True)
+    for p in _bloom_positions(shingle, m_bits, k_hashes):
+        cond = cond & (
+            F.bit_get(
+                F.element_at(words, (p / 64).cast("int") + 1), (p % 64).cast("int")
+            )
+            == 1
+        )
+    return cond
+
+
 def shingle_bloom(
     bench: DataFrame,
     n: int = 3,
@@ -598,14 +616,7 @@ def bloom_contamination(
         raise ValueError("bloom DataFrame is empty — build it with shingle_bloom()")
     m_bits, k_hashes = int(row["m_bits"]), int(row["k_hashes"])
     words = F.lit([int(w) for w in row["words"]]).cast("array<bigint>")
-    hit = F.lit(True)
-    for p in _bloom_positions(F.col("shingle"), m_bits, k_hashes):
-        hit = hit & (
-            F.bit_get(
-                F.element_at(words, (p / 64).cast("int") + 1), (p % 64).cast("int")
-            )
-            == 1
-        )
+    hit = _bloom_probe(F.col("shingle"), words, m_bits, k_hashes)
     per_doc = (
         _shingles_raw(docs, n=n, text_col=text_col, id_col=id_col)
         .groupBy(id_col)
@@ -641,7 +652,14 @@ def merge_blooms(*blooms: DataFrame) -> DataFrame:
     if not blooms:
         raise ValueError("merge_blooms needs at least one bloom")
     params = [b.select("m_bits", "k_hashes").first() for b in blooms]
-    if len({(int(p["m_bits"]), int(p["k_hashes"])) for p in params if p}) != 1:
+    empties = [i for i, p in enumerate(params) if p is None]
+    if empties:
+        raise ValueError(
+            f"bloom inputs at positions {empties} are empty DataFrames — "
+            "build each with shingle_bloom() (an unbuilt shard index would "
+            "silently vanish from the union)"
+        )
+    if len({(int(p["m_bits"]), int(p["k_hashes"])) for p in params}) != 1:
         raise ValueError(f"bloom parameter mismatch: {params}")
     merged = blooms[0]
     for b in blooms[1:]:
@@ -691,13 +709,7 @@ def bloom_hit_columns(
     words = F.lit([int(w) for w in row["words"]]).cast("array<bigint>")
 
     def is_hit(s: Column) -> Column:
-        cond = F.lit(True)
-        for p in _bloom_positions(s, m_bits, k_hashes):
-            bit = F.bit_get(
-                F.element_at(words, (p / 64).cast("int") + 1), (p % 64).cast("int")
-            )
-            cond = cond & (bit == 1)
-        return cond
+        return _bloom_probe(s, words, m_bits, k_hashes)
 
     toks = F.split(normalize_text(F.col(text_col)), " ")
     spans = F.when(
@@ -802,7 +814,7 @@ def repeated_spans(
     examples = (
         _shingles_raw(docs, n=window, text_col=text_col, id_col=id_col)
         .select(F.xxhash64("shingle").alias("span_hash"), "shingle")
-        .join(F.broadcast(survivors), "span_hash")
+        .join(survivors, "span_hash")
         .groupBy("span_hash", "n_docs", "n_occurrences")
         .agg(F.min("shingle").alias("span"))
     )

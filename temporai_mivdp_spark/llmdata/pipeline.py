@@ -19,6 +19,7 @@ layout it lands in decides every downstream read:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from temporai_mivdp_spark.sources.sinks import compact_parquet, write_bucketed
 
@@ -118,14 +119,7 @@ def guard_corpus(
             id_col,
             "n_bloom_hits",
             "hit_frac",
-            flags["contaminated"].alias("contaminated_direct"),
-            "contaminated_expanded",
-        )
-        flags = flags.select(
-            id_col,
-            "n_bloom_hits",
-            "hit_frac",
-            flags["contaminated_expanded"].alias("contaminated"),
+            F.col("contaminated_expanded").alias("contaminated"),
         )
     else:
         clusters = None

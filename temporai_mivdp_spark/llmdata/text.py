@@ -197,8 +197,12 @@ def bigram_lm(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    # single-token docs feed the unigram counts above but have no bigram
+    # window — without this guard sequence(0, -1) descends to [0, -1]
+    # and element_at faults
     big = (
-        toks.select(
+        toks.filter(F.size("__toks") >= 2)
+        .select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.size("__toks") - 2),

@@ -954,6 +954,21 @@ def test_bigram_lm_perplexity_separates_reference_like_text(spark):
     assert again == out
 
 
+def test_bigram_lm_short_docs_feed_unigrams_only(spark):
+    from temporai_mivdp_spark.llmdata import text as t
+
+    clean = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "hello"), (3, "   "), (4, "")],
+        "doc_id: long, text: string",
+    )
+    lm_rows = t.bigram_lm(clean).collect()   # must not fault on 1-token docs
+    unis = {r.w2 for r in lm_rows if r.w1 is None}
+    bigs = {(r.w1, r.w2) for r in lm_rows if r.w1 is not None}
+    assert "hello" in unis                   # short doc counted in unigrams
+    assert all(w1 != "hello" for w1, _ in bigs)
+    assert ("the", "cat") in bigs
+
+
 def test_quantile_normalize_per_group(spark):
     from temporai_mivdp_spark.llmdata import text as t
 
