@@ -167,6 +167,66 @@ def quality_score(
     return q.select(id_col, score.alias("quality_score"))
 
 
+def strip_common_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove boilerplate LINES — a line (newline-delimited, compared
+    after trim) occurring in at least ``min_docs`` distinct documents is
+    stripped from every document, and documents are rebuilt with their
+    surviving lines in original order. The C4-recipe cleanup for nav
+    chrome / cookie banners / license footers that repeat verbatim
+    across pages whose documents otherwise differ (the doc-level dedup
+    blind spot ``repeated_spans`` *reports*; this op *repairs* it at
+    line granularity).
+
+    Plan: posexplode lines row-local, line-frequency aggregate on the
+    8-byte line hash only ((hash, doc) then hash — the same hash-only
+    wide-shuffle discipline as ``repeated_spans``), LEFT ANTI join the
+    frequent-hash set (boilerplate vocabularies are small — AQE
+    broadcasts), then one doc-keyed rebuild carrying each surviving
+    line once. Docs whose every line was boilerplate come back with
+    empty text rather than disappearing. Blank lines pass through
+    untouched (stripping them would mangle paragraph structure; they
+    never meet the frequency test).
+    """
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__h", F.xxhash64(F.trim(F.col("__line"))))
+    nonblank = lines.filter(F.trim("__line") != "")
+    frequent = (
+        nonblank.dropDuplicates([id_col, "__h"])
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__h")
+    )
+    kept = lines.join(
+        frequent, (lines["__h"] == frequent["__h"]) & (F.trim(lines["__line"]) != ""),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col)
+    )
+    passthrough = [c for c in docs.columns if c not in (text_col,)]
+    return (
+        docs.select(*passthrough)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(text_col, F.lit("")))
+    )
+
+
 def bigram_lm(
     clean: DataFrame,
     text_col: str = "text",

@@ -954,6 +954,27 @@ def test_bigram_lm_perplexity_separates_reference_like_text(spark):
     assert again == out
 
 
+def test_strip_common_lines_c4_style(spark):
+    from temporai_mivdp_spark.llmdata import text as t
+
+    banner = "accept all cookies"
+    rows = [
+        (1, f"{banner}\nunique article one\n\nbody paragraph one"),
+        (2, f"{banner}\nunique article two"),
+        (3, f"  {banner}  \nunique article three"),   # trim-equal banner
+        (4, banner),                                   # all boilerplate
+        (5, "no banner here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r.text for r in t.strip_common_lines(docs, min_docs=3).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1] == "unique article one\n\nbody paragraph one"  # blank kept
+    assert out[2] == "unique article two"
+    assert out[3] == "unique article three"
+    assert out[4] == ""                      # surfaced, emptied, not dropped
+    assert out[5] == "no banner here at all"
+
+
 def test_bigram_lm_short_docs_feed_unigrams_only(spark):
     from temporai_mivdp_spark.llmdata import text as t
 
