@@ -226,3 +226,53 @@ def test_ingest_dedup_stream_rolling_shards(spark):
         int(by_batch[8]),
     )
     assert keys_b1.count() == 5 and excl.count() == 4
+
+
+def test_streaming_ingest_quality_gate(spark):
+    """The row-local quality surface (language-ID, quality score, bloom
+    decontamination) composes into ONE streaming ingest projection — no
+    state, no shuffle — and matches its batch twin row-for-row."""
+    import tempfile
+
+    from temporai_mivdp_spark.llmdata import dedup
+    from temporai_mivdp_spark.llmdata.text import language_id
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and keeps running"),
+        (2, "el zorro marron salta sobre el perro perezoso cada dia"),
+        (3, "leaked benchmark answer forty two"),
+        (4, "!!!! ???? 12345 67890 @@@@"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    bench = spark.createDataFrame(
+        [(100, "leaked benchmark answer forty two")], "doc_id: long, text: string"
+    )
+    bloom = dedup.shingle_bloom(bench, n=3, m_bits=1 << 14)
+
+    def gate(df):
+        flagged = dedup.bloom_hit_columns(df, bloom, n=3)
+        return language_id(flagged, passthrough=["n_bloom_hits", "hit_frac"])
+
+    d = tempfile.mkdtemp(prefix="quality-gate-")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    src = spark.readStream.schema(docs.schema).parquet(d)
+    out = gate(src)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qgate_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_bloom_hits, r.lang_pred)
+        for r in spark.sql("select * from qgate_t").collect()
+    }
+    want = {
+        r.doc_id: (r.n_bloom_hits, r.lang_pred) for r in gate(docs).collect()
+    }
+    assert got == want
+    assert got[3][0] > 0 and got[1][0] == 0
+    assert got[1][1] == "en" and got[2][1] == "es"
