@@ -3,14 +3,21 @@
 Beyond the reference's clinical surface, the engine ships the operators a
 100 TB LLM-data pipeline needs, all Spark-first:
 
-  dedup        exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
-  similarity   brute-force cosine top-k + IVF-bucketed approximate search
+  dedup        exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding;
+               bloom-filter decontamination (batch + streaming probes,
+               shard merging), repeated-span mining, paraphrase-aware
+               contamination expansion
+  similarity   brute-force cosine top-k + IVF/LSH approximate search,
+               k-means centroid training, per-group mean embeddings
   text         language-ID heuristic, quality scoring + repetition
-               signals, token counting, document fingerprinting
-  sampling     deterministic hash split (train/val/test), stratified
-               hash sampling, temperature source rebalancing,
-               concat-and-chunk sequence packing, context-length
-               document chunking with overlap (zero-shuffle)
+               signals, CCNet-style perplexity filtering, tf-idf
+               keywords, C4-style boilerplate line removal, per-group
+               score calibration, token counting, fingerprinting
+  sampling     deterministic hash split (train/val/test; leakage-safe
+               across near-dup clusters), stratified hash sampling,
+               temperature source rebalancing, token-budget sampling,
+               cluster-capped diversity sampling, concat-and-chunk
+               sequence packing, context-length chunking (zero-shuffle)
   multimodal   opaque-binary media columns: schema, Arrow-batched
                metadata/feature extraction; REAL stdlib codecs for
                WAV/PCM audio, 24-bit BMP, 8-bit PNG (zlib + all five

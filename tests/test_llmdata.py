@@ -115,6 +115,31 @@ def test_mean_vectors_per_group(spark):
     assert out["b"] == ([10.0, 0.0], 1)   # null vector excluded from mean AND count
 
 
+def test_kmeans_buckets_block_embedding_neardup(spark, vectors):
+    """The intended 100 TB blocking path: kmeans buckets as the
+    embedding near-dup block key (replaces a hand-provided label — the
+    all-pairs fallback never runs)."""
+    cents, _ = similarity.kmeans_fit(vectors, n=3, iterations=5)
+    labeled = similarity.assign_ivf_buckets(
+        vectors, cents, id_col="vec_id", keep_all=True
+    )
+    pairs = dedup.embedding_near_duplicates(
+        labeled, threshold=0.99, id_col="vec_id", block_col="bucket"
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got, "tight axis clusters must yield near-dup pairs"
+    for a, b in got:
+        assert a % 3 == b % 3     # pairs only within a true cluster
+    # parity with ground-truth label blocking: same pair set
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_duplicates(
+            vectors, threshold=0.99, id_col="vec_id", block_col="label"
+        ).collect()
+    }
+    assert got == truth
+
+
 def test_kmeans_fit_recovers_clusters(spark, vectors):
     cents, history = similarity.kmeans_fit(vectors, n=3, iterations=10)
     # convergence signal: corpus mean winning-sim never decreases
