@@ -52,6 +52,18 @@ def main() -> None:
         (name, sf): QUERIES[name](spark, f"/root/testdata/sf{sf}")
         for name, sf in cells
     }
+    # non-catalog extras whose asymptotics matter (built here so their
+    # plan construction is also outside the timed region)
+    from temporai_mivdp_spark.sources import load_table  # noqa: PLC0415
+    from temporai_mivdp_spark.llmdata import dedup as _dd  # noqa: PLC0415
+
+    for sf in SFS:
+        docs = load_table(spark, f"/root/testdata/sf{sf}", "documents")
+        bloom = _dd.shingle_bloom(docs.limit(50), n=3, m_bits=1 << 20, k_hashes=4)
+        dfs[("x_bloom_contamination", sf)] = _dd.bloom_contamination(docs, bloom, n=3)
+        dfs[("x_repeated_spans", sf)] = _dd.repeated_spans(docs, window=10, min_docs=2)
+    EXTRAS = ["x_bloom_contamination", "x_repeated_spans"]
+    cells += [(name, sf) for name in EXTRAS for sf in SFS]
 
     def run(cell) -> None:
         dfs[cell].write.format("noop").mode("overwrite").save()
@@ -69,7 +81,7 @@ def main() -> None:
 
     print("| query | sf0.001 s | sf0.01 s | sf0.1 s | 0.01→0.1 ratio |")
     print("|---|---|---|---|---|")
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRAS:
         a, b, c = (best[(name, sf)] for sf in SFS)
         print(f"| {name} | {a:.3f} | {b:.3f} | {c:.3f} | {c / b:.1f}× |")
     spark.stop()
