@@ -66,6 +66,46 @@ def pd_tumbling(ev: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def pd_text_quality(docs: pd.DataFrame) -> pd.DataFrame:
+    from temporai_mivdp_spark.llmdata.text import STOPWORDS
+
+    norm = docs["text"].str.lower().str.replace(_WS, " ", regex=True).str.strip()
+    out = pd.DataFrame({"doc_id": docs["doc_id"]})
+    out["n_chars"] = docs["text"].str.len()
+    words = norm.str.split(" ")
+    out["n_tokens"] = words.str.len()
+    out["chars_per_token"] = out["n_chars"] / out["n_tokens"]
+    out["punct_ratio"] = docs["text"].str.count(r"[.!?,;:]") / out["n_chars"]
+    out["digit_ratio"] = docs["text"].str.count(r"[0-9]") / out["n_chars"]
+    pad = " " + norm + " "
+    stop_hits = sum(pad.str.count(f" {w} ") for w in STOPWORDS)
+    out["stopword_ratio"] = stop_hits / out["n_tokens"]
+    # word-2gram repetition: explode to a long frame, two groupbys
+    ex = pd.DataFrame(
+        {"doc_id": docs["doc_id"].repeat(out["n_tokens"] - 1)}
+    )
+    flat = [
+        f"{a} {b}"
+        for ws in words
+        for a, b in zip(ws, ws[1:])
+    ]
+    ex["g"] = flat
+    gc = ex.groupby(["doc_id", "g"]).size().rename("c").reset_index()
+    rep = gc.groupby("doc_id")["c"].agg(max_c="max", tot="sum", dist="size")
+    out = out.merge(rep, on="doc_id", how="left")
+    out["top_ngram_frac"] = (out["max_c"] * 2.0 / (out["tot"] + 1)).fillna(0.0)
+    out["dup_ngram_frac"] = ((out["tot"] - out["dist"]) / out["tot"]).fillna(0.0)
+    return out.drop(columns=["max_c", "tot", "dist"])
+
+
+def pd_two_level(li: pd.DataFrame) -> pd.DataFrame:
+    inner = li.groupby(["l_partkey", "l_orderkey"]).size().rename("n").reset_index()
+    out = inner.groupby("l_partkey")["n"].agg(
+        mean_frequency="mean", total_count="sum"
+    )
+    return out.reset_index()
+
+
 def pd_dedup_exact(docs: pd.DataFrame) -> pd.DataFrame:
     doubled = pd.concat(
         [docs, docs.assign(doc_id=docs["doc_id"] + 1_000_000)], ignore_index=True
@@ -97,6 +137,8 @@ def main() -> None:
             "a8_winsorize": lambda: pd_winsorize(t["li"]),
             "w3_tumbling_bucket": lambda: pd_tumbling(t["ev"]),
             "dedup_exact": lambda: pd_dedup_exact(t["docs"]),
+            "a2_two_level_agg": lambda: pd_two_level(t["li"]),
+            "text_quality": lambda: pd_text_quality(t["docs"]),
         }
 
     names = list(pandas_cases(SFS[0]))
