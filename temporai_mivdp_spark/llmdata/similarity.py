@@ -486,6 +486,37 @@ def kmeans_fit(
     return out, history
 
 
+def _route_probes(
+    probes: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    probe_id_col: str,
+) -> DataFrame:
+    """(__pid, __pvec, bucket, __pn) rows: each probe exploded to its
+    ``nprobe`` nearest centroids' buckets. Row-local — score the literal
+    centroid array, sort by (-sim, cid) (max sim first, ties to the
+    lower centroid id), explode the first nprobe. No cross join, no
+    window. Shared by the in-memory and persisted-index search paths."""
+    cents = _centroid_array(centroids, "centroid_id", vec_col)
+    p = probes.select(F.col(probe_id_col).alias("__pid"), F.col(vec_col).alias("__pvec"))
+    routed = F.slice(
+        F.sort_array(
+            F.transform(
+                _centroid_sims(F.col("__pvec"), cents),
+                lambda s: F.struct((-s["sim"]).alias("negsim"), s["cid"].alias("cid")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    return (
+        p.select("__pid", "__pvec", F.explode(routed).alias("__r"))
+        .select("__pid", "__pvec", F.col("__r.cid").cast("long").alias("bucket"))
+        .withColumn("__pn", _norm(F.col("__pvec")))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -501,27 +532,7 @@ def ivf_topk(
     #centroids). The bucket join is an equality join on the bucket id —
     this is what survives a 1000-executor corpus."""
     assigned = assign_ivf_buckets(corpus, centroids, vec_col=vec_col, id_col=id_col)
-
-    # probe routing is row-local too: score the literal centroid array,
-    # sort by (-sim, cid) — max sim first, ties to the lower centroid id
-    # — and explode the first nprobe buckets. No cross join, no window.
-    cents = _centroid_array(centroids, "centroid_id", vec_col)
-    p = probes.select(F.col(probe_id_col).alias("__pid"), F.col(vec_col).alias("__pvec"))
-    routed = F.slice(
-        F.sort_array(
-            F.transform(
-                _centroid_sims(F.col("__pvec"), cents),
-                lambda s: F.struct((-s["sim"]).alias("negsim"), s["cid"].alias("cid")),
-            )
-        ),
-        1,
-        nprobe,
-    )
-    probe_buckets = p.select(
-        "__pid", "__pvec", F.explode(routed).alias("__r")
-    ).select("__pid", "__pvec", F.col("__r.cid").cast("long").alias("bucket"))
-
-    probe_buckets = probe_buckets.withColumn("__pn", _norm(F.col("__pvec")))
+    probe_buckets = _route_probes(probes, centroids, nprobe, vec_col, probe_id_col)
     candidates = assigned.withColumn("__cn2", _norm(F.col(vec_col))).join(
         F.broadcast(probe_buckets), "bucket"
     ).filter(F.col(id_col) != F.col("__pid"))
@@ -530,6 +541,79 @@ def ivf_topk(
         F.round(
             _dot(F.col("__pvec"), F.col(vec_col))
             / (F.col("__pn") * F.col("__cn2")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__pid").alias(probe_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def persist_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Write the inverted file to disk as a servable index: the corpus
+    PARTITIONED BY bucket (one directory per centroid) next to the
+    centroid table. The layout IS the index — a probe's search reads
+    only its ``nprobe`` bucket directories via Spark partition pruning
+    (``ivf_topk_from_index``), so serving cost scales with
+    nprobe/ncentroids of the corpus *at the file level*: the other
+    buckets are never opened, listed bytes are the whole touch. Rebuild
+    when centroids retrain (the assignment is centroid-dependent);
+    appending a new shard = assigning it and appending to the same
+    partitioned layout."""
+    assigned = assign_ivf_buckets(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/corpus")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Approximate top-k against a ``persist_ivf_index`` layout. Same
+    semantics as ``ivf_topk`` over the same centroids; the difference is
+    WHAT gets read: probes are routed row-local, the union of their
+    routed buckets is collected (probe sets are small by contract —
+    this is the serving path), and the corpus scan carries
+    ``bucket IN (...)`` as a PARTITION filter, so non-routed bucket
+    directories are skipped at file-listing time. The plan test pins
+    the PartitionFilters clause."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    probe_buckets = _route_probes(probes, centroids, nprobe, vec_col, probe_id_col)
+    needed = sorted(
+        int(r["bucket"]) for r in probe_buckets.select("bucket").distinct().collect()
+    )
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("bucket").isin(needed))
+        .withColumn("bucket", F.col("bucket").cast("long"))
+    )
+    candidates = corpus.withColumn("__cn2", _norm(F.col(vec_col))).join(
+        F.broadcast(probe_buckets), "bucket"
+    ).filter(F.col(id_col) != F.col("__pid"))
+    sim = candidates.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("__pvec"), F.col(vec_col)) / (F.col("__pn") * F.col("__cn2")),
             6,
         ),
     )

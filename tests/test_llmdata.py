@@ -188,6 +188,30 @@ def test_kmeans_trained_ivf_recall_not_worse(spark, vectors):
     assert rec["trained"] >= 0.8, rec
 
 
+def test_persisted_ivf_index_parity_and_partition_pruning(spark, vectors):
+    import tempfile
+
+    from temporai_mivdp_spark.plans.inspect import executed_plan
+
+    cents, _ = similarity.kmeans_fit(vectors, n=6, iterations=4)
+    path = tempfile.mkdtemp(prefix="ivf-index-")
+    similarity.persist_ivf_index(vectors, cents, path)
+    probes = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    mem = similarity.ivf_topk(vectors, probes, cents, k=5, nprobe=3)
+    idx = similarity.ivf_topk_from_index(spark, path, probes, k=5, nprobe=3)
+    m = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine) for r in mem.collect()}
+    i = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine) for r in idx.collect()}
+    assert m == i
+    # the scan must carry the routed buckets as a PARTITION filter —
+    # non-routed bucket directories are skipped at file-listing time
+    plan = executed_plan(idx)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "bucket" in seg, seg
+
+
 def test_lsh_topk_recall(spark, vectors):
     probes = vectors.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
