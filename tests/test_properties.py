@@ -287,3 +287,51 @@ def test_token_budget_prefix_and_bound(spark, tokens, budget):
     assert {r.doc_id for r in sel} <= bigger
     again = {r.doc_id for r in token_budget_sample(df, budget).collect()}
     assert {r.doc_id for r in sel} == again
+
+
+@given(
+    data=st.lists(
+        st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=4, max_size=24,
+    ),
+    n=st.integers(2, 4),
+)
+@_SETTINGS
+def test_kmeans_round_matches_numpy(spark, data, n):
+    """One Lloyd round == numpy recomputation: assignment by max
+    dot(c,v)/|c| with ties to the lower centroid id, means elementwise,
+    empty buckets retaining their seed."""
+    import math
+
+    from temporai_mivdp_spark.llmdata.similarity import kmeans_fit
+
+    # drop zero vectors (cosine undefined -> sim NaN on both sides, but
+    # NaN ordering conventions differ; out of scope for the mean math)
+    data = [v for v in data if any(abs(x) > 1e-6 for x in v)] or [[1.0, 0, 0, 0]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(data)],
+        "vec_id: long, embedding: array<double>",
+    )
+    cents, _ = kmeans_fit(df, n=n, iterations=1)
+    got = {r.centroid_id: list(r.embedding) for r in cents.collect()}
+
+    seeds = {cid: data[cid] for cid in range(min(n, len(data)))}
+    assign: dict[int, list[list[float]]] = {}
+    for v in data:
+        best = None
+        for cid in sorted(seeds):
+            c = seeds[cid]
+            cn = math.sqrt(sum(x * x for x in c))
+            sim = sum(a * b for a, b in zip(c, v)) / cn if cn else float("-inf")
+            # struct max on (sim, -cid): higher sim wins, ties -> lower cid
+            if best is None or sim > best[0] + 0.0 or (sim == best[0] and cid < best[1]):
+                best = (sim, cid)
+        assign.setdefault(best[1], []).append(v)
+    want = dict(seeds)
+    for cid, members in assign.items():
+        dim = len(members[0])
+        want[cid] = [sum(m[i] for m in members) / len(members) for i in range(dim)]
+    assert set(got) == set(want)
+    for cid in want:
+        for a, b in zip(got[cid], want[cid]):
+            assert abs(a - b) < 1e-9, (cid, got[cid], want[cid])
