@@ -51,6 +51,27 @@ FAMILY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
 ]
+
+
+def _x_bloom(spark, sf_dir):
+    from temporai_mivdp_spark.llmdata import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bloom = dedup.shingle_bloom(docs.limit(50), n=3, m_bits=1 << 20, k_hashes=4)
+    return dedup.bloom_contamination(docs, bloom, n=3)
+
+
+def _x_spans(spark, sf_dir):
+    from temporai_mivdp_spark.llmdata import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.repeated_spans(docs, window=10, min_docs=2)
+
+
+#: non-catalog extras with the same superlinear-risk profile; per-doc
+#: (bloom) and per-shared-span (spans) outputs both grow exactly 10x
+#: under the copy-salted inflation, so --check applies unchanged
+EXTRAS = {"x_bloom_contamination": _x_bloom, "x_repeated_spans": _x_spans}
 COPIES = 10
 BASE_SF = "/root/testdata/sf0.1"
 
@@ -95,8 +116,14 @@ def main() -> None:
     try:
         inflate(spark, tmp)
 
-        cells = [(name, sf) for name in FAMILY for sf in (BASE_SF, tmp)]
-        dfs = {(name, sf): QUERIES[name](spark, sf) for name, sf in cells}
+        names = FAMILY + list(EXTRAS)
+        cells = [(name, sf) for name in names for sf in (BASE_SF, tmp)]
+        dfs = {
+            (name, sf): (
+                EXTRAS[name](spark, sf) if name in EXTRAS else QUERIES[name](spark, sf)
+            )
+            for name, sf in cells
+        }
 
         def run(cell) -> None:
             dfs[cell].write.format("noop").mode("overwrite").save()
@@ -120,12 +147,12 @@ def main() -> None:
 
         print("| query | sf0.1 s | 10x s | ratio |")
         print("|---|---|---|---|")
-        for name in FAMILY:
+        for name in names:
             a, b = best[(name, BASE_SF)], best[(name, tmp)]
             print(f"| {name} | {a:.3f} | {b:.3f} | {b / a:.1f}× |")
 
         if "--check" in sys.argv:
-            for name in FAMILY:
+            for name in names:
                 ra = dfs[(name, BASE_SF)].count()
                 rb = dfs[(name, tmp)].count()
                 ok = 8 <= rb / max(ra, 1) <= 12
