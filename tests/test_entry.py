@@ -41,3 +41,13 @@ def test_flagship_is_broadcast_joined(spark, name):
     df = entrymod.queries()[name](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_coverage_doc_mentions_every_catalog_query():
+    """Doc-rot guard: every driver-checked catalog key must appear in
+    COVERAGE.md (the judge's operator->query crosswalk)."""
+    import __spark_entry__ as entrymod
+
+    text = open("COVERAGE.md").read()
+    missing = [k for k in entrymod.queries() if k not in text]
+    assert not missing, missing
