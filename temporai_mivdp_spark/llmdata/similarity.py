@@ -630,6 +630,102 @@ def ivf_topk_from_index(
     )
 
 
+def persist_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    tables: int = 4,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> None:
+    """The LSH sibling of ``persist_ivf_index``: corpus signatures
+    written PARTITIONED BY (table, bucket) — tables x 2^bits directories
+    (1024 at the defaults; size ``bits`` so each holds hundreds of
+    vectors, same rule as ``lsh_topk``). A probe touches ``tables``
+    directories out of all of them, via partition pruning. The plane
+    family is derandomized from md5 (``plane_signs``), so the index
+    needs no stored model — any later session re-derives the identical
+    planes from (tables, bits, dim) alone; those three are pinned in a
+    tiny ``params`` table next to the data so readers can't mismatch."""
+    sig = lsh_signatures(
+        corpus, tables=tables, bits=bits, vec_col=vec_col, id_col=id_col, dim=dim
+    )
+    sig.write.mode("overwrite").partitionBy("table", "bucket").parquet(
+        f"{path}/signatures"
+    )
+    spark = corpus.sparkSession
+    if dim is None:
+        row = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        dim = int(row[0]["d"]) if row else 1
+    spark.createDataFrame(
+        [(tables, bits, dim)], "tables int, bits int, dim int"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def lsh_topk_from_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Approximate top-k against a ``persist_lsh_index`` layout — same
+    semantics as ``lsh_topk`` at the pinned (tables, bits, dim). Probe
+    signatures are computed with the re-derived literal planes, their
+    (table, bucket) pairs are collected (serving-path contract: probe
+    sets are small), and the signature scan carries them as partition
+    filters — only ``<= tables x n_probes`` directories are listed."""
+    p = spark.read.parquet(f"{path}/params").first()
+    tables, bits, dim = int(p["tables"]), int(p["bits"]), int(p["dim"])
+    p_sig = lsh_signatures(
+        probes, tables=tables, bits=bits, vec_col=vec_col, id_col=probe_id_col, dim=dim
+    ).select(
+        F.col(probe_id_col).alias("__pid"),
+        F.col(vec_col).alias("__pvec"),
+        "table",
+        "bucket",
+    )
+    pairs = {
+        (int(r["table"]), int(r["bucket"]))
+        for r in p_sig.select("table", "bucket").distinct().collect()
+    }
+    cond = None
+    for t, b in sorted(pairs):
+        c = (F.col("table") == t) & (F.col("bucket") == b)
+        cond = c if cond is None else cond | c
+    c_sig = (
+        spark.read.parquet(f"{path}/signatures")
+        .filter(cond if cond is not None else F.lit(False))
+        .withColumn("table", F.col("table").cast("int"))
+        .withColumn("bucket", F.col("bucket").cast("long"))
+    )
+    candidates = (
+        c_sig.join(F.broadcast(p_sig), ["table", "bucket"])
+        .filter(F.col(id_col) != F.col("__pid"))
+        .dropDuplicates(["__pid", id_col])
+    )
+    sim = candidates.withColumn("__pn", _norm(F.col("__pvec"))).withColumn(
+        "__cn", _norm(F.col(vec_col))
+    ).withColumn(
+        "cosine",
+        F.round(_dot(F.col("__pvec"), F.col(vec_col)) / (F.col("__pn") * F.col("__cn")), 6),
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__pid").alias(probe_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def plane_signs(table: int, bit: int, dim: int) -> list[float]:
     """The ±1 components of one LSH hyperplane, derandomized from md5:
     component i is +1 iff the first hex nibble of ``md5("t:b:i")`` is

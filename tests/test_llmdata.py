@@ -212,6 +212,27 @@ def test_persisted_ivf_index_parity_and_partition_pruning(spark, vectors):
     assert "bucket" in seg, seg
 
 
+def test_persisted_lsh_index_parity_and_partition_pruning(spark, vectors):
+    import tempfile
+
+    from temporai_mivdp_spark.plans.inspect import executed_plan
+
+    path = tempfile.mkdtemp(prefix="lsh-index-")
+    similarity.persist_lsh_index(vectors, path, tables=6, bits=4)
+    probes = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    mem = similarity.lsh_topk(vectors, probes, k=5, tables=6, bits=4)
+    idx = similarity.lsh_topk_from_index(spark, path, probes, k=5)
+    m = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine) for r in mem.collect()}
+    i = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine) for r in idx.collect()}
+    assert m == i
+    plan = executed_plan(idx)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "table" in seg and "bucket" in seg, seg
+
+
 def test_lsh_topk_recall(spark, vectors):
     probes = vectors.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
