@@ -412,6 +412,13 @@ def kmeans_fit(
     of the winning centroid sim after round r (monotone non-decreasing
     up to IEEE rounding — the convergence signal). Stops early when the
     max centroid L2 shift drops below ``tol``.
+
+    Why not ``pyspark.ml.clustering.KMeans``: MLlib's fit returns an
+    opaque model object (RDD-era internals, nondeterministic k-means||
+    init, Euclidean-only) whose assignment can't be inlined into a
+    Catalyst plan; this fit IS the same literal-array assignment the
+    search path uses, so train/assign/search share one deterministic
+    code path the oracle and tests can replay.
     """
     spark = corpus.sparkSession
     cents = seed_centroids if seed_centroids is not None else deterministic_centroids(
