@@ -335,3 +335,47 @@ def test_kmeans_round_matches_numpy(spark, data, n):
     for cid in want:
         for a, b in zip(got[cid], want[cid]):
             assert abs(a - b) < 1e-9, (cid, got[cid], want[cid])
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=0, max_size=20,
+    ),
+    weights=st.sampled_from(
+        [{"train": 0.8, "test": 0.2}, {"a": 0.5, "b": 0.3, "c": 0.2}]
+    ),
+)
+@_SETTINGS
+def test_leakage_safe_split_cluster_invariant(spark, edges, weights):
+    """Under ANY near-dup graph, two docs connected by any path must land
+    in the same split."""
+    from temporai_mivdp_spark.llmdata.dedup import duplicate_clusters
+    from temporai_mivdp_spark.llmdata.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(31)], "doc_id: long, text: string"
+    )
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a: long, id_b: long"
+    ).filter("id_a != id_b")
+    clusters = duplicate_clusters(pairs)
+    out = leakage_safe_split(docs, weights, clusters=clusters)
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == 31
+    # union-find ground truth of connected components
+    parent = list(range(31))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    for a, b in edges:
+        assert got[a] == got[b], (a, b, got[a], got[b])
+    comp_split = {}
+    for i in range(31):
+        r = find(i)
+        comp_split.setdefault(r, set()).add(got[i])
+    assert all(len(s) == 1 for s in comp_split.values())
