@@ -371,6 +371,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_centroids: DataFrame | None = None,
+    sample_fraction: float | None = None,
 ) -> tuple[DataFrame, list[float]]:
     """Train the IVF coarse quantizer: spherical k-means (Lloyd's), each
     round expressed as one distributed pass over the corpus.
@@ -413,6 +414,15 @@ def kmeans_fit(
     up to IEEE rounding — the convergence signal). Stops early when the
     max centroid L2 shift drops below ``tol``.
 
+    ``sample_fraction`` is the 100 TB training lever: each round's
+    assignment+mean pass runs over a deterministic hash-sample of the
+    corpus (``pmod(xxhash64(id), 1e6) < frac*1e6`` — row-local, the
+    same rows every round and every rerun, no RNG state) instead of all
+    of it. Centroid quality converges on a fraction of the data long
+    before the full corpus adds information; the full corpus only ever
+    pays the one row-local ``assign_ivf_buckets`` pass at index-build
+    time. ``history`` then reports the sample's mean winning-sim.
+
     Why not ``pyspark.ml.clustering.KMeans``: MLlib's fit returns an
     opaque model object (RDD-era internals, nondeterministic k-means||
     init, Euclidean-only) whose assignment can't be inlined into a
@@ -429,7 +439,13 @@ def kmeans_fit(
         for r in cents.select("centroid_id", vec_col).collect()
     }
     history: list[float] = []
-    src = corpus.select(F.col(vec_col).alias("__v"))
+    src = corpus
+    if sample_fraction is not None and sample_fraction < 1.0:
+        src = src.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1_000_000))
+            < F.lit(int(sample_fraction * 1_000_000))
+        )
+    src = src.select(F.col(vec_col).alias("__v"))
     for _ in range(iterations):
         carr = F.array(
             *[

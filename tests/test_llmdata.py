@@ -166,6 +166,25 @@ def test_kmeans_fit_deterministic_and_empty_bucket_safe(spark, vectors):
     assert v1 == v2
 
 
+def test_kmeans_sampled_rounds_still_recover_clusters(spark, vectors):
+    cents, history = similarity.kmeans_fit(
+        vectors, n=3, iterations=8, sample_fraction=0.6
+    )
+    # deterministic: same sample, same fit
+    cents2, history2 = similarity.kmeans_fit(
+        vectors, n=3, iterations=8, sample_fraction=0.6
+    )
+    assert history == history2
+    # full-corpus assignment with sample-trained centroids still
+    # separates the 3 axis clusters perfectly
+    assigned = similarity.assign_ivf_buckets(vectors, cents)
+    by_bucket: dict[int, set[int]] = {}
+    for r in assigned.collect():
+        by_bucket.setdefault(r.bucket, set()).add(r.vec_id % 3)
+    assert len(by_bucket) == 3
+    assert all(len(labels) == 1 for labels in by_bucket.values()), by_bucket
+
+
 def test_kmeans_trained_ivf_recall_not_worse(spark, vectors):
     probes = vectors.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
