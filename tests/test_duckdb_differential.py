@@ -157,3 +157,122 @@ def test_strip_common_lines_matches_duckdb(spark, duck, docs):
         ).fetchall()
     )
     assert got == want
+
+
+def test_mean_vectors_matches_duckdb(spark, duck):
+    rows = [
+        ("a", [1.0, 3.0, 5.0]),
+        ("a", [3.0, 5.0, 7.0]),
+        ("b", [10.0, 0.0, 2.0]),
+    ]
+    sdf = spark.createDataFrame(rows, "src: string, embedding: array<double>")
+    duck.register("vecs", pd.DataFrame(rows, columns=["src", "embedding"]))
+    from temporai_mivdp_spark.llmdata import similarity
+
+    got = {
+        r.src: (list(r.embedding), r.n_vectors)
+        for r in similarity.mean_vectors(sdf, "src").collect()
+    }
+    want = {
+        r[0]: (list(r[1]), r[2])
+        for r in duck.execute(
+            """
+            WITH ex AS (
+              SELECT src, pos, embedding[pos] AS x
+              FROM (SELECT src, embedding,
+                           unnest(generate_series(1, len(embedding))) AS pos
+                    FROM vecs)
+            ),
+            per_pos AS (
+              SELECT src, pos, avg(x) AS m, count(*) AS c FROM ex GROUP BY 1, 2
+            )
+            SELECT src, list(m ORDER BY pos), CAST(max(c) AS BIGINT)
+            FROM per_pos GROUP BY src
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_perplexity_matches_duckdb(spark, duck):
+    clean_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat ran to the dog"),
+    ]
+    test_rows = [
+        (10, "the cat sat on the rug"),
+        (11, "zq xv totally unseen words"),
+        (12, "a"),
+    ]
+    clean = spark.createDataFrame(clean_rows, "doc_id: long, text: string")
+    docs = spark.createDataFrame(test_rows, "doc_id: long, text: string")
+    duck.register("clean", pd.DataFrame(clean_rows, columns=["doc_id", "text"]))
+    duck.register("crawl", pd.DataFrame(test_rows, columns=["doc_id", "text"]))
+
+    lm = text.bigram_lm(clean, alpha=0.4)
+    got = {
+        r.doc_id: (r.n_scored, r.ppl)
+        for r in text.perplexity(docs, lm, oov_logp=-20.0).collect()
+    }
+    want = dict(
+        duck.execute(
+            f"""
+            WITH ctoks AS (
+              SELECT string_split({NORM}, ' ') AS w
+              FROM (SELECT text FROM clean) WHERE len(string_split({NORM}, ' ')) > 0
+            ),
+            uni AS (
+              SELECT u AS w, count(*) AS c
+              FROM (SELECT unnest(w) AS u FROM ctoks) GROUP BY u
+            ),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, count(*) AS v FROM uni),
+            big AS (
+              SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+              FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                    FROM ctoks WHERE len(w) >= 2)
+              GROUP BY 1, 2
+            ),
+            p_uni AS (
+              SELECT uni.w, 0.6 * uni.c / tot.n + 0.4 / tot.v AS p
+              FROM uni CROSS JOIN tot
+            ),
+            lp_big AS (
+              SELECT big.w1, big.w2,
+                     ln(0.6 * big.c12 / u1.c + 0.4 * pu.p) AS logp
+              FROM big
+              JOIN uni u1 ON u1.w = big.w1
+              JOIN p_uni pu ON pu.w = big.w2
+            ),
+            pairs AS (
+              SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                    FROM (SELECT doc_id, string_split({NORM}, ' ') AS w FROM crawl)
+                    WHERE len(w) >= 2)
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     coalesce(lb.logp, ln(pu.p), -20.0) AS lp
+              FROM pairs p
+              LEFT JOIN lp_big lb ON lb.w1 = p.w1 AND lb.w2 = p.w2
+              LEFT JOIN p_uni pu ON pu.w = p.w2
+            ),
+            per_doc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+                     exp(-avg(lp)) AS ppl
+              FROM scored GROUP BY doc_id
+            )
+            SELECT c.doc_id, (coalesce(n_scored, 0), ppl)
+            FROM crawl c LEFT JOIN per_doc USING (doc_id)
+            """
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k in got:
+        n_s, p_s = got[k]
+        n_d, p_d = want[k]
+        assert n_s == n_d, (k, got[k], want[k])
+        if p_s is None:
+            assert p_d is None
+        else:
+            assert abs(p_s - p_d) < 1e-6 * max(1.0, abs(p_d)), (k, p_s, p_d)
