@@ -602,6 +602,28 @@ def persist_ivf_index(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_to_ivf_index(
+    shard: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Rolling ingest for the persisted IVF index: assign a NEW shard
+    against the index's own stored centroids (so assignment stays
+    consistent with everything already indexed — passing fresher
+    centroids here would silently split buckets) and append it into the
+    same bucket-partitioned layout. Cost is one row-local pass over the
+    shard; the existing corpus is not read, let alone rewritten. Dynamic
+    partition append only touches the bucket directories the shard lands
+    in. Re-fit + ``persist_ivf_index`` when drift makes the stored
+    centroids stale (``mean_vectors`` per bucket vs the centroid table
+    is the drift probe)."""
+    spark = shard.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = assign_ivf_buckets(shard, centroids, vec_col=vec_col, id_col=id_col)
+    assigned.write.mode("append").partitionBy("bucket").parquet(f"{path}/corpus")
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

@@ -252,6 +252,28 @@ def test_persisted_lsh_index_parity_and_partition_pruning(spark, vectors):
     assert "table" in seg and "bucket" in seg, seg
 
 
+def test_ivf_index_shard_append_parity(spark, vectors):
+    import tempfile
+
+    cents, _ = similarity.kmeans_fit(vectors, n=6, iterations=4)
+    first = vectors.filter(F.col("vec_id") < 20)
+    shard = vectors.filter(F.col("vec_id") >= 20)
+    probes = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    # index built incrementally == index built in one shot
+    p1 = tempfile.mkdtemp(prefix="ivf-inc-")
+    similarity.persist_ivf_index(first, cents, p1)
+    similarity.append_to_ivf_index(shard, p1)
+    p2 = tempfile.mkdtemp(prefix="ivf-full-")
+    similarity.persist_ivf_index(vectors, cents, p2)
+    r1 = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in similarity.ivf_topk_from_index(spark, p1, probes, k=5, nprobe=3).collect()}
+    r2 = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in similarity.ivf_topk_from_index(spark, p2, probes, k=5, nprobe=3).collect()}
+    assert r1 == r2
+
+
 def test_lsh_topk_recall(spark, vectors):
     probes = vectors.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
