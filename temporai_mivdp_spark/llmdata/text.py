@@ -167,6 +167,92 @@ def quality_score(
     return q.select(id_col, score.alias("quality_score"))
 
 
+def build_vocabulary(
+    docs: DataFrame,
+    size: int = 50_000,
+    text_col: str = "text",
+    reserved: int = 1,
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: ``(token, token_id, count)``
+    with ids ``reserved .. reserved+size-1`` (id 0 stays free for OOV by
+    default) assigned by descending count, ties alphabetical — fully
+    deterministic, so two sessions build the identical vocab.
+
+    One token-count aggregate (map-side combined) then a top-``size``
+    rank over the vocabulary-sized count table — the corpus is touched
+    once; ranking never sees corpus-sized data. This is the dictionary
+    half of text→ids encoding (``encode_tokens``); persist it next to
+    the corpus the way the reference pickles its vocabs
+    (data_generation_icu.py:926-988 — here a plain DataFrame).
+    """
+    counts = (
+        tokenize(docs.select(text_col), text_col=text_col, out_col="token")
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= size)
+        .select(
+            "token",
+            (F.col("__r") - 1 + reserved).cast("long").alias("token_id"),
+            "count",
+        )
+    )
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Map each document to its token-id array under ``vocab`` (from
+    ``build_vocabulary``), unknown tokens becoming ``oov_id`` — the
+    text→ids step feeding ``pack_sequences``/``chunk_documents``.
+
+    Plan: tokens posexplode row-local, ONE broadcastable join against
+    the vocabulary (the only shuffle-relevant touch; vocab is
+    size-bounded by construction), then a doc-keyed ordered reassembly
+    (``array_sort(collect_list(struct(pos, id)))``). Docs with no
+    tokens come back with an empty array, not a missing row.
+    """
+    toks = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+            )
+        ).alias("__pos", "token"),
+    )
+    mapped = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    rebuilt = mapped.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__pos"),
+                        F.coalesce("token_id", F.lit(oov_id).cast("long")).alias("id"),
+                    )
+                )
+            ),
+            lambda s: s["id"],
+        ).alias(out_col)
+    )
+    return (
+        docs.select(id_col)
+        .dropDuplicates([id_col])
+        .join(rebuilt, id_col, "left")
+        .withColumn(
+            out_col, F.coalesce(out_col, F.array().cast("array<bigint>"))
+        )
+    )
+
+
 def strip_common_lines(
     docs: DataFrame,
     min_docs: int = 3,

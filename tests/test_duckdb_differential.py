@@ -276,3 +276,57 @@ def test_perplexity_matches_duckdb(spark, duck):
             assert p_d is None
         else:
             assert abs(p_s - p_d) < 1e-6 * max(1.0, abs(p_d)), (k, p_s, p_d)
+
+
+def test_vocab_encode_matches_duckdb(spark, duck, docs):
+    from temporai_mivdp_spark.llmdata import text as t
+
+    vocab = t.build_vocabulary(docs, size=6)
+    got_v = {r.token: r.token_id for r in vocab.collect()}
+    want_v = dict(
+        duck.execute(
+            f"""
+            WITH toks AS (
+              SELECT unnest(string_split({NORM}, ' ')) AS token FROM documents
+            ),
+            c AS (
+              SELECT token, count(*) AS cnt FROM toks
+              WHERE token != '' GROUP BY token
+            )
+            SELECT token,
+                   row_number() OVER (ORDER BY cnt DESC, token ASC) AS token_id
+            FROM c QUALIFY token_id <= 6
+            """
+        ).fetchall()
+    )
+    assert got_v == want_v
+
+    got_e = {r.doc_id: list(r.token_ids) for r in t.encode_tokens(docs, vocab).collect()}
+    want_e = dict(
+        duck.execute(
+            f"""
+            WITH v AS (
+              SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS tid
+              FROM (SELECT u AS token, count(*) AS cnt
+                    FROM (SELECT unnest(string_split({NORM}, ' ')) AS u FROM documents)
+                    WHERE u != '' GROUP BY u)
+              QUALIFY tid <= 6
+            ),
+            toks AS (
+              SELECT doc_id, w[i] AS token, i
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+                    FROM (SELECT doc_id,
+                                 list_filter(string_split({NORM}, ' '), x -> x != '') AS w
+                          FROM documents))
+            )
+            SELECT d.doc_id,
+                   coalesce((SELECT list(coalesce(v.tid, 0) ORDER BY toks.i)
+                             FROM toks LEFT JOIN v USING (token)
+                             WHERE toks.doc_id = d.doc_id), [])
+            FROM documents d
+            """
+        ).fetchall()
+    )
+    assert set(got_e) == set(want_e)
+    for k in got_e:
+        assert got_e[k] == list(want_e[k]), (k, got_e[k], want_e[k])

@@ -1065,6 +1065,39 @@ def test_bigram_lm_perplexity_separates_reference_like_text(spark):
     assert again == out
 
 
+def test_vocabulary_and_encoding_roundtrip(spark):
+    from temporai_mivdp_spark.llmdata import text as t
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog and the cat"),
+        (3, ""),
+        (4, "unseen zebra"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    vocab = t.build_vocabulary(docs, size=4)
+    v = {r.token: (r.token_id, r["count"]) for r in vocab.collect()}
+    # 'the' is the most frequent -> id 1 (0 reserved for OOV)
+    assert v["the"] == (1, 4)
+    assert len(v) == 4 and 0 not in {tid for tid, _ in v.values()}
+    # deterministic: same corpus, same vocab
+    v2 = {r.token: (r.token_id, r["count"]) for r in t.build_vocabulary(docs, size=4).collect()}
+    assert v == v2
+
+    enc = {r.doc_id: list(r.token_ids) for r in t.encode_tokens(docs, vocab).collect()}
+    assert set(enc) == {1, 2, 3, 4}
+    assert enc[3] == []                                  # empty doc surfaced
+    assert len(enc[1]) == 6 and len(enc[2]) == 5         # positions preserved
+    assert enc[1][0] == v["the"][0] and enc[1][4] == v["the"][0]
+    assert enc[4] == [0, 0]                              # all-OOV doc
+    # top-4 vocab = the(4), cat(2), then count-1 ties alphabetical: and, dog
+    assert set(v) == {"the", "cat", "and", "dog"}
+    # decode: ids map back to the original tokens in order
+    inv = {tid: tok for tok, (tid, _) in v.items()}
+    decoded = [inv.get(i, "<oov>") for i in enc[2]]
+    assert decoded == ["the", "dog", "and", "the", "cat"]
+
+
 def test_strip_common_lines_c4_style(spark):
     from temporai_mivdp_spark.llmdata import text as t
 
