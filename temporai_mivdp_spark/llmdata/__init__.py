@@ -12,7 +12,8 @@ Beyond the reference's clinical surface, the engine ships the operators a
   text         language-ID heuristic, quality scoring + repetition
                signals, CCNet-style perplexity filtering, tf-idf
                keywords, C4-style boilerplate line removal, per-group
-               score calibration, token counting, fingerprinting
+               score calibration, token counting, text→ids encoding
+               (frequency vocabulary), fingerprinting
   sampling     deterministic hash split (train/val/test; leakage-safe
                across near-dup clusters), stratified hash sampling,
                temperature source rebalancing, token-budget sampling,
