@@ -958,6 +958,60 @@ def test_cluster_quota_caps_semantic_concentration(spark, vectors):
     assert {r.doc_id for r in got} == {r.doc_id for r in again.collect()}
 
 
+def test_full_training_prep_flow(spark):
+    """Capstone composition: raw crawl -> boilerplate line removal ->
+    exact dedup -> contamination+leakage guard -> text-to-ids encoding
+    -> token-budget selection -> sequence packing, all lazy DataFrame
+    ops over one synthetic corpus, ending in a packed training table
+    with the invariants each stage promised."""
+    from temporai_mivdp_spark.llmdata import sampling, text as t
+    from temporai_mivdp_spark.llmdata.pipeline import guard_corpus
+
+    banner = "accept cookies to continue reading this site"
+    leak = "benchmark answer is forty two exactly always"
+    rows = [(i, f"{banner}\ndocument body number {i} with words {i * 3} {i * 7}")
+            for i in range(20)]
+    rows += [(100, f"{banner}\n{leak}"), (101, rows[5][1])]   # leak + exact dup
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    bench = spark.createDataFrame([(999, leak)], "doc_id: long, text: string")
+
+    # 1. strip the banner everywhere
+    cleaned = t.strip_common_lines(docs, min_docs=5)
+    assert all(banner not in r.text for r in cleaned.collect())
+
+    # 2. exact dedup: doc 101 collapses into doc 5
+    keep = dedup.exact_duplicates(cleaned)
+    keepers = {r.keep_id for r in keep.collect()}
+    assert 5 in keepers and 101 not in keepers
+    survivors = cleaned.join(
+        spark.createDataFrame([(k,) for k in keepers], "doc_id: long"), "doc_id"
+    )
+
+    # 3. guard: contamination flags + leakage-safe split
+    guarded = guard_corpus(survivors, bench, {"train": 0.8, "test": 0.2}, n=3)
+    g = {r.doc_id: r for r in guarded.collect()}
+    assert g[100].contaminated and not g[0].contaminated
+    train = guarded.filter((F.col("split") == "train") & ~F.col("contaminated"))
+
+    # 4. encode with a corpus-fit vocabulary, count real tokens
+    vocab = t.build_vocabulary(train, size=64)
+    encoded = t.encode_tokens(train, vocab).join(train.select("doc_id"), "doc_id")
+    with_counts = encoded.withColumn("n_tokens", F.size("token_ids"))
+
+    # 5. budget + pack into 32-token contexts
+    sampled = sampling.token_budget_sample(with_counts, budget_tokens=60)
+    packed = sampling.pack_sequences(sampled, max_tokens=32)
+    out = packed.collect()
+    assert out, "budgeted training set must be non-empty"
+    total = sum(r.n_tokens for r in out)
+    assert 60 <= total < 60 + max(r.n_tokens for r in out)
+    # pack ids are the contiguous context-window indices of the layout
+    assert {r.pack_id for r in out} == set(range(max(r.pack_id for r in out) + 1))
+    # nothing contaminated or test-split leaked into the packed table
+    packed_ids = {r.doc_id for r in out}
+    assert all(not g[d].contaminated and g[d].split == "train" for d in packed_ids)
+
+
 def test_guard_corpus_end_to_end(spark):
     from temporai_mivdp_spark.llmdata.pipeline import guard_corpus
 
