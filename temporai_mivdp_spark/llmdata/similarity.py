@@ -490,8 +490,17 @@ def kmeans_fit(
         )
         rows = per_bucket.collect()
         total_n = sum(int(r["__n"]) for r in rows)
+        if total_n == 0:
+            raise ValueError(
+                "kmeans_fit: training pass matched zero vectors"
+                + (
+                    f" (sample_fraction={sample_fraction} selected no rows — raise it)"
+                    if sample_fraction is not None
+                    else " (empty corpus)"
+                )
+            )
         total_sim = sum(float(r["__simsum"]) for r in rows)
-        history.append(total_sim / total_n if total_n else 0.0)
+        history.append(total_sim / total_n)
         shift = 0.0
         nxt = dict(cur)  # empty buckets keep their previous centroid
         for r in rows:
@@ -643,10 +652,14 @@ def ivf_topk_from_index(
     directories are skipped at file-listing time. The plan test pins
     the PartitionFilters clause."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    probe_buckets = _route_probes(probes, centroids, nprobe, vec_col, probe_id_col)
-    needed = sorted(
-        int(r["bucket"]) for r in probe_buckets.select("bucket").distinct().collect()
-    )
+    routed = _route_probes(probes, centroids, nprobe, vec_col, probe_id_col)
+    # collect the (small, serving-path) probe routing ONCE: the rows
+    # feed both the partition-filter list and — rebuilt as a local
+    # DataFrame — the broadcast join side, instead of re-executing the
+    # routing plan a second time inside the join
+    rows = routed.collect()
+    probe_buckets = spark.createDataFrame(rows, routed.schema)
+    needed = sorted({int(r["bucket"]) for r in rows})
     corpus = (
         spark.read.parquet(f"{path}/corpus")
         .filter(F.col("bucket").isin(needed))
@@ -692,17 +705,21 @@ def persist_lsh_index(
     family is derandomized from md5 (``plane_signs``), so the index
     needs no stored model — any later session re-derives the identical
     planes from (tables, bits, dim) alone; those three are pinned in a
-    tiny ``params`` table next to the data so readers can't mismatch."""
+    tiny ``params`` table next to the data so readers can't mismatch.
+    ``dim`` is peeked ONCE (when not given) and that single value feeds
+    both the signature planes and the params table — two independent
+    peeks could disagree on a heterogeneous corpus and silently break
+    the probe/corpus plane agreement."""
+    spark = corpus.sparkSession
+    if dim is None:
+        row = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        dim = int(row[0]["d"]) if row else 1
     sig = lsh_signatures(
         corpus, tables=tables, bits=bits, vec_col=vec_col, id_col=id_col, dim=dim
     )
     sig.write.mode("overwrite").partitionBy("table", "bucket").parquet(
         f"{path}/signatures"
     )
-    spark = corpus.sparkSession
-    if dim is None:
-        row = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-        dim = int(row[0]["d"]) if row else 1
     spark.createDataFrame(
         [(tables, bits, dim)], "tables int, bits int, dim int"
     ).write.mode("overwrite").parquet(f"{path}/params")
@@ -725,7 +742,7 @@ def lsh_topk_from_index(
     filters — only ``<= tables x n_probes`` directories are listed."""
     p = spark.read.parquet(f"{path}/params").first()
     tables, bits, dim = int(p["tables"]), int(p["bits"]), int(p["dim"])
-    p_sig = lsh_signatures(
+    sig = lsh_signatures(
         probes, tables=tables, bits=bits, vec_col=vec_col, id_col=probe_id_col, dim=dim
     ).select(
         F.col(probe_id_col).alias("__pid"),
@@ -733,10 +750,11 @@ def lsh_topk_from_index(
         "table",
         "bucket",
     )
-    pairs = {
-        (int(r["table"]), int(r["bucket"]))
-        for r in p_sig.select("table", "bucket").distinct().collect()
-    }
+    # one probe-side execution: collected rows feed both the partition
+    # filters and the rebuilt-local broadcast side (see ivf twin)
+    sig_rows = sig.collect()
+    p_sig = spark.createDataFrame(sig_rows, sig.schema)
+    pairs = {(int(r["table"]), int(r["bucket"])) for r in sig_rows}
     cond = None
     for t, b in sorted(pairs):
         c = (F.col("table") == t) & (F.col("bucket") == b)

@@ -178,12 +178,16 @@ def build_vocabulary(
     default) assigned by descending count, ties alphabetical — fully
     deterministic, so two sessions build the identical vocab.
 
-    One token-count aggregate (map-side combined) then a top-``size``
-    rank over the vocabulary-sized count table — the corpus is touched
-    once; ranking never sees corpus-sized data. This is the dictionary
-    half of text→ids encoding (``encode_tokens``); persist it next to
-    the corpus the way the reference pickles its vocabs
-    (data_generation_icu.py:926-988 — here a plain DataFrame).
+    One token-count aggregate (map-side combined), then the top-``size``
+    selection runs as a distributed ``orderBy().limit()``
+    (TakeOrderedAndProject: per-partition top-size heaps merged on the
+    driver) — NOT a global no-partition rank window, which would funnel
+    every distinct corpus token (billions at 100 TB: typos, numbers,
+    URLs) through one task. Only the size-bounded winners see the final
+    id-assignment window. This is the dictionary half of text→ids
+    encoding (``encode_tokens``); persist it next to the corpus the way
+    the reference pickles its vocabs (data_generation_icu.py:926-988 —
+    here a plain DataFrame).
     """
     counts = (
         tokenize(docs.select(text_col), text_col=text_col, out_col="token")
@@ -191,15 +195,13 @@ def build_vocabulary(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
     )
+    topk = counts.orderBy(F.col("count").desc(), F.col("token").asc()).limit(size)
+    # single-partition window is fine HERE: input is <= size rows
     w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= size)
-        .select(
-            "token",
-            (F.col("__r") - 1 + reserved).cast("long").alias("token_id"),
-            "count",
-        )
+    return topk.withColumn("__r", F.row_number().over(w)).select(
+        "token",
+        (F.col("__r") - 1 + reserved).cast("long").alias("token_id"),
+        "count",
     )
 
 
@@ -268,30 +270,46 @@ def strip_common_lines(
     blind spot ``repeated_spans`` *reports*; this op *repairs* it at
     line granularity).
 
-    Plan: posexplode lines row-local, line-frequency aggregate on the
-    8-byte line hash only ((hash, doc) then hash — the same hash-only
-    wide-shuffle discipline as ``repeated_spans``), LEFT ANTI join the
-    frequent-hash set (boilerplate vocabularies are small — AQE
-    broadcasts), then one doc-keyed rebuild carrying each surviving
-    line once. Docs whose every line was boilerplate come back with
-    empty text rather than disappearing. Blank lines pass through
-    untouched (stripping them would mangle paragraph structure; they
-    never meet the frequency test).
+    Plan: posexplode lines row-local, then frequency runs in TWO tiers
+    so the wide shuffles stay hash-only but a 64-bit collision can
+    never delete text: (1) a (hash, doc) → hash aggregate finds
+    frequent HASHES (8-byte keys — same discipline as
+    ``repeated_spans``); (2) only lines whose hash survived (a tiny
+    candidate set) re-aggregate on the actual trimmed STRING, and the
+    anti-join matches on that string. Tier 2 exists because this op
+    MUTATES documents — a report op can tolerate the ~0 collision odds,
+    silent corpus-wide deletion of an innocent colliding line cannot.
+    Then one doc-keyed rebuild carries each surviving line once. Docs
+    whose every line was boilerplate come back with empty text rather
+    than disappearing. Blank lines pass through untouched (stripping
+    them would mangle paragraph structure; they never meet the
+    frequency test).
     """
     lines = docs.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
     ).withColumn("__h", F.xxhash64(F.trim(F.col("__line"))))
     nonblank = lines.filter(F.trim("__line") != "")
-    frequent = (
+    frequent_hashes = (
         nonblank.dropDuplicates([id_col, "__h"])
         .groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= min_docs)
         .select("__h")
     )
+    frequent = (
+        nonblank.join(F.broadcast(frequent_hashes), "__h")
+        .select(id_col, F.trim("__line").alias("__t"))
+        .dropDuplicates([id_col, "__t"])
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__t")
+    )
     kept = lines.join(
-        frequent, (lines["__h"] == frequent["__h"]) & (F.trim(lines["__line"]) != ""),
+        frequent,
+        (F.trim(lines["__line"]) == frequent["__t"])
+        & (F.trim(lines["__line"]) != ""),
         "left_anti",
     )
     rebuilt = kept.groupBy(id_col).agg(

@@ -46,8 +46,12 @@ def test_flagship_is_broadcast_joined(spark, name):
 def test_coverage_doc_mentions_every_catalog_query():
     """Doc-rot guard: every driver-checked catalog key must appear in
     COVERAGE.md (the judge's operator->query crosswalk)."""
+    from pathlib import Path
+
     import __spark_entry__ as entrymod
 
-    text = open("COVERAGE.md").read()
-    missing = [k for k in entrymod.queries() if k not in text]
+    text = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
+    # require the backticked form so a key can't pass via a longer
+    # superstring key or stray prose
+    missing = [k for k in entrymod.queries() if f"`{k}`" not in text]
     assert not missing, missing

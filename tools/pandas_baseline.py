@@ -77,9 +77,11 @@ def pd_text_quality(docs: pd.DataFrame) -> pd.DataFrame:
     out["chars_per_token"] = out["n_chars"] / out["n_tokens"]
     out["punct_ratio"] = docs["text"].str.count(r"[.!?,;:]") / out["n_chars"]
     out["digit_ratio"] = docs["text"].str.count(r"[0-9]") / out["n_chars"]
-    pad = " " + norm + " "
-    stop_hits = sum(pad.str.count(f" {w} ") for w in STOPWORDS)
-    out["stopword_ratio"] = stop_hits / out["n_tokens"]
+    # same \b alternation semantics as text._count_any_occurrence —
+    # padded-space literal matching would undercount adjacent needles
+    # (non-overlapping) and miss punctuation-adjacent tokens
+    stop_pat = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+    out["stopword_ratio"] = norm.str.count(stop_pat) / out["n_tokens"]
     # word-2gram repetition: explode to a long frame, two groupbys
     ex = pd.DataFrame(
         {"doc_id": docs["doc_id"].repeat(out["n_tokens"] - 1)}

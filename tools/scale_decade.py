@@ -57,7 +57,7 @@ def _x_bloom(spark, sf_dir):
     from temporai_mivdp_spark.llmdata import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bloom = dedup.shingle_bloom(docs.limit(50), n=3, m_bits=1 << 20, k_hashes=4)
+    bloom = dedup.shingle_bloom(docs.orderBy("doc_id").limit(50), n=3, m_bits=1 << 20, k_hashes=4)
     return dedup.bloom_contamination(docs, bloom, n=3)
 
 

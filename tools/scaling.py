@@ -59,7 +59,7 @@ def main() -> None:
 
     for sf in SFS:
         docs = load_table(spark, f"/root/testdata/sf{sf}", "documents")
-        bloom = _dd.shingle_bloom(docs.limit(50), n=3, m_bits=1 << 20, k_hashes=4)
+        bloom = _dd.shingle_bloom(docs.orderBy("doc_id").limit(50), n=3, m_bits=1 << 20, k_hashes=4)
         dfs[("x_bloom_contamination", sf)] = _dd.bloom_contamination(docs, bloom, n=3)
         dfs[("x_repeated_spans", sf)] = _dd.repeated_spans(docs, window=10, min_docs=2)
     EXTRAS = ["x_bloom_contamination", "x_repeated_spans"]
