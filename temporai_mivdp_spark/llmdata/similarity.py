@@ -595,6 +595,7 @@ def persist_ivf_index(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantize: bool = False,
 ) -> None:
     """Write the inverted file to disk as a servable index: the corpus
     PARTITIONED BY bucket (one directory per centroid) next to the
@@ -605,8 +606,20 @@ def persist_ivf_index(
     buckets are never opened, listed bytes are the whole touch. Rebuild
     when centroids retrain (the assignment is centroid-dependent);
     appending a new shard = assigning it and appending to the same
-    partitioned layout."""
+    partitioned layout.
+
+    ``quantize=True`` stores int8 vectors instead of floats — 4x
+    smaller at rest and over the wire, the standard storage tier for
+    billion-vector serving. Search needs no dequantization: the
+    per-vector scale cancels in cosine, so ``ivf_topk_from_index``
+    ranks on the stored tinyints directly (cosines shift by the <1%
+    int8 rounding error — ranks are near-identical, exact values are
+    not; pick per index, the layout records which)."""
     assigned = assign_ivf_buckets(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    if quantize:
+        assigned = quantize_int8(assigned, vec_col=vec_col, out_col="__q").select(
+            id_col, F.col("__q").alias(vec_col), "bucket"
+        )
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/corpus")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
@@ -626,10 +639,18 @@ def append_to_ivf_index(
     partition append only touches the bucket directories the shard lands
     in. Re-fit + ``persist_ivf_index`` when drift makes the stored
     centroids stale (``mean_vectors`` per bucket vs the centroid table
-    is the drift probe)."""
+    is the drift probe). The shard is quantized iff the existing layout
+    stores int8 vectors (peeked from the corpus schema — appending
+    floats into a quantized index would break the schema, and silently
+    quantizing into a float index would skew cosines)."""
     spark = shard.sparkSession
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = assign_ivf_buckets(shard, centroids, vec_col=vec_col, id_col=id_col)
+    stored = spark.read.parquet(f"{path}/corpus").schema[vec_col].dataType
+    if stored.elementType.typeName() in ("byte", "tinyint"):
+        assigned = quantize_int8(assigned, vec_col=vec_col, out_col="__q").select(
+            id_col, F.col("__q").alias(vec_col), "bucket"
+        )
     assigned.write.mode("append").partitionBy("bucket").parquet(f"{path}/corpus")
 
 

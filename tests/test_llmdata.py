@@ -252,6 +252,37 @@ def test_persisted_lsh_index_parity_and_partition_pruning(spark, vectors):
     assert "table" in seg and "bucket" in seg, seg
 
 
+def test_quantized_ivf_index_recall_and_append(spark, vectors):
+    import tempfile
+
+    cents, _ = similarity.kmeans_fit(vectors, n=6, iterations=4)
+    probes = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ivf-q-")
+    similarity.persist_ivf_index(
+        vectors.filter(F.col("vec_id") < 20), cents, path, quantize=True
+    )
+    # stored vectors are int8
+    stored = spark.read.parquet(f"{path}/corpus").schema["embedding"].dataType
+    assert stored.elementType.typeName() in ("byte", "tinyint"), stored
+    # append auto-quantizes to match the layout
+    similarity.append_to_ivf_index(vectors.filter(F.col("vec_id") >= 20), path)
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.ivf_topk(vectors, probes, cents, k=5, nprobe=3).collect()
+    }
+    quant = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.ivf_topk_from_index(
+            spark, path, probes, k=5, nprobe=3
+        ).collect()
+    }
+    # int8 rounding moves cosines <1%; neighbor sets stay nearly intact
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall
+
+
 def test_ivf_index_shard_append_parity(spark, vectors):
     import tempfile
 
