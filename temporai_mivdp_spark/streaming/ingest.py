@@ -144,3 +144,52 @@ def ingest_dedup_stream(
     return stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", f"{state_dir}/checkpoint"
     )
+
+
+def serve_topk_stream(
+    spark: SparkSession,
+    probe_path: str,
+    index_path: str,
+    output_dir: str,
+    schema: StructType | str,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+):
+    """Build (not start) a streaming ANN server: probe vectors arriving
+    as parquet shards under ``probe_path`` are answered against a
+    ``persist_ivf_index`` layout and the (probe, neighbor, cosine, rank)
+    results land under ``output_dir`` partitioned by micro-batch.
+
+    Why foreachBatch and not a stream-static join: top-k needs a rank
+    window over candidates and the index scan's partition pruning needs
+    the batch's routed buckets collected first — both are per-batch
+    plan decisions, which is exactly the contract foreachBatch provides
+    (each micro-batch runs ``ivf_topk_from_index`` as a normal batch
+    query, pruned to that batch's buckets). Exactly-once via the
+    checkpoint + idempotent batch-partitioned output, same recipe as
+    ``ingest_dedup_stream``.
+    """
+    from temporai_mivdp_spark.llmdata.similarity import ivf_topk_from_index
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        result = ivf_topk_from_index(
+            spark,
+            index_path,
+            batch,
+            k=k,
+            nprobe=nprobe,
+            vec_col=vec_col,
+            id_col=id_col,
+            probe_id_col=probe_id_col,
+        )
+        _write_partition(result, batch_id, output_dir)
+
+    stream = spark.readStream.schema(schema).parquet(probe_path)
+    return stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", f"{output_dir}/_checkpoint"
+    )

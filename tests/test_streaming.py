@@ -276,3 +276,54 @@ def test_streaming_ingest_quality_gate(spark):
     assert got == want
     assert got[3][0] > 0 and got[1][0] == 0
     assert got[1][1] == "en" and got[2][1] == "es"
+
+
+def test_streaming_ann_serving_matches_batch(spark):
+    """foreachBatch ANN serving: streamed probes against a persisted IVF
+    index produce exactly the batch search's answers."""
+    import math
+    import tempfile
+
+    from temporai_mivdp_spark.llmdata import similarity
+    from temporai_mivdp_spark.streaming.ingest import serve_topk_stream
+
+    rows = []
+    for i in range(30):
+        axis = i % 3
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = 0.05 * (i % 5)
+        norm = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / norm for x in v]))
+    vectors = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cents, _ = similarity.kmeans_fit(vectors, n=4, iterations=3)
+    index = tempfile.mkdtemp(prefix="serve-index-")
+    similarity.persist_ivf_index(vectors, cents, index)
+
+    probes = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    probe_dir = tempfile.mkdtemp(prefix="serve-probes-")
+    probes.coalesce(1).write.mode("overwrite").parquet(probe_dir)
+    out_dir = tempfile.mkdtemp(prefix="serve-out-")
+
+    q = (
+        serve_topk_stream(
+            spark, probe_dir, index, out_dir,
+            schema="probe_id long, embedding array<float>", k=5, nprobe=2,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.ivf_topk_from_index(
+            spark, index, probes, k=5, nprobe=2
+        ).collect()
+    }
+    assert got == want and got
