@@ -193,3 +193,43 @@ def test_salted_join_spreads_hot_key_across_partitions(spark):
     # whenever AQE picked the shuffle path over broadcast). Allow three
     # buckets' worth: still 5x better than the unsalted single reducer.
     assert max(r.n for r in hot_pids) <= hot_n // 8 * 3, hot_pids
+
+
+def test_repeated_spans_hot_span_stays_bounded(spark):
+    """Skew stress: ONE span present in EVERY document (the universal
+    license header). The wide aggregations key on (hash, doc) then hash,
+    so the hot span distributes across doc-partitions in stage 1 and
+    collapses to a single count row in stage 2 — per-partition input of
+    the (hash, doc) stage must stay near-uniform, not pile onto one
+    task."""
+    from temporai_mivdp_spark.llmdata import dedup
+
+    hot = "every single document carries this exact header line today"
+    docs = spark.createDataFrame(
+        [(i, f"{hot} unique tail {i} {i * 3} {i * 7}") for i in range(400)],
+        "doc_id: long, text: string",
+    )
+    out = dedup.repeated_spans(docs, window=10, min_docs=2)
+    rows = out.collect()
+    # the hot span family is reported once per distinct span, not 400x
+    hot_rows = [r for r in rows if r.span.startswith("every single")]
+    assert hot_rows and all(r.n_docs == 400 for r in hot_rows)
+
+    # per-partition distribution of the (hash, doc) aggregation input:
+    # the hot span's 400 rows hash by (span_hash, doc) so no partition
+    # owns more than a small multiple of the uniform share
+    from temporai_mivdp_spark.llmdata.dedup import _shingles_raw
+    from pyspark.sql import functions as F
+
+    staged = (
+        _shingles_raw(docs, n=10)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .repartition(8, "h", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in staged]
+    assert len(counts) > 1
+    assert max(counts) <= 3 * (sum(counts) / len(counts)), counts
