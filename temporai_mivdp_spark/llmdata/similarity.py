@@ -654,6 +654,33 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("bucket").parquet(f"{path}/corpus")
 
 
+def ivf_index_drift(spark, path: str, vec_col: str = "embedding") -> DataFrame:
+    """The re-fit signal for a persisted IVF index: per bucket, the
+    cosine between the stored centroid and the bucket's CURRENT mean
+    vector, plus the member count. As shards append, data drifts away
+    from the centroids it's being routed by; buckets whose
+    ``mean_to_centroid_cosine`` sags (or whose counts skew hard) are
+    telling you routing quality is decaying — re-fit (``kmeans_fit``)
+    and rebuild when that happens, on evidence instead of a schedule.
+    One pass over the index (the ``mean_vectors`` bounded shuffle) plus
+    a centroid-table broadcast join."""
+    corpus = spark.read.parquet(f"{path}/corpus")
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        F.col("centroid_id").alias("bucket"), F.col(vec_col).alias("__cvec")
+    )
+    means = mean_vectors(corpus, "bucket", vec_col=vec_col)
+    return (
+        means.join(F.broadcast(cents), "bucket")
+        .select(
+            "bucket",
+            "n_vectors",
+            F.round(cosine_expr(F.col(vec_col), F.col("__cvec")), 6).alias(
+                "mean_to_centroid_cosine"
+            ),
+        )
+    )
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

@@ -283,6 +283,29 @@ def test_quantized_ivf_index_recall_and_append(spark, vectors):
     assert recall >= 0.8, recall
 
 
+def test_ivf_index_drift_probe(spark, vectors):
+    import tempfile
+
+    cents, _ = similarity.kmeans_fit(vectors, n=3, iterations=6)
+    path = tempfile.mkdtemp(prefix="ivf-drift-")
+    similarity.persist_ivf_index(vectors, cents, path)
+    healthy = {r.bucket: r.mean_to_centroid_cosine
+               for r in similarity.ivf_index_drift(spark, path).collect()}
+    # freshly-fit index: every bucket's mean hugs its centroid
+    assert healthy and all(c > 0.95 for c in healthy.values()), healthy
+
+    # append a shard pointing AWAY from every centroid: some bucket's
+    # cosine must sag below its healthy value
+    drifted = spark.createDataFrame(
+        [(1000 + i, [0.0] * 4 + [1.0, 0.0, 0.0, 0.0]) for i in range(30)],
+        "vec_id: long, embedding: array<float>",
+    )
+    similarity.append_to_ivf_index(drifted, path)
+    after = {r.bucket: r.mean_to_centroid_cosine
+             for r in similarity.ivf_index_drift(spark, path).collect()}
+    assert min(after.values()) < min(healthy.values()), (healthy, after)
+
+
 def test_ivf_index_shard_append_parity(spark, vectors):
     import tempfile
 
