@@ -490,6 +490,25 @@ def benchmark_contamination(
     )
 
 
+def bloom_params_for(n_items: int, fpr: float = 1e-6) -> tuple[int, int]:
+    """Size a ``shingle_bloom`` from expected item count and target
+    false-positive rate: the textbook optimum ``m = -n ln p / (ln 2)^2``
+    rounded up to a power of two (keeps ``pmod`` cheap and layouts
+    comparable across shards) and ``k = round(m/n ln 2)`` clamped to
+    [1, 16]. E.g. 10M benchmark n-grams at 1e-6 → (2^28 bits = 32 MB,
+    k=19→16) — still a trivial plan literal next to a 100 TB scan."""
+    import math
+
+    if n_items <= 0:
+        raise ValueError(f"n_items must be positive, got {n_items}")
+    if not 0.0 < fpr < 1.0:
+        raise ValueError(f"fpr must be in (0,1), got {fpr}")
+    m = -n_items * math.log(fpr) / (math.log(2) ** 2)
+    m_bits = 1 << max(6, math.ceil(math.log2(m)))
+    k = min(16, max(1, round(m_bits / n_items * math.log(2))))
+    return m_bits, k
+
+
 def _bloom_positions(shingle: Column, m_bits: int, k_hashes: int) -> list[Column]:
     """The k probe positions of one shingle, by Kirsch–Mitzenmacher
     double hashing: ``pos_j = (h1 + j*h2) mod m`` needs TWO xxhash64

@@ -765,6 +765,23 @@ def test_benchmark_contamination_short_docs(spark):
     assert out == {1: 0.0, 2: 1.0}
 
 
+def test_bloom_params_sizing():
+    import pytest as pt
+
+    m, k = dedup.bloom_params_for(10_000, fpr=1e-4)
+    assert m & (m - 1) == 0                 # power of two
+    assert m >= 10_000 * 19                 # ~19.2 bits/item at 1e-4
+    assert 1 <= k <= 16
+    # realized FPR at the optimum stays near target
+    import math
+    realized = (1 - math.exp(-k * 10_000 / m)) ** k
+    assert realized <= 1e-4 * 2
+    with pt.raises(ValueError):
+        dedup.bloom_params_for(0)
+    with pt.raises(ValueError):
+        dedup.bloom_params_for(100, fpr=1.5)
+
+
 def test_bloom_contamination_no_false_negatives(spark, docs):
     bench = docs.filter(F.col("doc_id") == 1)
     bloom = dedup.shingle_bloom(bench, n=3, m_bits=1 << 16, k_hashes=4)
