@@ -151,6 +151,55 @@ def repetition_features(
     )
 
 
+def gopher_keep(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_chars_per_token: float = 3.0,
+    max_chars_per_token: float = 10.0,
+    min_stopword_ratio: float = 0.02,
+    max_top_ngram_frac: float = 0.20,
+    max_dup_ngram_frac: float = 0.30,
+) -> DataFrame:
+    """The published Gopher-rules keep policy as one boolean column:
+    ``(doc_id, keep, n_tokens)`` plus the individual rule verdicts so a
+    rejected doc says WHY (`keep_*` columns) — threshold defaults follow
+    the Gopher paper's document-filter table (token-count window,
+    mean-word-length window, stopword floor, repetition caps), tuned for
+    English web text; every threshold is a keyword for corpus-specific
+    retuning (ideally via ``quantile_normalize`` per source).
+
+    Pure composition of ``quality_features`` + ``repetition_features`` —
+    one projection and one hashed-n-gram shuffle; docs too short for
+    2-grams fail the token floor anyway.
+    """
+    q = quality_features(docs, text_col=text_col, id_col=id_col)
+    rep = repetition_features(docs, n=2, text_col=text_col, id_col=id_col)
+    j = q.join(rep, id_col, "left").select(
+        q["*"],
+        F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+        F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+    )
+    rules = {
+        "keep_length": (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens),
+        "keep_word_shape": (F.col("chars_per_token") >= min_chars_per_token)
+        & (F.col("chars_per_token") <= max_chars_per_token),
+        "keep_stopwords": F.col("stopword_ratio") >= min_stopword_ratio,
+        "keep_repetition": (F.col("top_ngram_frac") <= max_top_ngram_frac)
+        & (F.col("dup_ngram_frac") <= max_dup_ngram_frac),
+    }
+    out = j.select(
+        id_col, "n_tokens", *[c.alias(name) for name, c in rules.items()]
+    )
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def quality_score(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

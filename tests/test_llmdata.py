@@ -1259,6 +1259,37 @@ def test_bigram_lm_short_docs_feed_unigrams_only(spark):
     assert ("the", "cat") in bigs
 
 
+def test_gopher_keep_policy(spark):
+    from temporai_mivdp_spark.llmdata import text as t
+
+    # varied sentences: no bigram repeats more than 4x (the policy
+    # correctly rejects a repeated sentence TEMPLATE — first attempt
+    # used one and earned keep_repetition=False)
+    good = " ".join(
+        (
+            f"the word{i} gently finds stone{i} near a quiet place{i}"
+            if i % 2 == 0
+            else f"an other{i} calmly meets rock{i} beside the small tree{i}"
+        )
+        for i in range(8)
+    )
+    rows = [
+        (1, good),                                        # passes everything
+        (2, "too short"),                                 # fails length
+        (3, " ".join(["spam spam"] * 60)),                # fails repetition + stopwords
+        (4, " ".join(["x"] * 80)),                        # fails word shape (1 char/token)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in t.gopher_keep(docs).collect()}
+    assert out[1].keep
+    assert not out[2].keep and not out[2].keep_length
+    assert not out[3].keep and not out[3].keep_repetition
+    assert not out[4].keep and not out[4].keep_word_shape
+    # every verdict column is present and boolean, so rejections explain themselves
+    for c in ("keep_length", "keep_word_shape", "keep_stopwords", "keep_repetition"):
+        assert isinstance(getattr(out[1], c), bool)
+
+
 def test_quantile_normalize_per_group(spark):
     from temporai_mivdp_spark.llmdata import text as t
 
