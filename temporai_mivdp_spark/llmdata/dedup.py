@@ -495,8 +495,9 @@ def bloom_params_for(n_items: int, fpr: float = 1e-6) -> tuple[int, int]:
     false-positive rate: the textbook optimum ``m = -n ln p / (ln 2)^2``
     rounded up to a power of two (keeps ``pmod`` cheap and layouts
     comparable across shards) and ``k = round(m/n ln 2)`` clamped to
-    [1, 16]. E.g. 10M benchmark n-grams at 1e-6 → (2^28 bits = 32 MB,
-    k=19→16) — still a trivial plan literal next to a 100 TB scan."""
+    [1, 16]. E.g. 10M benchmark n-grams at 1e-6 → m ≈ 2.88e8 → 2^29
+    bits = 64 MB, unclamped k ≈ 37 → 16 — still a trivial plan literal
+    next to a 100 TB scan."""
     import math
 
     if n_items <= 0:
@@ -592,7 +593,13 @@ def shingle_bloom(
         F.lit(k_hashes).alias("k_hashes"),
         F.transform(
             F.sequence(F.lit(0), F.lit(nwords - 1)),
-            lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0).cast("long")),
+            # try_element_at, not element_at: absent map keys (words with
+            # no set bits) must densify to 0 under ANSI mode too —
+            # element_at throws MAP_KEY_DOES_NOT_EXIST on any
+            # user-supplied session with spark.sql.ansi.enabled=true
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("__m"), i), F.lit(0).cast("long")
+            ),
         ).alias("words"),
     )
 

@@ -79,8 +79,11 @@ def guard_corpus(
     bench: DataFrame,
     weights: dict[str, float],
     near_pairs: DataFrame | None = None,
-    n: int = 3,
-    m_bits: int = 1 << 20,
+    n: int = 8,
+    m_bits: int | None = None,
+    min_hits: int = 1,
+    min_hit_frac: float = 0.0,
+    fpr: float = 1e-6,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -97,22 +100,51 @@ def guard_corpus(
     * ``leakage_safe_split`` — the split key is the cluster id, so
       train/test never straddles a duplicate cluster.
 
+    ``contaminated`` means ``n_bloom_hits >= min_hits AND hit_frac >=
+    min_hit_frac``: at the published-decontamination default ``n=8``
+    (recipes use 8-13-gram windows) a single shared short phrase cannot
+    flag a document the way a trigram default would, and the two
+    thresholds let a corpus owner demand sustained overlap (e.g.
+    ``min_hit_frac=0.1``) instead of any-single-window. ``m_bits=None``
+    sizes the bloom from the benchmark itself via ``bloom_params_for``
+    (distinct-shingle count at the target ``fpr`` — one small count job
+    over the bench side at plan-build time), so false positives stay at
+    the chosen rate no matter how large the eval suite grows; pass an
+    explicit power-of-two to pin the layout instead.
+
     Returns the input columns plus ``split``, ``n_bloom_hits``,
     ``hit_frac``, ``contaminated`` (cluster-expanded). Drop/require
     ``contaminated`` downstream; the flag is kept rather than filtered
     so removal decisions stay auditable.
     """
     from temporai_mivdp_spark.llmdata.dedup import (
+        _shingles_raw,
         bloom_contamination,
+        bloom_params_for,
         duplicate_clusters,
         expand_contamination,
         shingle_bloom,
     )
     from temporai_mivdp_spark.llmdata.sampling import leakage_safe_split
 
-    bloom = shingle_bloom(bench, n=n, m_bits=m_bits, text_col=text_col, id_col=id_col)
+    if m_bits is None:
+        n_items = (
+            _shingles_raw(bench, n=n, text_col=text_col, id_col=id_col)
+            .select("shingle")
+            .distinct()
+            .count()
+        )
+        m_bits, k_hashes = bloom_params_for(max(n_items, 1), fpr=fpr)
+    else:
+        k_hashes = 4
+    bloom = shingle_bloom(
+        bench, n=n, m_bits=m_bits, k_hashes=k_hashes, text_col=text_col, id_col=id_col
+    )
     flags = bloom_contamination(docs, bloom, n=n, text_col=text_col, id_col=id_col)
-    flags = flags.withColumn("contaminated", flags["n_bloom_hits"] > 0)
+    flags = flags.withColumn(
+        "contaminated",
+        (flags["n_bloom_hits"] >= min_hits) & (flags["hit_frac"] >= min_hit_frac),
+    )
     if near_pairs is not None:
         clusters = duplicate_clusters(near_pairs)
         flags = expand_contamination(flags, clusters, id_col=id_col).select(

@@ -142,6 +142,12 @@ def token_budget_sample(
     Scale shape is inherited: per-group budgets use a partitioned
     window; the global variant uses pack_sequences' two-level prefix
     sum, never a single-partition window.
+
+    Ordering is by ``(hash, key)`` — the key itself breaks 64-bit hash
+    collisions, so admission at the budget boundary is deterministic.
+    ``key_col`` must be unique per row (a doc id): rows sharing a key
+    value are indistinguishable by any function of the key, and which
+    of them crosses the boundary would be partition-order luck.
     """
     h = F.xxhash64(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
     packed = pack_sequences(
@@ -151,6 +157,7 @@ def token_budget_sample(
         order_col="__ord",
         partition_cols=[group_col] if group_col else None,
         out_col="__pack",
+        tiebreak_col=key_col,
     )
     return packed.filter(F.col("__pack") == 0).drop("__ord", "__pack")
 
@@ -318,6 +325,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     partition_cols: Sequence[str] | None = None,
     out_col: str = "pack_id",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid out in
     ``order_col`` order and each is assigned the pack (context-window
@@ -351,10 +359,22 @@ def pack_sequences(
     driver-side computation guarantees. Requires a numeric
     ``order_col``; bit-identical to the naive global window for unique
     keys.
+
+    ``tiebreak_col`` appends a secondary sort column so equal
+    ``order_col`` values (hash collisions, when the order is a seeded
+    hash) still yield one total order. It composes with the global
+    path for free: shard assignment is a row-local function of the
+    ``order_col`` VALUE, so tied rows always land in the same shard and
+    the within-shard window sees every member of the tie.
     """
+    order_cols = (
+        [F.col(order_col).asc(), F.col(tiebreak_col).asc()]
+        if tiebreak_col
+        else [F.col(order_col).asc()]
+    )
     parts = list(partition_cols) if partition_cols else []
     if parts:
-        w = Window.partitionBy(*parts).orderBy(order_col)
+        w = Window.partitionBy(*parts).orderBy(*order_cols)
         cum_before = F.coalesce(
             F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0).cast("long"),
@@ -389,7 +409,7 @@ def pack_sequences(
     pid = F.when(v.isNull(), F.lit(0)).otherwise(pid_expr(v, 0, len(bounds)))
     sharded = df.withColumn("__pid", pid)
 
-    wp = Window.partitionBy("__pid").orderBy(order_col)
+    wp = Window.partitionBy("__pid").orderBy(*order_cols)
     local_cum = F.coalesce(
         F.sum(tokens_col).over(wp.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),

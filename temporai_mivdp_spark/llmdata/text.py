@@ -402,7 +402,12 @@ def bigram_lm(
     token count, map-side combined); the result is vocabulary-sized —
     persist it and broadcast-join it against any crawl.
     """
-    toks = clean.select(
+    # blank docs normalize to "" which would split to the bogus token
+    # [""] — drop them before tokenizing, not after
+    nonblank = clean.filter(
+        F.coalesce(normalize_text(F.col(text_col)), F.lit("")) != ""
+    )
+    toks = nonblank.select(
         F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
     ).filter(F.size("__toks") > 0)
     uni = (
@@ -433,6 +438,11 @@ def bigram_lm(
     totals = uni.agg(
         F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
     ).first()
+    if totals is None or totals["__n"] is None or int(totals["__n"]) == 0:
+        raise ValueError(
+            "bigram_lm: reference corpus has no tokens — "
+            "fit the LM on a non-empty clean corpus"
+        )
     n_tokens, vocab = int(totals["__n"]), int(totals["__v"])
     # unigram with uniform-floor interpolation: finite logp for any word
     p_uni = (1.0 - alpha) * F.col("__c") / F.lit(float(n_tokens)) + F.lit(

@@ -740,11 +740,18 @@ def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept_docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed="split"
     )
     # stage boundary before packing: global pack_sequences reads its
-    # input three times (boundary sample, window pass, offsets pass) —
-    # persist the curated metadata (5 narrow columns, orders of
-    # magnitude smaller than the corpus; a production pipeline would
-    # write it to Parquet here) so the curation DAG runs once
-    split = split.persist()
+    # input three times (boundary sample, window pass, offsets pass).
+    # Materialize the curated metadata (6 narrow columns, orders of
+    # magnitude smaller than the corpus) as a Parquet stage checkpoint —
+    # NOT .persist(): a catalog query must leave no session cache state
+    # behind (tests assert zero persistent RDDs after the action), and
+    # the parquet stage is exactly what a production pipeline writes at
+    # this boundary anyway
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="mivdp_curation_ckpt_")
+    split.write.mode("overwrite").parquet(ckpt)
+    split = spark.read.parquet(ckpt)
     return sampling.pack_sequences(split, max_tokens=2048, tokens_col="bpe_estimate")
 
 

@@ -1825,3 +1825,140 @@ def test_chunk_then_pack_composition(spark):
     # 16-token chunks a pack never accumulates more than 64+15 tokens
     assert all(v <= 64 + 15 for v in per_pack.values())
     assert len(per_pack) >= 2
+
+
+def test_bigram_lm_empty_corpus_raises(spark):
+    from temporai_mivdp_spark.llmdata import text as t
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        t.bigram_lm(empty)
+    blank = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        t.bigram_lm(blank)
+
+
+def test_shingle_bloom_survives_ansi_session(spark):
+    """The densify step must use try_element_at: under ANSI mode (Spark
+    4's default for user sessions) element_at on an absent map key
+    throws MAP_KEY_DOES_NOT_EXIST instead of returning null."""
+    from temporai_mivdp_spark.llmdata import dedup
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        row = dedup.shingle_bloom(bench, n=3, m_bits=1 << 12, k_hashes=2).first()
+        assert len(row["words"]) == (1 << 12) // 64
+        assert sum(1 for w in row["words"] if w != 0) >= 1
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_guard_corpus_thresholds_and_auto_bloom(spark):
+    """min_hits / min_hit_frac gate the contamination verdict, and
+    m_bits=None sizes the bloom from the benchmark via bloom_params_for."""
+    from temporai_mivdp_spark.llmdata.pipeline import guard_corpus
+
+    leak = "the secret benchmark answer is forty two exactly"
+    docs = spark.createDataFrame(
+        [
+            (1, leak + " plus unrelated trailing words here now"),
+            (2, "completely ordinary document with plain words only"),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "doc_id: long, text: string")
+    # auto-sized bloom (m_bits=None), 3-gram windows: doc 1 flagged
+    out = {
+        r.doc_id: r
+        for r in guard_corpus(docs, bench, {"train": 1.0}, n=3).collect()
+    }
+    assert out[1].contaminated and out[1].n_bloom_hits > 0
+    assert not out[2].contaminated
+    # a hit_frac floor above doc 1's overlap clears the flag
+    frac1 = out[1].hit_frac
+    strict = {
+        r.doc_id: r
+        for r in guard_corpus(
+            docs, bench, {"train": 1.0}, n=3, min_hit_frac=frac1 + 0.01
+        ).collect()
+    }
+    assert not strict[1].contaminated
+    # min_hits above the observed count clears it too
+    strict2 = {
+        r.doc_id: r
+        for r in guard_corpus(
+            docs, bench, {"train": 1.0}, n=3, min_hits=int(out[1].n_bloom_hits) + 1
+        ).collect()
+    }
+    assert not strict2[1].contaminated
+    # published-recipe default n=8: the 7-token leak has no 8-gram window
+    # shared, so nothing is flagged at the default
+    out8 = {
+        r.doc_id: r for r in guard_corpus(docs, bench, {"train": 1.0}).collect()
+    }
+    assert not out8[2].contaminated
+
+
+def test_pack_sequences_tiebreak_determinism(spark):
+    """Equal order_col values (hash collisions) must still pack in ONE
+    total order when tiebreak_col is given — identical assignments under
+    any input partitioning, including for the rows at pack boundaries."""
+    from temporai_mivdp_spark.llmdata import sampling
+
+    # 40 rows, only 4 distinct order values -> heavy ties; 10 tokens
+    # each with max_tokens=35 puts boundaries INSIDE tie groups
+    rows = [(i, i % 4, 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, ord long, n_tokens int")
+    want = None
+    for parts in (1, 7, 32):
+        got = {
+            r.doc_id: r.pack_id
+            for r in sampling.pack_sequences(
+                df.repartition(parts),
+                max_tokens=35,
+                order_col="ord",
+                tiebreak_col="doc_id",
+            ).collect()
+        }
+        if want is None:
+            want = got
+        assert got == want, f"parts={parts} diverged"
+    # and the global two-level path agrees with a naive single window
+    naive = sorted(rows, key=lambda r: (r[1], r[0]))
+    cum = 0
+    expect = {}
+    for doc_id, _, tok in naive:
+        expect[doc_id] = cum // 35
+        cum += tok
+    assert want == expect
+
+
+def test_token_budget_sample_boundary_deterministic(spark):
+    """Admission at the budget boundary is stable under repartitioning
+    (the tiebreak_col plumbing end to end)."""
+    from temporai_mivdp_spark.llmdata import sampling
+
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(200)], "doc_id long, n_tokens int"
+    )
+    base = {r.doc_id for r in sampling.token_budget_sample(df, 100).collect()}
+    for parts in (1, 13, 32):
+        got = {
+            r.doc_id
+            for r in sampling.token_budget_sample(df.repartition(parts), 100).collect()
+        }
+        assert got == base
+
+
+def test_pipeline_docs_curation_leaves_no_cache(spark):
+    """Catalog queries must not mutate session cache state: the packing
+    stage boundary is a parquet checkpoint, not an unscoped persist."""
+    from temporai_mivdp_spark.queries_llm import QUERIES
+
+    out = QUERIES["pipeline_docs_curation"](spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
