@@ -9,6 +9,10 @@ Beyond the reference's clinical surface, the engine ships the operators a
                contamination expansion
   similarity   brute-force cosine top-k + IVF/LSH approximate search,
                k-means centroid training, per-group mean embeddings
+  bpe          real merge-table BPE tokenization: distributed word
+               counting, driver-side Sennrich merge training on the
+               bounded type table, per-TYPE Arrow-batched application —
+               exact token accounting for packing/budget ops
   text         language-ID heuristic, quality scoring + repetition
                signals, CCNet-style perplexity filtering, tf-idf
                keywords, C4-style boilerplate line removal, per-group
@@ -35,6 +39,7 @@ in Spark and DuckDB) so every operator stays oracle-checkable.
 """
 
 from temporai_mivdp_spark.llmdata import (
+    bpe,
     dedup,
     multimodal,
     pipeline,
@@ -45,6 +50,7 @@ from temporai_mivdp_spark.llmdata import (
 )
 
 __all__ = [
+    "bpe",
     "dedup",
     "multimodal",
     "pipeline",

@@ -1,0 +1,232 @@
+"""Merge-table BPE: differential vs an independent pure-Python reference,
+training determinism / partition invariance, and packing parity (real
+counts move pack boundaries vs the ceil(len/4) estimate)."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporai_mivdp_spark.llmdata import bpe, sampling, text
+
+
+# ---------------------------------------------------------------------------
+# Independent reference implementation (naive Sennrich: full pair rescan
+# every round; naive apply: re-scan for the best pair after every merge).
+# Deliberately a different algorithmic formulation from the engine's
+# incremental/indexed version — agreement is evidence, not tautology.
+# ---------------------------------------------------------------------------
+
+
+def ref_train(word_counts: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
+    vocab = {tuple(w): c for w, c in word_counts.items() if w}
+    merges = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        # max count, ties -> lexicographically smallest pair
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def ref_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    sym = list(word)
+    changed = True
+    while changed and len(sym) >= 2:
+        changed = False
+        # earliest-trained merge present anywhere wins this round
+        for a, b in merges:
+            i = 0
+            hit = False
+            out = []
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                    hit = True
+                else:
+                    out.append(sym[i])
+                    i += 1
+            if hit:
+                sym = out
+                changed = True
+                break
+    return sym
+
+
+def _norm_words(s: str) -> list[str]:
+    return [w for w in " ".join(s.lower().split()).split(" ") if w]
+
+
+WORDS = [
+    "low", "lower", "lowest", "newer", "newest", "wider", "widest",
+    "the", "then", "there", "these", "those", "bet", "better", "best",
+    "run", "runner", "running", "reran", "banana", "bandana", "cabana",
+]
+
+
+def _random_corpus(seed: int, n_docs: int = 60) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    return [
+        (i, " ".join(rng.choices(WORDS, k=rng.randint(3, 40))))
+        for i in range(n_docs)
+    ]
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_bpe_differential_vs_reference(spark, seed):
+    rows = _random_corpus(seed)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    merges_df = bpe.train_bpe(docs, num_merges=40)
+    got_merges = [
+        (r.left, r.right)
+        for r in merges_df.orderBy("rank").collect()
+    ]
+
+    # reference trains on the exact word-count table
+    wc: Counter = Counter()
+    for _, t in rows:
+        wc.update(_norm_words(t))
+    want_merges = ref_train(dict(wc), 40)
+    assert got_merges == want_merges
+
+    # application parity: engine per-doc counts == reference per-doc counts
+    counts = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe.bpe_token_count(docs, merges_df).collect()
+    }
+    for doc_id, t in rows:
+        want = sum(len(ref_apply(w, want_merges)) for w in _norm_words(t))
+        assert counts[doc_id] == want, (doc_id, counts[doc_id], want)
+
+
+def test_bpe_apply_kernel_matches_reference_on_random_words(spark):
+    rng = random.Random(99)
+    wc = {w: rng.randint(1, 50) for w in WORDS}
+    merges = ref_train(wc, 30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for _ in range(200):
+        w = "".join(rng.choices("abdelnorstuw", k=rng.randint(1, 14)))
+        assert bpe.apply_merges_py(w, ranks) == ref_apply(w, merges), w
+    # untouched scripts degrade to characters
+    assert bpe.apply_merges_py("日本語", ranks) == ["日", "本", "語"]
+
+
+def test_bpe_training_partition_invariant(spark):
+    rows = _random_corpus(3)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = [(r.rank, r.left, r.right)
+            for r in bpe.train_bpe(docs, num_merges=25).orderBy("rank").collect()]
+    for parts in (1, 16):
+        again = [
+            (r.rank, r.left, r.right)
+            for r in bpe.train_bpe(docs.repartition(parts), num_merges=25)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert again == base
+
+
+def test_bpe_token_count_edge_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "banana banana"), (2, ""), (3, "   "), (4, None), (5, "xyzzy")],
+        "doc_id long, text string",
+    )
+    trained_on = spark.createDataFrame(
+        [(0, "banana repeated banana often")], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(trained_on, num_merges=10)
+    got = {r.doc_id: r.bpe_tokens for r in bpe.bpe_token_count(docs, merges).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[2] == 0 and got[3] == 0 and got[4] == 0
+    # 'banana' fully merges after enough rounds -> few pieces, never 0
+    assert 2 <= got[1] <= 12
+    # OOV word: counts its unmerged pieces (at most its char count)
+    assert 1 <= got[5] <= 5
+
+
+def test_bpe_zero_merges_counts_characters(spark):
+    docs = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+    empty = bpe.train_bpe(
+        spark.createDataFrame([], "doc_id long, text string"), num_merges=5
+    )
+    assert empty.count() == 0
+    got = bpe.bpe_token_count(docs, empty).first()
+    assert got.bpe_tokens == 5  # 2 + 3 characters
+
+
+def test_packing_parity_real_counts_shift_boundaries(spark):
+    """The point of real BPE accounting: pack boundaries computed from
+    real counts differ from estimate-based ones, and downstream budget
+    math follows the real counts."""
+    rows = _random_corpus(11, n_docs=80)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.train_bpe(docs, num_merges=60)
+
+    real = bpe.bpe_token_count(docs, merges)
+    est = docs.select(
+        "doc_id",
+        text.bpe_token_estimate(F.col("text")).cast("long").alias("est_tokens"),
+    )
+    both = real.join(est, "doc_id")
+    # the estimate and the real count disagree for a meaningful share
+    diff = both.filter(F.col("bpe_tokens") != F.col("est_tokens")).count()
+    assert diff > 40
+
+    packed_real = sampling.pack_sequences(
+        both, max_tokens=128, tokens_col="bpe_tokens", order_col="doc_id"
+    ).select("doc_id", F.col("pack_id").alias("pack_real"))
+    packed_est = sampling.pack_sequences(
+        both, max_tokens=128, tokens_col="est_tokens", order_col="doc_id"
+    ).select("doc_id", F.col("pack_id").alias("pack_est"))
+    moved = (
+        packed_real.join(packed_est, "doc_id")
+        .filter(F.col("pack_real") != F.col("pack_est"))
+        .count()
+    )
+    assert moved > 0
+    # every real pack holds at most max_tokens of REAL tokens (starting-
+    # offset packing: a pack's start offsets span < max_tokens)
+    sums = (
+        packed_real.join(real, "doc_id")
+        .groupBy("pack_real")
+        .agg(F.sum("bpe_tokens").alias("s"))
+        .collect()
+    )
+    biggest_doc = max(r.bpe_tokens for r in real.collect())
+    assert all(r.s <= 128 + biggest_doc for r in sums)
+
+
+def test_token_budget_sample_with_real_counts(spark):
+    rows = _random_corpus(5, n_docs=50)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.train_bpe(docs, num_merges=40)
+    counted = bpe.bpe_token_count(docs, merges)
+    sel = sampling.token_budget_sample(counted, 300, tokens_col="bpe_tokens")
+    total = sel.agg(F.sum("bpe_tokens")).first()[0]
+    biggest = counted.agg(F.max("bpe_tokens")).first()[0]
+    assert total <= 300 + biggest  # one-doc overshoot contract
+    assert sel.count() >= 1
