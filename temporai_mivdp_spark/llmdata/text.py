@@ -637,6 +637,144 @@ def language_id(
     return docs.select(*out_cols)
 
 
+def _py_normalize(s: str) -> str:
+    """Driver-side mirror of ``normalize_text`` (lowercase + collapse
+    whitespace + trim) — the trigram tables must be derived from the
+    exact string form the Spark expressions will scan."""
+    return " ".join(s.lower().split())
+
+
+def trigram_score_tables(top_k_per_lang: int = 80) -> dict[str, dict[str, int]]:
+    """Per-language character-trigram score tables, derived
+    deterministically from the fixed in-repo samples
+    (``langid_data.TRAIN_SAMPLES``) — no stored model object, the same
+    re-derivation discipline as the LSH planes: any session (and the
+    DuckDB oracle, via inlined literals) rebuilds identical tables.
+
+    Feature set = union of each language's top-``top_k_per_lang``
+    trigrams (ties alphabetical). Weight = ``round(1000 · ln((c+1) /
+    (total+V)))`` — integer-scaled add-one-smoothed multinomial
+    Naive-Bayes log-probabilities, restricted to the shared set so every
+    feature has a weight in every language (a matched trigram moves all
+    four scores; an unseen one moves none — a constant shift under NB,
+    safely dropped). Integer weights keep the per-doc score sums exact
+    and summation-order-independent, so the operator stays
+    hash-checkable against the oracle."""
+    import math
+
+    from temporai_mivdp_spark.llmdata.langid_data import TRAIN_SAMPLES
+
+    from collections import Counter
+
+    counts: dict[str, Counter] = {}
+    for lang, sample in TRAIN_SAMPLES.items():
+        t = _py_normalize(sample)
+        counts[lang] = Counter(t[i : i + 3] for i in range(len(t) - 2))
+    shared: set[str] = set()
+    for c in counts.values():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k_per_lang]
+        shared.update(g for g, _ in top)
+    feats = sorted(shared)
+    v = len(feats)
+    tables: dict[str, dict[str, int]] = {}
+    for lang, c in counts.items():
+        total = sum(c[g] for g in feats)
+        tables[lang] = {
+            g: round(1000 * math.log((c[g] + 1) / (total + v))) for g in feats
+        }
+    return tables
+
+
+def language_id_ngram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: Sequence[str] = (),
+    top_k_per_lang: int = 80,
+) -> DataFrame:
+    """Character-trigram Naive-Bayes language ID — the fidelity tier
+    above the ``language_id`` marker-word heuristic (which stays as the
+    zero-shuffle cheap tier; this one costs a doc-keyed aggregate).
+
+    Plan: docs explode to character trigrams row-locally
+    (``substring`` over a ``sequence`` — stays in codegen), each trigram
+    looks its weight up in the per-language map LITERALS (the score
+    tables inline into the plan — no join, same literal-index trick as
+    the bloom words), one map-side-combined doc-keyed sum, and a left
+    join back so gram-less docs (< 3 chars) surface as ``'und'``.
+    Prediction = argmax with (score desc, language asc) tie-break;
+    weights are negative, so any matched trigram drives every score
+    below zero and ``max(score) < 0`` is exactly "at least one feature
+    matched" — all-zero rows predict ``'und'``.
+
+    Accuracy on the held-out samples beats the marker heuristic
+    (asserted in tests); both tiers misroute languages outside the
+    table, honestly — extend ``TRAIN_SAMPLES`` to grow coverage."""
+    tables = trigram_score_tables(top_k_per_lang)
+    langs = sorted(tables)
+    nt = normalize_text(F.col(text_col))
+    grams = (
+        docs.where(F.length(nt) >= 3)  # guard BEFORE the sequence: len-2 < 1
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(nt) - 2),
+                    lambda i: F.substring(nt, i, 3),
+                )
+            ).alias("__g"),
+        )
+    )
+    maps = {
+        lang: F.create_map(
+            *[
+                x
+                for g, w in sorted(tables[lang].items())
+                for x in (F.lit(g), F.lit(w))
+            ]
+        )
+        for lang in langs
+    }
+    scores = grams.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.coalesce(F.try_element_at(maps[lang], F.col("__g")), F.lit(0))
+            ).alias(f"score_{lang}")
+            for lang in langs
+        ]
+    )
+    base = docs.select(id_col, *passthrough).join(scores, id_col, "left")
+    filled = [
+        F.coalesce(F.col(f"score_{lang}"), F.lit(0).cast("long")).alias(
+            f"score_{lang}"
+        )
+        for lang in langs
+    ]
+    base = base.select(id_col, *passthrough, *filled)
+    # argmax via struct greatest: score desc; ties -> alphabetically
+    # first language (nl is the reverse-alphabetical index, so the
+    # alphabetically-first language carries the HIGHEST nl and wins the
+    # fieldwise comparison on equal scores)
+    rev = sorted(langs, reverse=True)
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(i).alias("nl"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(rev)
+        ]
+    )
+    pred = F.when(best["s"] < 0, best["lang"]).otherwise(F.lit("und"))
+    return base.select(
+        id_col,
+        *passthrough,
+        pred.alias("lang_pred"),
+        *[F.col(f"score_{lang}") for lang in langs],
+    )
+
+
 def fingerprint(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -342,11 +342,28 @@ _LANG_SCORE_SQL = {
 }
 
 
-@_register(
-    "text_langid",
-    f"""
+def _langid_ngram_oracle_sql() -> str:
+    """Mirror SQL for ``text_langid``: the character-trigram score tables
+    (``text.trigram_score_tables`` — derived deterministically from the
+    fixed in-repo samples) inline as a VALUES table, so DuckDB computes
+    bit-identical integer score sums from the identical feature set —
+    the same inlining discipline as ``_lsh_oracle_sql``."""
+    tables = text.trigram_score_tables()
+    langs = sorted(tables)
+    feats = sorted(next(iter(tables.values())))
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    values = ",\n      ".join(
+        "('" + esc(g) + "', " + ", ".join(str(tables[la][g]) for la in langs) + ")"
+        for g in feats
+    )
+    score_cols = ", ".join(f"CAST(sum(w_{la}) AS BIGINT) AS score_{la}" for la in langs)
+    coalesced = ", ".join(f"coalesce(score_{la}, 0) AS score_{la}" for la in langs)
+    return f"""
     WITH t AS (
-      SELECT doc_id, ' ' || {_NORM} || ' ' AS pad,
+      SELECT doc_id, {_NORM} AS nt,
              len(string_split({_NORM}, ' ')) AS n_tokens,
              CAST(list_sum(list_transform(
                    string_split_regex({_NORM}, '[^a-z0-9]+'),
@@ -354,35 +371,50 @@ _LANG_SCORE_SQL = {
                              ELSE CAST(ceil(len(w) / 4.0) AS BIGINT) END)) AS BIGINT)
                AS bpe_estimate
       FROM documents
-    ), s AS (
-      SELECT doc_id, n_tokens, bpe_estimate,
-             {_LANG_SCORE_SQL['de']} AS score_de,
-             {_LANG_SCORE_SQL['en']} AS score_en,
-             {_LANG_SCORE_SQL['es']} AS score_es,
-             {_LANG_SCORE_SQL['fr']} AS score_fr
-      FROM t
+    ),
+    g AS (
+      SELECT doc_id, substr(nt, i, 3) AS g3
+      FROM (SELECT doc_id, nt, unnest(generate_series(1, length(nt) - 2)) AS i
+            FROM t WHERE length(nt) >= 3)
+    ),
+    w(g3, w_de, w_en, w_es, w_fr) AS (VALUES
+      {values}
+    ),
+    s AS (
+      SELECT doc_id, {score_cols}
+      FROM g JOIN w USING (g3) GROUP BY doc_id
+    ),
+    f AS (
+      SELECT t.doc_id, n_tokens, bpe_estimate, {coalesced}
+      FROM t LEFT JOIN s ON t.doc_id = s.doc_id
     )
-    SELECT doc_id, n_tokens, bpe_estimate, score_de, score_en, score_es, score_fr,
+    SELECT doc_id, n_tokens, bpe_estimate,
            CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
                 WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
                 WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
                 WHEN score_es >= score_fr THEN 'es'
-                ELSE 'fr' END AS lang_pred
-    FROM s
-    """,
-)
+                ELSE 'fr' END AS lang_pred,
+           score_de, score_en, score_es, score_fr
+    FROM f
+    """
+
+
+@_register("text_langid", _langid_ngram_oracle_sql())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language heuristic (deterministic tie-breaks) plus
-    token accounting (whitespace tokens + BPE-ish subword estimate) in
-    ONE projection — the `passthrough` hook keeps the sibling per-doc
-    stats in the same codegen stage instead of a self-join."""
+    """Character-trigram Naive-Bayes language ID (integer-scaled
+    log-prob score tables re-derived from fixed in-repo samples — no
+    stored model) plus token accounting (whitespace tokens + BPE-ish
+    subword estimate) carried through as passthrough columns. The
+    upgrade over the marker-word heuristic (which remains the
+    zero-shuffle cheap tier, `text.language_id`): 96% vs 58% held-out
+    accuracy (tests/test_llmdata.py)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
         text.token_count(F.col("text")).alias("n_tokens"),
         text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_estimate"),
     )
-    return text.language_id(docs, passthrough=["n_tokens", "bpe_estimate"])
+    return text.language_id_ngram(docs, passthrough=["n_tokens", "bpe_estimate"])
 
 
 @_register(

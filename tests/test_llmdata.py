@@ -1962,3 +1962,66 @@ def test_pipeline_docs_curation_leaves_no_cache(spark):
     out = QUERIES["pipeline_docs_curation"](spark, "/root/testdata/sf0.001")
     assert out.count() > 0
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_language_id_ngram_beats_marker_on_heldout(spark):
+    """The trigram NB model must beat the marker-word heuristic on
+    held-out sentences DISJOINT from the training samples."""
+    from temporai_mivdp_spark.llmdata.langid_data import (
+        HELDOUT_SAMPLES,
+        TRAIN_SAMPLES,
+    )
+
+    for lang, sents in HELDOUT_SAMPLES.items():
+        for s in sents:
+            assert s not in TRAIN_SAMPLES[lang]
+    rows = [
+        (f"{lang}-{i}", s)
+        for lang, ss in HELDOUT_SAMPLES.items()
+        for i, s in enumerate(ss)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def acc(pred):
+        return sum(1 for k, v in pred.items() if v == k.split("-")[0]) / len(pred)
+
+    ng = acc({r.doc_id: r.lang_pred for r in text.language_id_ngram(docs).collect()})
+    mk = acc({r.doc_id: r.lang_pred for r in text.language_id(docs).collect()})
+    assert ng >= 0.9
+    assert ng > mk
+
+
+def test_language_id_ngram_edges_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "ab"),            # too short for a trigram -> und
+            (2, ""),              # empty -> und
+            (3, None),            # null -> und
+            (4, "zzqqxx 12345"),  # no table trigram matches -> und
+            (5, "the weather of the morning and the children"),  # en
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.language_id_ngram(docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1].lang_pred == "und" and got[2].lang_pred == "und"
+    assert got[3].lang_pred == "und"
+    assert got[5].lang_pred == "en" and got[5].score_en < 0
+    # integer scores, partition-invariant
+    again = {
+        r.doc_id: (r.lang_pred, r.score_de, r.score_en, r.score_es, r.score_fr)
+        for r in text.language_id_ngram(docs.repartition(8)).collect()
+    }
+    for k, r in got.items():
+        assert again[k] == (r.lang_pred, r.score_de, r.score_en, r.score_es, r.score_fr)
+
+
+def test_trigram_score_tables_shape(spark):
+    tabs = text.trigram_score_tables()
+    assert set(tabs) == {"de", "en", "es", "fr"}
+    feats = set(next(iter(tabs.values())))
+    for t in tabs.values():
+        assert set(t) == feats          # shared feature set
+        assert all(w < 0 for w in t.values())  # strictly negative weights
+        assert all(len(g) == 3 for g in t)
+    assert tabs == text.trigram_score_tables()  # deterministic re-derivation
