@@ -84,6 +84,8 @@ def guard_corpus(
     min_hits: int = 1,
     min_hit_frac: float = 0.0,
     fpr: float = 1e-6,
+    exact: bool = False,
+    containment_threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -112,13 +114,27 @@ def guard_corpus(
     the chosen rate no matter how large the eval suite grows; pass an
     explicit power-of-two to pin the layout instead.
 
-    Returns the input columns plus ``split``, ``n_bloom_hits``,
-    ``hit_frac``, ``contaminated`` (cluster-expanded). Drop/require
+    Two contamination backends share the composition:
+
+    * ``exact=False`` (default) — the bloom path: fixed-size index,
+      joinless corpus side; flag columns ``n_bloom_hits``/``hit_frac``.
+      The scale default (the bloom's xxhash64 probes are Spark-native,
+      so this path is test-covered rather than oracle-mirrored).
+    * ``exact=True`` — ``benchmark_contamination``: per-doc max n-gram
+      CONTAINMENT against each benchmark example (md5-hashed shingles,
+      bit-portable to the DuckDB oracle — the ``pipeline_guard_corpus``
+      catalog entry hash-checks this whole composition); flag columns
+      ``n_bench_hits``/``max_containment``, contaminated when
+      ``n_bench_hits >= min_hits`` at ``containment_threshold``.
+
+    Returns the input columns plus ``split``, the backend's two flag
+    columns, and ``contaminated`` (cluster-expanded). Drop/require
     ``contaminated`` downstream; the flag is kept rather than filtered
     so removal decisions stay auditable.
     """
     from temporai_mivdp_spark.llmdata.dedup import (
         _shingles_raw,
+        benchmark_contamination,
         bloom_contamination,
         bloom_params_for,
         duplicate_clusters,
@@ -127,35 +143,57 @@ def guard_corpus(
     )
     from temporai_mivdp_spark.llmdata.sampling import leakage_safe_split
 
-    if m_bits is None:
-        n_items = (
-            _shingles_raw(bench, n=n, text_col=text_col, id_col=id_col)
-            .select("shingle")
-            .distinct()
-            .count()
+    if exact:
+        flags = benchmark_contamination(
+            docs,
+            bench,
+            n=n,
+            threshold=containment_threshold,
+            text_col=text_col,
+            id_col=id_col,
         )
-        m_bits, k_hashes = bloom_params_for(max(n_items, 1), fpr=fpr)
+        flag_cols = ["n_bench_hits", "max_containment"]
+        flags = flags.withColumn(
+            "contaminated", flags["n_bench_hits"] >= min_hits
+        )
     else:
-        k_hashes = 4
-    bloom = shingle_bloom(
-        bench, n=n, m_bits=m_bits, k_hashes=k_hashes, text_col=text_col, id_col=id_col
-    )
-    flags = bloom_contamination(docs, bloom, n=n, text_col=text_col, id_col=id_col)
-    flags = flags.withColumn(
-        "contaminated",
-        (flags["n_bloom_hits"] >= min_hits) & (flags["hit_frac"] >= min_hit_frac),
-    )
+        if m_bits is None:
+            n_items = (
+                _shingles_raw(bench, n=n, text_col=text_col, id_col=id_col)
+                .select("shingle")
+                .distinct()
+                .count()
+            )
+            m_bits, k_hashes = bloom_params_for(max(n_items, 1), fpr=fpr)
+        else:
+            k_hashes = 4
+        bloom = shingle_bloom(
+            bench,
+            n=n,
+            m_bits=m_bits,
+            k_hashes=k_hashes,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        flags = bloom_contamination(
+            docs, bloom, n=n, text_col=text_col, id_col=id_col
+        )
+        flag_cols = ["n_bloom_hits", "hit_frac"]
+        flags = flags.withColumn(
+            "contaminated",
+            (flags["n_bloom_hits"] >= min_hits)
+            & (flags["hit_frac"] >= min_hit_frac),
+        )
     if near_pairs is not None:
         clusters = duplicate_clusters(near_pairs)
         flags = expand_contamination(flags, clusters, id_col=id_col).select(
             id_col,
-            "n_bloom_hits",
-            "hit_frac",
+            *flag_cols,
             F.col("contaminated_expanded").alias("contaminated"),
         )
     else:
         clusters = None
-        flags = flags.select(id_col, "n_bloom_hits", "hit_frac", "contaminated")
+        flags = flags.select(id_col, *flag_cols, "contaminated")
     split = leakage_safe_split(docs, weights, clusters=clusters, key_col=id_col)
     return split.join(flags, id_col)
 

@@ -540,9 +540,9 @@ def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "text_contamination",
+    "pipeline_guard_corpus",
     f"""
-    WITH d2 AS ({_AUG_SQL}),
+    WITH RECURSIVE d2 AS ({_AUG_SQL}),
     toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM d2),
     idx AS (
       SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks
@@ -552,10 +552,35 @@ def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS shingle
       FROM idx WHERE len(w[i:i+2]) = 3
     ),
+    -- near-dup pairs (3-gram Jaccard >= 0.5) -> connected components
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter_p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter_p
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id
+    ),
+    clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    -- exact benchmark contamination (bench = every 13th original doc)
     bs AS (SELECT doc_id AS bench_id, shingle FROM sh
            WHERE doc_id % 13 = 0 AND doc_id < 1000000),
     bsz AS (SELECT bench_id, count(*) AS bsz FROM bs GROUP BY 1),
-    inter AS (
+    inter_c AS (
       SELECT d.doc_id, b.bench_id, count(*) AS i
       FROM sh d JOIN bs b ON d.shingle = b.shingle GROUP BY 1, 2
     ),
@@ -564,27 +589,66 @@ def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(i / CAST(bsz AS DOUBLE)) AS max_containment,
              CAST(sum(CASE WHEN i / CAST(bsz AS DOUBLE) >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_bench_hits
-      FROM inter JOIN bsz USING (bench_id) GROUP BY doc_id
+      FROM inter_c JOIN bsz USING (bench_id) GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT ids.doc_id,
+             coalesce(max_containment, 0.0) AS max_containment,
+             coalesce(n_bench_hits, 0) AS n_bench_hits
+      FROM (SELECT DISTINCT doc_id FROM d2) ids LEFT JOIN cont USING (doc_id)
+    ),
+    -- cluster-expanded contamination + leakage-safe split on the cluster key
+    keyed AS (
+      SELECT f.doc_id, f.max_containment, f.n_bench_hits,
+             coalesce(c.cluster_id, f.doc_id) AS ck
+      FROM flags f LEFT JOIN clusters c ON f.doc_id = c.doc_id
+    ),
+    anyhit AS (
+      SELECT ck, max(CASE WHEN n_bench_hits >= 1 THEN 1 ELSE 0 END) AS anyc
+      FROM keyed GROUP BY ck
     )
-    SELECT ids.doc_id,
-           coalesce(max_containment, 0.0) AS max_containment,
-           coalesce(n_bench_hits, 0) AS n_bench_hits
-    FROM (SELECT DISTINCT doc_id FROM d2) ids LEFT JOIN cont USING (doc_id)
+    SELECT k.doc_id,
+           CASE WHEN ('0x' || substr(md5('split' || CAST(k.ck AS VARCHAR)), 1, 8))::BIGINT
+                     % 10000 < 8000 THEN 'train'
+                ELSE 'test' END AS split,
+           k.n_bench_hits, k.max_containment,
+           (a.anyc = 1) AS contaminated
+    FROM keyed k JOIN anyhit a USING (ck)
     """,
 )
-def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: per corpus doc (augmented corpus, so
-    the mutated near-copies of benchmark docs leak too), max 3-gram
-    containment against a held-out eval set (every 13th original doc)
-    and the count of eval examples with containment >= 0.8. Benchmark
-    shingle sets broadcast; corpus-linear cost."""
+def pipeline_guard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full eval-integrity composition, hash-checked end to end
+    (displaces the plain `text_contamination` entry — this is its strict
+    superset): exact benchmark decontamination (max 3-gram containment
+    vs every 13th original doc, hit at >= 0.8) -> near-dup clusters
+    (3-gram Jaccard >= 0.5 pairs -> connected components) ->
+    cluster-EXPANDED contamination (a flagged doc contaminates its whole
+    cluster: the mutated near-copy of a leaked bench doc gets flagged
+    despite its own containment) -> leakage-safe 80/20 split keyed on
+    the cluster id (near-dup pairs never straddle train/test). The
+    oracle replays every stage: recursive-CTE components, md5 bucket
+    split on the identical cluster key."""
     corpus = _augmented(spark, sf_dir)
     bench = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 13 == 0)
         .select("doc_id", "text")
     )
-    return dedup.benchmark_contamination(corpus, bench, n=3, threshold=0.8)
+    pairs = dedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.5)
+    from temporai_mivdp_spark.llmdata.pipeline import guard_corpus
+
+    out = guard_corpus(
+        corpus,
+        bench,
+        {"train": 0.8, "test": 0.2},
+        near_pairs=pairs,
+        n=3,
+        exact=True,
+        containment_threshold=0.8,
+    )
+    return out.select(
+        "doc_id", "split", "n_bench_hits", "max_containment", "contaminated"
+    )
 
 
 @_register(

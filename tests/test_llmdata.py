@@ -2025,3 +2025,30 @@ def test_trigram_score_tables_shape(spark):
         assert all(w < 0 for w in t.values())  # strictly negative weights
         assert all(len(g) == 3 for g in t)
     assert tabs == text.trigram_score_tables()  # deterministic re-derivation
+
+
+def test_guard_corpus_exact_backend(spark):
+    """exact=True swaps the bloom for md5-shingle containment (the
+    oracle-checkable backend of pipeline_guard_corpus) — same cluster
+    expansion and split semantics, different flag columns."""
+    from temporai_mivdp_spark.llmdata.pipeline import guard_corpus
+
+    leak = "the secret benchmark answer is forty two exactly"
+    rows = [
+        (1, leak),
+        (2, "a light paraphrase that shares no trigram with anything above"),
+        (3, "ordinary clean document with plain words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    bench = spark.createDataFrame([(100, leak)], "doc_id: long, text: string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a: long, id_b: long")
+    out = guard_corpus(
+        docs, bench, {"train": 0.7, "test": 0.3}, near_pairs=pairs,
+        n=3, exact=True, containment_threshold=0.8,
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].contaminated and got[1].n_bench_hits == 1
+    assert got[1].max_containment == 1.0
+    assert got[2].contaminated and got[2].n_bench_hits == 0  # via cluster
+    assert not got[3].contaminated
+    assert got[1].split == got[2].split
