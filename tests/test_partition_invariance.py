@@ -1,0 +1,189 @@
+"""Partition-invariance property tests (round-4 task 7).
+
+Every determinism claim in the sampling/packing/dedup/similarity layers
+is a claim about INPUT-LAYOUT independence: the same rows must produce
+bit-identical results whether they arrive in 1 partition, 64 hash
+partitions, or range-partitioned (sorted) shards — the layouts a real
+cluster actually re-deals between stages. Fixed-parallelism tests can't
+see a violation (e.g. an order-dependent window tie, a per-partition
+RNG); these re-run each op under all three layouts and compare full
+result sets.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporai_mivdp_spark.llmdata import bpe, dedup, sampling, similarity, text
+
+
+def _docs(spark, n=120):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "the", "and", "quick", "brown"]
+    rows = [
+        (
+            i,
+            " ".join(words[(i * 7 + j) % len(words)] for j in range(5 + i % 23)),
+            f"src{i % 3}",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _layouts(df, key="doc_id"):
+    yield "repartition(1)", df.repartition(1)
+    yield "repartition(64)", df.repartition(64)
+    yield "rangePartition", df.repartitionByRange(8, F.col(key))
+
+
+def _assert_layout_invariant(df, op, key="doc_id"):
+    want = None
+    for name, layout in _layouts(df, key):
+        got = sorted(tuple(r) for r in op(layout).collect())
+        if want is None:
+            want = got
+        else:
+            assert got == want, f"{name} diverged"
+    return want
+
+
+def test_hash_split_invariant(spark):
+    docs = _docs(spark)
+    _assert_layout_invariant(
+        docs,
+        lambda d: sampling.hash_split(
+            d, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "split"),
+    )
+
+
+def test_stratified_hash_sample_invariant(spark):
+    docs = _docs(spark)
+    _assert_layout_invariant(
+        docs,
+        lambda d: sampling.stratified_hash_sample(
+            d, {"src0": 0.5, "src1": 1.0}, strata_col="source"
+        ).select("doc_id"),
+    )
+
+
+def test_temperature_resample_invariant(spark):
+    docs = _docs(spark)
+    _assert_layout_invariant(
+        docs,
+        lambda d: sampling.temperature_resample(d, temperature=2.0).select("doc_id"),
+    )
+
+
+def test_source_quota_invariant(spark):
+    docs = _docs(spark)
+    _assert_layout_invariant(
+        docs,
+        lambda d: sampling.source_quota(d, max_per_group=15).select(
+            "doc_id", "quota_rank"
+        ),
+    )
+
+
+def test_pack_sequences_global_and_sharded_invariant(spark):
+    docs = _docs(spark).withColumn("n_tokens", F.length("text"))
+    _assert_layout_invariant(
+        docs,
+        lambda d: sampling.pack_sequences(
+            d, max_tokens=300, order_col="doc_id"
+        ).select("doc_id", "pack_id"),
+    )
+    _assert_layout_invariant(
+        docs,
+        lambda d: sampling.pack_sequences(
+            d, max_tokens=300, order_col="doc_id", partition_cols=["source"]
+        ).select("doc_id", "pack_id"),
+    )
+
+
+def test_token_budget_sample_invariant(spark):
+    docs = _docs(spark).withColumn("n_tokens", F.length("text"))
+    _assert_layout_invariant(
+        docs,
+        lambda d: sampling.token_budget_sample(d, 2_000).select("doc_id"),
+    )
+
+
+def test_sample_exact_k_invariant(spark):
+    docs = _docs(spark)
+    _assert_layout_invariant(
+        docs, lambda d: sampling.sample_exact_k(d, 37).select("doc_id")
+    )
+
+
+def test_minhash_signatures_and_lsh_candidates_invariant(spark):
+    docs = _docs(spark)
+    _assert_layout_invariant(
+        docs,
+        lambda d: dedup.minhash_lsh_candidates(d, num_hashes=8, bands=4),
+    )
+
+
+def test_exact_duplicates_invariant(spark):
+    docs = _docs(spark)
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text", "source")
+    )
+    _assert_layout_invariant(doubled, dedup.exact_duplicates)
+
+
+def test_duplicate_clusters_invariant(spark):
+    # a chain, a star, and singleton pairs
+    edges = [(i, i + 1) for i in range(0, 20)] + [(100, j) for j in (101, 102, 103)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    _assert_layout_invariant(pairs, dedup.duplicate_clusters, key="id_a")
+
+
+def test_lsh_bucket_assignment_invariant(spark):
+    emb = spark.createDataFrame(
+        [(i, [float((i * 31 + j * 7) % 13) - 6.0 for j in range(16)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    _assert_layout_invariant(
+        emb,
+        lambda e: similarity.lsh_topk(e, probes, k=5, tables=2, bits=4, dim=16),
+        key="vec_id",
+    )
+
+
+def test_bpe_token_count_invariant(spark):
+    docs = _docs(spark)
+    merges = bpe.train_bpe(docs, num_merges=30)
+    _assert_layout_invariant(
+        docs, lambda d: bpe.bpe_token_count(d, merges)
+    )
+
+
+def test_language_id_ngram_invariant(spark):
+    docs = _docs(spark)
+    _assert_layout_invariant(docs, lambda d: text.language_id_ngram(d))
+
+
+def test_vocabulary_and_encoding_invariant(spark):
+    docs = _docs(spark)
+    vocabs = []
+    for _, layout in _layouts(docs):
+        vocabs.append(
+            sorted(
+                (r["token"], r["token_id"], r["count"])
+                for r in text.build_vocabulary(layout, size=40).collect()
+            )
+        )
+    assert vocabs[0] == vocabs[1] == vocabs[2]
+    vocab = text.build_vocabulary(docs, size=40)
+    _assert_layout_invariant(
+        docs,
+        lambda d: text.encode_tokens(d, vocab).select(
+            "doc_id", F.col("token_ids").cast("string").alias("ids")
+        ),
+    )
