@@ -1,0 +1,178 @@
+"""One-decade-beyond-sf0.1 scale sweep for the FULL headline set.
+
+``tools/scale_decade.py`` covers the dedup family; this tool gives every
+bench.py headline query its second measured decade by materializing a
+deterministic 10× inflation of every table the headline set reads
+(lineitem, orders, customer, events, documents, embeddings — dims
+nation/region copied as-is) and timing sf0.1 vs 10× with the bench
+methodology (DataFrames built once, interleaved round-robin, min over
+rounds, noop sink).
+
+Inflation preserves per-key semantics so ratios measure PLAN scaling,
+not data-shape drift — each copy k is a disjoint parallel universe:
+
+* ``customer.c_custkey``, ``orders.o_orderkey/o_custkey``,
+  ``lineitem.l_orderkey/l_partkey/l_suppkey``, ``events.event_id/
+  user_id``, ``embeddings.vec_id`` all shift by ``k·10^7`` — group
+  counts grow 10×, per-group cardinality is untouched (how a larger
+  TPC-H SF actually grows), and intra-copy join fan-outs equal the
+  original's.
+* ``documents`` uses the word-salt rewrite from scale_decade.py (same
+  token counts, zero cross-copy shingles).
+* probe-style queries (flagship's 25-nation output, sim_topk's 5
+  probes) keep constant output by design — ``--check`` skips them.
+
+Usage: python tools/scale_decade_full.py [repeats] [--check]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from temporai_mivdp_spark.queries import QUERIES  # noqa: E402
+import temporai_mivdp_spark.queries_llm  # noqa: E402,F401
+from temporai_mivdp_spark.session import get_session  # noqa: E402
+
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "j8_interval_exists_label",
+    "a7_mode_vote_filter",
+    "a8_winsorize",
+    "w3_tumbling_bucket",
+    "w4_w8_dense_grid_indicator",
+    "w5_w6_w7_impute_active",
+    "a2_two_level_agg",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "text_quality",
+]
+
+#: queries whose output is probe- or dimension-bounded by design: row
+#: growth is NOT expected to track data growth
+CHECK_EXEMPT = {"flagship_revenue_by_nation", "sim_topk_bruteforce",
+                "dedup_minhash_lsh"}
+
+COPIES = 10
+SHIFT = 10_000_000
+BASE_SF = "/root/testdata/sf0.1"
+
+
+def _inflate_shift(df, cols: list[str], k: int):
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.col(c) + F.lit(k * SHIFT))
+    return out
+
+
+def inflate(spark, out_dir: str) -> None:
+    plans = {
+        "customer": ["c_custkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+        "embeddings": ["vec_id"],
+    }
+    for name, shift_cols in plans.items():
+        base = spark.read.parquet(f"{BASE_SF}/{name}.parquet")
+        union = _inflate_shift(base, shift_cols, 0)
+        for k in range(1, COPIES):
+            union = union.unionByName(_inflate_shift(base, shift_cols, k))
+        union.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+    # documents: word-salted copies (see scale_decade.py rationale)
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * SHIFT).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1{k}").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    union.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    # dims: copied as-is (they are dims at every SF)
+    for name in ("region", "nation", "supplier", "part"):
+        src = Path(BASE_SF) / f"{name}.parquet"
+        if src.exists():
+            spark.read.parquet(str(src)).write.mode("overwrite").parquet(
+                f"{out_dir}/{name}.parquet"
+            )
+
+
+def main() -> None:
+    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_session(
+        app_name="mivdp-scale-decade-full",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # 10x shuffle state + base cells share one JVM; 24g keeps the
+            # small cells clear of full-GC pauses (see scale_decade.py)
+            "spark.driver.memory": "24g",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="mivdp_decade_full_")
+    try:
+        inflate(spark, tmp)
+        cells = [(name, sf) for name in HEADLINE for sf in (BASE_SF, tmp)]
+        dfs = {(name, sf): QUERIES[name](spark, sf) for name, sf in cells}
+
+        def run(cell) -> None:
+            dfs[cell].write.format("noop").mode("overwrite").save()
+
+        for cell in cells:
+            t0 = time.perf_counter()
+            run(cell)
+            print(
+                f"warmup {cell[0]} @{'10x' if cell[1] == tmp else 'sf0.1'}:"
+                f" {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+
+        best = {cell: float("inf") for cell in cells}
+        for _ in range(repeats):
+            for cell in cells:
+                t0 = time.perf_counter()
+                run(cell)
+                best[cell] = min(best[cell], time.perf_counter() - t0)
+
+        print("| query | sf0.1 s | 10x s | ratio |")
+        print("|---|---|---|---|")
+        for name in HEADLINE:
+            a, b = best[(name, BASE_SF)], best[(name, tmp)]
+            print(f"| {name} | {a:.3f} | {b:.3f} | {b / a:.1f}× |")
+
+        if "--check" in sys.argv:
+            for name in HEADLINE:
+                if name in CHECK_EXEMPT:
+                    continue
+                ra = dfs[(name, BASE_SF)].count()
+                rb = dfs[(name, tmp)].count()
+                ok = 8 <= rb / max(ra, 1) <= 12
+                print(f"rows {name}: {ra} -> {rb} ({'ok' if ok else 'NOT ~10x'})")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
