@@ -26,8 +26,10 @@ Beyond the reference's clinical surface, the engine ships the operators a
   multimodal   opaque-binary media columns: schema, Arrow-batched
                metadata/feature extraction; REAL stdlib codecs for
                WAV/PCM audio, 24-bit BMP, 8-bit PNG (zlib + all five
-               filters) + header-only dims (JPEG/GIF pixels stubbed —
-               no codec libs in this container), deterministic fakes
+               filters), BASELINE JPEG (Huffman+IDCT, any subsampling),
+               first-frame GIF (variable-width LZW, interlace) +
+               header-only dims; deterministic fakes for the rest
+               (progressive JPEG, animated GIF, non-PCM audio)
   pipeline     production output layout: doc_id-bucketed tables
                (zero-exchange re-read joins) + byte-sized compaction
   web          URL canonicalization (tracking params, www, ports,

@@ -9,12 +9,16 @@ split by what the stdlib can genuinely do:
   numpy for duration/RMS/zero-crossings), uncompressed 24-bit BMP decode
   (struct header parse + numpy pixel array) including nearest-neighbor
   resize, 8-bit non-interlaced PNG decode (chunk walk + stdlib ``zlib``
-  inflate + all five scanline unfilters, gray/RGB/RGBA), and header-only
-  dimension extraction for BMP/PNG/JPEG.
-* STUBBED: JPEG/GIF pixel decode, 16-bit/paletted/interlaced PNG, and
-  non-PCM audio need PIL/opencv/librosa, absent in this container —
-  those payloads raise ``NotImplementedError`` unless the deterministic
-  fake is requested (used by tests and the oracle harness).
+  inflate + all five scanline unfilters, gray/RGB/RGBA), BASELINE JPEG
+  decode (Huffman + dequant + IDCT + chroma upsampling — see
+  ``imagecodecs``), first-frame GIF decode (variable-width LZW,
+  interlace, local/global palettes), and header-only dimension
+  extraction for BMP/PNG/JPEG/GIF.
+* STUBBED: progressive/arithmetic/12-bit JPEG, 16-bit/paletted/
+  interlaced PNG, animated-GIF frames past the first, and non-PCM audio
+  need PIL/opencv/librosa, absent in this container — those payloads
+  raise ``NotImplementedError`` unless the deterministic fake is
+  requested (used by tests and the oracle harness).
 
 Scale notes for the real thing:
 * media bytes ride in the same rows as metadata only up to a few MB each;
@@ -235,13 +239,26 @@ def _png_pixels(b: bytes) -> np.ndarray:
 
 
 def _raster_pixels(b: bytes) -> np.ndarray:
-    """Dispatch pixel decode by magic number: BMP or PNG (the stdlib-real
-    paths); everything else raises ``NotImplementedError``."""
+    """Dispatch pixel decode by magic number: BMP, PNG, baseline JPEG, or
+    GIF first frame (all stdlib+numpy — see ``imagecodecs`` for the
+    JPEG/GIF implementations); remaining variants (progressive JPEG,
+    16-bit/paletted PNG, animated GIF frames) raise
+    ``NotImplementedError``."""
     if b[:2] == b"BM":
         return _bmp_pixels(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_pixels(b)
-    raise NotImplementedError("pixel decode without codec libs: BMP or PNG only")
+    if b[:3] == b"\xff\xd8\xff":
+        from temporai_mivdp_spark.llmdata.imagecodecs import jpeg_pixels
+
+        return jpeg_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from temporai_mivdp_spark.llmdata.imagecodecs import gif_pixels
+
+        return gif_pixels(b)
+    raise NotImplementedError(
+        "pixel decode without codec libs: BMP/PNG/baseline-JPEG/GIF only"
+    )
 
 
 def _image_dims(b: bytes) -> tuple[str, int, int] | None:
