@@ -42,9 +42,10 @@ same merges, same counts. Tested under repartition(1) vs repartition(64).
 from __future__ import annotations
 
 from collections import Counter, defaultdict
+from functools import lru_cache
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -56,6 +57,8 @@ __all__ = [
     "segment_words",
     "bpe_token_count",
     "apply_merges_py",
+    "pretrained_merges_list",
+    "pretrained_merges",
 ]
 
 
@@ -194,6 +197,35 @@ def train_bpe(
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, schema)
+
+
+@lru_cache(maxsize=8)
+def pretrained_merges_list(num_merges: int = 300) -> tuple[tuple[str, str], ...]:
+    """The PRETRAINED merge table: trained deterministically on the fixed
+    in-repo seed corpus (``bpe_data.SEED_TEXT``) at call time — the
+    no-stored-model discipline (langid trigram tables, md5 LSH planes).
+    Any session, and the DuckDB oracle via inlined VALUES, re-derives the
+    identical list. This is the counting tokenizer the catalog queries
+    use; per-corpus training (``train_bpe``) remains the offline job for
+    corpora that want their own table, persisted like the IVF centroids.
+
+    Pure Python over the seed text (no Spark): the seed is module data,
+    a few KB — training takes milliseconds and is cached per process."""
+    from temporai_mivdp_spark.llmdata.bpe_data import SEED_TEXT
+
+    words = Counter(w for w in " ".join(SEED_TEXT.lower().split()).split(" ") if w)
+    merges = _train_merges(dict(words), num_merges)
+    for a, b in merges:
+        # the oracle's delimiter-string replay reserves '|'
+        assert "|" not in a and "|" not in b, "seed corpus must not contain '|'"
+    return tuple(merges)
+
+
+def pretrained_merges(spark: SparkSession, num_merges: int = 300) -> DataFrame:
+    """The pretrained merge table as the standard ``(rank, left, right)``
+    dimension DataFrame ``train_bpe`` produces."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(pretrained_merges_list(num_merges))]
+    return spark.createDataFrame(rows, "rank: int, left: string, right: string")
 
 
 def merge_ranks(merges: DataFrame) -> dict[tuple[str, str], int]:

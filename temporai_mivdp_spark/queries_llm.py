@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from temporai_mivdp_spark.llmdata import dedup, sampling, similarity, text
+from temporai_mivdp_spark.llmdata import bpe, dedup, sampling, similarity, text
 from temporai_mivdp_spark.queries import ORACLE, QUERIES, _register, _t
 
 #: DuckDB expression for the normalized text (mirror of dedup.normalize_text)
@@ -403,8 +403,10 @@ def _langid_ngram_oracle_sql() -> str:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram Naive-Bayes language ID (integer-scaled
     log-prob score tables re-derived from fixed in-repo samples — no
-    stored model) plus token accounting (whitespace tokens + BPE-ish
-    subword estimate) carried through as passthrough columns. The
+    stored model) plus token accounting carried through as passthrough
+    columns: whitespace tokens and the ceil(len/4) CHEAP-TIER estimate
+    (`text.bpe_token_estimate`; the real pretrained-BPE counts are the
+    `text_bpe_count` / `pipeline_docs_curation` currency). The
     upgrade over the marker-word heuristic (which remains the
     zero-shuffle cheap tier, `text.language_id`): 96% vs 58% held-out
     accuracy (tests/test_llmdata.py)."""
@@ -415,6 +417,109 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_estimate"),
     )
     return text.language_id_ngram(docs, passthrough=["n_tokens", "bpe_estimate"])
+
+
+def _bpe_oracle_ctes(src: str) -> str:
+    """CTE block (for a ``WITH RECURSIVE`` clause) that replays
+    pretrained-BPE token counting in pure DuckDB SQL: the merge table
+    inlines as VALUES (re-derived from the fixed seed corpus — the
+    ``_langid_ngram_oracle_sql`` discipline) and merge APPLICATION runs
+    as a recursive CTE over the distinct word types of ``src``
+    (columns ``doc_id, text``), so the oracle is valid at any scale
+    factor — no data-dependent literals.
+
+    Encoding: a word's symbol list is the string ``'||a||b||'`` (every
+    symbol wrapped in double bars). One round = merge ALL occurrences
+    of the lowest-rank pair present: ``replace(s, '|a||b|', '|ab|')``
+    — the pattern consumes one bar from each side's pair and the
+    replacement restores them, so adjacent matches cannot interfere,
+    and left-to-right non-overlapping ``replace`` is exactly the
+    kernel's scan order (verified vs ``bpe.apply_merges_py`` on
+    worst-case single-letter-run alphabets in tests). Words leave the
+    working set when no merge applies (the rank join drops them);
+    ``n_pieces`` = bar-count/2 − 1 of each word's final string.
+    Produces ``bcnt(doc_id, bpe_tokens)`` — join it back LEFT so
+    token-less docs count 0."""
+    from temporai_mivdp_spark.llmdata.bpe import pretrained_merges_list
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n      ".join(
+        f"({i}, '{esc(a)}', '{esc(b)}')"
+        for i, (a, b) in enumerate(pretrained_merges_list())
+    )
+    return f"""
+    bm(rank, l, r) AS (VALUES
+      {vals}
+    ),
+    btok AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM {src})
+      WHERE t <> ''
+    ),
+    bocc AS (SELECT doc_id, token, count(*) AS occ FROM btok GROUP BY 1, 2),
+    btypes AS (SELECT DISTINCT token FROM bocc),
+    bseg(token, s, it) AS (
+      SELECT token, '||' || array_to_string(string_split(token, ''), '||') || '||', 0
+      FROM btypes
+      UNION ALL
+      SELECT x.token,
+             replace(x.s, '|' || mm.l || '||' || mm.r || '|', '|' || mm.l || mm.r || '|'),
+             x.it + 1
+      FROM (SELECT token, s, it,
+                   (SELECT min(rank) FROM bm
+                    WHERE contains(s, '|' || bm.l || '||' || bm.r || '|')) AS best
+            FROM bseg) x
+      JOIN bm mm ON mm.rank = x.best
+    ),
+    bnp AS (
+      SELECT token,
+             CAST((length(s) - length(replace(s, '|', ''))) / 2 - 1 AS BIGINT) AS n_pieces
+      FROM (SELECT token, s, row_number() OVER (PARTITION BY token ORDER BY it DESC) AS rn
+            FROM bseg)
+      WHERE rn = 1
+    ),
+    bcnt AS (
+      SELECT o.doc_id, CAST(sum(o.occ * bnp.n_pieces) AS BIGINT) AS bpe_tokens
+      FROM bocc o JOIN bnp USING (token) GROUP BY 1
+    )"""
+
+
+@_register(
+    "text_bpe_count",
+    f"""
+    WITH RECURSIVE
+    {_bpe_oracle_ctes("documents")}
+    SELECT d.doc_id,
+           CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(
+                 string_split_regex({_NORM}, '[^a-z0-9]+'),
+                 w -> CASE WHEN len(w) = 0 THEN 0
+                           ELSE CAST(ceil(len(w) / 4.0) AS BIGINT) END)) AS BIGINT)
+             AS bpe_estimate,
+           coalesce(bc.bpe_tokens, 0) AS bpe_tokens
+    FROM documents d LEFT JOIN bcnt bc ON d.doc_id = bc.doc_id
+    """,
+)
+def text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token accounting (llmdata/bpe.py) next to the two cheap
+    tiers (whitespace tokens, ceil(len/4) estimate) — the counting
+    currency `pipeline_docs_curation` packs on. The merge table is the
+    pretrained one (re-derived from the fixed in-repo seed corpus — no
+    stored model); application is one Arrow pandas-UDF pass per word
+    TYPE, with the corpus staying JVM-side (explode → broadcast join →
+    map-side-combined sum). The oracle replays merge application as a
+    recursive CTE over the same inlined merge table, so the check is
+    scale-factor-independent."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tiers = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_estimate"),
+    )
+    counted = bpe.bpe_token_count(docs, bpe.pretrained_merges(spark))
+    return tiers.join(counted, "doc_id")
 
 
 @_register(
@@ -736,7 +841,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "pipeline_docs_curation",
     f"""
-    WITH d2 AS (
+    WITH RECURSIVE d2 AS (
       SELECT doc_id, text FROM documents
       UNION ALL SELECT doc_id + 1000000, text FROM documents
     ),
@@ -751,22 +856,24 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(string_split({_NORM}, ' ')) AS n_tokens
       FROM keep WHERE doc_id = keep_id
     ),
+    {_bpe_oracle_ctes("base")},
     feat AS (
-      SELECT doc_id, n_chars, n_tokens,
+      SELECT base.doc_id, n_chars, n_tokens,
              length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / n_chars AS punct_ratio,
              CAST(list_sum(list_transform(
                    string_split_regex({_NORM}, '[^a-z0-9]+'),
                    w -> CASE WHEN len(w) = 0 THEN 0
                              ELSE CAST(ceil(len(w) / 4.0) AS BIGINT) END)) AS BIGINT)
                AS bpe_estimate,
+             coalesce(bc.bpe_tokens, 0) AS bpe_tokens,
              {_LANG_SCORE_SQL['de']} AS score_de,
              {_LANG_SCORE_SQL['en']} AS score_en,
              {_LANG_SCORE_SQL['es']} AS score_es,
              {_LANG_SCORE_SQL['fr']} AS score_fr
-      FROM base
+      FROM base LEFT JOIN bcnt bc ON base.doc_id = bc.doc_id
     ),
     kept AS (
-      SELECT doc_id, n_chars, n_tokens, bpe_estimate,
+      SELECT doc_id, n_chars, n_tokens, bpe_estimate, bpe_tokens,
              CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
                   WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
                   WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
@@ -780,13 +887,13 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN score_es >= score_fr THEN 'es'
                   ELSE 'fr' END) IN ('en', 'und')
     )
-    SELECT doc_id, n_chars, n_tokens, bpe_estimate, lang_pred,
+    SELECT doc_id, n_chars, n_tokens, bpe_estimate, bpe_tokens, lang_pred,
            CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                      % 10000 < 9000 THEN 'train'
                 WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                      % 10000 < 9500 THEN 'val'
                 ELSE 'test' END AS split,
-           CAST(floor(coalesce(sum(bpe_estimate) OVER
+           CAST(floor(coalesce(sum(bpe_tokens) OVER
                   (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 / 2048) AS BIGINT) AS pack_id
     FROM kept
@@ -798,13 +905,18 @@ def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup (keep min-id representative over the doubled corpus) ->
     quality filtering (token count + punctuation ratio) ->
     language filtering (marker-word heuristic, keep en/und) ->
-    token accounting (whitespace + BPE-ish estimate) ->
+    token accounting (whitespace tokens, the ceil(len/4) cheap-tier
+    estimate carried for comparison, and REAL pretrained-BPE counts —
+    llmdata/bpe.py — which are the packing currency) ->
     deterministic train/val/test hash split ->
-    concat-and-chunk sequence packing (2048-token windows).
+    concat-and-chunk sequence packing (2048 REAL tokens per window).
     Dedup keeps the window/groupBy on md5(normalized text) (fixed-width
     shuffle key); quality + langid + token stats are all single-pass
-    projections that Catalyst collapses into the same stage; the split
-    is row-local and packing is one cumsum window."""
+    projections that Catalyst collapses into the same stage; the BPE
+    count adds one word-keyed broadcast join plus a doc-keyed
+    map-side-combined sum (the pandas UDF touches word TYPES only); the
+    split is row-local and packing is one cumsum window over the real
+    counts."""
     from pyspark.sql.window import Window as W
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -822,15 +934,17 @@ def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = kept.select(
         "doc_id", text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_estimate")
     )
+    real = bpe.bpe_token_count(kept, bpe.pretrained_merges(spark))
     kept_docs = (
         q.join(lang, "doc_id")
         .join(toks, "doc_id")
+        .join(real, "doc_id")
         .filter(
             (F.col("n_tokens") >= 10)
             & (F.col("punct_ratio") < 0.2)
             & F.col("lang_pred").isin("en", "und")
         )
-        .select("doc_id", "n_chars", "n_tokens", "bpe_estimate", "lang_pred")
+        .select("doc_id", "n_chars", "n_tokens", "bpe_estimate", "bpe_tokens", "lang_pred")
     )
     split = sampling.hash_split(
         kept_docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed="split"
@@ -848,7 +962,7 @@ def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="mivdp_curation_ckpt_")
     split.write.mode("overwrite").parquet(ckpt)
     split = spark.read.parquet(ckpt)
-    return sampling.pack_sequences(split, max_tokens=2048, tokens_col="bpe_estimate")
+    return sampling.pack_sequences(split, max_tokens=2048, tokens_col="bpe_tokens")
 
 
 @_register(

@@ -230,3 +230,114 @@ def test_token_budget_sample_with_real_counts(spark):
     biggest = counted.agg(F.max("bpe_tokens")).first()[0]
     assert total <= 300 + biggest  # one-doc overshoot contract
     assert sel.count() >= 1
+
+
+# ---------------------------------------------------------------------------
+# Pretrained tier + the recursive-CTE DuckDB oracle replay
+# ---------------------------------------------------------------------------
+
+
+def test_pretrained_merges_deterministic_and_subword_like():
+    """The pretrained table re-derives identically (no stored model) and
+    behaves like a real subword tokenizer on everyday English."""
+    m1 = bpe.pretrained_merges_list()
+    # re-derive without the cache: same seed text, same trainer
+    from temporai_mivdp_spark.llmdata.bpe_data import SEED_TEXT
+
+    words = Counter(w for w in " ".join(SEED_TEXT.lower().split()).split(" ") if w)
+    m2 = tuple(bpe._train_merges(dict(words), 300))
+    assert m1 == m2
+    ranks = {p: i for i, p in enumerate(m1)}
+    # seen words compress to one piece; unseen-but-English words to few
+    assert bpe.apply_merges_py("table", ranks) == ["table"]
+    assert len(bpe.apply_merges_py("understanding", ranks)) <= 5
+    # alien scripts degrade to characters, never fail
+    assert len(bpe.apply_merges_py("日本語", ranks)) == 3
+
+
+def _duck_replay_n_pieces(words: list[str], merges: list[tuple[str, str]]) -> dict[str, int]:
+    """The oracle's recursive-CTE merge replay, standalone: delimiter-
+    wrapped symbol strings, replace() on the lowest-rank pair present."""
+    import duckdb
+
+    vals = ",".join(f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(merges))
+    wvals = ",".join(f"('{w}')" for w in sorted(set(words)))
+    sql = f"""
+    WITH RECURSIVE
+    m(rank, l, r) AS (VALUES {vals}),
+    types(token) AS (VALUES {wvals}),
+    seg(token, s, it) AS (
+      SELECT token, '||' || array_to_string(string_split(token, ''), '||') || '||', 0
+      FROM types
+      UNION ALL
+      SELECT x.token,
+             replace(x.s, '|' || mm.l || '||' || mm.r || '|', '|' || mm.l || mm.r || '|'),
+             x.it + 1
+      FROM (SELECT token, s, it,
+                   (SELECT min(rank) FROM m
+                    WHERE contains(s, '|' || m.l || '||' || m.r || '|')) AS best
+            FROM seg) x JOIN m mm ON mm.rank = x.best
+    )
+    SELECT token, CAST((length(s) - length(replace(s, '|', ''))) / 2 - 1 AS BIGINT)
+    FROM (SELECT token, s, row_number() OVER (PARTITION BY token ORDER BY it DESC) AS rn
+          FROM seg) WHERE rn = 1
+    """
+    return dict(duckdb.connect().execute(sql).fetchall())
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_oracle_recursive_cte_matches_kernel_worst_case_runs(seed):
+    """The delimiter-replace replay must reproduce the kernel's
+    left-to-right non-overlapping scan EXACTLY — the adversarial case is
+    a single-letter alphabet where every merge overlaps its neighbor
+    (odd runs: [a,a,a,a,a] -> [aa,aa,a], not [aa,a,aa])."""
+    rng = random.Random(seed)
+    words = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 14))) for _ in range(250)]
+    merges = bpe._train_merges(dict(Counter(words)), 30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = _duck_replay_n_pieces(words, merges)
+    for w in sorted(set(words)):
+        assert got[w] == len(bpe.apply_merges_py(w, ranks)), w
+
+
+def test_oracle_recursive_cte_matches_kernel_pretrained_table():
+    """Same replay under the real pretrained table on real-ish words,
+    including accented (multibyte) symbols from the multilingual seed."""
+    merges = [list(p) for p in bpe.pretrained_merges_list()]
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    words = [
+        "table", "understanding", "découverte", "verständnis", "años",
+        "zqx", "a", "the", "lowering", "xyzzyplugh",
+    ]
+    esc = [(a.replace("'", "''"), b.replace("'", "''")) for a, b in merges]
+    got = _duck_replay_n_pieces(words, esc)
+    for w in words:
+        assert got[w] == len(bpe.apply_merges_py(w, ranks)), w
+
+
+def test_pipeline_curation_packs_on_real_counts(spark):
+    """The flagship pipeline's packing currency IS the real tier: the
+    emitted pack_id equals an independent recomputation from bpe_tokens
+    (exclusive cumsum / 2048 in doc_id order) and, wherever the cheap
+    estimate would have drawn a different boundary, the pipeline
+    follows the real counts."""
+    from temporai_mivdp_spark.queries import QUERIES
+    import temporai_mivdp_spark.queries_llm  # noqa: F401
+
+    out = QUERIES["pipeline_docs_curation"](spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert "bpe_tokens" in pdf.columns and "bpe_estimate" in pdf.columns
+    # the two tiers genuinely disagree on this corpus
+    assert (pdf.bpe_tokens != pdf.bpe_estimate).mean() > 0.5
+
+    def packs(counts):
+        cum = counts.cumsum().shift(1, fill_value=0)
+        return (cum // 2048).astype("int64")
+
+    real_pack = packs(pdf.bpe_tokens)
+    est_pack = packs(pdf.bpe_estimate)
+    assert (pdf.pack_id == real_pack).all()
+    moved = (real_pack != est_pack)
+    if moved.any():
+        assert (pdf.pack_id[moved] == real_pack[moved]).all()
+        assert (pdf.pack_id[moved] != est_pack[moved]).all()
