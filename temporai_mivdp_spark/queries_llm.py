@@ -342,12 +342,31 @@ _LANG_SCORE_SQL = {
 }
 
 
+def _langid_argmax_case(langs: list[str]) -> str:
+    """Generated argmax CASE over ``score_<lang>`` columns: evaluated in
+    alphabetical order with ``>= greatest(all others)``, so ties go to
+    the alphabetically-first language — the Spark side's struct-greatest
+    tie-break. All-zero rows (weights are strictly negative, so zero
+    means "no feature matched") predict 'und'."""
+    allz = f"greatest({', '.join(f'score_{la}' for la in langs)}) = 0"
+    whens = []
+    for la in langs[:-1]:
+        others = ", ".join(f"score_{o}" for o in langs if o != la)
+        whens.append(f"WHEN score_{la} >= greatest({others}) THEN '{la}'")
+    body = "\n                ".join(whens)
+    return f"""CASE WHEN {allz} THEN 'und'
+                {body}
+                ELSE '{langs[-1]}' END"""
+
+
 def _langid_ngram_oracle_sql() -> str:
     """Mirror SQL for ``text_langid``: the character-trigram score tables
     (``text.trigram_score_tables`` — derived deterministically from the
     fixed in-repo samples) inline as a VALUES table, so DuckDB computes
     bit-identical integer score sums from the identical feature set —
-    the same inlining discipline as ``_lsh_oracle_sql``."""
+    the same inlining discipline as ``_lsh_oracle_sql``. Fully generic
+    over the language set: columns, sums, and the argmax CASE generate
+    from the derived tables (16 languages as of round 5)."""
     tables = text.trigram_score_tables()
     langs = sorted(tables)
     feats = sorted(next(iter(tables.values())))
@@ -359,8 +378,10 @@ def _langid_ngram_oracle_sql() -> str:
         "('" + esc(g) + "', " + ", ".join(str(tables[la][g]) for la in langs) + ")"
         for g in feats
     )
+    w_cols = ", ".join(f"w_{la}" for la in langs)
     score_cols = ", ".join(f"CAST(sum(w_{la}) AS BIGINT) AS score_{la}" for la in langs)
     coalesced = ", ".join(f"coalesce(score_{la}, 0) AS score_{la}" for la in langs)
+    score_list = ", ".join(f"score_{la}" for la in langs)
     return f"""
     WITH t AS (
       SELECT doc_id, {_NORM} AS nt,
@@ -377,7 +398,7 @@ def _langid_ngram_oracle_sql() -> str:
       FROM (SELECT doc_id, nt, unnest(generate_series(1, length(nt) - 2)) AS i
             FROM t WHERE length(nt) >= 3)
     ),
-    w(g3, w_de, w_en, w_es, w_fr) AS (VALUES
+    w(g3, {w_cols}) AS (VALUES
       {values}
     ),
     s AS (
@@ -389,12 +410,8 @@ def _langid_ngram_oracle_sql() -> str:
       FROM t LEFT JOIN s ON t.doc_id = s.doc_id
     )
     SELECT doc_id, n_tokens, bpe_estimate,
-           CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
-                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
-                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
-                WHEN score_es >= score_fr THEN 'es'
-                ELSE 'fr' END AS lang_pred,
-           score_de, score_en, score_es, score_fr
+           {_langid_argmax_case(langs)} AS lang_pred,
+           {score_list}
     FROM f
     """
 

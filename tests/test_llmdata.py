@@ -1985,10 +1985,17 @@ def test_language_id_ngram_beats_marker_on_heldout(spark):
     def acc(pred):
         return sum(1 for k, v in pred.items() if v == k.split("-")[0]) / len(pred)
 
-    ng = acc({r.doc_id: r.lang_pred for r in text.language_id_ngram(docs).collect()})
+    preds = {r.doc_id: r.lang_pred for r in text.language_id_ngram(docs).collect()}
+    ng = acc(preds)
     mk = acc({r.doc_id: r.lang_pred for r in text.language_id(docs).collect()})
     assert ng >= 0.9
     assert ng > mk
+    # the non-Latin scripts must not ride on Latin confusion headroom
+    for script_lang in ("ru", "el", "ja"):
+        hits = sum(
+            1 for k, v in preds.items() if k.startswith(script_lang) and v == script_lang
+        )
+        assert hits >= 5, (script_lang, hits)
 
 
 def test_language_id_ngram_edges_and_determinism(spark):
@@ -2007,18 +2014,23 @@ def test_language_id_ngram_edges_and_determinism(spark):
     assert got[1].lang_pred == "und" and got[2].lang_pred == "und"
     assert got[3].lang_pred == "und"
     assert got[5].lang_pred == "en" and got[5].score_en < 0
-    # integer scores, partition-invariant
+    # integer scores, partition-invariant, across ALL covered languages
+    langs = sorted(text.trigram_score_tables())
+    cols = ["lang_pred"] + [f"score_{la}" for la in langs]
     again = {
-        r.doc_id: (r.lang_pred, r.score_de, r.score_en, r.score_es, r.score_fr)
+        r.doc_id: tuple(r[c] for c in cols)
         for r in text.language_id_ngram(docs.repartition(8)).collect()
     }
     for k, r in got.items():
-        assert again[k] == (r.lang_pred, r.score_de, r.score_en, r.score_es, r.score_fr)
+        assert again[k] == tuple(r[c] for c in cols)
 
 
 def test_trigram_score_tables_shape(spark):
     tabs = text.trigram_score_tables()
-    assert set(tabs) == {"de", "en", "es", "fr"}
+    assert set(tabs) == {
+        "cs", "da", "de", "el", "en", "es", "fi", "fr",
+        "it", "ja", "nl", "pl", "pt", "ru", "sv", "tr",
+    }
     feats = set(next(iter(tabs.values())))
     for t in tabs.values():
         assert set(t) == feats          # shared feature set
