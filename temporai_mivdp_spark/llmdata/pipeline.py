@@ -206,3 +206,51 @@ def training_read(spark: SparkSession, table_prefix: str = "curation") -> DataFr
     return spark.table(f"{table_prefix}_meta").join(
         spark.table(f"{table_prefix}_docs"), "doc_id"
     )
+
+
+def curation_gate(
+    docs: DataFrame,
+    merges: DataFrame | None = None,
+    min_tokens: int = 10,
+    max_punct: float = 0.2,
+    keep_langs: tuple[str, ...] = ("en", "und"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The per-document quality gate of ``pipeline_docs_curation`` as a
+    reusable component — ONE place defines what "acceptable" means, and
+    the batch pipeline and the streaming ingest twin both call it, so
+    the two paths cannot drift (tests assert row-for-row parity).
+
+    Adds to ``docs``: ``n_tokens``, ``punct_ratio`` (quality features),
+    ``lang_pred`` (trigram NB language-ID — the 16-language fidelity
+    tier, not the marker heuristic), ``bpe_tokens`` (REAL pretrained-BPE
+    counts, the packing/budget currency), and the boolean ``keep``.
+    Filtering is the caller's choice (``.filter("keep")``) — ingest
+    pipelines usually want the rejects too, routed to a quarantine sink
+    with their gate columns as the audit trail.
+
+    Every stage is micro-batch-safe: quality is a projection, langid is
+    an explode + broadcast-dimension join + doc-keyed sum, BPE counting
+    touches word TYPES only — no global state, so the streaming twin
+    runs it per batch inside foreachBatch unchanged.
+    """
+    from temporai_mivdp_spark.llmdata import bpe as bpe_mod
+    from temporai_mivdp_spark.llmdata import text as text_mod
+
+    if merges is None:
+        merges = bpe_mod.pretrained_merges(docs.sparkSession)
+    q = text_mod.quality_features(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "n_tokens", "punct_ratio"
+    )
+    lang = text_mod.language_id_ngram(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "lang_pred"
+    )
+    real = bpe_mod.bpe_token_count(docs, merges, text_col=text_col, id_col=id_col)
+    out = docs.join(q, id_col).join(lang, id_col).join(real, id_col)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") < max_punct)
+        & F.col("lang_pred").isin(*keep_langs)
+    )
+    return out.withColumn("keep", keep)

@@ -193,3 +193,71 @@ def serve_topk_stream(
     return stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", f"{output_dir}/_checkpoint"
     )
+
+
+def ingest_curation_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    schema: StructType | str,
+    min_tokens: int = 10,
+    max_punct: float = 0.2,
+    keep_langs: tuple[str, ...] = ("en", "und"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Build (not start) the streaming twin of the batch curation GATE:
+    document shards arriving under ``input_path`` pass through
+    ``llmdata.pipeline.curation_gate`` — the SAME function the batch
+    pipeline uses, so trigram language-ID, real pretrained-BPE counts,
+    and the keep policy cannot drift between the two paths (a parity
+    test asserts row-for-row agreement) — and land under ``output_dir``
+    partitioned by micro-batch: accepted docs in ``accepted/``, rejects
+    with their gate columns in ``quarantine/`` as the audit trail.
+
+    The gate needs a doc-keyed aggregate (langid score sums, BPE piece
+    sums), which append-mode streaming cannot express without
+    watermarks the use case doesn't have — so each micro-batch runs the
+    batch gate inside ``foreachBatch`` (the established contract of
+    this module), with the usual idempotent batch-partitioned writes:
+    a replayed epoch overwrites its own partitions byte-for-byte.
+
+    The pretrained merge table derives once per stream build (driver
+    side, no model file) and rides into every micro-batch — it is a
+    fixed tokenizer, exactly what a production ingest does.
+    """
+    from temporai_mivdp_spark.llmdata.bpe import pretrained_merges
+    from temporai_mivdp_spark.llmdata.pipeline import curation_gate
+
+    merges = pretrained_merges(spark)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        gated = curation_gate(
+            batch,
+            merges,
+            min_tokens=min_tokens,
+            max_punct=max_punct,
+            keep_langs=keep_langs,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        # two consumers of one batch-sized plan
+        gated = gated.persist()
+        try:
+            _write_partition(
+                gated.filter(F.col("keep")).drop("keep"),
+                batch_id,
+                f"{output_dir}/accepted",
+            )
+            _write_partition(
+                gated.filter(~F.col("keep")).drop("keep"),
+                batch_id,
+                f"{output_dir}/quarantine",
+            )
+        finally:
+            gated.unpersist()
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    return stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", f"{output_dir}/_checkpoint"
+    )

@@ -327,3 +327,67 @@ def test_streaming_ann_serving_matches_batch(spark):
         ).collect()
     }
     assert got == want and got
+
+
+def test_streaming_curation_gate_parity_with_batch(spark):
+    """Round-5 gate upgrade parity: the streaming ingest gate must emit
+    the SAME trigram language-ID predictions, REAL pretrained-BPE token
+    counts, and keep decisions as the batch `curation_gate` — shard by
+    shard, including the quarantine side."""
+    import tempfile
+
+    from temporai_mivdp_spark.llmdata.bpe import pretrained_merges
+    from temporai_mivdp_spark.llmdata.pipeline import curation_gate
+    from temporai_mivdp_spark.streaming.ingest import ingest_curation_stream
+
+    shard_a = [
+        (1, "the quick brown fox jumps over the lazy dog and keeps running fast"),
+        (2, "el zorro marron salta sobre el perro perezoso cada dia del verano"),
+        (3, "short doc"),
+        (4, "die kinder spielen auf dem platz vor der schule und lernen sprachen"),
+    ]
+    shard_b = [
+        (5, "in the early morning the city is quiet and the air is very cool"),
+        (6, "!!!! ???? ,,,, ;;;; .... !!!! ???? ,,,, ;;;; .... dots and marks"),
+        (7, "старый человек медленно идёт по узкой улице и думает о годах"),
+        (8, "we prepare a simple meal together in the small kitchen every sunday"),
+    ]
+    schema = "doc_id long, text string"
+    src = tempfile.mkdtemp(prefix="cur-gate-src-")
+    out = tempfile.mkdtemp(prefix="cur-gate-out-")
+
+    dfa = spark.createDataFrame(shard_a, schema)
+    dfb = spark.createDataFrame(shard_b, schema)
+    dfa.coalesce(1).write.mode("append").parquet(src)
+
+    writer = ingest_curation_stream(spark, src, out, schema)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    dfb.coalesce(1).write.mode("append").parquet(src)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    acc = spark.read.parquet(f"{out}/accepted")
+    quar = spark.read.parquet(f"{out}/quarantine")
+    got = {
+        r.doc_id: (r.lang_pred, r.bpe_tokens, r.n_tokens, True)
+        for r in acc.collect()
+    } | {
+        r.doc_id: (r.lang_pred, r.bpe_tokens, r.n_tokens, False)
+        for r in quar.collect()
+    }
+
+    batch = curation_gate(
+        dfa.unionByName(dfb), pretrained_merges(spark)
+    ).collect()
+    want = {r.doc_id: (r.lang_pred, r.bpe_tokens, r.n_tokens, r.keep) for r in batch}
+    assert got == want
+    # the gate genuinely exercises every upgraded column: an accepted en
+    # doc, language-routed rejects (es/de/ru), a too-short reject, and a
+    # punctuation reject
+    assert want[1][0] == "en" and want[1][3]
+    assert want[2][0] == "es" and not want[2][3]
+    assert want[4][0] == "de" and not want[4][3]
+    assert want[7][0] == "ru" and not want[7][3]
+    assert not want[3][3] and not want[6][3]
+    assert all(v[1] > 0 for v in want.values() if v[2] > 0)
