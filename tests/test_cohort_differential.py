@@ -1,0 +1,243 @@
+"""EP-1 composition-level differential: ``extract_cohort_icu`` end to end
+against an independent pandas transliteration of the reference's cohort
+pipeline (day_intervals_cohort_v1.py:444-685 — get_visit_pts :25-220 +
+get_case_ctrls :375-441 + partition_by_{mort,readmit,los} :241-372), on
+randomized MIMIC-shaped fixtures, across all three label strategies.
+
+The per-operator oracles check each stage; this catches COMPOSITION
+drift (a filter applied before instead of after a join, an off-by-one in
+the readmission window) that stage-level checks cannot. The
+transliteration deliberately keeps the reference's formulation — python
+loops over subject groups, positional last-row handling — so agreement
+is evidence, not tautology. CSV/gzip I/O is skipped on both sides
+(fixtures are in-memory frames): file glue is covered by the source
+tests, the semantics under test start at the parsed tables.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+
+from temporai_mivdp_spark.mivdp.cohort import extract_cohort_icu
+
+BASE = dt.datetime(2015, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Reference transliteration (pandas, loops and all)
+# ---------------------------------------------------------------------------
+
+
+def ref_visit_pts_icu(icustays, patients, admissions, use_admn):
+    """get_visit_pts, ICU branch (:64-88, 116-186)."""
+    visit = icustays.copy()
+    if use_admn:
+        pts_dod = patients[["subject_id", "dod"]]
+        visit = visit.merge(pts_dod, on="subject_id", how="inner")
+        visit = visit.loc[visit.dod.isna() | (visit.dod >= visit.outtime)]
+        visit = visit.drop(columns=["dod"])
+    pts = patients.copy()
+    pts["yob"] = pts["anchor_year"] - pts["anchor_age"]
+    pts["min_valid_year"] = pts["anchor_year"] + (
+        2019 - pts["anchor_year_group"].str.slice(start=-4).astype(int)
+    )
+    vp = visit[["subject_id", "stay_id", "hadm_id", "intime", "outtime", "los"]].merge(
+        pts[["subject_id", "anchor_year", "anchor_age", "yob", "min_valid_year", "dod", "gender"]],
+        on="subject_id",
+        how="inner",
+    )
+    vp["Age"] = vp["anchor_age"]
+    vp = vp.loc[vp["Age"] >= 18]
+    eth = admissions[["hadm_id", "insurance", "ethnicity"]]
+    vp = vp.merge(eth, on="hadm_id", how="inner")
+    return vp[
+        ["subject_id", "stay_id", "hadm_id", "intime", "outtime", "los",
+         "min_valid_year", "dod", "Age", "gender", "ethnicity", "insurance"]
+    ]
+
+
+def ref_partition_by_mort(df):
+    """partition_by_mort (:326-372): label 1 iff dod in [intime, outtime]."""
+    invalid = df.loc[df.intime.isna() | df.outtime.isna()]
+    cohort = df.loc[~df.intime.isna() & ~df.outtime.isna()].copy()
+    labels = []
+    for _, row in cohort.iterrows():
+        if pd.isna(row.dod):
+            labels.append(0)
+        else:
+            labels.append(int(row.intime <= row.dod <= row.outtime))
+    cohort["label"] = labels
+    return cohort, invalid
+
+
+def ref_partition_by_readmit(df, gap_days):
+    """partition_by_readmit (:268-323): per-subject loop, admit-sorted;
+    row i is a case iff any visit admits strictly after i's discharge
+    and within the gap; the positionally-last row always lands in ctrl."""
+    gap = dt.timedelta(days=gap_days)
+    case_rows, ctrl_rows = [], []
+    for _, group in df.sort_values(by=["subject_id", "intime"]).groupby("subject_id"):
+        if group.shape[0] <= 1:
+            ctrl_rows.append(group.iloc[0])
+            continue
+        for idx in range(group.shape[0] - 1):
+            visit_time = group.iloc[idx]["outtime"]
+            hit = group.loc[
+                (group["intime"] > visit_time) & (group["intime"] - visit_time <= gap)
+            ]
+            (case_rows if hit.shape[0] >= 1 else ctrl_rows).append(group.iloc[idx])
+        ctrl_rows.append(group.iloc[-1])
+    case = pd.DataFrame(case_rows)
+    ctrl = pd.DataFrame(ctrl_rows)
+    if not case.empty:
+        case["label"] = 1
+    if not ctrl.empty:
+        ctrl["label"] = 0
+    return pd.concat([f for f in (case, ctrl) if not f.empty], axis=0)
+
+
+def ref_partition_by_los(df, los_days):
+    """partition_by_los (:241-265): label = los > threshold."""
+    invalid = df.loc[df.intime.isna() | df.outtime.isna() | df.los.isna()]
+    cohort = df.loc[~df.intime.isna() & ~df.outtime.isna() & ~df.los.isna()].copy()
+    cohort["label"] = (cohort["los"] > los_days).astype(int)
+    return cohort, invalid
+
+
+def ref_extract_icu(icustays, patients, admissions, label, time, cohort_hadm_ids=None):
+    """extract_data composition (:444-685, ICU branch)."""
+    pts = ref_visit_pts_icu(icustays, patients, admissions, use_admn=label == "readmission")
+    if label == "mortality":
+        cohort, _ = ref_partition_by_mort(pts)
+    elif label == "readmission":
+        cohort = ref_partition_by_readmit(pts, time)
+    elif label == "los":
+        cohort, _ = ref_partition_by_los(pts, time)
+    else:
+        raise ValueError(label)
+    if cohort_hadm_ids is not None:
+        cohort = cohort[cohort["hadm_id"].isin(cohort_hadm_ids)]
+    return cohort
+
+
+# ---------------------------------------------------------------------------
+# Randomized MIMIC-shaped fixture
+# ---------------------------------------------------------------------------
+
+
+def make_fixture(seed, n_subjects=40, allow_null_times=True):
+    rng = random.Random(seed)
+    patients, icustays, admissions = [], [], []
+    stay_id = hadm_id = 1000
+    for sid in range(n_subjects):
+        anchor_age = rng.randint(15, 90)  # some minors -> adult filter fires
+        gender = rng.choice(["M", "F"])
+        anchor_year = rng.randint(2012, 2019)
+        group_end = rng.choice([2011, 2014, 2017, 2019])
+        anchor_year_group = f"{group_end - 2} - {group_end}"
+        n_stays = rng.randint(1, 4)
+        stays = []
+        t = BASE + dt.timedelta(days=rng.randint(0, 200))
+        for _ in range(n_stays):
+            intime = t
+            los_days = rng.uniform(0.2, 12.0)
+            outtime = intime + dt.timedelta(days=los_days)
+            # gaps chosen to straddle the 30-day readmission window
+            t = outtime + dt.timedelta(days=rng.choice([1, 5, 15, 29, 30, 31, 45, 90]))
+            stays.append((intime, outtime, los_days))
+        # dod: none / during a stay / between stays / long after
+        dod = None
+        mode = rng.random()
+        if mode < 0.25:
+            s = rng.choice(stays)
+            dod = s[0] + (s[1] - s[0]) / 2
+        elif mode < 0.4:
+            dod = stays[-1][1] + dt.timedelta(days=rng.randint(1, 400))
+        patients.append((sid, anchor_year, anchor_age, anchor_year_group, dod, gender))
+        for intime, outtime, los_days in stays:
+            stay_id += 1
+            hadm_id += 1
+            if allow_null_times and rng.random() < 0.05:
+                intime = None
+            if allow_null_times and rng.random() < 0.05:
+                outtime = None
+            icustays.append((sid, stay_id, hadm_id, intime, outtime, los_days))
+            admissions.append(
+                (hadm_id, rng.choice(["Medicare", "Medicaid", "Other"]),
+                 rng.choice(["WHITE", "BLACK", "ASIAN", "OTHER"]))
+            )
+    pdf_pat = pd.DataFrame(
+        patients,
+        columns=["subject_id", "anchor_year", "anchor_age", "anchor_year_group", "dod", "gender"],
+    )
+    pdf_icu = pd.DataFrame(
+        icustays, columns=["subject_id", "stay_id", "hadm_id", "intime", "outtime", "los"]
+    )
+    pdf_adm = pd.DataFrame(admissions, columns=["hadm_id", "insurance", "ethnicity"])
+    for c in ("intime", "outtime"):
+        pdf_icu[c] = pd.to_datetime(pdf_icu[c])
+    pdf_pat["dod"] = pd.to_datetime(pdf_pat["dod"])
+    return pdf_icu, pdf_pat, pdf_adm
+
+
+def to_spark(spark, pdf_icu, pdf_pat, pdf_adm):
+    icu = spark.createDataFrame(
+        pdf_icu,
+        "subject_id long, stay_id long, hadm_id long, intime timestamp, "
+        "outtime timestamp, los double",
+    )
+    pat = spark.createDataFrame(
+        pdf_pat,
+        "subject_id long, anchor_year long, anchor_age long, "
+        "anchor_year_group string, dod timestamp, gender string",
+    )
+    adm = spark.createDataFrame(pdf_adm, "hadm_id long, insurance string, ethnicity string")
+    return icu, pat, adm
+
+
+def _labels(df_rows):
+    return {(r.subject_id, r.stay_id): r.label for r in df_rows}
+
+
+@pytest.mark.parametrize("label,time", [("mortality", 0), ("readmission", 30), ("los", 3)])
+@pytest.mark.parametrize("seed", [2, 13])
+def test_extract_cohort_icu_matches_reference_transliteration(spark, label, time, seed):
+    # readmission never sees null times in MIMIC (icustays intime/outtime
+    # are non-null by construction); the reference loop has no defined
+    # null semantics there, so the fixture matches the real invariant
+    pdf_icu, pdf_pat, pdf_adm = make_fixture(
+        seed, allow_null_times=label != "readmission"
+    )
+    icu, pat, adm = to_spark(spark, pdf_icu, pdf_pat, pdf_adm)
+
+    got = _labels(extract_cohort_icu(icu, pat, adm, label=label, time=time).collect())
+    ref = ref_extract_icu(pdf_icu, pdf_pat, pdf_adm, label, time)
+    want = {(int(r.subject_id), int(r.stay_id)): int(r.label) for _, r in ref.iterrows()}
+
+    assert got == want
+    # the fixture must actually exercise both classes
+    assert 0 < sum(want.values()) < len(want)
+
+
+@pytest.mark.parametrize("label,time", [("readmission", 30), ("los", 3)])
+def test_extract_cohort_icu_disease_filter_matches(spark, label, time):
+    """The optional hadm_id disease semi-join on the LABELED cohort
+    (:643-653) must subset without changing any surviving label."""
+    pdf_icu, pdf_pat, pdf_adm = make_fixture(7, allow_null_times=False)
+    icu, pat, adm = to_spark(spark, pdf_icu, pdf_pat, pdf_adm)
+    rng = random.Random(99)
+    keep_hadm = sorted(h for h in pdf_icu.hadm_id if rng.random() < 0.5)
+    hids = spark.createDataFrame([(h,) for h in keep_hadm], "hadm_id long")
+
+    got = _labels(
+        extract_cohort_icu(
+            icu, pat, adm, label=label, time=time, cohort_disease_hadm_ids_df=hids
+        ).collect()
+    )
+    ref = ref_extract_icu(pdf_icu, pdf_pat, pdf_adm, label, time, cohort_hadm_ids=set(keep_hadm))
+    want = {(int(r.subject_id), int(r.stay_id)): int(r.label) for _, r in ref.iterrows()}
+    assert got == want and len(want) > 0
