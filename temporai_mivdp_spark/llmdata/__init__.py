@@ -26,10 +26,11 @@ Beyond the reference's clinical surface, the engine ships the operators a
   multimodal   opaque-binary media columns: schema, Arrow-batched
                metadata/feature extraction; REAL stdlib codecs for
                WAV/PCM audio, 24-bit BMP, 8-bit PNG (zlib + all five
-               filters), BASELINE JPEG (Huffman+IDCT, any subsampling),
+               filters), BASELINE + PROGRESSIVE JPEG (Huffman, spectral
+               selection / successive approximation, any subsampling),
                first-frame GIF (variable-width LZW, interlace) +
                header-only dims; deterministic fakes for the rest
-               (progressive JPEG, animated GIF, non-PCM audio)
+               (arithmetic JPEG, animated GIF, non-PCM audio)
   pipeline     production output layout: doc_id-bucketed tables
                (zero-exchange re-read joins) + byte-sized compaction
   web          URL canonicalization (tracking params, www, ports,

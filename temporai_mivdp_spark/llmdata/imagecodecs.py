@@ -1,13 +1,14 @@
-"""Pure stdlib+numpy decoders for baseline JPEG and GIF.
+"""Pure stdlib+numpy decoders for baseline AND progressive JPEG, and GIF.
 
 Closes the last stubbed pixel paths in ``multimodal``: this container has
 no PIL/opencv, but both formats are decodable from the public specs with
-nothing beyond ``struct``/``numpy`` — baseline (sequential DCT, Huffman)
-JPEG per ITU-T T.81 and GIF87a/89a per the GIF spec (LZW with variable
-code width). Progressive/arithmetic/12-bit JPEG and animated-GIF frames
-beyond the first still raise ``NotImplementedError`` — honestly, as
-before; baseline JPEG + first-frame GIF covers the overwhelming share of
-web-corpus images.
+nothing beyond ``struct``/``numpy`` — sequential-DCT (SOF0/SOF1) and
+progressive-DCT (SOF2: spectral selection + successive approximation,
+per ITU-T T.81 G.1.2) JPEG, and GIF87a/89a per the GIF spec (LZW with
+variable code width). Arithmetic-coded/12-bit/hierarchical JPEG and
+animated-GIF frames beyond the first still raise ``NotImplementedError``
+— honestly; Huffman baseline + progressive + first-frame GIF covers the
+overwhelming share of web-corpus images.
 
 Decode cost is Python-per-MCU for the Huffman pass (the entropy decode
 is inherently serial per scan) with numpy doing dequantize/IDCT/color
@@ -145,10 +146,12 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_pixels(b: bytes) -> np.ndarray:
-    """Decode a baseline JFIF/JPEG payload to an (h, w, 3) RGB uint8
-    array. Supports 8-bit sequential DCT (SOF0/SOF1), 1 or 3
-    components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...),
-    restart intervals. Progressive (SOF2) and arithmetic coding raise
+    """Decode a JFIF/JPEG payload to an (h, w, 3) RGB uint8 array.
+    Supports 8-bit sequential DCT (SOF0/SOF1) and 8-bit progressive DCT
+    (SOF2 — spectral selection + successive approximation per ITU-T
+    T.81 G.1.2, any scan script), 1 or 3 components, any sampling
+    factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart intervals. Arithmetic
+    coding, 12-bit precision, and hierarchical modes raise
     ``NotImplementedError``."""
     if b[:3] != b"\xff\xd8\xff":
         raise NotImplementedError("not a JPEG payload")
@@ -156,9 +159,10 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    coefs = None
     restart_interval = 0
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             i += 1
             continue
@@ -166,6 +170,10 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
+        if marker == 0xD9:  # EOI
+            break
+        if i + 4 > len(b):
+            break
         (seg_len,) = struct.unpack_from(">H", b, i + 2)
         seg = b[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -187,7 +195,7 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
                 table = _HuffTable(counts, seg[p + 17 : p + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG decodes here")
@@ -197,26 +205,38 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "hs": sampling >> 4, "vs": sampling & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG needs a codec lib")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            raise NotImplementedError(f"JPEG SOF{marker - 0xC0} not baseline")
+            raise NotImplementedError(f"JPEG SOF{marker - 0xC0} not supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise NotImplementedError("JPEG SOS before SOF")
             ns = seg[0]
-            scan_sel = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_sel[cs] = (tables >> 4, tables & 0xF)
-            return _decode_scan(
-                b, i + 2 + seg_len, frame, qt, huff_dc, huff_ac, scan_sel,
-                restart_interval,
+                scan_comps.append((cs, tables >> 4, tables & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            data_start = i + 2 + seg_len
+            if not frame["progressive"]:
+                scan_sel = {cs: (dct, act) for cs, dct, act in scan_comps}
+                return _decode_scan(
+                    b, data_start, frame, qt, huff_dc, huff_ac, scan_sel,
+                    restart_interval,
+                )
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            i = _progressive_scan(
+                b, data_start, frame, coefs, huff_dc, huff_ac, scan_comps,
+                ss, se, ahal >> 4, ahal & 0xF, restart_interval,
             )
+            continue
         i += 2 + seg_len
+    if frame is not None and frame["progressive"] and coefs is not None:
+        return _finish_progressive(frame, coefs, qt)
     raise NotImplementedError("JPEG truncated before SOS")
 
 
@@ -269,7 +289,12 @@ def _decode_scan(
             except _RestartMarker:
                 raise NotImplementedError("restart marker landed mid-MCU")
             mcu_count += 1
-    # upsample each plane to full resolution (nearest), crop, color-convert
+    return _assemble_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble_rgb(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Shared final stage (sequential and progressive): upsample each
+    component plane to full resolution (nearest), crop, color-convert."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -285,6 +310,188 @@ def _decode_scan(
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
     return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): per-scan coefficient accumulation, T.81 G.1.2
+# ---------------------------------------------------------------------------
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """Per-component DCT coefficient store, (block_rows, block_cols, 64)
+    in natural order, MCU-grid-aligned (interleaved DC scans cover the
+    padded grid; non-interleaved AC scans cover the component's own
+    ceil(size/8) sub-grid — padding blocks simply keep DC-only data and
+    are cropped away at assembly, as the spec intends)."""
+    comps = frame["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    frame.update(hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy)
+    return [
+        np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _nonint_grid(frame, c) -> tuple[int, int]:
+    """Block grid of one component in a NON-interleaved scan (T.81
+    A.2.2): ceil(comp_size / 8) per axis, comp_size = ceil(dim * s/smax)."""
+    ch = -(-frame["h"] * c["vs"] // frame["vmax"])
+    cw = -(-frame["w"] * c["hs"] // frame["hmax"])
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _progressive_scan(
+    b, pos, frame, coefs, huff_dc, huff_ac, scan_comps, ss, se, ah, al,
+    restart_interval,
+) -> int:
+    """Decode ONE progressive scan into the coefficient store; returns
+    the byte position just past the scan's entropy-coded data. Handles
+    all four scan kinds: DC first / DC refine (interleaved or not), AC
+    first / AC refine (single-component by definition), with EOB-run
+    accumulation, ZRL, correction bits, and restart intervals."""
+    comps = frame["comps"]
+    idx_of = {c["id"]: k for k, c in enumerate(comps)}
+    reader = _BitReader(b, pos)
+    members = [(idx_of[cs], dct, act) for cs, dct, act in scan_comps]
+
+    # block slots per MCU: interleaved -> sampling-factor blocks per
+    # component over the MCU grid; single-component -> one block per MCU
+    # over the component's own grid
+    if len(members) > 1:
+        n_mcu = frame["mcuy"] * frame["mcux"]
+
+        def slots(m):
+            my, mx = divmod(m, frame["mcux"])
+            for ci, dct, act in members:
+                c = comps[ci]
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        yield ci, dct, act, my * c["vs"] + by, mx * c["hs"] + bx
+    else:
+        ci0, dct0, act0 = members[0]
+        nby, nbx = _nonint_grid(frame, comps[ci0])
+        n_mcu = nby * nbx
+
+        def slots(m):
+            yield ci0, dct0, act0, m // nbx, m % nbx
+
+    pred = [0] * len(comps)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def ac_first(blk, act):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_huff(huff_ac[act])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise NotImplementedError("progressive AC run past band end")
+            blk[_ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def refine_nonzero(blk, z):
+        # already-nonzero coefficient: one correction bit; if set and
+        # the Al magnitude bit is still clear, bump the magnitude
+        if reader.read_bit() and (int(blk[z]) & p1) == 0:
+            blk[z] += p1 if blk[z] > 0 else m1
+
+    def ac_refine(blk, act):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode_huff(huff_ac[act])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    val = 0  # ZRL: pass 16 zero-history coefficients
+                else:  # s == 1: one newly-significant coefficient
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    z = _ZIGZAG[k]
+                    if blk[z] != 0:
+                        refine_nonzero(blk, z)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[_ZIGZAG[k]] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                z = _ZIGZAG[k]
+                if blk[z] != 0:
+                    refine_nonzero(blk, z)
+                k += 1
+            eobrun -= 1
+
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.align_to_marker()
+            pred = [0] * len(comps)
+            eobrun = 0
+        try:
+            for ci, dct, act, by, bx in slots(m):
+                blk = coefs[ci][by, bx]
+                if ss == 0:
+                    if se != 0:
+                        raise NotImplementedError("DC scan with Se != 0")
+                    if ah == 0:
+                        t = reader.decode_huff(huff_dc[dct])
+                        pred[ci] += _extend(reader.read_bits(t), t)
+                        blk[0] = pred[ci] << al
+                    elif reader.read_bit():
+                        blk[0] |= p1
+                elif ah == 0:
+                    ac_first(blk, act)
+                else:
+                    ac_refine(blk, act)
+        except _RestartMarker:
+            raise NotImplementedError("restart marker landed mid-MCU")
+
+    # past the entropy data: step to the next marker byte
+    end = reader.pos
+    while end + 1 < len(b) and not (
+        b[end] == 0xFF and b[end + 1] != 0x00 and not 0xD0 <= b[end + 1] <= 0xD7
+    ):
+        end += 1
+    return end
+
+
+def _finish_progressive(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + batched IDCT + assemble, once all scans landed."""
+    comps = frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        grid = coefs[ci].astype(np.float64) * qt[c["tq"]].reshape(64)
+        by, bx = grid.shape[0], grid.shape[1]
+        px = _idct2(grid.reshape(by, bx, 8, 8)) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _assemble_rgb(
+        planes, comps, frame["h"], frame["w"], frame["hmax"], frame["vmax"]
+    )
 
 
 # ---------------------------------------------------------------------------

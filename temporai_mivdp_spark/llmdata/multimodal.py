@@ -9,12 +9,13 @@ split by what the stdlib can genuinely do:
   numpy for duration/RMS/zero-crossings), uncompressed 24-bit BMP decode
   (struct header parse + numpy pixel array) including nearest-neighbor
   resize, 8-bit non-interlaced PNG decode (chunk walk + stdlib ``zlib``
-  inflate + all five scanline unfilters, gray/RGB/RGBA), BASELINE JPEG
-  decode (Huffman + dequant + IDCT + chroma upsampling — see
+  inflate + all five scanline unfilters, gray/RGB/RGBA), BASELINE and
+  PROGRESSIVE JPEG decode (Huffman + spectral selection / successive
+  approximation + dequant + IDCT + chroma upsampling — see
   ``imagecodecs``), first-frame GIF decode (variable-width LZW,
   interlace, local/global palettes), and header-only dimension
   extraction for BMP/PNG/JPEG/GIF.
-* STUBBED: progressive/arithmetic/12-bit JPEG, 16-bit/paletted/
+* STUBBED: arithmetic-coded/12-bit/hierarchical JPEG, 16-bit/paletted/
   interlaced PNG, animated-GIF frames past the first, and non-PCM audio
   need PIL/opencv/librosa, absent in this container — those payloads
   raise ``NotImplementedError`` unless the deterministic fake is
@@ -239,11 +240,11 @@ def _png_pixels(b: bytes) -> np.ndarray:
 
 
 def _raster_pixels(b: bytes) -> np.ndarray:
-    """Dispatch pixel decode by magic number: BMP, PNG, baseline JPEG, or
-    GIF first frame (all stdlib+numpy — see ``imagecodecs`` for the
-    JPEG/GIF implementations); remaining variants (progressive JPEG,
-    16-bit/paletted PNG, animated GIF frames) raise
-    ``NotImplementedError``."""
+    """Dispatch pixel decode by magic number: BMP, PNG, baseline or
+    progressive JPEG, or GIF first frame (all stdlib+numpy — see
+    ``imagecodecs`` for the JPEG/GIF implementations); remaining
+    variants (arithmetic JPEG, 16-bit/paletted PNG, animated GIF
+    frames) raise ``NotImplementedError``."""
     if b[:2] == b"BM":
         return _bmp_pixels(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":

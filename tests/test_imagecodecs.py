@@ -244,6 +244,268 @@ def jpeg_bytes(rgb: np.ndarray, subsample: bool = False) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# test-side PROGRESSIVE JPEG encoder (spectral selection + successive
+# approximation, T.81 G.1.2 — the encode-side EOB-run / correction-bit
+# algorithm, written from the spec independently of the decoder)
+# ---------------------------------------------------------------------------
+
+
+def _plan_planes(rgb: np.ndarray, subsample: bool):
+    """Shared color/downsample/block stage -> per-component quantized
+    zigzag blocks on the MCU-padded grid + geometry."""
+    rgb = rgb.astype(np.float64)
+    h, w = rgb.shape[:2]
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128
+    cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128
+    if subsample:
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+        crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        hs = vs = 2
+    else:
+        hs = vs = 1
+    comps = [(1, hs, vs, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
+    mcux = -(-w // (8 * hs))
+    mcuy = -(-h // (8 * vs))
+    planes = {}
+    for cid, chs, cvs, tq, plane in comps:
+        q = _QL if tq == 0 else _QC
+        blocks, by, bx = _encode_blocks(plane, q, (mcuy * cvs, mcux * chs))
+        planes[cid] = (blocks, by, bx)
+    return comps, planes, mcux, mcuy, h, w
+
+
+class _ScanOps:
+    """Symbol/bit op recorder: pass 1 counts Huffman freqs, pass 2 emits
+    with the canonical tables built from pass 1."""
+
+    def __init__(self):
+        self.ops: list[tuple] = []
+
+    def huff(self, tid: int, sym: int) -> None:
+        self.ops.append(("h", tid, sym))
+
+    def bits(self, n: int, v: int) -> None:
+        if n:
+            self.ops.append(("b", n, v))
+
+    def freqs(self) -> dict[int, dict[int, int]]:
+        out: dict[int, dict[int, int]] = {}
+        for op in self.ops:
+            if op[0] == "h":
+                out.setdefault(op[1], {})[op[2]] = out.setdefault(op[1], {}).get(op[2], 0) + 1
+        return out
+
+    def emit(self, tables: dict[int, dict[int, tuple[int, int]]]) -> bytes:
+        bw = _BitWriter()
+        for op in self.ops:
+            if op[0] == "h":
+                ln, code = tables[op[1]][op[2]]
+                bw.write(ln, code)
+            else:
+                bw.write(op[1], op[2])
+        return bw.flush()
+
+
+def _dc_first_ops(comps, planes, mcux, mcuy, al, table_of):
+    ops = _ScanOps()
+    pred = {cid: 0 for cid, *_ in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, chs, cvs, _tq, _ in comps:
+                blocks, _by, bx = planes[cid]
+                for v in range(cvs):
+                    for u in range(chs):
+                        blk = blocks[(my * cvs + v) * bx + (mx * chs + u)]
+                        dcv = int(blk[0]) >> al  # point transform: arith shift
+                        diff = dcv - pred[cid]
+                        pred[cid] = dcv
+                        s, mag = _mag(diff)
+                        ops.huff(table_of[cid], s)
+                        ops.bits(s, mag)
+    return ops
+
+
+def _dc_refine_ops(comps, planes, mcux, mcuy, al):
+    ops = _ScanOps()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, chs, cvs, _tq, _ in comps:
+                blocks, _by, bx = planes[cid]
+                for v in range(cvs):
+                    for u in range(chs):
+                        blk = blocks[(my * cvs + v) * bx + (mx * chs + u)]
+                        ops.bits(1, (int(blk[0]) >> al) & 1)
+    return ops
+
+
+def _nonint_blocks(planes, cid, chs, cvs, mcux, mcuy, h, w, hmax, vmax):
+    """The component's non-interleaved block grid (ceil(size/8)), a
+    row-major sub-grid of the MCU-padded block list."""
+    blocks, _by, bx = planes[cid]
+    ch = -(-h * cvs // vmax)
+    cw = -(-w * chs // hmax)
+    nby, nbx = -(-ch // 8), -(-cw // 8)
+    return [blocks[yy * bx + xx] for yy in range(nby) for xx in range(nbx)]
+
+
+def _ac_first_ops(blk_list, ss, se, al, tid=0):
+    ops = _ScanOps()
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.huff(tid, n << 4)
+            ops.bits(n, eobrun - (1 << n))
+            eobrun = 0
+
+    for blk in blk_list:
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            m = abs(v) >> al
+            vals.append(m if v >= 0 else -m)
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        last_nz = max(i for i, v in enumerate(vals) if v)
+        flush()
+        run = 0
+        for i, v in enumerate(vals[: last_nz + 1]):
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ops.huff(tid, 0xF0)  # ZRL
+                run -= 16
+            s, mag = _mag(v)
+            ops.huff(tid, (run << 4) | s)
+            ops.bits(s, mag)
+            run = 0
+        if last_nz < se - ss:
+            eobrun += 1
+    flush()
+    return ops
+
+
+def _ac_refine_ops(blk_list, ss, se, al, tid=0):
+    """libjpeg-shaped encode_mcu_AC_refine: ZRL folding, correction-bit
+    buffering, deferred EOB runs."""
+    ops = _ScanOps()
+    eobrun = 0
+    be: list[int] = []  # correction bits deferred with the pending EOB run
+
+    def flush():
+        nonlocal eobrun, be
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.huff(tid, n << 4)
+            ops.bits(n, eobrun - (1 << n))
+            for bit in be:
+                ops.bits(1, bit)
+            eobrun = 0
+            be = []
+
+    for blk in blk_list:
+        temps = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob = max((i for i, t in enumerate(temps) if t == 1), default=-1)
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(temps):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush()
+                ops.huff(tid, 0xF0)
+                r -= 16
+                for bit in br:
+                    ops.bits(1, bit)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush()
+            ops.huff(tid, (r << 4) | 1)
+            ops.bits(1, 1 if int(blk[ss + i]) > 0 else 0)
+            for bit in br:
+                ops.bits(1, bit)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    return ops
+
+
+def jpeg_progressive_bytes(rgb: np.ndarray, subsample: bool = False) -> bytes:
+    """Progressive JFIF encoder with a full successive-approximation scan
+    script: DC first (Al=1) -> AC first per component/band (Al=1) ->
+    DC refine -> AC refine per component/band. Per-scan canonical
+    Huffman tables, redefined before each scan."""
+    comps, planes, mcux, mcuy, h, w = _plan_planes(rgb, subsample)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    table_of = {1: 0, 2: 1, 3: 1}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, _QL), (1, _QC)):
+        out += seg(0xDB, bytes([tq]) + bytes(int(q.reshape(64)[_ZZ[k]]) for k in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, chs, cvs, tq, _ in comps:
+        sof += bytes([cid, (chs << 4) | cvs, tq])
+    out += seg(0xC2, sof)  # SOF2: progressive
+
+    def ac_blocks(cid):
+        chs, cvs = next((c[1], c[2]) for c in comps if c[0] == cid)
+        return _nonint_blocks(planes, cid, chs, cvs, mcux, mcuy, h, w, hmax, vmax)
+
+    # scan script: (ops, scan_comps, ss, se, ah, al, huff_class or None)
+    script = [
+        (_dc_first_ops(comps, planes, mcux, mcuy, 1, table_of),
+         [(1, 0), (2, 1), (3, 1)], 0, 0, 0, 1, 0x00),
+        (_ac_first_ops(ac_blocks(1), 1, 5, 1), [(1, 0)], 1, 5, 0, 1, 0x10),
+        (_ac_first_ops(ac_blocks(1), 6, 63, 1), [(1, 0)], 6, 63, 0, 1, 0x10),
+        (_ac_first_ops(ac_blocks(2), 1, 63, 1), [(2, 0)], 1, 63, 0, 1, 0x10),
+        (_ac_first_ops(ac_blocks(3), 1, 63, 1), [(3, 0)], 1, 63, 0, 1, 0x10),
+        (_dc_refine_ops(comps, planes, mcux, mcuy, 0),
+         [(1, 0), (2, 1), (3, 1)], 0, 0, 1, 0, None),
+        (_ac_refine_ops(ac_blocks(1), 1, 5, 0), [(1, 0)], 1, 5, 1, 0, 0x10),
+        (_ac_refine_ops(ac_blocks(1), 6, 63, 0), [(1, 0)], 6, 63, 1, 0, 0x10),
+        (_ac_refine_ops(ac_blocks(2), 1, 63, 0), [(2, 0)], 1, 63, 1, 0, 0x10),
+        (_ac_refine_ops(ac_blocks(3), 1, 63, 0), [(3, 0)], 1, 63, 1, 0, 0x10),
+    ]
+    for ops, scan_comps, ss, se, ah, al, huff_class in script:
+        tables: dict[int, dict[int, tuple[int, int]]] = {}
+        if huff_class is not None:
+            for tid, fr in ops.freqs().items():
+                counts, syms, code_map = _canonical_huffman(fr)
+                out += seg(0xC4, bytes([huff_class | tid]) + bytes(counts) + syms)
+                tables[tid] = code_map
+        sos = bytes([len(scan_comps)])
+        for cid, tid in scan_comps:
+            sos += bytes([cid, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += ops.emit(tables)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # test-side GIF encoder (LZW compressor)
 # ---------------------------------------------------------------------------
 
@@ -353,15 +615,50 @@ def test_jpeg_roundtrip_420_subsampled():
     assert err.mean() < 8.0
 
 
-def test_jpeg_rejects_progressive_and_truncated():
+def test_jpeg_rejects_arithmetic_and_truncated():
     img = _smooth_rgb(16, 16)
     payload = bytearray(jpeg_bytes(img))
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    payload[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="SOF9"):
         jpeg_pixels(bytes(payload))
     with pytest.raises(NotImplementedError):
         jpeg_pixels(b"\xff\xd8\xff\xe0only-a-header")
+
+
+def test_jpeg_progressive_matches_baseline_exactly_444():
+    """Progressive and baseline encode the SAME quantized coefficients;
+    the full successive-approximation scan script is lossless, so both
+    decodes must reconstruct identical pixels."""
+    img = _smooth_rgb(24, 21)
+    prog = jpeg_pixels(jpeg_progressive_bytes(img))
+    base = jpeg_pixels(jpeg_bytes(img))
+    assert prog.shape == base.shape == img.shape
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_matches_baseline_exactly_420():
+    img = _smooth_rgb(26, 19, seed=2)
+    prog = jpeg_pixels(jpeg_progressive_bytes(img, subsample=True))
+    base = jpeg_pixels(jpeg_bytes(img, subsample=True))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_eobrun_zrl_and_refinement_paths():
+    """Adversarial content for the progressive entropy coder: large flat
+    regions (multi-block EOB runs), salted high-frequency noise (ZRL +
+    dense refinement correction bits), odd dimensions (partial MCUs)."""
+    rng = np.random.RandomState(3)
+    img = np.full((47, 35, 3), 90, np.uint8)
+    img[5:13, 4:30] = 230                        # hard edge: wide spectra
+    noise = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    img[28:44, 12:28] = noise                    # dense AC activity
+    prog = jpeg_pixels(jpeg_progressive_bytes(img))
+    base = jpeg_pixels(jpeg_bytes(img))
+    assert np.array_equal(prog, base)
+    # and the decode is a faithful image, not just self-consistent
+    err = np.abs(prog[:20, :, :].astype(int) - img[:20, :, :].astype(int))
+    assert err.mean() < 12.0
 
 
 def test_gif_roundtrip_exact():
@@ -397,6 +694,7 @@ def test_decode_image_real_jpeg_and_gif_through_spark(spark):
     rows = [
         (1, jpeg_bytes(img), "image/jpeg", 16, 16, None),
         (2, gif_bytes(gif_idx, palette), "image/gif", 8, 8, None),
+        (3, jpeg_progressive_bytes(img), "image/jpeg", 16, 16, None),
     ]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     feats = {
@@ -405,6 +703,9 @@ def test_decode_image_real_jpeg_and_gif_through_spark(spark):
     }
     assert feats[1][:2] == [16.0, 16.0]
     assert feats[2][:2] == [8.0, 8.0]
+    # progressive JPEG reconstructs the identical coefficients -> the
+    # identical features as its baseline encoding of the same image
+    assert feats[3] == feats[1]
     # gif mean channel values: half palette[0], half palette[1]
     assert feats[2][2] == pytest.approx(105.0)  # (10+200)/2
     assert feats[2][3] == pytest.approx(60.0)
