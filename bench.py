@@ -60,6 +60,13 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
     "text_quality",
+    # round-5 additions: the regression tripwire (fingerprints + timing)
+    # now covers the round-4/5 operators too. The headline total is
+    # therefore NOT comparable to BENCH_r04 (12 queries) — compare
+    # per-query.
+    "text_langid",
+    "text_bpe_count",
+    "pipeline_guard_corpus",
 ]
 
 #: Timed rounds per query (interleaved). 5 rounds x ~12 queries spreads each

@@ -23,6 +23,7 @@ not data-shape drift — each copy k is a disjoint parallel universe:
   probes) keep constant output by design — ``--check`` skips them.
 
 Usage: python tools/scale_decade_full.py [repeats] [--check]
+       [--only name1,name2]   (sweep a subset, e.g. newly added queries)
 """
 
 from __future__ import annotations
@@ -54,6 +55,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
     "text_quality",
+    "text_langid",
+    "text_bpe_count",
+    "pipeline_guard_corpus",
 ]
 
 #: queries whose output is probe- or dimension-bounded by design: row
@@ -114,7 +118,13 @@ def inflate(spark, out_dir: str) -> None:
 
 
 def main() -> None:
-    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    repeats = int(args[0]) if args else 3
+    headline = list(HEADLINE)
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
+            headline = [n for n in headline if n in set(only.split(","))]
     spark = get_session(
         app_name="mivdp-scale-decade-full",
         master="local[32]",
@@ -132,7 +142,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="mivdp_decade_full_")
     try:
         inflate(spark, tmp)
-        cells = [(name, sf) for name in HEADLINE for sf in (BASE_SF, tmp)]
+        cells = [(name, sf) for name in headline for sf in (BASE_SF, tmp)]
         dfs = {(name, sf): QUERIES[name](spark, sf) for name, sf in cells}
 
         def run(cell) -> None:
@@ -157,12 +167,12 @@ def main() -> None:
 
         print("| query | sf0.1 s | 10x s | ratio |")
         print("|---|---|---|---|")
-        for name in HEADLINE:
+        for name in headline:
             a, b = best[(name, BASE_SF)], best[(name, tmp)]
             print(f"| {name} | {a:.3f} | {b:.3f} | {b / a:.1f}× |")
 
         if "--check" in sys.argv:
-            for name in HEADLINE:
+            for name in headline:
                 if name in CHECK_EXEMPT:
                     continue
                 ra = dfs[(name, BASE_SF)].count()
