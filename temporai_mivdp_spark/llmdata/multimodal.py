@@ -318,11 +318,12 @@ def extract_metadata(media: DataFrame) -> DataFrame:
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode images to fixed-size float features.
 
-    The real path decodes what stdlib can: uncompressed 24-bit BMP and
-    8-bit non-interlaced PNG payloads (``_raster_pixels``) into 8
-    features — width, height, mean R/G/B, luminance std/min/max. JPEG
-    and GIF pixels still raise ``NotImplementedError`` — they need
-    PIL/opencv, absent in this container. The ``fake=True`` path
+    The real path decodes uncompressed 24-bit BMP, 8-bit
+    non-interlaced PNG, baseline/progressive JPEG, and GIF first-frame
+    payloads (``_raster_pixels``, dispatching to ``imagecodecs`` for
+    JPEG/GIF — all stdlib+numpy, no codec libs) into 8 features —
+    width, height, mean R/G/B, luminance std/min/max. Remaining exotic
+    variants raise ``NotImplementedError``. The ``fake=True`` path
     produces deterministic pseudo-features (md5-seeded) with the same
     plumbing — schema, batching, output shape — so mixed-format
     pipelines are testable end-to-end.

@@ -13,6 +13,11 @@ foreachBatch pipeline with idempotent, partition-per-epoch state.
 """
 
 from temporai_mivdp_spark.streaming.ingest import ingest_dedup_stream
+from temporai_mivdp_spark.streaming.stateful import (
+    stream_ffill,
+    stream_heavy_hitters,
+    stream_session_finalize,
+)
 from temporai_mivdp_spark.streaming.windows import (
     read_parquet_stream,
     stream_dedup,
@@ -28,6 +33,9 @@ __all__ = [
     "read_parquet_stream",
     "stream_dedup",
     "stream_enrich",
+    "stream_ffill",
+    "stream_heavy_hitters",
+    "stream_session_finalize",
     "stream_interval_join",
     "stream_session_windows",
     "stream_sliding_bucket",

@@ -391,3 +391,105 @@ def test_streaming_curation_gate_parity_with_batch(spark):
     assert want[7][0] == "ru" and not want[7][3]
     assert not want[3][3] and not want[6][3]
     assert all(v[1] > 0 for v in want.values() if v[2] > 0)
+
+
+def test_stream_heavy_hitters_bounds_and_exact_tier(spark):
+    """SpaceSaving sketch: (a) with distinct items <= k the counts are
+    EXACT (match the batch groupBy), (b) under eviction the guarantees
+    est >= true >= est - err hold and the frequent item survives."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="hh-src-")
+    # key 1: 2 distinct items (fits k=4 exactly); key 2: 10 distinct
+    # tail items + one hot item under k=4 -> evictions happen
+    rows1 = [(1, "alpha")] * 5 + [(1, "beta")] * 3
+    rows2 = [(2, f"tail{i:02d}") for i in range(10)] + [(2, "hot")] * 8
+    rows = [(i, k, it) for i, (k, it) in enumerate(rows1 + rows2)]
+    df = spark.createDataFrame(rows, "rid: long, group_key: long, item: string")
+    # two files -> two micro-batches: state must carry across batches
+    half1 = df.filter(F.col("rid") % 2 == 0).drop("rid")
+    half2 = df.filter(F.col("rid") % 2 == 1).drop("rid")
+    half1.coalesce(1).write.mode("overwrite").parquet(d)
+    half2.coalesce(1).write.mode("append").parquet(d)
+    df = df.drop("rid")
+
+    src = st.read_parquet_stream(spark, d, df.schema, max_files_per_trigger=1)
+    out = st.stream_heavy_hitters(src, k=4)
+    q = (
+        out.writeStream.format("memory").queryName("hh_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from hh_t").collect()
+    # latest snapshot per key = rows with that key's max n_seen
+    latest = {}
+    for r in got:
+        if r.group_key not in latest or r.n_seen > latest[r.group_key][0]:
+            latest[r.group_key] = (r.n_seen, [])
+    for r in got:
+        if r.n_seen == latest[r.group_key][0]:
+            latest[r.group_key][1].append(r)
+
+    # key 1: exact tier (2 distinct <= k=4)
+    n1, rows = latest[1]
+    assert n1 == 8
+    exact = {r.item: (r.est_count, r.max_err) for r in rows}
+    assert exact == {"alpha": (5, 0), "beta": (3, 0)}
+
+    # key 2: eviction tier. n_seen = 18, true(hot) = 8 > 18/4 -> hot
+    # MUST be in the summary with est >= 8 >= est - err
+    n2, rows = latest[2]
+    assert n2 == 18
+    summ = {r.item: (r.est_count, r.max_err) for r in rows}
+    assert len(summ) == 4
+    assert "hot" in summ
+    est, err = summ["hot"]
+    assert est >= 8 >= est - err
+    # every estimate is bounded by true + n/k (SpaceSaving worst case)
+    for item, (est, err) in summ.items():
+        true = 8 if item == "hot" else 1
+        assert est <= true + n2 // 4
+        assert est - err <= true
+
+
+def test_stream_session_finalize_emit_once(spark):
+    """Emit-on-close sessions: in-batch gap closes immediately; a
+    cross-batch open session emits exactly once when the WATERMARK
+    passes its timeout (event-time timeout path); still-open sessions
+    emit nothing."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="sess-src-")
+    schema = "session_key: long, ts: timestamp"
+    # batch 1 / key 1: session A (00:00, 00:10) then 50-min gap ->
+    # closes A in-batch; session B (01:00, 01:05) stays open
+    f1 = [(1, ts("2024-01-01 00:00:00")), (1, ts("2024-01-01 00:10:00")),
+          (1, ts("2024-01-01 01:00:00")), (1, ts("2024-01-01 01:05:00"))]
+    # batch 2 / key 9: pushes watermark to ~02:59 > B's timeout 01:35
+    f2 = [(9, ts("2024-01-01 03:00:00"))]
+    # batch 3: B times out (hasTimedOut path); key 9's 03:00 session
+    # closes in-batch via the 3h gap; (9, 06:00) stays open forever
+    f3 = [(9, ts("2024-01-01 06:00:00"))]
+    for i, rows in enumerate([f1, f2, f3]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(d)
+
+    src = st.read_parquet_stream(
+        spark, d, spark.createDataFrame(f1, schema).schema, max_files_per_trigger=1
+    ).withWatermark("ts", "1 minute")
+    out = st.stream_session_finalize(src, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory").queryName("sess_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.session_key, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_t").collect()
+    }
+    assert got == {
+        (1, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2),
+        (1, ts("2024-01-01 01:00:00"), ts("2024-01-01 01:05:00"), 2),
+        (9, ts("2024-01-01 03:00:00"), ts("2024-01-01 03:00:00"), 1),
+    }
