@@ -12,11 +12,13 @@ split by what the stdlib can genuinely do:
   inflate + all five scanline unfilters, gray/RGB/RGBA), BASELINE and
   PROGRESSIVE JPEG decode (Huffman + spectral selection / successive
   approximation + dequant + IDCT + chroma upsampling — see
-  ``imagecodecs``), first-frame GIF decode (variable-width LZW,
-  interlace, local/global palettes), and header-only dimension
+  ``imagecodecs``), GIF decode including FULL animation (variable-width
+  LZW, interlace, local/global palettes, GCE delays/transparency/
+  disposal — ``imagecodecs.gif_frames``; ``sample_frames`` below turns
+  that into real timed frame sampling), and header-only dimension
   extraction for BMP/PNG/JPEG/GIF.
 * STUBBED: arithmetic-coded/12-bit/hierarchical JPEG, 16-bit/paletted/
-  interlaced PNG, animated-GIF frames past the first, and non-PCM audio
+  interlaced PNG, and non-PCM audio
   need PIL/opencv/librosa, absent in this container — those payloads
   raise ``NotImplementedError`` unless the deterministic fake is
   requested (used by tests and the oracle harness).
@@ -513,8 +515,10 @@ def spread_for_decode(media: DataFrame, partitions: int) -> DataFrame:
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each video row into the frame
     timestamps a decoder would extract (sequence + explode — pure
-    Catalyst). The decode of each frame is the stubbed stage; the
-    partition/batch shape here is the real design."""
+    Catalyst), using metadata duration only. For container formats
+    (mp4/webm) the per-frame decode stays stubbed (no codec libs); for
+    animated GIF the REAL end-to-end path exists — ``sample_frames``
+    decodes the actual timed frames via ``imagecodecs.gif_frames``."""
     return (
         media.filter(F.col("mime").startswith("video/"))
         .withColumn(
@@ -526,4 +530,80 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ),
         )
         .select("media_id", "frame_ms")
+    )
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ms", LongType(), False),
+        StructField("features", StringType(), True),  # csv of 8 floats
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 100, min_delay_ms: int = 10
+) -> DataFrame:
+    """REAL timed frame sampling — the decode stage ``frame_sample_plan``
+    only plans. Animated GIF is the one video-like format decodable
+    from scratch here (``imagecodecs.gif_frames``: a timed, composited
+    frame sequence), so this is the honest end-to-end path: payload ->
+    frame timeline (cumulative GCE delays; zero delays clamped to
+    ``min_delay_ms`` so degenerate GIFs still have a timeline) ->
+    the frame showing at each ``every_ms`` tick -> the same 8 features
+    as ``decode_image`` per sampled tick.
+
+    Output grain is (media_id, frame_ms): one row per SAMPLE TICK, not
+    per stored frame — exactly what a vision-model ingest wants
+    (uniform temporal sampling regardless of variable frame delays).
+    Non-GIF payloads raise inside the batch like every real codec
+    boundary; route mixed corpora by sniffed mime first. Decode runs
+    inside Arrow ``mapInPandas`` batches; parallelism comes from Spark
+    partitions (see ``spread_for_decode``)."""
+    from temporai_mivdp_spark.llmdata.imagecodecs import gif_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ts, feats = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                frames = gif_frames(bytes(payload))
+                delays = [max(d, min_delay_ms) for d, _ in frames]
+                total = sum(delays)
+                # frame k shows during [start_k, start_k + delay_k)
+                starts, acc = [], 0
+                for d in delays:
+                    starts.append(acc)
+                    acc += d
+                k = 0
+                for t in range(0, total, every_ms):
+                    while k + 1 < len(starts) and starts[k + 1] <= t:
+                        k += 1
+                    px = frames[k][1].astype(np.float64)
+                    lum = (
+                        px[:, :, 0] * 0.299
+                        + px[:, :, 1] * 0.587
+                        + px[:, :, 2] * 0.114
+                    )
+                    vals = [
+                        float(px.shape[1]),
+                        float(px.shape[0]),
+                        float(px[:, :, 0].mean()),
+                        float(px[:, :, 1].mean()),
+                        float(px[:, :, 2].mean()),
+                        float(lum.std()),
+                        float(lum.min()),
+                        float(lum.max()),
+                    ]
+                    ids.append(mid)
+                    ts.append(t)
+                    feats.append(",".join(str(round(v, 6)) for v in vals))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ms": ts, "features": feats}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, FRAME_SAMPLE_SCHEMA
     )

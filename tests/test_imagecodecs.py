@@ -714,3 +714,158 @@ def test_decode_image_real_jpeg_and_gif_through_spark(spark):
     src_means = img.reshape(-1, 3).mean(axis=0)
     for k in range(3):
         assert abs(feats[1][2 + k] - src_means[k]) < 5.0
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: test-side encoder + composition roundtrips
+# ---------------------------------------------------------------------------
+
+
+def gif_anim_bytes(screen, gct, frames, bg=0):
+    """Encode an animated GIF89a: ``frames`` is a list of dicts with
+    keys indices (2-D array), left, top, delay_cs, disposal,
+    transparent (index or None), pal (local palette or None)."""
+    sw, sh = screen
+    bits = max(1, (len(gct) - 1).bit_length())
+    pal_n = 1 << bits
+    pal = np.zeros((pal_n, 3), dtype=np.uint8)
+    pal[: len(gct)] = gct
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), bg, 0)
+    out += pal.tobytes()
+    for f in frames:
+        idx = np.asarray(f["indices"])
+        ih, iw = idx.shape
+        tr = f.get("transparent")
+        out += struct.pack(
+            "<BBBBHBB",
+            0x21, 0xF9, 4,
+            (f.get("disposal", 0) << 2) | (1 if tr is not None else 0),
+            f.get("delay_cs", 0),
+            tr if tr is not None else 0,
+            0,
+        )
+        lpal = f.get("pal")
+        iflags = 0
+        if lpal is not None:
+            lbits = max(1, (len(lpal) - 1).bit_length())
+            iflags = 0x80 | (lbits - 1)
+        out += struct.pack(
+            "<BHHHHB", 0x2C, f.get("left", 0), f.get("top", 0), iw, ih, iflags
+        )
+        if lpal is not None:
+            lp = np.zeros((1 << lbits, 3), dtype=np.uint8)
+            lp[: len(lpal)] = lpal
+            out += lp.tobytes()
+        code_bits = lbits if lpal is not None else bits
+        min_code = max(2, code_bits)
+        out.append(min_code)
+        data = _lzw_encode([int(v) for v in idx.reshape(-1)], min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_frames_delays_and_fullframe_roundtrip():
+    from temporai_mivdp_spark.llmdata.imagecodecs import gif_frames
+
+    gct = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+    f0 = np.zeros((4, 5), int)          # all red
+    f1 = np.ones((4, 5), int)           # all green
+    b = gif_anim_bytes(
+        (5, 4), gct,
+        [
+            {"indices": f0, "delay_cs": 10},
+            {"indices": f1, "delay_cs": 25},
+        ],
+    )
+    frames = gif_frames(b)
+    assert [d for d, _ in frames] == [100, 250]
+    assert (frames[0][1] == gct[f0]).all()
+    assert (frames[1][1] == gct[f1]).all()
+
+
+def test_gif_frames_transparency_and_subrect():
+    """A sub-rect frame with a transparent index leaves the underlying
+    canvas visible through the holes."""
+    from temporai_mivdp_spark.llmdata.imagecodecs import gif_frames
+
+    gct = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], np.uint8)
+    base = np.full((6, 6), 1, int)       # all color 1
+    # 2x3 patch at (left=2, top=1): color 2 except a transparent hole
+    patch = np.array([[2, 3, 2], [3, 2, 3]])
+    b = gif_anim_bytes(
+        (6, 6), gct,
+        [
+            {"indices": base, "delay_cs": 5},
+            {"indices": patch, "left": 2, "top": 1, "delay_cs": 5,
+             "transparent": 3},
+        ],
+    )
+    frames = gif_frames(b)
+    assert len(frames) == 2
+    expect = gct[base].copy()
+    m = patch != 3
+    expect[1:3, 2:5][m] = gct[patch][m]
+    assert (frames[1][1] == expect).all()
+
+
+def test_gif_frames_disposal_background_and_previous():
+    """Disposal 2 clears the frame rect to background before the next
+    frame; disposal 3 restores the pre-frame canvas."""
+    from temporai_mivdp_spark.llmdata.imagecodecs import gif_frames
+
+    gct = np.array([[7, 7, 7], [250, 0, 0], [0, 250, 0], [0, 0, 250]], np.uint8)
+    base = np.full((4, 4), 1, int)
+    spot = np.full((2, 2), 2, int)
+    tail = np.full((1, 1), 3, int)
+    b = gif_anim_bytes(
+        (4, 4), gct,
+        [
+            {"indices": base, "delay_cs": 1},
+            # disposal 2: after showing, its rect reverts to bg (idx 0)
+            {"indices": spot, "left": 1, "top": 1, "delay_cs": 1, "disposal": 2},
+            # disposal 3: after showing, canvas reverts to pre-frame
+            {"indices": tail, "left": 0, "top": 0, "delay_cs": 1, "disposal": 3},
+            # final frame paints nothing new over (3,3)
+            {"indices": tail, "left": 3, "top": 3, "delay_cs": 1},
+        ],
+        bg=0,
+    )
+    frames = gif_frames(b)
+    c0, c1, c2, c3 = [f[1] for f in frames]
+    assert (c0 == gct[base]).all()
+    # frame 1 shows the spot over base
+    e1 = gct[base].copy(); e1[1:3, 1:3] = gct[2]
+    assert (c1 == e1).all()
+    # frame 2: spot rect reverted to BACKGROUND, tail painted at (0,0)
+    e2 = gct[base].copy(); e2[1:3, 1:3] = gct[0]; e2[0, 0] = gct[3]
+    assert (c2 == e2).all()
+    # frame 3: disposal 3 undid the tail; only bg-reverted rect + new (3,3)
+    e3 = gct[base].copy(); e3[1:3, 1:3] = gct[0]; e3[3, 3] = gct[3]
+    assert (c3 == e3).all()
+
+
+def test_gif_frames_local_palette_and_first_frame_matches_still():
+    from temporai_mivdp_spark.llmdata.imagecodecs import gif_frames, gif_pixels
+
+    gct = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    lpal = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9], [10, 11, 12]], np.uint8)
+    f0 = np.array([[0, 1], [1, 0]])
+    f1 = np.array([[3, 2], [1, 0]])
+    b = gif_anim_bytes(
+        (2, 2), gct,
+        [
+            {"indices": f0, "delay_cs": 2},
+            {"indices": f1, "delay_cs": 2, "pal": lpal},
+        ],
+    )
+    frames = gif_frames(b)
+    assert (frames[0][1] == gct[f0]).all()
+    assert (frames[1][1] == lpal[f1]).all()
+    # the still decoder sees the same first frame
+    assert (gif_pixels(b) == gct[f0]).all()

@@ -140,3 +140,51 @@ def test_multimodal_capstone_end_to_end(spark, tmp_path):
     # filter, not a post-scan filter)
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_sample_frames_real_gif_timeline(spark):
+    """sample_frames: animated GIF payloads -> one row per sample tick,
+    features exactly matching a driver-side decode of the frame each
+    tick lands on (uniform sampling over variable delays)."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.imagecodecs import gif_frames
+    from tests.test_imagecodecs import gif_anim_bytes
+
+    gct = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [40, 40, 40]], np.uint8
+    )
+    # 300ms of frame 0, 100ms of frame 1, 200ms of frame 2
+    payload = gif_anim_bytes(
+        (3, 2), gct,
+        [
+            {"indices": np.full((2, 3), 0, int), "delay_cs": 30},
+            {"indices": np.full((2, 3), 1, int), "delay_cs": 10},
+            {"indices": np.full((2, 3), 2, int), "delay_cs": 20},
+        ],
+    )
+    media = spark.createDataFrame(
+        [(7, bytearray(payload), "image/gif", None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        r.frame_ms: r.features
+        for r in multimodal.sample_frames(media, every_ms=100).collect()
+    }
+    # total 600ms -> ticks at 0..500; frame boundaries at 300, 400
+    assert sorted(got) == [0, 100, 200, 300, 400, 500]
+    frames = gif_frames(payload)
+
+    def feats(px):
+        px = px.astype(np.float64)
+        lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+        vals = [
+            float(px.shape[1]), float(px.shape[0]),
+            float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+            float(px[:, :, 2].mean()),
+            float(lum.std()), float(lum.min()), float(lum.max()),
+        ]
+        return ",".join(str(round(v, 6)) for v in vals)
+
+    for t, want_frame in [(0, 0), (200, 0), (300, 1), (400, 2), (500, 2)]:
+        assert got[t] == feats(frames[want_frame][1]), t
