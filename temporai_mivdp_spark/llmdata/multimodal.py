@@ -8,8 +8,10 @@ split by what the stdlib can genuinely do:
 * REAL (no external libs): WAV/PCM audio (RIFF parse via ``wave`` +
   numpy for duration/RMS/zero-crossings), uncompressed 24-bit BMP decode
   (struct header parse + numpy pixel array) including nearest-neighbor
-  resize, 8-bit non-interlaced PNG decode (chunk walk + stdlib ``zlib``
-  inflate + all five scanline unfilters, gray/RGB/RGBA), BASELINE and
+  resize, FULL PNG decode (chunk walk + stdlib ``zlib``
+  inflate + all five scanline unfilters; every legal IHDR combination —
+  gray/RGB/palette/gray-alpha/RGBA at depths 1/2/4/8/16, Adam7
+  interlace), BASELINE and
   PROGRESSIVE JPEG decode (Huffman + spectral selection / successive
   approximation + dequant + IDCT + chroma upsampling — see
   ``imagecodecs``), GIF decode including FULL animation (variable-width
@@ -17,8 +19,7 @@ split by what the stdlib can genuinely do:
   disposal — ``imagecodecs.gif_frames``; ``sample_frames`` below turns
   that into real timed frame sampling), and header-only dimension
   extraction for BMP/PNG/JPEG/GIF.
-* STUBBED: arithmetic-coded/12-bit/hierarchical JPEG, 16-bit/paletted/
-  interlaced PNG, and non-PCM audio
+* STUBBED: arithmetic-coded/12-bit/hierarchical JPEG and non-PCM audio
   need PIL/opencv/librosa, absent in this container — those payloads
   raise ``NotImplementedError`` unless the deterministic fake is
   requested (used by tests and the oracle harness).
@@ -162,23 +163,97 @@ def _bmp_pixels(b: bytes) -> np.ndarray:
     return arr[:, :, ::-1]  # BGR -> RGB
 
 
-def _png_pixels(b: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG (grayscale / RGB / RGBA) to an
-    (h, w, 3) RGB uint8 array with the stdlib only: chunk walk, ``zlib``
-    inflate of the IDAT stream, then per-scanline reconstruction of all
-    five PNG filters. Gray is replicated to 3 channels; alpha dropped.
-    16-bit, paletted, and interlaced PNGs raise ``NotImplementedError``.
+def _png_unfilter(raw: bytes, pos: int, h: int, stride: int, bpp: int):
+    """Reconstruct ``h`` filtered scanlines of ``stride`` bytes each
+    (``bpp`` = bytes per pixel for the Sub/Paeth left-neighbor offset).
+    Returns the (h, stride) byte matrix and the new stream position.
 
-    Filter cost: None/Up are whole-row numpy; Sub is a per-channel
+    Filter cost: None/Up are whole-row numpy; Sub is a per-pixel-column
     cumsum (byte addition mod 256 is associative, so the running
     dependency collapses); Average/Paeth have a true per-pixel data
     dependency (nonlinear predictor) and fall back to a Python loop over
     the row — encoders that care about decode throughput here should
     emit filters 0-2, and a 100 TB media sweep should be using the
     header-only ``image_dims`` anyway unless it truly needs pixels."""
+    if len(raw) - pos < h * (stride + 1):
+        raise NotImplementedError("PNG pixel data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += 1 + stride
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:  # Sub
+            n_px = stride // bpp
+            px = row[: n_px * bpp].reshape(n_px, bpp).astype(np.uint32)
+            rec = (np.cumsum(px, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+            if stride % bpp:  # stride not divisible (never for valid PNG)
+                rec = np.concatenate([rec, row[n_px * bpp :]])
+        elif f == 2:  # Up (uint8 addition wraps mod 256 natively)
+            rec = row + prev
+        elif f in (3, 4):  # Average / Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                if f == 3:
+                    pred = (a + up) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pr = a + up - c
+                    pa, pb, pc = abs(pr - a), abs(pr - up), abs(pr - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out, pos
+
+
+def _png_rows_to_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """Filtered byte rows -> (h, w, ch) uint8 sample array. 16-bit
+    samples keep the high byte (standard 8-bit downconversion);
+    1/2/4-bit samples unpack MSB-first (valid only for 1-channel color
+    types, which is all the spec allows)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows[:, : w * ch * 2].reshape(h, w, ch, 2)[:, :, :, 0]
+    # sub-byte: ch == 1 per the PNG spec
+    bits = np.unpackbits(rows, axis=1)
+    spb = depth  # bits per sample
+    samples = bits[:, : w * spb].reshape(h, w, spb)
+    weights = (1 << np.arange(spb - 1, -1, -1)).astype(np.uint8)
+    return (samples * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[
+        :, :, None
+    ]
+
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_pixels(b: bytes) -> np.ndarray:
+    """Decode a PNG to an (h, w, 3) RGB uint8 array with the stdlib
+    only: chunk walk, ``zlib`` inflate of the IDAT stream, per-scanline
+    reconstruction of all five PNG filters, then sample conversion.
+    Covers every legal IHDR combination: bit depths 1/2/4/8/16, color
+    types 0 (gray), 2 (RGB), 3 (paletted via PLTE), 4 (gray+alpha),
+    6 (RGBA), and both interlace methods (none and Adam7 — each of the
+    7 passes is an independently filtered sub-image scattered onto the
+    output grid). Gray replicates to 3 channels; alpha is dropped;
+    16-bit keeps the high byte; sub-byte gray scales to full range."""
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError("not a PNG payload")
     ihdr: bytes | None = None
+    plte: np.ndarray | None = None
     idat = bytearray()
     i = 8
     while i + 8 <= len(b):
@@ -186,6 +261,8 @@ def _png_pixels(b: bytes) -> np.ndarray:
         typ = b[i + 4 : i + 8]
         if typ == b"IHDR":
             ihdr = b[i + 8 : i + 8 + ln]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(b, np.uint8, ln, i + 8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += b[i + 8 : i + 8 + ln]
         elif typ == b"IEND":
@@ -194,59 +271,51 @@ def _png_pixels(b: bytes) -> np.ndarray:
     if ihdr is None or len(ihdr) < 13:
         raise NotImplementedError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype not in (0, 2, 6):
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if comp != 0 or filt != 0 or interlace > 1 or ctype not in legal \
+            or depth not in legal[ctype]:
         raise NotImplementedError(
-            f"PNG variant needs codec libs (depth={depth}, color_type={ctype}, "
+            f"PNG variant outside the spec (depth={depth}, color_type={ctype}, "
             f"interlace={interlace})"
         )
-    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    if ctype == 3 and plte is None:
+        raise NotImplementedError("paletted PNG missing PLTE")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = max(1, ch * depth // 8)
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise NotImplementedError("PNG pixel data truncated")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(h):
-        f = raw[pos]
-        row = np.frombuffer(raw, np.uint8, stride, pos + 1)
-        pos += 1 + stride
-        if f == 0:
-            rec = row.copy()
-        elif f == 1:  # Sub
-            px = row.reshape(w, ch).astype(np.uint32)
-            rec = (np.cumsum(px, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
-        elif f == 2:  # Up (uint8 addition wraps mod 256 natively)
-            rec = row + prev
-        elif f in (3, 4):  # Average / Paeth
-            rec = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(rec[x - ch]) if x >= ch else 0
-                up = int(prev[x])
-                if f == 3:
-                    pred = (a + up) >> 1
-                else:
-                    c = int(prev[x - ch]) if x >= ch else 0
-                    p = a + up - c
-                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[x] = (int(row[x]) + pred) & 0xFF
-        else:
-            raise NotImplementedError(f"unknown PNG filter type {f}")
-        out[y] = rec
-        prev = rec
-    arr = out.reshape(h, w, ch)
-    if ch == 1:
-        return np.repeat(arr, 3, axis=2)
-    return np.ascontiguousarray(arr[:, :, :3])
+    samples = np.zeros((h, w, ch), dtype=np.uint8)
+    if interlace == 0:
+        stride = (w * ch * depth + 7) // 8
+        rows, _ = _png_unfilter(raw, 0, h, stride, bpp)
+        samples = _png_rows_to_samples(rows, w, ch, depth)
+    else:  # Adam7
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * ch * depth + 7) // 8
+            rows, pos = _png_unfilter(raw, pos, ph, stride, bpp)
+            samples[y0::dy, x0::dx] = _png_rows_to_samples(rows, pw, ch, depth)
+    if ctype == 3:
+        if int(samples.max()) >= len(plte):
+            raise NotImplementedError("PNG palette index out of range")
+        return plte[samples[:, :, 0]]
+    if ctype in (0, 4):
+        g = samples[:, :, 0]
+        if depth < 8:  # scale 1/2/4-bit gray to full range
+            g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return np.ascontiguousarray(samples[:, :, :3])
 
 
 def _raster_pixels(b: bytes) -> np.ndarray:
     """Dispatch pixel decode by magic number: BMP, PNG, baseline or
     progressive JPEG, or GIF first frame (all stdlib+numpy — see
     ``imagecodecs`` for the JPEG/GIF implementations); remaining
-    variants (arithmetic JPEG, 16-bit/paletted PNG, animated GIF
-    frames) raise ``NotImplementedError``."""
+    variants (arithmetic/12-bit/hierarchical JPEG, spec-illegal
+    IHDR combinations) raise ``NotImplementedError``."""
     if b[:2] == b"BM":
         return _bmp_pixels(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":

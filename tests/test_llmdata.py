@@ -1721,11 +1721,13 @@ def test_png_decode_all_filters_roundtrip():
     got = _png_pixels(_png_bytes(gray, color_type=0, filters=[2, 1]))
     assert np.array_equal(got, np.repeat(gray, 3, axis=2))
 
-    # 16-bit depth is honestly refused, not garbled
+    # illegal IHDR combinations are honestly refused, not garbled
+    # (16-bit itself is supported now — see test_png_16bit_keeps_high_byte;
+    # depth 2 is not legal for color type 2)
     import pytest as pt
 
-    with pt.raises(NotImplementedError, match="depth=16"):
-        _png_pixels(_png_bytes(rgb, color_type=2, bit_depth=16))
+    with pt.raises(NotImplementedError, match="depth=2"):
+        _png_pixels(_png_bytes(rgb, color_type=2, bit_depth=2))
 
 
 def test_decode_and_resize_real_png(spark):
@@ -2064,3 +2066,164 @@ def test_guard_corpus_exact_backend(spark):
     assert got[2].contaminated and got[2].n_bench_hits == 0  # via cluster
     assert not got[3].contaminated
     assert got[1].split == got[2].split
+
+
+def _png_bytes_full(
+    samples, color_type, bit_depth=8, palette=None, interlace=0, filters=None
+):
+    """Full-variant PNG encoder (test-side, independent of the decoder):
+    ``samples`` is (h, w, ch) SAMPLE values (uint16 ok for 16-bit);
+    supports palette (PLTE), bit depths 1/2/4/8/16, and Adam7. Filter
+    types are chosen per scanline from ``filters`` (cycled; default
+    exercises 0/1/2) and SUBTRACT predictors per the spec."""
+    import struct as s
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(samples)
+    h, w, ch = px.shape
+    filters = filters or [0, 1, 2]
+    bpp = max(1, ch * bit_depth // 8)
+
+    def pack_rows(sub):
+        ph, pw, _ = sub.shape
+        if bit_depth == 8:
+            return sub.astype(np.uint8).reshape(ph, pw * ch)
+        if bit_depth == 16:
+            out = np.empty((ph, pw * ch * 2), dtype=np.uint8)
+            flat = sub.reshape(ph, pw * ch).astype(np.uint16)
+            out[:, 0::2] = (flat >> 8).astype(np.uint8)
+            out[:, 1::2] = (flat & 0xFF).astype(np.uint8)
+            return out
+        # sub-byte (ch == 1): MSB-first packing
+        flat = sub.reshape(ph, pw).astype(np.uint8)
+        bits = (
+            (flat[:, :, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+        ).reshape(ph, pw * bit_depth).astype(np.uint8)
+        stride = (pw * bit_depth + 7) // 8
+        padded = np.zeros((ph, stride * 8), dtype=np.uint8)
+        padded[:, : pw * bit_depth] = bits
+        return np.packbits(padded, axis=1)
+
+    def filter_pass(rows, fseq):
+        ph, stride = rows.shape
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(ph):
+            f = fseq[y % len(fseq)]
+            row = rows[y].astype(np.int32)
+            out = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b_ = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b_
+                elif f == 3:
+                    pred = (a + b_) >> 1
+                else:
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                out[x] = (int(row[x]) - pred) & 0xFF
+            raw.append(f)
+            raw += out.astype(np.uint8).tobytes()
+            prev = row
+        return raw
+
+    raw = bytearray()
+    if interlace == 0:
+        raw += filter_pass(pack_rows(px), filters)
+    else:
+        grid = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        for x0, y0, dx, dy in grid:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += filter_pass(pack_rows(sub), filters)
+
+    def chunk(typ, data):
+        body = typ + data
+        return s.pack(">I", len(data)) + body + s.pack(">I", zlib.crc32(body))
+
+    ihdr = s.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_paletted_roundtrip_8_and_4_bit():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _png_pixels
+
+    pal = np.array(
+        [[250, 1, 2], [3, 250, 4], [5, 6, 250], [7, 8, 9]], np.uint8
+    )
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 4, size=(7, 5, 1))
+    for depth in (8, 4, 2):
+        b = _png_bytes_full(idx, 3, bit_depth=depth, palette=pal)
+        assert (_png_pixels(b) == pal[idx[:, :, 0]]).all(), depth
+
+
+def test_png_gray_subbyte_scaling():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _png_pixels
+
+    # 1-bit gray: 0 -> 0, 1 -> 255
+    g = np.array([[0, 1, 1], [1, 0, 0]])[:, :, None]
+    got = _png_pixels(_png_bytes_full(g, 0, bit_depth=1))
+    assert (got == (g * 255).repeat(3, axis=2)).all()
+    # 4-bit gray: v -> v * 255 // 15
+    g4 = np.arange(16).reshape(4, 4, 1)
+    got4 = _png_pixels(_png_bytes_full(g4, 0, bit_depth=4))
+    assert (got4 == (g4 * 255 // 15).repeat(3, axis=2)).all()
+
+
+def test_png_16bit_keeps_high_byte():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _png_pixels
+
+    rng = np.random.default_rng(5)
+    hi = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint16)
+    lo = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint16)
+    b = _png_bytes_full((hi << 8) | lo, 2, bit_depth=16, filters=[0, 1, 2, 3, 4])
+    assert (_png_pixels(b) == hi.astype(np.uint8)).all()
+
+
+def test_png_adam7_interlaced_roundtrip():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _png_pixels
+
+    rng = np.random.default_rng(11)
+    # odd dims exercise empty/partial passes; all five filter types
+    rgb = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    b = _png_bytes_full(rgb, 2, interlace=1, filters=[4, 3, 2, 1, 0])
+    assert (_png_pixels(b) == rgb).all()
+    # gray+alpha interlaced: alpha dropped, gray replicated
+    ga = rng.integers(0, 256, size=(5, 8, 2), dtype=np.uint8)
+    got = _png_pixels(_png_bytes_full(ga, 4, interlace=1))
+    assert (got == ga[:, :, 0:1].repeat(3, axis=2)).all()
+
+
+def test_png_paletted_interlaced_subbyte():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _png_pixels
+
+    pal = np.array([[1, 2, 3], [200, 100, 50], [9, 9, 9]], np.uint8)
+    rng = np.random.default_rng(13)
+    idx = rng.integers(0, 3, size=(10, 11, 1))
+    b = _png_bytes_full(idx, 3, bit_depth=2, palette=pal, interlace=1)
+    assert (_png_pixels(b) == pal[idx[:, :, 0]]).all()
