@@ -1007,3 +1007,173 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llmdata/sampling.py::chunk_documents)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return sampling.chunk_documents(docs, chunk_size=24, overlap=8)
+
+
+@_register(
+    "text_tfidf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term != '' GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             tf.tf * ln(n.nd * 1.0 / dfq.df) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS BIGINT)
+             AS rank
+    FROM scored QUALIFY tfidf > 0 AND rank <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf (llmdata/text.py::
+    tfidf_top_terms) — the keyword/topic surface for corpus browsing
+    and boilerplate spotting. One bounded (doc, term) aggregate, a
+    vocabulary-sized df aggregate, idf as a plain expression with the
+    corpus count inlined, a term-keyed broadcastable join back, and a
+    per-doc top-k window; corpus-wide terms score idf exactly 0 and
+    never rank. Deterministic under ties (tfidf desc, term asc)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.tfidf_top_terms(docs, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "text_perplexity",
+    f"""
+    WITH ctoks AS (
+      SELECT string_split({_NORM}, ' ') AS w
+      FROM (SELECT text FROM documents)
+      WHERE len(string_split({_NORM}, ' ')) > 0
+    ),
+    uni AS (
+      SELECT u AS w, count(*) AS c
+      FROM (SELECT unnest(w) AS u FROM ctoks) GROUP BY u
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, count(*) AS v FROM uni),
+    big AS (
+      SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM ctoks WHERE len(w) >= 2)
+      GROUP BY 1, 2
+    ),
+    p_uni AS (
+      SELECT uni.w, 0.6 * uni.c / tot.n + 0.4 / tot.v AS p
+      FROM uni CROSS JOIN tot
+    ),
+    lp_big AS (
+      SELECT big.w1, big.w2,
+             ln(0.6 * big.c12 / u1.c + 0.4 * pu.p) AS logp
+      FROM big
+      JOIN uni u1 ON u1.w = big.w1
+      JOIN p_uni pu ON pu.w = big.w2
+    ),
+    crawl AS ({_AUG_SQL}),
+    pairs AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM crawl)
+            WHERE len(w) >= 2)
+    ),
+    lp AS (
+      SELECT p.doc_id,
+             coalesce(lb.logp, ln(pu.p), -20.0) AS lp
+      FROM pairs p
+      LEFT JOIN lp_big lb ON lb.w1 = p.w1 AND lb.w2 = p.w2
+      LEFT JOIN p_uni pu ON pu.w = p.w2
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+             -avg(lp) AS anl
+      FROM lp GROUP BY doc_id
+    )
+    SELECT c.doc_id, coalesce(n_scored, CAST(0 AS BIGINT)) AS n_scored,
+           anl AS avg_neg_logp
+    FROM crawl c LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering surface (llmdata/text.py::
+    bigram_lm + perplexity): fit the interpolated bigram LM on the
+    documents corpus, score the AUGMENTED corpus (originals + copies
+    suffixed with an unseen token, so the per-word OOV fallback path
+    is exercised alongside in-distribution text). Reported as
+    avg_neg_logp = ln(ppl) rather than ppl itself: the exp() form
+    reaches ~1e8 where the driver's 1e-6 absolute float rounding
+    cannot absorb cross-engine libm ulps; the log form stays O(10)
+    with ~1e-15 cross-engine error. The LM is a flat vocab-sized
+    table — both scoring joins are broadcastable."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zqx")).alias("text"),
+        )
+    )
+    lm = text.bigram_lm(docs, alpha=0.4)
+    scored = text.perplexity(aug, lm, oov_logp=-20.0)
+    return scored.select(
+        "doc_id", "n_scored", F.log("ppl").alias("avg_neg_logp")
+    )
+
+
+@_register(
+    "text_boilerplate",
+    """
+    WITH bannered AS (
+      SELECT doc_id,
+             '=== COMMON HEADER ===' || chr(10) || text
+               || chr(10) || '=== COMMON FOOTER ===' AS text
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS parts FROM bannered
+    ),
+    lines AS (
+      SELECT doc_id, parts[pos] AS line, pos
+      FROM (SELECT doc_id, parts,
+                   unnest(generate_series(1, len(parts))) AS pos
+            FROM split)
+    ),
+    freq AS (
+      SELECT trim(line) AS t FROM lines WHERE trim(line) != ''
+      GROUP BY trim(line) HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT doc_id, line, pos FROM lines
+      WHERE trim(line) = '' OR trim(line) NOT IN (SELECT t FROM freq)
+    )
+    SELECT d.doc_id,
+           coalesce((SELECT string_agg(line, chr(10) ORDER BY pos)
+                     FROM kept WHERE kept.doc_id = d.doc_id), '') AS text
+    FROM bannered d
+    """,
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal (llmdata/text.py::
+    strip_common_lines): every document is wrapped in a synthetic
+    header/footer banner (so the strip path provably fires on the
+    whole corpus), then any line repeating verbatim (after trim) in
+    >= 2 distinct documents — the banners, plus any naturally
+    duplicated document bodies — is stripped and documents are rebuilt
+    in original line order. Two-tier frequency plan: 8-byte hash
+    aggregate finds candidates, string-keyed recheck protects the
+    mutation from hash collisions."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bannered = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("=== COMMON HEADER ===\n"),
+            F.col("text"),
+            F.lit("\n=== COMMON FOOTER ==="),
+        ).alias("text"),
+    )
+    return text.strip_common_lines(bannered, min_docs=2)
