@@ -6,7 +6,9 @@ The Spark-side plumbing is real and tested — schema, Arrow-batched
 split by what the stdlib can genuinely do:
 
 * REAL (no external libs): WAV/PCM audio (RIFF parse via ``wave`` +
-  numpy for duration/RMS/zero-crossings), uncompressed 24-bit BMP decode
+  numpy for duration/RMS/zero-crossings, plus the ``audio_spectral``
+  DSP tier: rFFT centroid/rolloff/dominant-frequency/band energies,
+  tested against synthesized sine ground truth), uncompressed 24-bit BMP decode
   (struct header parse + numpy pixel array) including nearest-neighbor
   resize, FULL PNG decode (chunk walk + stdlib ``zlib``
   inflate + all five scanline unfilters; every legal IHDR combination —
@@ -99,11 +101,12 @@ def _sniff(payload: bytes | None) -> str | None:
 # ---------------------------------------------------------------------------
 
 
-def _wav_stats(b: bytes) -> tuple[int, float, int]:
-    """(duration_ms, rms, zero_crossings) of a RIFF/PCM WAV payload.
-    ``wave`` handles the RIFF chunk walk; numpy vectorizes the sample
-    math. Raises ``NotImplementedError`` for non-PCM encodings (needs a
-    real codec) — mirrors how unsupported image formats behave."""
+def _wav_samples(b: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, [-1, 1] float64 channel-averaged samples) of a
+    RIFF/PCM WAV payload. ``wave`` handles the RIFF chunk walk; numpy
+    vectorizes the sample math. Raises ``NotImplementedError`` for
+    non-PCM encodings (needs a real codec) — mirrors how unsupported
+    image formats behave."""
     try:
         with wave.open(io.BytesIO(b)) as w:
             n, sr, sw, ch = (
@@ -125,7 +128,13 @@ def _wav_stats(b: bytes) -> tuple[int, float, int]:
         raise NotImplementedError(f"unsupported PCM sample width {sw}")
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
-    duration_ms = int(n * 1000 // sr) if sr else 0
+    return sr, x
+
+
+def _wav_stats(b: bytes) -> tuple[int, float, int]:
+    """(duration_ms, rms, zero_crossings) of a RIFF/PCM WAV payload."""
+    sr, x = _wav_samples(b)
+    duration_ms = int(len(x) * 1000 // sr) if sr else 0
     rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
     zc = (
         int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
@@ -675,4 +684,79 @@ def sample_frames(
 
     return media.select("media_id", "payload").mapInPandas(
         batches, FRAME_SAMPLE_SCHEMA
+    )
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("centroid_hz", StringType(), True),  # stringified floats,
+        StructField("rolloff_hz", StringType(), True),   # stable across archs
+        StructField("dominant_hz", StringType(), True),
+        StructField("band_energy", StringType(), True),  # csv, n_bands floats
+    ]
+)
+
+
+def audio_spectral(media: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Spectral audio features from raw PCM WAV payloads — the DSP tier
+    above ``audio_features``'s time-domain stats, numpy-only (rFFT):
+
+    - ``centroid_hz``: magnitude-weighted mean frequency (brightness),
+    - ``rolloff_hz``: frequency below which 85% of spectral energy sits,
+    - ``dominant_hz``: the peak magnitude bin,
+    - ``band_energy``: energy fractions over ``n_bands`` equal linear
+      bands up to Nyquist (sums to 1 for any non-silent signal).
+
+    Enough to route speech/music/tone/noise in a curation pipeline and
+    fully testable against synthesized ground truth (a 440 Hz sine's
+    dominant bin IS 440 Hz). Same codec boundary discipline as the
+    image path: PCM decodes for real, compressed formats raise inside
+    the Arrow batch. Floats ship as strings (same reason as
+    ``audio_features.rms``: byte-stable across engines/archs)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in SPECTRAL_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                if payload is None:
+                    for k in ("sample_rate", "centroid_hz", "rolloff_hz",
+                              "dominant_hz", "band_energy"):
+                        out[k].append(None)
+                    continue
+                sr, x = _wav_samples(bytes(payload))
+                mag = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+                power = mag * mag
+                total = float(power.sum())
+                if total <= 0.0:
+                    cent = roll = dom = 0.0
+                    bands = [0.0] * n_bands
+                else:
+                    cent = float((freqs * power).sum() / total)
+                    cum = np.cumsum(power)
+                    roll = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+                    dom = float(freqs[int(power.argmax())])
+                    nyq = sr / 2.0
+                    edges = np.linspace(0.0, nyq, n_bands + 1)
+                    idx = np.clip(
+                        np.digitize(freqs, edges[1:-1]), 0, n_bands - 1
+                    )
+                    bands = [
+                        float(power[idx == k].sum() / total)
+                        for k in range(n_bands)
+                    ]
+                out["sample_rate"].append(sr)
+                out["centroid_hz"].append(str(round(cent, 3)))
+                out["rolloff_hz"].append(str(round(roll, 3)))
+                out["dominant_hz"].append(str(round(dom, 3)))
+                out["band_energy"].append(
+                    ",".join(str(round(v, 6)) for v in bands)
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, SPECTRAL_SCHEMA
     )

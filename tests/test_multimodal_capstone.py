@@ -188,3 +188,75 @@ def test_sample_frames_real_gif_timeline(spark):
 
     for t, want_frame in [(0, 0), (200, 0), (300, 1), (400, 2), (500, 2)]:
         assert got[t] == feats(frames[want_frame][1]), t
+
+
+def _wav_payload(freqs, sr=16000, seconds=1.0, amps=None):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(sr * seconds)) / sr
+    amps = amps or [0.5] * len(freqs)
+    x = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+    w.writeframes((np.clip(x, -1, 1) * 30000).astype("<i2").tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+def test_audio_spectral_ground_truth(spark):
+    """Spectral features against synthesized ground truth: a pure tone's
+    dominant/centroid land on its frequency; a two-tone mix's centroid
+    sits at the energy-weighted mean; band energies concentrate where
+    the tones are."""
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_payload([440.0])), "audio/wav", None, None, None),
+            (2, bytearray(_wav_payload([3000.0])), "audio/wav", None, None, None),
+            (3, bytearray(_wav_payload([1000.0, 5000.0], amps=[0.5, 0.5])),
+             "audio/wav", None, None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in multimodal.audio_spectral(media, n_bands=8).collect()}
+
+    # 1s @ 16 kHz -> 1 Hz bin resolution; Nyquist 8 kHz, bands of 1 kHz
+    assert got[1].sample_rate == 16000
+    assert abs(float(got[1].dominant_hz) - 440.0) <= 1.0
+    assert abs(float(got[1].centroid_hz) - 440.0) < 20.0
+    b1 = [float(v) for v in got[1].band_energy.split(",")]
+    assert len(b1) == 8 and b1[0] > 0.99 and abs(sum(b1) - 1.0) < 1e-6
+
+    assert abs(float(got[2].dominant_hz) - 3000.0) <= 1.0
+    b2 = [float(v) for v in got[2].band_energy.split(",")]
+    assert b2[3] > 0.99  # 3000 Hz -> band [3000, 4000): index 3
+
+    # equal-amplitude 1 kHz + 5 kHz: centroid ~ 3 kHz, rolloff >= 5 kHz
+    assert abs(float(got[3].centroid_hz) - 3000.0) < 60.0
+    assert float(got[3].rolloff_hz) >= 4999.0
+    b3 = [float(v) for v in got[3].band_energy.split(",")]
+    assert b3[1] > 0.45 and b3[5] > 0.45
+
+
+def test_audio_spectral_silence_and_nonpcm(spark):
+    import numpy as np
+    import pytest
+
+    silent = _wav_payload([440.0], amps=[0.0])
+    media = spark.createDataFrame(
+        [(1, bytearray(silent), "audio/wav", None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.audio_spectral(media).collect()[0]
+    assert float(r.centroid_hz) == 0.0
+    assert all(float(v) == 0.0 for v in r.band_energy.split(","))
+
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"not audio at all"), "audio/wav", None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="PCM WAV"):
+        multimodal.audio_spectral(bad).collect()
