@@ -935,6 +935,28 @@ def embedding_near_duplicates(
     )
 
 
+def _rotate_checkpoint(df: DataFrame, prev_ids: set):
+    """``localCheckpoint(eager=True)`` with deterministic cleanup: after
+    the new checkpoint materializes, unpersist the backing RDDs of the
+    PREVIOUS rotation (``prev_ids``) — nothing references them anymore.
+    Returns ``(checkpointed_df, new_backing_ids)``. Talks to the JVM
+    persistent-RDD registry because ``DataFrame.unpersist`` only
+    reaches the SQL cache manager, which localCheckpoint bypasses.
+    Assumes rotations are not raced by concurrent checkpoints on the
+    same SparkContext (true for a per-query loop)."""
+    sc = df.sparkSession.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    before = {int(k) for k in jmap.keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    jmap = sc._jsc.getPersistentRDDs()
+    new_ids = {int(k) for k in jmap.keySet().toArray()} - before
+    for rid in prev_ids:
+        jr = jmap.get(rid)
+        if jr is not None:
+            jr.unpersist(False)
+    return out, new_ids
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -965,14 +987,20 @@ def duplicate_clusters(
     flattens into per-component stars rooted at the minimum id. Each
     round is one groupBy (per-center min) + one join back, on an edge
     set that only shrinks; one count action per round doubles as the
-    convergence check and a localCheckpoint keeps lineage shallow.
+    convergence check and a rotated localCheckpoint keeps lineage
+    shallow WITHOUT accumulating cache: each round's eager checkpoint
+    deterministically unpersists the previous round's backing RDDs
+    (dead weight the moment the new one materializes), so at most ONE
+    checkpoint — the one backing the returned frame — is ever live,
+    instead of O(log n) pinned RDDs per call lingering until context
+    GC.
     """
-    edges = (
+    edges, live_ids = _rotate_checkpoint(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .filter(F.col("u") != F.col("v"))
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .dropDuplicates(),
+        set(),
     )
 
     def star_round(e: DataFrame, large: bool) -> DataFrame:
@@ -996,7 +1024,9 @@ def duplicate_clusters(
     prev_sig = None
     for it in range(max_iterations):
         edges = star_round(edges, large=True)
-        edges = star_round(edges, large=False).localCheckpoint(eager=True)
+        edges, live_ids = _rotate_checkpoint(
+            star_round(edges, large=False), live_ids
+        )
         # one agg action per round: convergence signature (count + an
         # order-independent hash-sum) AND materialization point
         row = edges.agg(

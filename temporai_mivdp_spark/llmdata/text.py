@@ -1,7 +1,11 @@
 """Text analysis operators: token counting, quality scoring, language-ID,
-document fingerprinting. All pure Catalyst expressions (regex + string
-built-ins) — no UDFs, so they run inside whole-stage codegen at full scan
-speed, and each has an exact DuckDB-oracle twin.
+document fingerprinting. Pure Catalyst expressions (regex + string
+built-ins) running inside whole-stage codegen at full scan speed, each
+with an exact DuckDB-oracle twin. The one exception is ``fix_mojibake``:
+byte-level transcoding is genuinely inexpressible in Catalyst (Spark 4's
+encode/decode throw on exactly the malformed input mojibake repair
+exists for), so its Arrow kernel runs ONLY on rows a native regex flags
+— Python cost scales with the damage, not the corpus.
 """
 
 from __future__ import annotations
@@ -896,4 +900,108 @@ def clean_documents(
         cleaned.alias("text_clean"),
         F.length(F.col(text_col)).alias("len_raw"),
         F.length(cleaned).alias("len_clean"),
+    )
+
+
+#: cp1252 printable chars for C1 bytes 0x80-0x9F (0x81/0x8D/0x8F/0x90/0x9D
+#: are undefined in cp1252; the sloppy table maps them to the C1 controls
+#: themselves, the ftfy convention, so any byte round-trips)
+_CP1252_C1 = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+
+def _sloppy_cp1252_bytes(s: str) -> bytes | None:
+    """Reverse of "UTF-8 bytes displayed as (sloppy) windows-1252":
+    map each char back to the byte it was displayed from. Returns None
+    when any char has no byte — the string cannot be cp1252 mojibake."""
+    rev = _SLOPPY_REV
+    out = bytearray()
+    for c in s:
+        o = ord(c)
+        if o < 0x80 or 0xA0 <= o <= 0xFF:
+            out.append(o)
+        elif 0x80 <= o <= 0x9F:  # sloppy: C1 control was shown as itself
+            out.append(o)
+        else:
+            b = rev.get(c)
+            if b is None:
+                return None
+            out.append(b)
+    return bytes(out)
+
+
+_SLOPPY_REV = {c: b for b, c in _CP1252_C1.items()}
+
+
+def fix_mojibake_py(s: str, max_passes: int = 3) -> str:
+    """Repair UTF-8-read-as-windows-1252 double encoding ("ftfy-lite"):
+    map the visible chars back to the bytes they were displayed from
+    (sloppy cp1252 — undefined slots pass the C1 control through, so
+    latin-1 mojibake repairs on the same path) and re-decode as UTF-8.
+    A pass applies ONLY if the whole string re-decodes cleanly — a
+    legit string that merely contains 'Ã' (e.g. "SÃO") produces
+    invalid UTF-8 and is kept verbatim, so the guard is exact, not
+    heuristic. Up to ``max_passes`` unwinds doubly-encoded text."""
+    for _ in range(max_passes):
+        b = _sloppy_cp1252_bytes(s)
+        if b is None:
+            return s
+        try:
+            fixed = b.decode("utf-8")
+        except UnicodeDecodeError:
+            return s
+        if fixed == s:
+            return s
+        s = fixed
+    return s
+
+
+#: chars that appear in virtually all cp1252/latin-1 mojibake: the
+#: displayed forms of UTF-8 lead bytes 0xC2-0xF4
+_MOJIBAKE_MARKERS = "ÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔàáâãäåæçèéêëìíîïðñòóô"
+
+
+def fix_mojibake(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_passes: int = 3,
+) -> DataFrame:
+    """Corpus-scale mojibake repair with detection native and repair
+    routed: a codegen ``rlike`` flags rows containing any UTF-8
+    lead-byte display char (a SUPERSET of real mojibake — precision
+    only affects routing cost, never correctness, because the repair
+    kernel's whole-string decode guard returns false positives
+    verbatim). Unflagged rows never leave the JVM; flagged rows pass
+    through one Arrow batch of ``fix_mojibake_py``. On a real crawl
+    the corrupted fraction is small, so the Python cost scales with
+    the DAMAGE, not the corpus — the same boundary discipline as the
+    media codecs. Adds ``was_fixed``; the repaired text replaces
+    ``text_col``."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    marker = "[" + _MOJIBAKE_MARKERS + "]"
+    flagged = F.col(text_col).isNotNull() & F.col(text_col).rlike(marker)
+
+    def _repair_fn(s):
+        return s.map(lambda v: None if v is None else fix_mojibake_py(v, max_passes))
+
+    # module has `from __future__ import annotations`, which stringifies
+    # inline hints and defeats pandas_udf's signature inference — attach
+    # the real class objects instead
+    _repair_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _repair = F.pandas_udf(_repair_fn, StringType())
+
+    repaired = F.when(flagged, _repair(F.col(text_col))).otherwise(F.col(text_col))
+    return docs.withColumn("__fixed", repaired).select(
+        *[c for c in docs.columns if c != text_col],
+        F.col("__fixed").alias(text_col),
+        (F.col("__fixed") != F.col(text_col)).alias("was_fixed"),
     )

@@ -1958,12 +1958,37 @@ def test_token_budget_sample_boundary_deterministic(spark):
 
 def test_pipeline_docs_curation_leaves_no_cache(spark):
     """Catalog queries must not mutate session cache state: the packing
-    stage boundary is a parquet checkpoint, not an unscoped persist."""
+    stage boundary is a parquet checkpoint, not an unscoped persist.
+    Diff-based (this query adds NO persistent RDDs) rather than
+    absolute-zero: other operators in the shared test session may
+    legitimately hold their single documented checkpoint (see
+    duplicate_clusters' rotated localCheckpoint)."""
     from temporai_mivdp_spark.queries_llm import QUERIES
 
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
     out = QUERIES["pipeline_docs_curation"](spark, "/root/testdata/sf0.001")
     assert out.count() > 0
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    assert after - before == set()
+
+
+def test_duplicate_clusters_checkpoint_rotation(spark):
+    """The star-contraction loop must not accumulate checkpoint RDDs:
+    at most ONE live persistent RDD per call (the returned frame's
+    backing store), regardless of round count — a 1000-cluster-call
+    pipeline would otherwise pin O(calls * log n) RDDs until context
+    death."""
+    from temporai_mivdp_spark.llmdata.dedup import duplicate_clusters
+
+    # a 64-chain forces multiple contraction rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a: long, id_b: long"
+    )
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    out = duplicate_clusters(pairs)
+    assert out.filter("cluster_id = 0").count() == 65 - 1 + 1
+    added = set(dict(spark.sparkContext._jsc.getPersistentRDDs())) - before
+    assert len(added) <= 1, added
 
 
 def test_language_id_ngram_beats_marker_on_heldout(spark):
@@ -2227,3 +2252,74 @@ def test_png_paletted_interlaced_subbyte():
     idx = rng.integers(0, 3, size=(10, 11, 1))
     b = _png_bytes_full(idx, 3, bit_depth=2, palette=pal, interlace=1)
     assert (_png_pixels(b) == pal[idx[:, :, 0]]).all()
+
+
+def _sloppy_display(b: bytes) -> str:
+    """Test-side: how UTF-8 bytes look when shown as windows-1252
+    (undefined slots fall back to the C1 control, the browser/ftpy
+    convention) — written independently of the repair kernel."""
+    cp = {
+        0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„", 0x85: "…", 0x86: "†",
+        0x87: "‡", 0x88: "ˆ", 0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+        0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“", 0x94: "”", 0x95: "•",
+        0x96: "–", 0x97: "—", 0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+        0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+    }
+    return "".join(cp.get(x, chr(x)) for x in b)
+
+
+def test_fix_mojibake_kernel_roundtrips():
+    from temporai_mivdp_spark.llmdata.text import fix_mojibake_py
+
+    originals = [
+        "café — naïve résumé",
+        "smart ‘quotes’ and “doubles” …",
+        "emoji 😀 and CJK 你好 and Ж",
+        "plain ascii stays",
+    ]
+    for orig in originals:
+        moj = _sloppy_display(orig.encode("utf-8"))
+        assert fix_mojibake_py(moj) == orig, orig
+        # double-encoded: two display passes still unwind
+        moj2 = _sloppy_display(moj.encode("utf-8"))
+        assert fix_mojibake_py(moj2) == orig, orig
+
+    # false positives survive verbatim: legit uppercase à before a
+    # non-continuation char is INVALID utf-8 when mapped back
+    assert fix_mojibake_py("SÃO PAULO") == "SÃO PAULO"
+    # clean text containing marker chars round-trips to itself
+    assert fix_mojibake_py("déjà vu") == "déjà vu"
+
+
+def test_fix_mojibake_dataframe_routing(spark):
+    from pyspark.sql import functions as F
+
+    from temporai_mivdp_spark.llmdata import text as t
+
+    orig = "café — naïve 😀"
+    moj = _sloppy_display(orig.encode("utf-8"))
+    rows = [
+        (1, moj),
+        (2, "totally clean ascii"),
+        (3, "SÃO PAULO"),
+        (4, None),
+        (5, "déjà vu"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: (r.text, r.was_fixed) for r in t.fix_mojibake(docs).collect()}
+    assert got[1] == (orig, True)
+    assert got[2] == ("totally clean ascii", False)
+    assert got[3] == ("SÃO PAULO", False)
+    assert got[4][0] is None and got[4][1] is None
+    assert got[5] == ("déjà vu", False)
+
+    # routing: clean rows never enter Python — the plan's pythonUDF
+    # input is gated behind the marker rlike (CASE WHEN). Assert the
+    # flag expression itself prunes: a corpus with no markers produces
+    # zero fixed rows and identical text column.
+    clean = spark.createDataFrame(
+        [(i, f"doc {i} plain") for i in range(10)], "doc_id: long, text: string"
+    )
+    out = t.fix_mojibake(clean)
+    assert out.filter(F.col("was_fixed")).count() == 0
+    assert out.filter(F.col("text") != F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" plain"))).count() == 0
