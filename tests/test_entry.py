@@ -55,3 +55,28 @@ def test_coverage_doc_mentions_every_catalog_query():
     # superstring key or stray prose
     missing = [k for k in entrymod.queries() if f"`{k}`" not in text]
     assert not missing, missing
+
+
+def test_catalog_executes_under_ansi_mode(spark):
+    """Spark 4 deployments increasingly run ANSI mode; the engine
+    defaults it OFF for the reference's coerce semantics, but every
+    catalog query must still EXECUTE cleanly under ansi.enabled=true
+    (no silent reliance on lenient casts / out-of-bounds element_at /
+    division edge cases). Results equality vs the oracle is the normal
+    harness's job; this pins crash-freedom under the strict dialect."""
+    import __spark_entry__ as entrymod
+
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        failures = []
+        for name, fn in sorted(entrymod.queries().items()):
+            try:
+                fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as ex:  # noqa: BLE001
+                failures.append((name, str(ex).split("\n")[0][:160]))
+        assert not failures, failures
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
