@@ -221,3 +221,46 @@ def extract_cohort_icu(
     if cohort_disease_hadm_ids_df is not None:
         labeled = semi_join_filter(labeled, cohort_disease_hadm_ids_df, "hadm_id")
     return labeled
+
+
+def extract_cohort_hosp(
+    admissions: DataFrame,
+    patients: DataFrame,
+    label: str,
+    time: int = 0,
+    disease_hadm_ids_df: DataFrame | None = None,
+    cohort_disease_hadm_ids_df: DataFrame | None = None,
+) -> DataFrame:
+    """EP-1 end-to-end for the NON-ICU path (extract_data with
+    use_ICU=False, day_intervals_cohort_v1.py:444-685): visits come
+    from admissions (los = whole days between admittime and dischtime
+    — the :98-106 timedelta string-split as ``floor_days``; readmission
+    drops in-hospital deaths via hospital_expire_flag :110), the same
+    three label strategies run over (admittime, dischtime), and the
+    optional disease semi-join applies to the labeled cohort.
+
+    ``label``: "mortality" | "readmission" | "los".
+    ``time``: readmission gap days or LOS threshold days.
+    """
+    use_admn = label == "readmission"
+    pts = visit_pts_hosp(
+        admissions, patients, use_admn=use_admn,
+        disease_hadm_ids=disease_hadm_ids_df,
+    )
+    if label == "mortality":
+        labeled, _ = label_mortality(
+            pts, admit_col="admittime", disch_col="dischtime"
+        )
+    elif label == "readmission":
+        labeled = label_readmission(
+            pts, gap_days=time, admit_col="admittime", disch_col="dischtime"
+        )
+    elif label == "los":
+        labeled, _ = label_los(
+            pts, los_days=time, admit_col="admittime", disch_col="dischtime"
+        )
+    else:
+        raise ValueError(f"unknown label {label!r}")
+    if cohort_disease_hadm_ids_df is not None:
+        labeled = semi_join_filter(labeled, cohort_disease_hadm_ids_df, "hadm_id")
+    return labeled

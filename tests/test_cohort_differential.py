@@ -241,3 +241,147 @@ def test_extract_cohort_icu_disease_filter_matches(spark, label, time):
     ref = ref_extract_icu(pdf_icu, pdf_pat, pdf_adm, label, time, cohort_hadm_ids=set(keep_hadm))
     want = {(int(r.subject_id), int(r.stay_id)): int(r.label) for _, r in ref.iterrows()}
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# hosp (use_ICU=False) branch: transliteration + differential
+# ---------------------------------------------------------------------------
+
+
+def ref_visit_pts_hosp(admissions, patients, use_admn):
+    """get_visit_pts, hosp branch (:90-114, 155-220): los = whole days
+    from the timedelta string split; readmission drops in-hospital
+    deaths; dropna(min_valid_year)."""
+    visit = admissions.copy()
+    td = visit["dischtime"] - visit["admittime"]
+    visit["los"] = pd.to_numeric(
+        td.astype(str).str.split(" ", expand=True)[0]
+    )
+    if use_admn:
+        visit = visit.loc[visit.hospital_expire_flag == 0]
+    pts = patients.copy()
+    pts["yob"] = pts["anchor_year"] - pts["anchor_age"]
+    pts["min_valid_year"] = pts["anchor_year"] + (
+        2019 - pts["anchor_year_group"].str.slice(start=-4).astype(int)
+    )
+    vp = visit[["subject_id", "hadm_id", "admittime", "dischtime", "los"]].merge(
+        pts[["subject_id", "anchor_year", "anchor_age", "yob",
+             "min_valid_year", "dod", "gender"]],
+        on="subject_id",
+        how="inner",
+    )
+    vp["Age"] = vp["anchor_age"]
+    vp = vp.loc[vp["Age"] >= 18]
+    eth = admissions[["hadm_id", "insurance", "ethnicity"]]
+    vp = vp.merge(eth, on="hadm_id", how="inner")
+    return vp.dropna(subset=["min_valid_year"])[
+        ["subject_id", "hadm_id", "admittime", "dischtime", "los",
+         "min_valid_year", "dod", "Age", "gender", "ethnicity", "insurance"]
+    ]
+
+
+def ref_partition_by_readmit_hosp(df, gap_days):
+    """Same loop as the ICU form, over (admittime, dischtime)."""
+    d = df.rename(columns={"admittime": "intime", "dischtime": "outtime"})
+    out = ref_partition_by_readmit(d, gap_days)
+    return out.rename(columns={"intime": "admittime", "outtime": "dischtime"})
+
+
+def ref_extract_hosp(admissions, patients, label, time):
+    pts = ref_visit_pts_hosp(admissions, patients, use_admn=label == "readmission")
+    if label == "mortality":
+        invalid_mask = pts.admittime.isna() | pts.dischtime.isna()
+        cohort = pts.loc[~invalid_mask].copy()
+        cohort["label"] = [
+            0 if pd.isna(r.dod) else int(r.admittime <= r.dod <= r.dischtime)
+            for _, r in cohort.iterrows()
+        ]
+    elif label == "readmission":
+        cohort = ref_partition_by_readmit_hosp(pts, time)
+    elif label == "los":
+        mask = pts.admittime.isna() | pts.dischtime.isna() | pts.los.isna()
+        cohort = pts.loc[~mask].copy()
+        cohort["label"] = (cohort["los"] > time).astype(int)
+    else:
+        raise ValueError(label)
+    return cohort
+
+
+def make_hosp_fixture(seed, n_subjects=40):
+    rng = random.Random(seed)
+    patients, admissions = [], []
+    hadm_id = 5000
+    for sid in range(n_subjects):
+        anchor_age = rng.randint(15, 90)
+        gender = rng.choice(["M", "F"])
+        anchor_year = rng.randint(2012, 2019)
+        group_end = rng.choice([2011, 2014, 2017, 2019])
+        anchor_year_group = f"{group_end - 2} - {group_end}"
+        n_adm = rng.randint(1, 4)
+        stays = []
+        t = BASE + dt.timedelta(days=rng.randint(0, 200))
+        for _ in range(n_adm):
+            admit = t
+            los_days = rng.uniform(0.2, 12.0)
+            disch = admit + dt.timedelta(days=los_days)
+            t = disch + dt.timedelta(days=rng.choice([1, 5, 15, 29, 30, 31, 45, 90]))
+            stays.append((admit, disch))
+        dod = None
+        died_inhouse = False
+        mode = rng.random()
+        if mode < 0.25:
+            s = rng.choice(stays)
+            dod = s[0] + (s[1] - s[0]) / 2
+            died_inhouse = True
+        elif mode < 0.4:
+            dod = stays[-1][1] + dt.timedelta(days=rng.randint(1, 400))
+        patients.append((sid, anchor_year, anchor_age, anchor_year_group, dod, gender))
+        for admit, disch in stays:
+            hadm_id += 1
+            expire = int(died_inhouse and dod is not None and admit <= dod <= disch)
+            admissions.append(
+                (sid, hadm_id, admit, disch, expire,
+                 rng.choice(["Medicare", "Medicaid", "Other"]),
+                 rng.choice(["WHITE", "BLACK", "ASIAN", "OTHER"]))
+            )
+    pdf_pat = pd.DataFrame(
+        patients,
+        columns=["subject_id", "anchor_year", "anchor_age", "anchor_year_group",
+                 "dod", "gender"],
+    )
+    pdf_adm = pd.DataFrame(
+        admissions,
+        columns=["subject_id", "hadm_id", "admittime", "dischtime",
+                 "hospital_expire_flag", "insurance", "ethnicity"],
+    )
+    for c in ("admittime", "dischtime"):
+        pdf_adm[c] = pd.to_datetime(pdf_adm[c])
+    pdf_pat["dod"] = pd.to_datetime(pdf_pat["dod"])
+    return pdf_adm, pdf_pat
+
+
+@pytest.mark.parametrize("label,time", [("mortality", 0), ("readmission", 30), ("los", 3)])
+@pytest.mark.parametrize("seed", [3, 17])
+def test_extract_cohort_hosp_matches_reference_transliteration(spark, label, time, seed):
+    from temporai_mivdp_spark.mivdp.cohort import extract_cohort_hosp
+
+    pdf_adm, pdf_pat = make_hosp_fixture(seed)
+    adm = spark.createDataFrame(
+        pdf_adm,
+        "subject_id long, hadm_id long, admittime timestamp, "
+        "dischtime timestamp, hospital_expire_flag int, insurance string, "
+        "ethnicity string",
+    )
+    pat = spark.createDataFrame(
+        pdf_pat,
+        "subject_id long, anchor_year long, anchor_age long, "
+        "anchor_year_group string, dod timestamp, gender string",
+    )
+    got = {
+        (r.subject_id, r.hadm_id): r.label
+        for r in extract_cohort_hosp(adm, pat, label=label, time=time).collect()
+    }
+    ref = ref_extract_hosp(pdf_adm, pdf_pat, label, time)
+    want = {(int(r.subject_id), int(r.hadm_id)): int(r.label) for _, r in ref.iterrows()}
+    assert got == want
+    assert 0 < sum(want.values()) < len(want)
