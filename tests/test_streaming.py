@@ -493,3 +493,40 @@ def test_stream_session_finalize_emit_once(spark):
         (1, ts("2024-01-01 01:00:00"), ts("2024-01-01 01:05:00"), 2),
         (9, ts("2024-01-01 03:00:00"), ts("2024-01-01 03:00:00"), 1),
     }
+
+
+def test_fix_mojibake_streaming_matches_batch(spark):
+    """fix_mojibake is a projection (regex flag + routed Arrow kernel,
+    no aggregation/state) — it must run unchanged inside a streaming
+    query and agree with the batch path row for row. This is the
+    pre-gate repair stage an ingest pipeline runs before
+    curation_gate."""
+    import tempfile as _tf
+
+    from temporai_mivdp_spark.llmdata import text as t
+    from tests.test_llmdata import _sloppy_display
+
+    orig = "café — naïve 😀"
+    rows = [
+        (1, _sloppy_display(orig.encode("utf-8"))),
+        (2, "plain ascii"),
+        (3, "SÃO PAULO"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    d = _tf.mkdtemp(prefix="moji-src-")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    src = st.read_parquet_stream(spark, d, df.schema)
+    q = (
+        t.fix_mojibake(src)
+        .writeStream.format("memory").queryName("moji_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.text, r.was_fixed)
+        for r in spark.sql("select * from moji_t").collect()
+    }
+    want = {r.doc_id: (r.text, r.was_fixed) for r in t.fix_mojibake(df).collect()}
+    assert got == want
+    assert got[1] == (orig, True)
