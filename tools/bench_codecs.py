@@ -1,0 +1,93 @@
+"""Measure the stdlib media codecs' single-core decode throughput.
+
+The multimodal docstrings claim the pure-Python/numpy codecs are "fine
+for the Arrow-batched mapInPandas stage"; this tool replaces that claim
+with numbers: images (or seconds-of-audio) decoded per second per core
+and MB/s of payload, for each real decode path. Payloads are synthesized
+by the INDEPENDENT test-side encoders (tests/test_imagecodecs.py,
+tests/test_llmdata.py), so the measurement exercises exactly the decode
+code a corpus pipeline runs.
+
+Usage: python tools/bench_codecs.py [side]   (default image side 128 px)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from temporai_mivdp_spark.llmdata.imagecodecs import (  # noqa: E402
+    gif_frames,
+    gif_pixels,
+    jpeg_pixels,
+)
+from temporai_mivdp_spark.llmdata.multimodal import (  # noqa: E402
+    _png_pixels,
+    _wav_samples,
+    _wav_stats,
+)
+from tests.test_imagecodecs import (  # noqa: E402
+    _smooth_rgb,
+    gif_anim_bytes,
+    gif_bytes,
+    jpeg_bytes,
+    jpeg_progressive_bytes,
+)
+from tests.test_llmdata import _png_bytes_full  # noqa: E402
+
+
+def measure(name: str, payload: bytes, decode, min_s: float = 2.0) -> None:
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < min_s:
+        decode(payload)
+        n += 1
+    dt = time.perf_counter() - t0
+    rate = n / dt
+    mbs = len(payload) * rate / 1e6
+    print(f"| {name} | {len(payload)/1024:.0f} KiB | {rate:.1f}/s | {mbs:.2f} MB/s |")
+
+
+def main() -> None:
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    rgb = _smooth_rgb(side, side)
+    pal = (np.arange(768) % 256).astype(np.uint8).reshape(256, 3)
+    idx = (rgb[:, :, 0] // 1).astype(np.intp)  # 8-bit palette indices
+
+    sr = 16000
+    t = np.arange(sr * 10) / sr
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+    w.writeframes((np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2").tobytes())
+    w.close()
+    wav = buf.getvalue()
+
+    anim = gif_anim_bytes(
+        (side, side), pal,
+        [{"indices": (idx + k) % 256, "delay_cs": 10} for k in range(8)],
+    )
+
+    print(f"image side: {side}px; audio: 10 s PCM @ {sr} Hz; single core")
+    print("| codec path | payload | decodes/s | MB/s |")
+    print("|---|---|---|---|")
+    measure("JPEG baseline 4:4:4", jpeg_bytes(rgb), jpeg_pixels)
+    measure("JPEG baseline 4:2:0", jpeg_bytes(rgb, subsample=True), jpeg_pixels)
+    measure("JPEG progressive", jpeg_progressive_bytes(rgb), jpeg_pixels)
+    measure("PNG RGB filters 0-2", _png_bytes_full(rgb, 2, filters=[0, 1, 2]), _png_pixels)
+    measure("PNG RGB Paeth", _png_bytes_full(rgb, 2, filters=[4]), _png_pixels)
+    measure("GIF still", gif_bytes(idx, pal), gif_pixels)
+    measure("GIF 8-frame anim", anim, gif_frames)
+    measure("WAV stats (10 s)", wav, _wav_stats)
+    measure("WAV samples (10 s)", wav, _wav_samples)
+
+
+if __name__ == "__main__":
+    main()
