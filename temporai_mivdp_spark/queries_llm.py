@@ -1177,3 +1177,77 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.strip_common_lines(bannered, min_docs=2)
+
+
+@_register(
+    "text_repeated_spans",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             'shared license header tokens alpha beta ' || text AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM aug
+    ),
+    spans AS (
+      SELECT doc_id, array_to_string(w[i:i+5], ' ') AS span
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 5)) AS i
+            FROM t WHERE len(w) >= 6)
+    ),
+    per_doc AS (
+      SELECT span, doc_id, count(*) AS occ FROM spans GROUP BY 1, 2
+    )
+    SELECT span, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occurrences
+    FROM per_doc GROUP BY span HAVING count(*) >= 2
+    """,
+)
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 6-token spans (llmdata/dedup.py::
+    repeated_spans) — the memorization/boilerplate report document-level
+    dedup can't see. Every document is prefixed with a shared header so
+    the span machinery provably fires corpus-wide on top of any natural
+    repeats. Two-pass shape: wide shuffles carry only 8-byte span
+    hashes; span STRINGS materialize only for the surviving (tiny)
+    report via a broadcast join back. The hash column is dropped here
+    because span identity, not the hash value, is the oracle-checkable
+    surface (Spark xxhash64 has no DuckDB twin)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("shared license header tokens alpha beta "), F.col("text")
+        ).alias("text"),
+    )
+    out = dedup.repeated_spans(docs, window=6, min_docs=2)
+    return out.select("span", "n_docs", "n_occurrences")
+
+
+@_register(
+    "text_quantile_norm",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS grp,
+             CAST(strlen(text) AS BIGINT) AS score
+      FROM documents
+    )
+    SELECT doc_id, grp, score,
+           percent_rank() OVER (PARTITION BY grp ORDER BY score) AS score_pct
+    FROM scored
+    """,
+)
+def text_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentile-rank calibration (llmdata/text.py::
+    quantile_normalize): raw quality scores are not comparable across
+    sources/languages, so keep-thresholds must rank WITHIN groups.
+    Groups here are md5-derived (16 hex buckets — engine-portable
+    deterministic grouping), score = byte length; one rank window per
+    group = a single exchange on the group key."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("grp"),
+        # octet_length == DuckDB strlen (BYTES); F.length counts CHARS
+        # and diverges on any multibyte corpus
+        F.octet_length("text").cast("long").alias("score"),
+    )
+    return text.quantile_normalize(docs, "score", group_col="grp")
