@@ -1251,3 +1251,57 @@ def text_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("long").alias("score"),
     )
     return text.quantile_normalize(docs, "score", group_col="grp")
+
+
+@_register(
+    "text_gopher",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, ' ' || {_NORM} || ' ' AS pad,
+             length(text) AS n_chars,
+             string_split({_NORM}, ' ') AS w,
+             len(string_split({_NORM}, ' ')) AS n_tokens
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM t WHERE n_tokens >= 2)
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, max(c) AS max_c, sum(c) AS tot, count(*) AS dist
+      FROM gc GROUP BY 1
+    ),
+    feats AS (
+      SELECT t.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             n_chars * 1.0 / n_tokens AS cpt,
+             ({_STOP_SUM}) * 1.0 / n_tokens AS stop_ratio,
+             coalesce(max_c * 2.0 / (tot + 1), 0.0) AS topf,
+             coalesce((tot - dist) * 1.0 / tot, 0.0) AS dupf
+      FROM t LEFT JOIN rep ON t.doc_id = rep.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           n_tokens BETWEEN 20 AND 100000 AS keep_length,
+           cpt BETWEEN 3.0 AND 10.0 AS keep_word_shape,
+           stop_ratio >= 0.02 AS keep_stopwords,
+           (topf <= 0.20 AND dupf <= 0.30) AS keep_repetition,
+           (n_tokens BETWEEN 20 AND 100000) AND (cpt BETWEEN 3.0 AND 10.0)
+             AND stop_ratio >= 0.02 AND topf <= 0.20 AND dupf <= 0.30
+             AS keep
+    FROM feats
+    """,
+)
+def text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full published Gopher document-filter policy, oracle-checked
+    end to end (llmdata/text.py::gopher_keep): token-count window,
+    mean-word-length window, stopword floor, and both repetition caps
+    (top-2-gram coverage, duplicate-2-gram fraction), each surfaced as
+    its own keep_* verdict so a rejected document says WHY, plus the
+    conjunction. Thresholds follow the paper except min_tokens=20 (the
+    10-99-token synthetic corpus would be all-reject at the paper's
+    50). Plan: one projection + one hashed-2-gram shuffle — the same
+    feature SQL the text_quality oracle already pins, with the rule
+    layer on top."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.gopher_keep(docs, min_tokens=20)
