@@ -127,3 +127,20 @@ def test_headline_set_and_plans_json_in_sync(spark):
     )
     assert sorted(fingerprints) == sorted(HEADLINE)
     assert all(isinstance(v, str) and len(v) == 12 for v in fingerprints.values())
+
+
+def test_langid_generate_reads_bound_attribute(spark):
+    """Regression pin for the O(len^2) trigram explode: the Generate's
+    transform lambda must reference the pre-materialized normalized-text
+    ATTRIBUTE, never an inline regexp — passing the normalize expression
+    into the lambda re-runs the regex at every trigram offset (measured
+    13.5s -> 2.6s at sf0.1 when fixed). Also pins the weight table as a
+    broadcast dimension, not a plan literal or a shuffled join side."""
+    df = QUERIES["text_langid"](spark, SF_SMOKE)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    gen_lines = [ln for ln in s.split("\n") if "Generate explode(transform" in ln]
+    assert gen_lines, "trigram Generate missing from plan"
+    for ln in gen_lines:
+        assert "regexp_replace" not in ln, ln[:200]
+    summary = plans.plan_summary(df)
+    assert summary.get("BroadcastHashJoin", 0) >= 1, summary
