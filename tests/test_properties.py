@@ -379,3 +379,44 @@ def test_leakage_safe_split_cluster_invariant(spark, edges, weights):
         r = find(i)
         comp_split.setdefault(r, set()).add(got[i])
     assert all(len(s) == 1 for s in comp_split.values())
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair kernel properties
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=80,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_fix_mojibake_inverts_sloppy_display(s):
+    """For ANY unicode string, displaying its UTF-8 bytes as sloppy
+    cp1252 and repairing must return the original — the repair is an
+    exact inverse of the corruption it targets, not a heuristic."""
+    from temporai_mivdp_spark.llmdata.text import (
+        _CP1252_C1,
+        fix_mojibake_py,
+    )
+
+    shown = "".join(_CP1252_C1.get(b, chr(b)) for b in s.encode("utf-8"))
+    got = fix_mojibake_py(shown)
+    # exception: if the original itself LOOKS like deeper mojibake the
+    # multi-pass unwinds further; assert the single-pass inverse then
+    if got != s:
+        # the repair of the repair chain must still begin by recovering s
+        assert fix_mojibake_py(shown, max_passes=1) == s
+
+
+@given(st.text(alphabet=st.characters(max_codepoint=0x7F), max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_fix_mojibake_ascii_fixed_point(s):
+    """Pure-ASCII text is untouched at any pass count."""
+    from temporai_mivdp_spark.llmdata.text import fix_mojibake_py
+
+    assert fix_mojibake_py(s) == s
