@@ -385,3 +385,127 @@ def test_extract_cohort_hosp_matches_reference_transliteration(spark, label, tim
     want = {(int(r.subject_id), int(r.hadm_id)): int(r.label) for _, r in ref.iterrows()}
     assert got == want
     assert 0 < sum(want.values()) < len(want)
+
+
+# ---------------------------------------------------------------------------
+# EP-3 front half: task-window trim composition differential
+# (mortality_length / los_length / readmission_length, datagen :392-520)
+# ---------------------------------------------------------------------------
+
+
+def ref_task_trim(data, meds, chart, task, include_time, pred_w):
+    """Transliteration of the reference's *_length methods: stay filter,
+    meds interval trim (clamp at window or shift-to-end), point-event
+    trim. Returns (data, meds, chart) pandas frames."""
+    data = data.copy()
+    if task == "mortality":
+        data = data[data["los"] >= include_time + pred_w]
+    else:
+        data = data[data["los"] >= include_time]
+    if task == "readmission":
+        data["select_time"] = data["los"] - include_time
+    data["los"] = include_time
+
+    meds = meds[meds["stay_id"].isin(data["stay_id"])].copy()
+    chart = chart[chart["stay_id"].isin(data["stay_id"])].copy()
+    if task == "readmission":
+        meds = pd.merge(meds, data[["stay_id", "select_time"]], on="stay_id", how="left")
+        meds["stop_time"] = meds["stop_time"] - meds["select_time"]
+        meds["start_time"] = meds["start_time"] - meds["select_time"]
+        meds = meds[meds["stop_time"] >= 0]
+        meds.loc[meds.start_time < 0, "start_time"] = 0
+        meds = meds.drop(columns=["select_time"])
+        chart = pd.merge(chart, data[["stay_id", "select_time"]], on="stay_id", how="left")
+        chart["start_time"] = chart["start_time"] - chart["select_time"]
+        chart = chart[chart["start_time"] >= 0]
+        chart = chart.drop(columns=["select_time"])
+    else:
+        meds = meds[meds["start_time"] <= include_time]
+        meds.loc[meds.stop_time > include_time, "stop_time"] = include_time
+        chart = chart[chart["start_time"] <= include_time]
+    return data, meds, chart
+
+
+def make_datagen_fixture(seed, n_stays=60):
+    rng = random.Random(seed)
+    stays, meds, chart = [], [], []
+    for sid in range(n_stays):
+        los = rng.randint(1, 200)
+        stays.append((sid, los))
+        for _ in range(rng.randint(0, 6)):
+            start = rng.randint(0, los + 30)  # some events past los
+            stop = start + rng.randint(0, 80)
+            meds.append((sid, rng.randint(1, 5), start, stop, rng.uniform(0.5, 9.9)))
+        for _ in range(rng.randint(0, 8)):
+            chart.append((sid, rng.randint(1, 9), rng.randint(0, los + 30),
+                          rng.uniform(50.0, 150.0)))
+    pdf_data = pd.DataFrame(stays, columns=["stay_id", "los"])
+    pdf_meds = pd.DataFrame(
+        meds, columns=["stay_id", "itemid", "start_time", "stop_time", "rate"]
+    )
+    pdf_chart = pd.DataFrame(
+        chart, columns=["stay_id", "itemid", "start_time", "valuenum"]
+    )
+    return pdf_data, pdf_meds, pdf_chart
+
+
+@pytest.mark.parametrize(
+    "task,include_time,pred_w",
+    [("mortality", 72, 24), ("los", 96, 0), ("readmission", 48, 0)],
+)
+@pytest.mark.parametrize("seed", [5, 23])
+def test_task_trim_composition_matches_reference(spark, task, include_time, pred_w, seed):
+    from temporai_mivdp_spark.mivdp import datagen as dg
+
+    pdf_data, pdf_meds, pdf_chart = make_datagen_fixture(seed)
+    data = spark.createDataFrame(pdf_data, "stay_id long, los long")
+    meds = spark.createDataFrame(
+        pdf_meds, "stay_id long, itemid long, start_time long, stop_time long, rate double"
+    )
+    chart = spark.createDataFrame(
+        pdf_chart, "stay_id long, itemid long, start_time long, valuenum double"
+    )
+
+    if task == "mortality":
+        kept = dg.trim_anchored_start(data, include_time, pred_window=pred_w)
+        m = dg.trim_events_start(meds, kept, include_time, clamp_stop=True)
+        c = dg.trim_events_start(chart, kept, include_time)
+    elif task == "los":
+        kept = dg.trim_anchored_start(data, include_time)
+        m = dg.trim_events_start(meds, kept, include_time, clamp_stop=True)
+        c = dg.trim_events_start(chart, kept, include_time)
+    else:
+        kept = dg.trim_readmission(data, include_time)
+        m = dg.trim_events_end_anchored(meds, kept, has_stop=True)
+        c = dg.trim_events_end_anchored(chart, kept)
+
+    rd, rm, rc = ref_task_trim(pdf_data, pdf_meds, pdf_chart, task, include_time, pred_w)
+
+    got_stays = {(r.stay_id, r.los) for r in kept.select("stay_id", "los").collect()}
+    want_stays = {(int(r.stay_id), int(r.los)) for _, r in rd.iterrows()}
+    assert got_stays == want_stays
+
+    # meds: multiset of (stay, item, start, stop, rate)
+    got_m = sorted(
+        (r.stay_id, r.itemid, r.start_time, r.stop_time, round(r.rate, 9))
+        for r in m.select("stay_id", "itemid", "start_time", "stop_time", "rate").collect()
+    )
+    want_m = sorted(
+        (int(r.stay_id), int(r.itemid), int(r.start_time), int(r.stop_time),
+         round(float(r.rate), 9))
+        for _, r in rm.iterrows()
+    )
+    assert got_m == want_m
+
+    got_c = sorted(
+        (r.stay_id, r.itemid, r.start_time, round(r.valuenum, 9))
+        for r in c.select("stay_id", "itemid", "start_time", "valuenum").collect()
+    )
+    want_c = sorted(
+        (int(r.stay_id), int(r.itemid), int(r.start_time), round(float(r.valuenum), 9))
+        for _, r in rc.iterrows()
+    )
+    assert got_c == want_c
+    # the windows must actually cut something on this fixture
+    assert len(want_stays) < len(pdf_data)
+    assert len(want_m) < len(pdf_meds[pdf_meds.stay_id.isin(rd.stay_id)])
