@@ -124,7 +124,9 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--only"):
             only = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
-            headline = [n for n in headline if n in set(only.split(","))]
+            # any catalog query, not just the headline set — one-off
+            # sweeps of newly added entries use this
+            headline = [n for n in only.split(",") if n in QUERIES]
     spark = get_session(
         app_name="mivdp-scale-decade-full",
         master="local[32]",
