@@ -82,22 +82,10 @@ def extract_data(
             disease_hadm_ids_df=pre_ids, cohort_disease_hadm_ids_df=post_ids,
         )
     else:
-        pts = _cohort.visit_pts_hosp(
-            admissions, patients, use_admn=(task == "readmission"),
-            disease_hadm_ids=pre_ids,
+        out = _cohort.extract_cohort_hosp(
+            admissions, patients, label=task, time=time,
+            disease_hadm_ids_df=pre_ids, cohort_disease_hadm_ids_df=post_ids,
         )
-        if task == "mortality":
-            out, _invalid = _cohort.label_mortality(pts, "admittime", "dischtime")
-        elif task == "readmission":
-            out = _cohort.label_readmission(
-                pts, gap_days=time, admit_col="admittime", disch_col="dischtime"
-            )
-        else:
-            out, _invalid = _cohort.label_los(pts, time, "admittime", "dischtime")
-        if post_ids is not None:
-            from temporai_mivdp_spark.operators.filters import semi_join_filter
-
-            out = semi_join_filter(out, post_ids, "hadm_id")
 
     name = cohort_output or "cohort_{}_{}_{}{}".format(
         "icu" if use_icu else "non-icu",
