@@ -700,10 +700,16 @@ def gif_frames(b: bytes) -> list[tuple[int, np.ndarray]]:
             if iflags & 0x40:
                 arr = _deinterlace(arr, ih)
             saved = canvas.copy() if disposal == 3 else None
-            rect = canvas[top : top + ih, left : left + iw]
-            px = pal[arr]
+            # clip the paint region to the logical screen: numpy slicing
+            # clips silently but the full-shape px/mask assignment would
+            # then shape-error — malformed GIFs with out-of-bounds rects
+            # exist and should paint their visible part, not crash
+            h_eff = max(0, min(ih, sh - top))
+            w_eff = max(0, min(iw, sw - left))
+            rect = canvas[top : top + h_eff, left : left + w_eff]
+            px = pal[arr[:h_eff, :w_eff]]
             if transparent is not None:
-                mask = arr != transparent
+                mask = arr[:h_eff, :w_eff] != transparent
                 rect[mask] = px[mask]
             else:
                 rect[:, :] = px

@@ -238,7 +238,11 @@ def stream_session_finalize(
                     start, n = t, 0
                 if start is None:
                     start = t
-                last = t
+                # a late-but-within-watermark row must never move the
+                # session END backwards (or START forwards): extend the
+                # envelope, count the event
+                start = min(start, t)
+                last = t if last is None else max(last, t)
                 n += 1
         if last is not None:
             state.update((start, last, n))

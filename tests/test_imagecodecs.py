@@ -869,3 +869,25 @@ def test_gif_frames_local_palette_and_first_frame_matches_still():
     assert (frames[1][1] == lpal[f1]).all()
     # the still decoder sees the same first frame
     assert (gif_pixels(b) == gct[f0]).all()
+
+
+def test_gif_frames_out_of_bounds_rect_clips():
+    """Malformed-but-real GIFs place frame rects past the logical
+    screen; the visible part must paint and the rest clip, not crash."""
+    from temporai_mivdp_spark.llmdata.imagecodecs import gif_frames
+
+    gct = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [9, 9, 9]], np.uint8)
+    base = np.full((4, 4), 1, int)
+    # 3x3 patch at (3, 3): only its top-left pixel is on the 4x4 screen
+    patch = np.full((3, 3), 2, int)
+    b = gif_anim_bytes(
+        (4, 4), gct,
+        [
+            {"indices": base, "delay_cs": 1},
+            {"indices": patch, "left": 3, "top": 3, "delay_cs": 1},
+        ],
+    )
+    frames = gif_frames(b)
+    expect = gct[base].copy()
+    expect[3, 3] = gct[2]
+    assert (frames[1][1] == expect).all()

@@ -530,3 +530,38 @@ def test_fix_mojibake_streaming_matches_batch(spark):
     want = {r.doc_id: (r.text, r.was_fixed) for r in t.fix_mojibake(df).collect()}
     assert got == want
     assert got[1] == (orig, True)
+
+
+def test_stream_session_finalize_late_row_never_regresses_end(spark):
+    """A late-but-within-watermark row joins the open session without
+    moving its END backwards: the envelope extends (start may move
+    earlier), the count grows, and the timed-out emission reflects the
+    true envelope."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="sess-late-")
+    schema = "session_key: long, ts: timestamp"
+    f1 = [(1, ts("2024-01-01 10:00:00"))]
+    f2 = [(1, ts("2024-01-01 09:50:00"))]  # late; watermark is 09:00
+    f3 = [(9, ts("2024-01-01 13:00:00"))]  # pushes watermark past timeout
+    f4 = [(9, ts("2024-01-01 16:00:00"))]  # batch where the timeout fires
+    for i, rows in enumerate([f1, f2, f3, f4]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(d)
+    src = st.read_parquet_stream(
+        spark, d, spark.createDataFrame(f1, schema).schema, max_files_per_trigger=1
+    ).withWatermark("ts", "1 hour")
+    out = st.stream_session_finalize(src, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory").queryName("sess_late_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.session_key, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_late_t").collect()
+    }
+    assert (1, ts("2024-01-01 09:50:00"), ts("2024-01-01 10:00:00"), 2) in got
+    # no emission may carry a regressed end for key 1
+    assert not any(k == 1 and e < s for k, s, e, _ in got)
