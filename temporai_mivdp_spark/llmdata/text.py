@@ -999,8 +999,19 @@ def fix_mojibake(
     _repair_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _repair = F.pandas_udf(_repair_fn, StringType())
 
-    repaired = F.when(flagged, _repair(F.col(text_col))).otherwise(F.col(text_col))
-    return docs.withColumn("__fixed", repaired).select(
+    # SPLIT-UNION, not CASE WHEN: Spark hoists pandas UDFs out of
+    # conditional expressions into an unconditional ArrowEvalPython
+    # node — a `when(flag, udf(...))` ships EVERY row's text to Python
+    # and merely discards unflagged results. Filtering before the UDF
+    # is the only plan shape where Python cost actually tracks the
+    # flagged fraction; the price is a second pass over the source
+    # (filter + anti-filter), which at corpus scale is codegen'd scan
+    # work — orders cheaper than Arrow round-tripping the whole corpus.
+    # A plan test pins the UDF strictly beneath the marker Filter.
+    hit = docs.filter(flagged).withColumn("__fixed", _repair(F.col(text_col)))
+    miss = docs.filter(~flagged).withColumn("__fixed", F.col(text_col))
+    out = hit.unionByName(miss)
+    return out.select(
         *[c for c in docs.columns if c != text_col],
         F.col("__fixed").alias(text_col),
         (F.col("__fixed") != F.col(text_col)).alias("was_fixed"),

@@ -144,3 +144,26 @@ def test_langid_generate_reads_bound_attribute(spark):
         assert "regexp_replace" not in ln, ln[:200]
     summary = plans.plan_summary(df)
     assert summary.get("BroadcastHashJoin", 0) >= 1, summary
+
+
+def test_mojibake_udf_runs_only_behind_marker_filter(spark):
+    """Regression pin for the damage-proportional routing: the repair
+    pandas UDF must sit BENEATH the marker-regex Filter (split-union),
+    never above it — Spark hoists UDFs out of CASE WHEN into an
+    unconditional ArrowEvalPython, which would ship every row's text
+    to Python and merely discard unflagged results."""
+    from temporai_mivdp_spark.llmdata import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "plain"), (2, "cafÃ©")], "doc_id: long, text: string"
+    )
+    s = t.fix_mojibake(docs)._jdf.queryExecution().executedPlan().toString()
+    lines = s.split("\n")
+    udf_idx = [i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln]
+    rlike_idx = [i for i, ln in enumerate(lines) if "RLIKE" in ln and "NOT" not in ln]
+    assert len(udf_idx) == 1, s
+    assert rlike_idx, s
+    # tree prints parents above children: the marker Filter must be a
+    # DESCENDANT of (printed after) the UDF node, i.e. the UDF's input
+    # is already filtered
+    assert min(rlike_idx) > udf_idx[0], s
