@@ -727,6 +727,15 @@ def audio_spectral(media: DataFrame, n_bands: int = 8) -> DataFrame:
                         out[k].append(None)
                     continue
                 sr, x = _wav_samples(bytes(payload))
+                if sr <= 0 or x.size == 0:
+                    # zero-frame / malformed-rate PCM: emit zeros rather
+                    # than dividing by sr or FFT-ing nothing
+                    out["sample_rate"].append(sr)
+                    out["centroid_hz"].append("0.0")
+                    out["rolloff_hz"].append("0.0")
+                    out["dominant_hz"].append("0.0")
+                    out["band_energy"].append(",".join(["0.0"] * n_bands))
+                    continue
                 mag = np.abs(np.fft.rfft(x))
                 freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
                 power = mag * mag

@@ -260,3 +260,24 @@ def test_audio_spectral_silence_and_nonpcm(spark):
     )
     with pytest.raises(Exception, match="PCM WAV"):
         multimodal.audio_spectral(bad).collect()
+
+
+def test_audio_spectral_zero_frames(spark):
+    """A valid WAV header with zero frames emits zero features, not a
+    division error or an empty-FFT crash."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+    w.writeframes(b"")
+    w.close()
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "audio/wav", None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.audio_spectral(media).collect()[0]
+    assert r.sample_rate == 16000
+    assert float(r.centroid_hz) == 0.0
+    assert all(float(v) == 0.0 for v in r.band_energy.split(","))
