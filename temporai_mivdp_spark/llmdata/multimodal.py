@@ -8,9 +8,9 @@ split by what the stdlib can genuinely do:
 * REAL (no external libs): WAV/PCM audio (RIFF parse via ``wave`` +
   numpy for duration/RMS/zero-crossings, plus the ``audio_spectral``
   DSP tier: rFFT centroid/rolloff/dominant-frequency/band energies,
-  tested against synthesized sine ground truth), uncompressed 24-bit BMP decode
-  (struct header parse + numpy pixel array) including nearest-neighbor
-  resize, FULL PNG decode (chunk walk + stdlib ``zlib``
+  tested against synthesized sine ground truth), BMP decode
+  (24/32-bit truecolor, paletted 1/4/8-bit, RLE8, bottom-up and
+  top-down) including nearest-neighbor resize, FULL PNG decode (chunk walk + stdlib ``zlib``
   inflate + all five scanline unfilters; every legal IHDR combination —
   gray/RGB/palette/gray-alpha/RGBA at depths 1/2/4/8/16, Adam7
   interlace), BASELINE and
@@ -144,32 +144,96 @@ def _wav_stats(b: bytes) -> tuple[int, float, int]:
     return duration_ms, rms, zc
 
 
+def _bmp_rle8(b: bytes, off: int, w: int, h: int) -> np.ndarray:
+    """Decode a BI_RLE8 pixel stream to (h, w) palette indices
+    (bottom-up rows, per the spec): runs, absolute chunks (word-
+    aligned), end-of-line (0,0), end-of-bitmap (0,1), delta (0,2)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = off
+    while i + 1 < len(b):
+        n, v = b[i], b[i + 1]
+        i += 2
+        if n > 0:  # run of n copies of v
+            out[y, x : x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            x += b[i]
+            y += b[i + 1]
+            i += 2
+        else:  # absolute: v literal bytes, padded to a word boundary
+            out[y, x : x + v] = np.frombuffer(b, np.uint8, v, i)
+            x += v
+            i += v + (v & 1)
+    return out[::-1]  # expose top-down like the uncompressed path
+
+
 def _bmp_pixels(b: bytes) -> np.ndarray:
-    """Decode an uncompressed 24-bit BMP to an (h, w, 3) RGB uint8 array
-    — pure struct + numpy (bottom-up row order and 4-byte row padding
-    handled). Compressed/paletted BMPs raise ``NotImplementedError``."""
+    """Decode a BMP to an (h, w, 3) RGB uint8 array — pure struct +
+    numpy: uncompressed 24/32-bit, paletted 1/4/8-bit (BGRX color
+    table), and RLE8-compressed 8-bit; bottom-up and top-down row
+    orders, 4-byte row padding. 16-bit bitfield and RLE4 variants
+    raise ``NotImplementedError``."""
     if len(b) < 54 or b[:2] != b"BM":
         raise NotImplementedError("not a BMP payload")
     (data_off,) = struct.unpack_from("<I", b, 10)
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
     w, h = struct.unpack_from("<ii", b, 18)
     _planes, bpp = struct.unpack_from("<HH", b, 26)
     (compression,) = struct.unpack_from("<I", b, 30)
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError(
-            f"only uncompressed 24-bit BMP decodes without codec libs "
-            f"(got bpp={bpp}, compression={compression})"
-        )
+    (clr_used,) = struct.unpack_from("<I", b, 46)
     bottom_up = h > 0
     h = abs(h)
-    stride = (w * 3 + 3) & ~3
-    arr = (
-        np.frombuffer(b, np.uint8, count=stride * h, offset=data_off)
-        .reshape(h, stride)[:, : w * 3]
-        .reshape(h, w, 3)
+    if bpp in (24, 32) and compression == 0:
+        bypp = bpp // 8
+        stride = (w * bypp + 3) & ~3
+        arr = (
+            np.frombuffer(b, np.uint8, count=stride * h, offset=data_off)
+            .reshape(h, stride)[:, : w * bypp]
+            .reshape(h, w, bypp)
+        )
+        if bottom_up:
+            arr = arr[::-1]
+        return np.ascontiguousarray(arr[:, :, 2::-1])  # BGR(X) -> RGB
+    if bpp in (1, 4, 8) and compression in (0, 1):
+        n_colors = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(b, np.uint8, n_colors * 4, pal_off).reshape(
+            n_colors, 4
+        )[:, 2::-1]  # BGRX -> RGB
+        if compression == 1:  # BI_RLE8
+            if bpp != 8:
+                raise NotImplementedError("RLE is only defined for 8-bit BMP")
+            idx = _bmp_rle8(b, data_off, w, h)
+            if not bottom_up:
+                idx = idx[::-1]
+            return pal[np.minimum(idx, n_colors - 1)]
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = np.frombuffer(
+            b, np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        if bpp == 8:
+            idx = rows[:, :w].astype(np.intp)
+        else:  # 1/4-bit: MSB-first within each byte
+            bits = np.unpackbits(rows, axis=1)
+            spb = bpp
+            samples = bits[:, : w * spb].reshape(h, w, spb)
+            weights = 1 << np.arange(spb - 1, -1, -1)
+            idx = (samples * weights).sum(axis=2).astype(np.intp)
+        if bottom_up:
+            idx = idx[::-1]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise NotImplementedError("BMP palette index out of range")
+        return pal[idx]
+    raise NotImplementedError(
+        f"BMP variant needs codec libs (bpp={bpp}, compression={compression})"
     )
-    if bottom_up:
-        arr = arr[::-1]
-    return arr[:, :, ::-1]  # BGR -> RGB
 
 
 def _png_unfilter(raw: bytes, pos: int, h: int, stride: int, bpp: int):

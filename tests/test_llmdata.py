@@ -2323,3 +2323,114 @@ def test_fix_mojibake_dataframe_routing(spark):
     out = t.fix_mojibake(clean)
     assert out.filter(F.col("was_fixed")).count() == 0
     assert out.filter(F.col("text") != F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" plain"))).count() == 0
+
+
+def _bmp_bytes(pixels=None, indices=None, palette=None, bpp=24,
+               compression=0, top_down=False, rle=None):
+    """Test-side BMP encoder (independent of the decoder): 24/32-bit
+    truecolor from `pixels` (h,w,3), paletted 1/4/8-bit from `indices`
+    + `palette`, optional raw RLE8 stream via `rle`."""
+    import struct as s
+
+    import numpy as np
+
+    if pixels is not None:
+        h, w, _ = np.asarray(pixels).shape
+    else:
+        h, w = np.asarray(indices).shape
+    rows = []
+    if bpp in (24, 32):
+        px = np.asarray(pixels, np.uint8)
+        bypp = bpp // 8
+        stride = (w * bypp + 3) & ~3
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                r, g, b_ = px[y, x]
+                row += bytes([b_, g, r] + ([0] if bypp == 4 else []))
+            row += b"\x00" * (stride - len(row))
+            rows.append(bytes(row))
+        pal_bytes = b""
+        n_colors = 0
+    else:
+        idx = np.asarray(indices)
+        n_colors = len(palette)
+        pal_bytes = b"".join(
+            bytes([c[2], c[1], c[0], 0]) for c in np.asarray(palette, np.uint8)
+        )
+        if compression == 0:
+            stride = ((w * bpp + 31) // 32) * 4
+            for y in range(h):
+                bits = "".join(format(int(v), f"0{bpp}b") for v in idx[y])
+                bits += "0" * (stride * 8 - len(bits))
+                rows.append(
+                    bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+                )
+    if compression == 1:
+        data = rle
+    else:
+        order = rows if top_down else rows[::-1]
+        data = b"".join(order)
+    data_off = 54 + len(pal_bytes)
+    hdr = b"BM" + s.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    dib = s.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp,
+        compression, len(data), 2835, 2835, n_colors, 0,
+    )
+    return hdr + dib + pal_bytes + data
+
+
+def test_bmp_32bit_and_topdown():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _bmp_pixels
+
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (_bmp_pixels(_bmp_bytes(pixels=px, bpp=24)) == px).all()
+    assert (_bmp_pixels(_bmp_bytes(pixels=px, bpp=32)) == px).all()
+    assert (_bmp_pixels(_bmp_bytes(pixels=px, bpp=24, top_down=True)) == px).all()
+
+
+def test_bmp_paletted_roundtrip():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _bmp_pixels
+
+    pal = np.array([[250, 1, 2], [3, 250, 4], [5, 6, 250], [9, 9, 9]], np.uint8)
+    rng = np.random.default_rng(4)
+    idx = rng.integers(0, 4, size=(6, 9))
+    for bpp in (8, 4):
+        got = _bmp_pixels(_bmp_bytes(indices=idx, palette=pal, bpp=bpp))
+        assert (got == pal[idx]).all(), bpp
+    # 1-bit
+    idx1 = rng.integers(0, 2, size=(4, 11))
+    got = _bmp_pixels(_bmp_bytes(indices=idx1, palette=pal[:2], bpp=1))
+    assert (got == pal[:2][idx1]).all()
+
+
+def test_bmp_rle8_runs_absolute_delta():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _bmp_pixels
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    # 4x6 image, bottom-up stream: row0(bottom)=run of 6 color 1;
+    # row1: absolute [2,3,2] then run 3 of 0; row2: delta skip (2,0)
+    # then run 4 of 3; row3: run 6 of 2; end of bitmap
+    rle = bytes([
+        6, 1, 0, 0,                       # run, EOL
+        0, 3, 2, 3, 2, 0,                 # absolute 3 (padded), ...
+        3, 0, 0, 0,                       # run 3 of color 0, EOL
+        0, 2, 2, 0, 4, 3, 0, 0,           # delta (2,0), run 4 of 3, EOL
+        6, 2, 0, 1,                       # run 6 of 2, EOB
+    ])
+    got = _bmp_pixels(_bmp_bytes(indices=np.zeros((4, 6)), palette=pal,
+                                 bpp=8, compression=1, rle=rle))
+    expect_idx = np.array([
+        [2, 2, 2, 2, 2, 2],      # top row (last decoded)
+        [0, 0, 3, 3, 3, 3],      # delta left cells default 0
+        [2, 3, 2, 0, 0, 0],
+        [1, 1, 1, 1, 1, 1],      # bottom row (first decoded)
+    ])
+    assert (got == pal[expect_idx]).all()
