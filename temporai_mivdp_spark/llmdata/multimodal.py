@@ -402,7 +402,7 @@ def _raster_pixels(b: bytes) -> np.ndarray:
 
         return gif_pixels(b)
     raise NotImplementedError(
-        "pixel decode without codec libs: BMP/PNG/baseline-JPEG/GIF only"
+        "pixel decode without codec libs: BMP/PNG/JPEG/GIF only"
     )
 
 
