@@ -12,10 +12,12 @@ to exercise the orthography (umlauts stripped to ASCII-adjacent forms are
 NOT applied — normalize_text only lowercases and collapses whitespace, so
 accented characters survive and are strong trigram features).
 
-Coverage: 16 languages — Germanic (de, en, nl, sv, da), Romance (es, fr,
-it, pt), Slavic Latin (pl, cs), Uralic (fi), Turkic (tr), plus three
-non-Latin scripts (ru Cyrillic, el Greek, ja CJK) so the trigram model is
-exercised beyond the Latin alphabet. Every language carries the SAME two
+Coverage: 20 languages — Germanic (de, en, nl, sv, da), Romance (es, fr,
+it, pt), Slavic Latin (pl, cs), Uralic (fi), Turkic (tr), plus seven
+non-Latin-script languages (ru and uk Cyrillic — a confusable pair that
+stress-tests the model beyond script detection — el Greek, ja CJK, ko
+Hangul, ar Arabic, hi Devanagari) so the trigram model is exercised
+across six scripts. Every language carries the SAME two
 passages translated (training) and the same six disjoint sentences
 (held-out), so per-language accuracy is comparable — and closely related
 pairs (sv/da, es/pt/it, pl/cs) make the held-out gate a real test, not a
@@ -212,6 +214,46 @@ _TRAIN_2: dict[str, str] = {
         "話し合う。列車は昼に出発し、海岸に着く前に広い川と畑と低い丘"
         "を越えていく。日曜日には家族みんなが食卓のまわりに集まり、祖"
         "父母が若いころの話を聞かせてくれる。"
+    ),
+    "uk": (
+        "Рано вранці місто тихе, а повітря прохолодне. Ми разом готуємо "
+        "просту їжу на маленькій кухні: суп, рис, свіжі овочі та трохи "
+        "риби. Мій сусід щовечора грає на піаніно, і музика лине через "
+        "двір. В офісі ми відповідаємо на листи, готуємо звіти й "
+        "обговорюємо плани на наступний місяць. Потяг відходить "
+        "опівдні та перетинає широку річку, поля й низькі пагорби, "
+        "перш ніж дістатися узбережжя. У неділю вся родина збирається "
+        "за столом, і дідусь із бабусею розповідають історії зі своєї "
+        "молодості."
+    ),
+    "ko": (
+        "이른 아침 도시는 조용하고 공기는 서늘하다. 우리는 작은 부엌에서 "
+        "함께 간단한 식사를 준비한다. 국과 밥과 신선한 채소와 약간의 "
+        "생선이다. 이웃은 저녁마다 피아노를 치고, 음악이 마당을 건너 "
+        "흐른다. 사무실에서 우리는 편지에 답하고 보고서를 준비하며 다음 "
+        "달 계획을 의논한다. 기차는 정오에 출발해 넓은 강과 들판과 낮은 "
+        "언덕을 지나 해안에 닿는다. 일요일에는 온 가족이 식탁에 모이고, "
+        "조부모님은 젊은 시절 이야기를 들려준다."
+    ),
+    "ar": (
+        "في الصباح الباكر تكون المدينة هادئة والهواء بارداً. نحضر معاً "
+        "وجبة بسيطة في المطبخ الصغير: حساء وأرز وخضروات طازجة وقليل من "
+        "السمك. يعزف جاري على البيانو كل مساء، وتعبر الموسيقى الفناء. "
+        "في المكتب نرد على الرسائل ونعد التقارير ونناقش خطط الشهر "
+        "القادم. يغادر القطار عند الظهر ويعبر النهر العريض والحقول "
+        "والتلال المنخفضة قبل أن يصل إلى الساحل. يوم الأحد تجتمع "
+        "العائلة كلها حول المائدة، ويروي الأجداد قصصاً من شبابهم."
+    ),
+    "hi": (
+        "सुबह-सुबह शहर शांत रहता है और हवा ठंडी होती है। हम छोटी रसोई "
+        "में मिलकर सादा खाना बनाते हैं: सूप, चावल, ताज़ी सब्ज़ियाँ और "
+        "थोड़ी मछली। मेरा पड़ोसी हर शाम पियानो बजाता है, और संगीत आँगन "
+        "के पार बहता है। दफ़्तर में हम चिट्ठियों का जवाब देते हैं, "
+        "रिपोर्ट तैयार करते हैं और अगले महीने की योजनाओं पर चर्चा करते "
+        "हैं। रेलगाड़ी दोपहर को छूटती है और चौड़ी नदी, खेतों और नीची "
+        "पहाड़ियों को पार करके तट तक पहुँचती है। रविवार को पूरा परिवार "
+        "मेज़ के चारों ओर इकट्ठा होता है, और दादा-दादी अपनी जवानी की "
+        "कहानियाँ सुनाते हैं।"
     ),
 }
 
@@ -412,6 +454,51 @@ TRAIN_SAMPLES: dict[str, str] = {
         "のあと犬と森を散歩したい。科学者たちは自然の理解を変える重要"
         "な発見をした。"
     ),
+    "uk": (
+        "Старий чоловік повільно йшов вузькою вулицею і думав про "
+        "минулі роки. Діти гралися на площі перед школою, поки матері "
+        "несли додому важкі сумки. Вивчати нову мову нелегко, але з "
+        "терпінням і практикою щодня стає краще. Учора ми написали "
+        "друзям довгого листа і розповіли їм про подорож. Цього тижня "
+        "погода була дуже гарна, і багато людей поїхали до озера. На "
+        "вихідних я хочу прочитати гарну книжку, а потім погуляти з "
+        "собакою в лісі. Науковці зробили важливе відкриття, яке "
+        "змінює наше розуміння природи."
+    ),
+    "ko": (
+        "나이 든 남자는 좁은 거리를 천천히 걸으며 지나간 세월을 "
+        "생각했다. 아이들은 학교 앞 광장에서 놀았고, 어머니들은 무거운 "
+        "가방을 들고 집으로 돌아갔다. 새로운 언어를 배우는 것은 쉽지 "
+        "않지만, 약간의 인내와 연습이 있으면 매일 조금씩 나아진다. "
+        "어제 우리는 친구들에게 긴 편지를 써서 여행 이야기를 전했다. "
+        "이번 주 날씨가 아주 좋아서 많은 사람들이 호수로 나갔다. "
+        "주말에는 좋은 책을 읽고 나서 개와 함께 숲을 산책하고 싶다. "
+        "과학자들은 자연에 대한 우리의 이해를 바꾸는 중요한 발견을 "
+        "했다."
+    ),
+    "ar": (
+        "كان الرجل العجوز يمشي ببطء في الشارع الضيق ويفكر في السنوات "
+        "الماضية. كان الأطفال يلعبون في الساحة أمام المدرسة بينما كانت "
+        "الأمهات يحملن الحقائب الثقيلة إلى البيت. ليس من السهل تعلم "
+        "لغة جديدة، ولكن مع قليل من الصبر والتمرين يتحسن الأمر كل "
+        "يوم. كتبنا أمس رسالة طويلة إلى أصدقائنا وحدثناهم عن الرحلة. "
+        "كان الطقس جميلاً جداً هذا الأسبوع، وذهب كثير من الناس إلى "
+        "البحيرة. أريد في نهاية الأسبوع أن أقرأ كتاباً جيداً ثم أتنزه "
+        "مع الكلب في الغابة. توصل العلماء إلى اكتشاف مهم يغير فهمنا "
+        "للطبيعة."
+    ),
+    "hi": (
+        "बूढ़ा आदमी संकरी गली में धीरे-धीरे चलता हुआ बीते वर्षों के "
+        "बारे में सोच रहा था। बच्चे स्कूल के सामने मैदान में खेल रहे "
+        "थे, जबकि माताएँ भारी थैले लेकर घर जा रही थीं। नई भाषा सीखना "
+        "आसान नहीं है, लेकिन थोड़े धैर्य और अभ्यास से यह हर दिन बेहतर "
+        "होता जाता है। कल हमने अपने दोस्तों को एक लंबा पत्र लिखा और "
+        "उन्हें यात्रा के बारे में बताया। इस सप्ताह मौसम बहुत सुहावना "
+        "रहा, और बहुत से लोग झील की ओर गए। सप्ताहांत में मैं एक अच्छी "
+        "किताब पढ़ना चाहता हूँ और फिर कुत्ते के साथ जंगल में टहलना "
+        "चाहता हूँ। वैज्ञानिकों ने एक महत्वपूर्ण खोज की है जो प्रकृति "
+        "के बारे में हमारी समझ बदल देती है।"
+    ),
 }
 
 # concatenate the second passage into every language's training text
@@ -547,5 +634,37 @@ HELDOUT_SAMPLES: dict[str, list[str]] = {
         "駅までの行き方を教えていただけますか。",
         "冬にはレモンと蜂蜜を入れた熱いお茶を飲むのが好きです。",
         "歴史の講義は思ったより長くかかりました。",
+    ],
+    "uk": [
+        "Сьогодні вранці я купив свіжий хліб на ринку.",
+        "Бібліотека відчиняється лише о дев'ятій, тому ми чекаємо надворі.",
+        "Мій брат уже три роки працює в маленькій майстерні.",
+        "Підкажіть, будь ласка, як пройти до вокзалу?",
+        "Узимку ми любимо пити гарячий чай з лимоном і медом.",
+        "Лекція з історії тривала довше, ніж очікувалося.",
+    ],
+    "ko": [
+        "오늘 아침 시장에서 갓 구운 빵을 샀습니다.",
+        "도서관은 아홉 시가 되어야 열기 때문에 밖에서 기다립니다.",
+        "제 동생은 삼 년째 작은 공방에서 일하고 있습니다.",
+        "역까지 가는 길을 알려 주시겠습니까?",
+        "겨울에는 레몬과 꿀을 넣은 뜨거운 차를 즐겨 마십니다.",
+        "역사 강의는 예상보다 오래 걸렸습니다.",
+    ],
+    "ar": [
+        "اشتريت هذا الصباح خبزاً طازجاً من السوق.",
+        "لا تفتح المكتبة قبل التاسعة، لذلك ننتظر في الخارج.",
+        "يعمل أخي منذ ثلاث سنوات في ورشة صغيرة.",
+        "هل يمكنك أن تدلني على الطريق إلى المحطة؟",
+        "في الشتاء نحب أن نشرب الشاي الساخن بالليمون والعسل.",
+        "استغرقت محاضرة التاريخ وقتاً أطول مما كان متوقعاً.",
+    ],
+    "hi": [
+        "आज सुबह मैंने बाज़ार से ताज़ा रोटी खरीदी।",
+        "पुस्तकालय नौ बजे से पहले नहीं खुलता, इसलिए हम बाहर इंतज़ार करते हैं।",
+        "मेरा भाई तीन साल से एक छोटी कार्यशाला में काम करता है।",
+        "कृपया बताइए, स्टेशन तक कैसे पहुँचूँ?",
+        "सर्दियों में हम नींबू और शहद वाली गरम चाय पीना पसंद करते हैं।",
+        "इतिहास का व्याख्यान उम्मीद से लंबा चला।",
     ],
 }

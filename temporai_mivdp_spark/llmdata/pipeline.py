@@ -223,7 +223,7 @@ def curation_gate(
     the two paths cannot drift (tests assert row-for-row parity).
 
     Adds to ``docs``: ``n_tokens``, ``punct_ratio`` (quality features),
-    ``lang_pred`` (trigram NB language-ID — the 16-language fidelity
+    ``lang_pred`` (trigram NB language-ID — the 20-language fidelity
     tier, not the marker heuristic), ``bpe_tokens`` (REAL pretrained-BPE
     counts, the packing/budget currency), and the boolean ``keep``.
     Filtering is the caller's choice (``.filter("keep")``) — ingest

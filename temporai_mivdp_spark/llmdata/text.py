@@ -650,7 +650,7 @@ def _py_normalize(s: str) -> str:
 
 #: Per-language trigram budget for the shared feature set. 400 (up from
 #: the round-4 default of 80) is where held-out accuracy plateaus with 16
-#: languages — the union table is ~3.7k trigrams, a broadcast dimension,
+#: languages — the union table is ~5.1k trigrams, a broadcast dimension,
 #: not a plan literal (see language_id_ngram).
 TRIGRAM_TOP_K = 400
 
@@ -696,6 +696,23 @@ def trigram_score_tables(top_k_per_lang: int = TRIGRAM_TOP_K) -> dict[str, dict[
     return tables
 
 
+#: Unicode-script fallback for zero-feature docs (applied ONLY when no
+#: trigram feature matched): unambiguous script ranges map straight to
+#: their single in-table language. Syllabic/ideographic scripts have
+#: near-unique per-word trigrams, so a short sentence of unseen words
+#: can miss every feature while its SCRIPT is unmistakable; Latin and
+#: Cyrillic stay out (multiple candidate languages) and keep 'und'.
+#: Literal range characters so the identical pattern works in Spark
+#: rlike and the DuckDB oracle's regexp_matches.
+SCRIPT_FALLBACK: list[tuple[str, str]] = [
+    ("ko", "[가-힣]"),     # Hangul syllables  U+AC00-D7A3
+    ("ja", "[ぁ-ヿ]"),     # Hiragana+Katakana U+3041-30FF
+    ("hi", "[ऀ-ॿ]"),      # Devanagari       U+0900-097F
+    ("ar", "[؀-ۿ]"),      # Arabic           U+0600-06FF
+    ("el", "[Ͱ-Ͽ]"),      # Greek            U+0370-03FF
+]
+
+
 def language_id_ngram(
     docs: DataFrame,
     text_col: str = "text",
@@ -713,7 +730,7 @@ def language_id_ngram(
     value = the per-language weight array) joined on the gram, and one
     map-side-combined doc-keyed sum per language finishes; a left join
     back surfaces gram-less docs (< 3 chars) as ``'und'``. With 16
-    languages the shared feature set is ~3.7k trigrams — a dimension
+    languages the shared feature set is ~5.1k trigrams — a dimension
     that ships once per executor via broadcast, NOT a plan literal
     repeated into every task binary (the round-4 4-language version
     inlined per-language maps; growing coverage grows the dimension
@@ -722,7 +739,12 @@ def language_id_ngram(
     Prediction = argmax with (score desc, language asc) tie-break;
     weights are negative, so any matched trigram drives every score
     below zero and ``max(score) < 0`` is exactly "at least one feature
-    matched" — all-zero rows predict ``'und'``.
+    matched". All-zero rows fall to the ``SCRIPT_FALLBACK`` tier:
+    unambiguous unicode-script ranges (Hangul/kana/Devanagari/Arabic/
+    Greek) map straight to their single in-table language — syllabic
+    scripts have near-unique per-word trigrams, so short unseen-word
+    sentences can miss every feature while their script is certain —
+    and everything else predicts ``'und'``.
 
     Accuracy on the held-out samples beats the marker heuristic
     (asserted in tests); both tiers misroute languages outside the
@@ -733,7 +755,7 @@ def language_id_ngram(
     # Passing the normalize expression itself into the transform lambda
     # re-evaluates the regexp_replace at EVERY trigram position —
     # O(len^2) regex work per document (measured 13.5s -> 0.7s at sf0.1
-    # on the 16-language table). A bound column reference is free.
+    # on the 20-language table). A bound column reference is free.
     nt = F.col("__nt")
     grams = (
         docs.select(id_col, normalize_text(F.col(text_col)).alias("__nt"))
@@ -765,14 +787,16 @@ def language_id_ngram(
             ]
         )
     )
-    base = docs.select(id_col, *passthrough).join(scores, id_col, "left")
+    base = docs.select(id_col, F.col(text_col).alias("__t"), *passthrough).join(
+        scores, id_col, "left"
+    )
     filled = [
         F.coalesce(F.col(f"score_{lang}"), F.lit(0).cast("long")).alias(
             f"score_{lang}"
         )
         for lang in langs
     ]
-    base = base.select(id_col, *passthrough, *filled)
+    base = base.select(id_col, "__t", *passthrough, *filled)
     # argmax via struct greatest: score desc; ties -> alphabetically
     # first language (nl is the reverse-alphabetical index, so the
     # alphabetically-first language carries the HIGHEST nl and wins the
@@ -788,7 +812,12 @@ def language_id_ngram(
             for i, lang in enumerate(rev)
         ]
     )
-    pred = F.when(best["s"] < 0, best["lang"]).otherwise(F.lit("und"))
+    fallback = F.lit("und")
+    for lang, pattern in reversed(SCRIPT_FALLBACK):
+        fallback = F.when(F.col("__t").rlike(pattern), F.lit(lang)).otherwise(
+            fallback
+        )
+    pred = F.when(best["s"] < 0, best["lang"]).otherwise(fallback)
     return base.select(
         id_col,
         *passthrough,

@@ -349,12 +349,16 @@ def _langid_argmax_case(langs: list[str]) -> str:
     tie-break. All-zero rows (weights are strictly negative, so zero
     means "no feature matched") predict 'und'."""
     allz = f"greatest({', '.join(f'score_{la}' for la in langs)}) = 0"
+    script = " ".join(
+        f"WHEN regexp_matches(text, '{pat}') THEN '{la}'"
+        for la, pat in text.SCRIPT_FALLBACK
+    )
     whens = []
     for la in langs[:-1]:
         others = ", ".join(f"score_{o}" for o in langs if o != la)
         whens.append(f"WHEN score_{la} >= greatest({others}) THEN '{la}'")
     body = "\n                ".join(whens)
-    return f"""CASE WHEN {allz} THEN 'und'
+    return f"""CASE WHEN {allz} THEN (CASE {script} ELSE 'und' END)
                 {body}
                 ELSE '{langs[-1]}' END"""
 
@@ -366,7 +370,8 @@ def _langid_ngram_oracle_sql() -> str:
     bit-identical integer score sums from the identical feature set —
     the same inlining discipline as ``_lsh_oracle_sql``. Fully generic
     over the language set: columns, sums, and the argmax CASE generate
-    from the derived tables (16 languages as of round 5)."""
+    from the derived tables (20 languages as of round 5), plus the
+    SCRIPT_FALLBACK tier mirrored into the zero-score branch."""
     tables = text.trigram_score_tables()
     langs = sorted(tables)
     feats = sorted(next(iter(tables.values())))
@@ -384,7 +389,7 @@ def _langid_ngram_oracle_sql() -> str:
     score_list = ", ".join(f"score_{la}" for la in langs)
     return f"""
     WITH t AS (
-      SELECT doc_id, {_NORM} AS nt,
+      SELECT doc_id, text, {_NORM} AS nt,
              len(string_split({_NORM}, ' ')) AS n_tokens,
              CAST(list_sum(list_transform(
                    string_split_regex({_NORM}, '[^a-z0-9]+'),
@@ -406,7 +411,7 @@ def _langid_ngram_oracle_sql() -> str:
       FROM g JOIN w USING (g3) GROUP BY doc_id
     ),
     f AS (
-      SELECT t.doc_id, n_tokens, bpe_estimate, {coalesced}
+      SELECT t.doc_id, t.text, n_tokens, bpe_estimate, {coalesced}
       FROM t LEFT JOIN s ON t.doc_id = s.doc_id
     )
     SELECT doc_id, n_tokens, bpe_estimate,
