@@ -430,8 +430,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`text.bpe_token_estimate`; the real pretrained-BPE counts are the
     `text_bpe_count` / `pipeline_docs_curation` currency). The
     upgrade over the marker-word heuristic (which remains the
-    zero-shuffle cheap tier, `text.language_id`): 96% vs 58% held-out
-    accuracy (tests/test_llmdata.py)."""
+    zero-shuffle cheap tier, `text.language_id`): 93% held-out accuracy
+    over 20 languages / six scripts vs the marker tier's 58% on its
+    four (tests/test_llmdata.py)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
