@@ -2055,8 +2055,8 @@ def test_language_id_ngram_edges_and_determinism(spark):
 def test_trigram_score_tables_shape(spark):
     tabs = text.trigram_score_tables()
     assert set(tabs) == {
-        "cs", "da", "de", "el", "en", "es", "fi", "fr",
-        "it", "ja", "nl", "pl", "pt", "ru", "sv", "tr",
+        "ar", "cs", "da", "de", "el", "en", "es", "fi", "fr", "hi",
+        "it", "ja", "ko", "nl", "pl", "pt", "ru", "sv", "tr", "uk",
     }
     feats = set(next(iter(tabs.values())))
     for t in tabs.values():
