@@ -420,3 +420,83 @@ def test_fix_mojibake_ascii_fixed_point(s):
     from temporai_mivdp_spark.llmdata.text import fix_mojibake_py
 
     assert fix_mojibake_py(s) == s
+
+
+# ---------------------------------------------------------------------------
+# image codec roundtrips across the variant cross-product
+# ---------------------------------------------------------------------------
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(data):
+    """Random size x color type x legal depth x interlace x per-row
+    filters: lossless variants decode to exactly the encoded samples
+    (16-bit keeps the high byte; gray scales; palette looks up)."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _png_pixels
+    from tests.test_llmdata import _png_bytes_full
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    h = data.draw(st.integers(1, 12))
+    w = data.draw(st.integers(1, 12))
+    ctype = data.draw(st.sampled_from([0, 2, 3, 4, 6]))
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    depth = data.draw(st.sampled_from(legal[ctype]))
+    interlace = data.draw(st.sampled_from([0, 1]))
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=1, max_size=5)
+    )
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    hi = 1 << min(depth, 8) if depth < 16 else 65536
+    palette = None
+    if ctype == 3:
+        n = 1 << depth
+        palette = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        samples = rng.integers(0, n, size=(h, w, 1))
+    else:
+        samples = rng.integers(0, hi, size=(h, w, ch))
+    b = _png_bytes_full(samples, ctype, bit_depth=depth,
+                        palette=palette, interlace=interlace, filters=filters)
+    got = _png_pixels(b)
+    if ctype == 3:
+        want = palette[samples[:, :, 0]]
+    elif ctype in (0, 4):
+        g = samples[:, :, 0]
+        if depth == 16:
+            g = (g >> 8).astype(np.uint8)
+        elif depth < 8:
+            g = (g * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        want = np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+    else:
+        want = (samples >> 8 if depth == 16 else samples).astype(np.uint8)[:, :, :3]
+    assert got.shape == (h, w, 3)
+    assert (got == want).all(), (ctype, depth, interlace, filters)
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(data):
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _bmp_pixels
+    from tests.test_llmdata import _bmp_bytes
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    h = data.draw(st.integers(1, 10))
+    w = data.draw(st.integers(1, 10))
+    mode = data.draw(st.sampled_from(["24", "32", "24td", "pal8", "pal4", "pal1"]))
+    if mode in ("24", "32", "24td"):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        b = _bmp_bytes(pixels=px, bpp=32 if mode == "32" else 24,
+                       top_down=(mode == "24td"))
+        assert (_bmp_pixels(b) == px).all(), mode
+    else:
+        bpp = {"pal8": 8, "pal4": 4, "pal1": 1}[mode]
+        n = 1 << bpp if bpp < 8 else 5
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(h, w))
+        b = _bmp_bytes(indices=idx, palette=pal, bpp=bpp)
+        assert (_bmp_pixels(b) == pal[idx]).all(), mode
