@@ -729,7 +729,7 @@ def language_id_ngram(
     weights live in a BROADCAST dimension (one row per feature trigram,
     value = the per-language weight array) joined on the gram, and one
     map-side-combined doc-keyed sum per language finishes; a left join
-    back surfaces gram-less docs (< 3 chars) as ``'und'``. With 16
+    back surfaces gram-less docs (< 3 chars) as ``'und'``. With 20
     languages the shared feature set is ~5.1k trigrams — a dimension
     that ships once per executor via broadcast, NOT a plan literal
     repeated into every task binary (the round-4 4-language version
