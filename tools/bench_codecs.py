@@ -37,7 +37,8 @@ from tests.test_imagecodecs import (  # noqa: E402
     jpeg_bytes,
     jpeg_progressive_bytes,
 )
-from tests.test_llmdata import _png_bytes_full  # noqa: E402
+from temporai_mivdp_spark.llmdata.multimodal import _bmp_pixels  # noqa: E402
+from tests.test_llmdata import _bmp_bytes, _png_bytes_full  # noqa: E402
 
 
 def measure(name: str, payload: bytes, decode, min_s: float = 2.0) -> None:
@@ -83,6 +84,8 @@ def main() -> None:
     measure("JPEG progressive", jpeg_progressive_bytes(rgb), jpeg_pixels)
     measure("PNG RGB filters 0-2", _png_bytes_full(rgb, 2, filters=[0, 1, 2]), _png_pixels)
     measure("PNG RGB Paeth", _png_bytes_full(rgb, 2, filters=[4]), _png_pixels)
+    measure("BMP 24-bit", _bmp_bytes(pixels=rgb), _bmp_pixels)
+    measure("BMP paletted 8-bit", _bmp_bytes(indices=idx, palette=pal, bpp=8), _bmp_pixels)
     measure("GIF still", gif_bytes(idx, pal), gif_pixels)
     measure("GIF 8-frame anim", anim, gif_frames)
     measure("WAV stats (10 s)", wav, _wav_stats)
