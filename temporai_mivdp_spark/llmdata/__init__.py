@@ -25,12 +25,15 @@ Beyond the reference's clinical surface, the engine ships the operators a
                sequence packing, context-length chunking (zero-shuffle)
   multimodal   opaque-binary media columns: schema, Arrow-batched
                metadata/feature extraction; REAL stdlib codecs for
-               WAV/PCM audio, 24-bit BMP, 8-bit PNG (zlib + all five
-               filters), BASELINE + PROGRESSIVE JPEG (Huffman, spectral
+               WAV/PCM audio (incl. spectral rFFT features), BMP
+               (24/32-bit, paletted 1/4/8-bit, RLE8), full PNG (zlib,
+               all five filters, every legal IHDR combo, Adam7),
+               BASELINE + PROGRESSIVE JPEG (Huffman, spectral
                selection / successive approximation, any subsampling),
-               first-frame GIF (variable-width LZW, interlace) +
-               header-only dims; deterministic fakes for the rest
-               (arithmetic JPEG, animated GIF, non-PCM audio)
+               GIF incl. ANIMATION (disposal 0-3, transparency, timed
+               frame sampling) + header-only dims; deterministic fakes
+               for the rest (arithmetic/hierarchical JPEG, non-PCM
+               audio)
   pipeline     production output layout: doc_id-bucketed tables
                (zero-exchange re-read joins) + byte-sized compaction
   web          URL canonicalization (tracking params, www, ports,

@@ -155,6 +155,8 @@ def _bmp_rle8(b: bytes, off: int, w: int, h: int) -> np.ndarray:
         n, v = b[i], b[i + 1]
         i += 2
         if n > 0:  # run of n copies of v
+            if y >= h or x + n > w:
+                raise NotImplementedError("malformed RLE8 stream (run past bitmap)")
             out[y, x : x + n] = v
             x += n
         elif v == 0:  # end of line
@@ -163,11 +165,14 @@ def _bmp_rle8(b: bytes, off: int, w: int, h: int) -> np.ndarray:
                 break
         elif v == 1:  # end of bitmap
             break
-        elif v == 2:  # delta
+        elif v == 2:  # delta — only bounds-checked at the next write so a
+            # trailing delta-to-edge followed by end-of-bitmap stays legal
             x += b[i]
             y += b[i + 1]
             i += 2
         else:  # absolute: v literal bytes, padded to a word boundary
+            if y >= h or x + v > w:
+                raise NotImplementedError("malformed RLE8 stream (run past bitmap)")
             out[y, x : x + v] = np.frombuffer(b, np.uint8, v, i)
             x += v
             i += v + (v & 1)
@@ -213,7 +218,11 @@ def _bmp_pixels(b: bytes) -> np.ndarray:
             idx = _bmp_rle8(b, data_off, w, h)
             if not bottom_up:
                 idx = idx[::-1]
-            return pal[np.minimum(idx, n_colors - 1)]
+            # same out-of-range-palette policy as the uncompressed
+            # paletted path below: raise, never silently clamp
+            if int(idx.max(initial=0)) >= n_colors:
+                raise NotImplementedError("BMP palette index out of range")
+            return pal[idx.astype(np.intp)]
         stride = ((w * bpp + 31) // 32) * 4
         rows = np.frombuffer(
             b, np.uint8, count=stride * h, offset=data_off
@@ -462,10 +471,13 @@ def extract_metadata(media: DataFrame) -> DataFrame:
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode images to fixed-size float features.
 
-    The real path decodes uncompressed 24-bit BMP, 8-bit
-    non-interlaced PNG, baseline/progressive JPEG, and GIF first-frame
-    payloads (``_raster_pixels``, dispatching to ``imagecodecs`` for
-    JPEG/GIF — all stdlib+numpy, no codec libs) into 8 features —
+    The real path decodes BMP (uncompressed 24/32-bit, paletted
+    1/4/8-bit, RLE8, bottom-up and top-down), PNG (all five scanline
+    filters, greyscale/palette/truecolor ± alpha, 1/2/4/8/16-bit
+    depths, Adam7 interlace), baseline/progressive JPEG, and GIF
+    first-frame payloads (``_raster_pixels``, dispatching to
+    ``imagecodecs`` for PNG/JPEG/GIF — all stdlib+numpy, no codec
+    libs) into 8 features —
     width, height, mean R/G/B, luminance std/min/max. Remaining exotic
     variants raise ``NotImplementedError``. The ``fake=True`` path
     produces deterministic pseudo-features (md5-seeded) with the same
@@ -544,11 +556,11 @@ def resize_image(
     """Resize images to ``target_w × target_h``, emitting a new payload
     plus the recorded dimensions.
 
-    The real path resamples uncompressed 24-bit BMPs and 8-bit
-    non-interlaced PNGs: decode via ``_raster_pixels``,
-    luminance-convert, nearest-neighbor index into the target grid —
-    all numpy, emitting ``w*h`` grayscale bytes.
-    JPEG/GIF raise (PIL/opencv not in this container);
+    The real path resamples any format ``_raster_pixels`` decodes —
+    BMP (incl. paletted/RLE8/32-bit), full PNG, baseline/progressive
+    JPEG, GIF first frame: decode, luminance-convert, nearest-neighbor
+    index into the target grid — all numpy, emitting ``w*h`` grayscale
+    bytes. Exotic variants (arithmetic/hierarchical JPEG) raise;
     ``fake=True`` produces a deterministic payload — an md5 keystream
     over ``(content, dims)`` — through the same plumbing:
     binary-in/binary-out ``mapInPandas``, Arrow batches, explicit output

@@ -253,4 +253,8 @@ def curation_gate(
         & (F.col("punct_ratio") < max_punct)
         & F.col("lang_pred").isin(*keep_langs)
     )
-    return out.withColumn("keep", keep)
+    # punct_ratio is NULL for null/empty-text docs and the conjunction
+    # propagates it; keep must be two-valued or the ingest twin's
+    # filter(keep) / filter(~keep) pair drops such docs from BOTH
+    # accepted/ and quarantine/ — degenerate docs route to quarantine
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))

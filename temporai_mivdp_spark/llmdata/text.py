@@ -993,8 +993,15 @@ def fix_mojibake_py(s: str, max_passes: int = 3) -> str:
 
 
 #: chars that appear in virtually all cp1252/latin-1 mojibake: the
-#: displayed forms of UTF-8 lead bytes 0xC2-0xF4
-_MOJIBAKE_MARKERS = "ÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔàáâãäåæçèéêëìíîïðñòóô"
+#: displayed forms of UTF-8 lead bytes 0xC2-0xF4 (two-byte leads
+#: 0xC2-0xDF — including 0xD5-0xDF, whose display chars ÕÖ×ØÙÚÛÜÝÞß
+#: flag mojibake of U+0540-U+07FF scripts: Arabic 'Ø§...', Hebrew
+#: '×©...', Armenian — plus three/four-byte leads 0xE0-0xF4). The
+#: 0xD5-0xDF chars also occur in legit German/Nordic text (Ü, Ø, ß);
+#: those rows route to Python and survive verbatim via the exact
+#: whole-string decode guard — recall is what correctness needs,
+#: precision only prices the routing.
+_MOJIBAKE_MARKERS = "ÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖ×ØÙÚÛÜÝÞßàáâãäåæçèéêëìíîïðñòóô"
 
 
 def fix_mojibake(
@@ -1040,8 +1047,12 @@ def fix_mojibake(
     hit = docs.filter(flagged).withColumn("__fixed", _repair(F.col(text_col)))
     miss = docs.filter(~flagged).withColumn("__fixed", F.col(text_col))
     out = hit.unionByName(miss)
+    # coalesce: (__fixed != text) is three-valued — null text rows must
+    # report was_fixed = false, not NULL (the column is documented boolean)
     return out.select(
         *[c for c in docs.columns if c != text_col],
         F.col("__fixed").alias(text_col),
-        (F.col("__fixed") != F.col(text_col)).alias("was_fixed"),
+        F.coalesce(
+            F.col("__fixed") != F.col(text_col), F.lit(False)
+        ).alias("was_fixed"),
     )

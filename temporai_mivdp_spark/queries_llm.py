@@ -40,6 +40,47 @@ _AUG_SQL = (
 )
 
 
+def _curation_scratch_dir(spark: SparkSession) -> str:
+    """Engine-owned scratch directory for the curation stage checkpoint.
+
+    One FIXED directory per Spark application (keyed by appId) under a
+    common root, so repeated invocations in a session overwrite instead of
+    leaking a fresh mkdtemp each run (bench runs the query 5× per round).
+    Cleanup is two-tier: an ``atexit`` hook removes this process's
+    directory (safe — the returned lazy frame is consumed before
+    interpreter exit), and each call sweeps SIBLING app directories whose
+    mtime is older than 24h (left by crashed runs; live concurrent
+    sessions are younger than the TTL)."""
+    import atexit
+    import os
+    import re
+    import shutil
+    import tempfile
+    import time
+
+    root = os.path.join(tempfile.gettempdir(), "mivdp_curation_scratch")
+    os.makedirs(root, exist_ok=True)
+    app = re.sub(r"[^A-Za-z0-9_.-]", "_", spark.sparkContext.applicationId)
+    mine = os.path.join(root, app)
+    if mine not in _CURATION_SCRATCH_REGISTERED:
+        _CURATION_SCRATCH_REGISTERED.add(mine)
+        atexit.register(shutil.rmtree, mine, ignore_errors=True)
+    cutoff = time.time() - 24 * 3600
+    for entry in os.listdir(root):
+        stale = os.path.join(root, entry)
+        if stale == mine:
+            continue
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
+    return mine
+
+
+_CURATION_SCRATCH_REGISTERED: set[str] = set()
+
+
 @_register(
     "dedup_exact",
     f"""
@@ -462,14 +503,28 @@ def _bpe_oracle_ctes(src: str) -> str:
     working set when no merge applies (the rank join drops them);
     ``n_pieces`` = bar-count/2 − 1 of each word's final string.
     Produces ``bcnt(doc_id, bpe_tokens)`` — join it back LEFT so
-    token-less docs count 0."""
+    token-less docs count 0.
+
+    Delimiter safety: a literal ``'|'`` inside a corpus token would
+    corrupt the bar encoding, so BOTH the seed segmentation and the
+    inlined merge-table symbols map ``'|' → chr(1)`` before replay —
+    a per-symbol (single-char) substitution, so segmentation and merge
+    matching stay isomorphic to ``apply_merges_py`` on the raw token.
+    Residual precondition: corpus tokens contain no literal U+0001
+    (which would be conflated with ``'|'``); ``bar()`` below and the
+    ``replace(token, '|', chr(1))`` in ``bseg`` are the two sides of
+    the mapping."""
     from temporai_mivdp_spark.llmdata.bpe import pretrained_merges_list
 
     def esc(s: str) -> str:
         return s.replace("'", "''")
 
+    def bar(s: str) -> str:
+        # mirror of the SQL-side replace(token, '|', chr(1))
+        return s.replace("|", "\x01")
+
     vals = ",\n      ".join(
-        f"({i}, '{esc(a)}', '{esc(b)}')"
+        f"({i}, '{esc(bar(a))}', '{esc(bar(b))}')"
         for i, (a, b) in enumerate(pretrained_merges_list())
     )
     return f"""
@@ -484,7 +539,10 @@ def _bpe_oracle_ctes(src: str) -> str:
     bocc AS (SELECT doc_id, token, count(*) AS occ FROM btok GROUP BY 1, 2),
     btypes AS (SELECT DISTINCT token FROM bocc),
     bseg(token, s, it) AS (
-      SELECT token, '||' || array_to_string(string_split(token, ''), '||') || '||', 0
+      SELECT token,
+             '||' || array_to_string(
+                       string_split(replace(token, '|', chr(1)), ''), '||') || '||',
+             0
       FROM btypes
       UNION ALL
       SELECT x.token,
@@ -980,9 +1038,7 @@ def pipeline_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # behind (tests assert zero persistent RDDs after the action), and
     # the parquet stage is exactly what a production pipeline writes at
     # this boundary anyway
-    import tempfile
-
-    ckpt = tempfile.mkdtemp(prefix="mivdp_curation_ckpt_")
+    ckpt = _curation_scratch_dir(spark)
     split.write.mode("overwrite").parquet(ckpt)
     split = spark.read.parquet(ckpt)
     return sampling.pack_sequences(split, max_tokens=2048, tokens_col="bpe_tokens")

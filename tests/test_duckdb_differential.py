@@ -330,3 +330,43 @@ def test_vocab_encode_matches_duckdb(spark, duck, docs):
     assert set(got_e) == set(want_e)
     for k in got_e:
         assert got_e[k] == list(want_e[k]), (k, got_e[k], want_e[k])
+
+
+def test_bpe_oracle_handles_bar_tokens(duck):
+    """Delimiter-safety differential for the recursive-CTE BPE replay:
+    corpus tokens containing a literal '|' must count identically to
+    `apply_merges_py` (the oracle maps '|' -> chr(1) on both the seed
+    segmentation and the merge-table symbols, so the bar encoding never
+    sees a corpus bar)."""
+    import re
+
+    from temporai_mivdp_spark.llmdata.bpe import (
+        apply_merges_py,
+        pretrained_merges_list,
+    )
+    from temporai_mivdp_spark.queries_llm import _bpe_oracle_ctes
+
+    rows = [
+        (1, "plain|bar token and a|b|c pipes"),
+        (2, "||| only bars ||"),
+        (3, "normal words the cat sat"),
+        (4, "mixed the|cat sat"),
+    ]
+    con = duckdb.connect()
+    con.register("bardocs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = dict(
+        con.execute(
+            "WITH RECURSIVE "
+            + _bpe_oracle_ctes("bardocs")
+            + " SELECT doc_id, bpe_tokens FROM bcnt"
+        ).fetchall()
+    )
+
+    ranks = {p: i for i, p in enumerate(pretrained_merges_list())}
+    want = {}
+    for doc_id, txt in rows:
+        norm = re.sub(r"\s+", " ", txt.lower()).strip()
+        n = sum(len(apply_merges_py(w, ranks)) for w in norm.split(" ") if w)
+        if n:
+            want[doc_id] = n
+    assert got == want, (got, want)

@@ -43,6 +43,35 @@ def test_flagship_is_broadcast_joined(spark, name):
     assert "BroadcastHashJoin" in plan
 
 
+def test_driver_window_prioritizes_least_proven_entries():
+    """The driver hash-checks only the first 50 registered entries.
+
+    Pin the round-6 ordering policy: every round-5 promotion sits INSIDE
+    the 50-entry window, the tail is exactly WINDOW_TAIL (longest-stable
+    granular rows, re-verified by tools/oracle_check.py each round), and
+    nothing is silently dropped — queries() returns the full catalog with
+    oracles in the same order."""
+    from temporai_mivdp_spark.queries import QUERIES, WINDOW_TAIL
+
+    keys = list(entrymod.queries())
+    assert len(keys) == len(QUERIES), "reorder must not drop entries"
+    window = set(keys[:50])
+    promotions = {
+        "text_chunk_overlap",
+        "text_tfidf",
+        "text_perplexity",
+        "text_boilerplate",
+        "text_repeated_spans",
+        "text_quantile_norm",
+        "text_gopher",
+    }
+    assert promotions <= window, promotions - window
+    assert tuple(keys[len(keys) - len(WINDOW_TAIL):]) == WINDOW_TAIL
+    assert list(entrymod.oracle_sql()) == [
+        k for k in keys if k in entrymod.oracle_sql()
+    ]
+
+
 def test_coverage_doc_mentions_every_catalog_query():
     """Doc-rot guard: every driver-checked catalog key must appear in
     COVERAGE.md (the judge's operator->query crosswalk)."""

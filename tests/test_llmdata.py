@@ -1972,6 +1972,30 @@ def test_pipeline_docs_curation_leaves_no_cache(spark):
     assert after - before == set()
 
 
+def test_pipeline_docs_curation_scratch_does_not_accumulate(spark):
+    """The stage checkpoint lives in ONE engine-owned directory per
+    Spark application (overwritten on re-run, atexit-removed), so
+    repeated invocations — bench runs the query 5× per round — leave
+    exactly one scratch dir, not a fresh mkdtemp each call."""
+    import os
+    import tempfile
+
+    from temporai_mivdp_spark.queries_llm import QUERIES, _curation_scratch_dir
+
+    root = os.path.join(tempfile.gettempdir(), "mivdp_curation_scratch")
+    for _ in range(2):
+        assert QUERIES["pipeline_docs_curation"](spark, "/root/testdata/sf0.001").count() > 0
+    mine = _curation_scratch_dir(spark)
+    # this app's dir exists; no legacy mkdtemp-per-run directories appear
+    assert os.path.isdir(mine)
+    fresh = [
+        d
+        for d in os.listdir(tempfile.gettempdir())
+        if d.startswith("mivdp_curation_ckpt_")
+    ]
+    assert not fresh, fresh
+
+
 def test_duplicate_clusters_checkpoint_rotation(spark):
     """The star-contraction loop must not accumulate checkpoint RDDs:
     at most ONE live persistent RDD per call (the returned frame's
@@ -2298,20 +2322,31 @@ def test_fix_mojibake_dataframe_routing(spark):
 
     orig = "café — naïve 😀"
     moj = _sloppy_display(orig.encode("utf-8"))
+    # 0xD5-0xDF lead-byte scripts (U+0540-U+07FF): the ÕÖ×ØÙÚÛÜÝÞß
+    # marker extension is what routes these to the repair kernel
+    arabic = "مرحبا بالعالم"
+    hebrew = "שלום עולם"
     rows = [
         (1, moj),
         (2, "totally clean ascii"),
         (3, "SÃO PAULO"),
         (4, None),
         (5, "déjà vu"),
+        (6, _sloppy_display(arabic.encode("utf-8"))),
+        (7, _sloppy_display(hebrew.encode("utf-8"))),
+        (8, "Straße in Köln, Øresund"),  # legit 0xD5-0xDF chars survive
     ]
     docs = spark.createDataFrame(rows, "doc_id: long, text: string")
     got = {r.doc_id: (r.text, r.was_fixed) for r in t.fix_mojibake(docs).collect()}
     assert got[1] == (orig, True)
     assert got[2] == ("totally clean ascii", False)
     assert got[3] == ("SÃO PAULO", False)
-    assert got[4][0] is None and got[4][1] is None
+    # null text: was_fixed is a documented BOOLEAN — false, never NULL
+    assert got[4] == (None, False)
     assert got[5] == ("déjà vu", False)
+    assert got[6] == (arabic, True)
+    assert got[7] == (hebrew, True)
+    assert got[8] == ("Straße in Köln, Øresund", False)
 
     # routing: clean rows never enter Python — the plan's pythonUDF
     # input is gated behind the marker rlike (CASE WHEN). Assert the
@@ -2434,3 +2469,40 @@ def test_bmp_rle8_runs_absolute_delta():
         [1, 1, 1, 1, 1, 1],      # bottom row (first decoded)
     ])
     assert (got == pal[expect_idx]).all()
+
+
+def test_bmp_rle8_malformed_raises_codec_boundary():
+    """Malformed RLE8 payloads hit the same NotImplementedError boundary
+    as every other codec path — never a raw numpy IndexError — and
+    out-of-range palette indices raise instead of silently clamping
+    (the uncompressed paletted path's policy)."""
+    import numpy as np
+    import pytest as _pt
+
+    from temporai_mivdp_spark.llmdata.multimodal import _bmp_pixels
+
+    pal = np.array([[0, 0, 0], [255, 0, 0]], np.uint8)  # 2 colors
+
+    # delta pushes y to 9 (>= h=4); the following run must raise, not crash
+    bad_delta = bytes([0, 2, 0, 9, 3, 1, 0, 1])
+    with _pt.raises(NotImplementedError):
+        _bmp_pixels(_bmp_bytes(indices=np.zeros((4, 6)), palette=pal,
+                               bpp=8, compression=1, rle=bad_delta))
+
+    # run wider than the row
+    bad_run = bytes([200, 1, 0, 1])
+    with _pt.raises(NotImplementedError):
+        _bmp_pixels(_bmp_bytes(indices=np.zeros((4, 6)), palette=pal,
+                               bpp=8, compression=1, rle=bad_run))
+
+    # palette index beyond the color table: raise, don't clamp
+    oob_pal = bytes([6, 7, 0, 1])  # run of color 7, only 2 palette entries
+    with _pt.raises(NotImplementedError):
+        _bmp_pixels(_bmp_bytes(indices=np.zeros((4, 6)), palette=pal,
+                               bpp=8, compression=1, rle=oob_pal))
+
+    # a trailing delta-to-edge followed by EOB stays LEGAL (no write)
+    edge = bytes([6, 1, 0, 2, 0, 3, 0, 1])
+    out = _bmp_pixels(_bmp_bytes(indices=np.zeros((4, 6)), palette=pal,
+                                 bpp=8, compression=1, rle=edge))
+    assert (out[-1] == pal[1]).all()

@@ -351,6 +351,11 @@ def test_streaming_curation_gate_parity_with_batch(spark):
         (6, "!!!! ???? ,,,, ;;;; .... !!!! ???? ,,,, ;;;; .... dots and marks"),
         (7, "старый человек медленно идёт по узкой улице и думает о годах"),
         (8, "we prepare a simple meal together in the small kitchen every sunday"),
+        # degenerate docs: keep is coalesced to FALSE (punct_ratio is
+        # NULL for these), so they must land in quarantine/, not vanish
+        # from both sinks — the audit-trail contract
+        (9, None),
+        (10, ""),
     ]
     schema = "doc_id long, text string"
     src = tempfile.mkdtemp(prefix="cur-gate-src-")
@@ -390,7 +395,12 @@ def test_streaming_curation_gate_parity_with_batch(spark):
     assert want[4][0] == "de" and not want[4][3]
     assert want[7][0] == "ru" and not want[7][3]
     assert not want[3][3] and not want[6][3]
-    assert all(v[1] > 0 for v in want.values() if v[2] > 0)
+    # null/empty text: present in the output (quarantine side), keep=false
+    assert 9 in got and got[9][3] is False
+    assert 10 in got and got[10][3] is False
+    # real-text docs only: the empty-string doc reports n_tokens=1
+    # (whitespace-split semantics) but zero BPE pieces by design
+    assert all(v[1] > 0 for k, v in want.items() if v[2] > 0 and k <= 8)
 
 
 def test_stream_heavy_hitters_bounds_and_exact_tier(spark):
