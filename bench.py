@@ -69,6 +69,23 @@ HEADLINE = [
     "pipeline_guard_corpus",
 ]
 
+#: Fingerprint-only tripwire extension (round 6): the round-5 catalog
+#: promotions are NOT timed (the headline total stays comparable to
+#: BENCH_r05 per-query) but their physical plans are fingerprinted every
+#: bench run, so a plan regression in them raises a PLANS.json diff
+#: instead of surfacing only as a correctness failure. Decade rows for
+#: these live in SCALING.md's extras table (tools/scale_decade_full.py
+#: --only ...).
+PINNED_EXTRAS = [
+    "text_gopher",
+    "text_perplexity",
+    "text_tfidf",
+    "text_boilerplate",
+    "text_repeated_spans",
+    "text_quantile_norm",
+    "text_chunk_overlap",
+]
+
 #: Timed rounds per query (interleaved). 5 rounds x ~12 queries spreads each
 #: query's samples over the full bench duration; one transient host stall
 #: can then spoil at most one sample per query.
@@ -104,8 +121,12 @@ def main() -> None:
     # outside the timed region (see module docstring).
     dfs = {name: QUERIES[name](spark, sf_dir) for name in names}
 
-    # Plan fingerprints for regression attribution (vs committed PLANS.json).
+    # Plan fingerprints for regression attribution (vs committed PLANS.json)
+    # — the PINNED_EXTRAS are fingerprinted (planning only, never timed).
     plans = {name: plan_fingerprint(dfs[name]) for name in names}
+    for name in PINNED_EXTRAS:
+        if name in QUERIES:
+            plans[name] = plan_fingerprint(QUERIES[name](spark, sf_dir))
 
     # Warm-up pass 2: one untimed run at the bench scale — pays first-touch
     # shuffle-file allocation and JIT at the real data shapes.

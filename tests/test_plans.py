@@ -113,20 +113,44 @@ def test_plan_fingerprint_stable_across_session_history(spark):
 
 
 def test_headline_set_and_plans_json_in_sync(spark):
-    """bench.py's HEADLINE names must all exist in the catalog, and the
-    committed PLANS.json must cover exactly the headline set — key drift
-    here silently breaks regression attribution."""
+    """bench.py's HEADLINE + PINNED_EXTRAS names must all exist in the
+    catalog, and the committed PLANS.json must cover exactly their union
+    (timed headline plans plus the fingerprint-only tripwire extension)
+    — key drift here silently breaks regression attribution."""
     import json
     from pathlib import Path
 
-    from bench import HEADLINE
+    from bench import HEADLINE, PINNED_EXTRAS
 
-    assert all(n in QUERIES for n in HEADLINE), sorted(set(HEADLINE) - set(QUERIES))
+    tracked = HEADLINE + PINNED_EXTRAS
+    assert all(n in QUERIES for n in tracked), sorted(set(tracked) - set(QUERIES))
     fingerprints = json.loads(
         (Path(__file__).resolve().parents[1] / "PLANS.json").read_text()
     )
-    assert sorted(fingerprints) == sorted(HEADLINE)
+    assert sorted(fingerprints) == sorted(tracked)
     assert all(isinstance(v, str) and len(v) == 12 for v in fingerprints.values())
+
+
+def test_pinned_extras_fingerprints_current(spark):
+    """The seven promotion fingerprints in PLANS.json must match the
+    live plans at the bench scale (sf0.1 — text_perplexity/text_tfidf
+    inline data-dependent literals, so the pin is scale-specific by
+    design; see SCALING.md round 6)."""
+    import json
+    from pathlib import Path
+
+    from bench import PINNED_EXTRAS
+    from temporai_mivdp_spark.plans.fingerprint import plan_fingerprint
+
+    committed = json.loads(
+        (Path(__file__).resolve().parents[1] / "PLANS.json").read_text()
+    )
+    live = {
+        n: plan_fingerprint(QUERIES[n](spark, "/root/testdata/sf0.1"))
+        for n in PINNED_EXTRAS
+    }
+    stale = {n: (live[n], committed[n]) for n in PINNED_EXTRAS if live[n] != committed[n]}
+    assert not stale, f"plan changed without PLANS.json update: {stale}"
 
 
 def test_langid_generate_reads_bound_attribute(spark):
