@@ -31,9 +31,11 @@ Beyond the reference's clinical surface, the engine ships the operators a
                BASELINE + PROGRESSIVE JPEG (Huffman, spectral
                selection / successive approximation, any subsampling),
                GIF incl. ANIMATION (disposal 0-3, transparency, timed
-               frame sampling) + header-only dims; deterministic fakes
-               for the rest (arithmetic/hierarchical JPEG, non-PCM
-               audio)
+               frame sampling) + header-only dims; compressed-audio
+               HEADER tier (MP3 frame walk, Ogg Vorbis/Opus pages →
+               duration/rate/channels/bitrate + decode_status, no
+               entropy decode); deterministic fakes for the rest
+               (arithmetic/hierarchical JPEG, non-PCM sample decode)
   pipeline     production output layout: doc_id-bucketed tables
                (zero-exchange re-read joins) + byte-sized compaction
   web          URL canonicalization (tracking params, www, ports,

@@ -83,6 +83,8 @@ _MAGIC = [
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"\x89PNG", "image/png"),
     (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
     (b"\x00\x00\x00", "video/mp4"),
 ]
 
@@ -142,6 +144,224 @@ def _wav_stats(b: bytes) -> tuple[int, float, int]:
         else 0
     )
     return duration_ms, rms, zc
+
+
+# -- compressed-audio HEADER tier (no entropy decode needed) ---------------
+#
+# A real crawl's audio is mostly MP3/Ogg, which `_wav_samples` rejects.
+# Duration / sample rate / channels / bitrate are all recoverable from
+# FRAME HEADERS alone (pure struct over the byte stream — the same
+# stdlib discipline as `_image_dims`), so pipelines can account for and
+# route compressed audio without a PCM decoder. Full sample decode of
+# these formats still raises — that honestly needs a codec library.
+
+_MP3_BITRATES = {  # kbps rows indexed by header bitrate field (1-14)
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              25: (11025, 12000, 8000)}
+
+
+def _mp3_frame(b: bytes, i: int):
+    """Parse one MPEG audio frame header at offset ``i``. Returns
+    (frame_bytes, samples, sample_rate, channels, bitrate_kbps) or None
+    when the 4 bytes are not a valid header."""
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b[i + 1] >> 3) & 0x3     # 00=2.5 01=res 10=2 11=1
+    layer_bits = (b[i + 1] >> 1) & 0x3   # 01=III 10=II 11=I
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    version = {0: 25, 2: 2, 3: 1}[ver_bits]
+    layer = 4 - layer_bits               # 1, 2, 3
+    br_idx = (b[i + 2] >> 4) & 0xF
+    sr_idx = (b[i + 2] >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:  # free-format / bad
+        return None
+    pad = (b[i + 2] >> 1) & 0x1
+    channels = 1 if ((b[i + 3] >> 6) & 0x3) == 3 else 2
+    kbps = _MP3_BITRATES[(1 if version == 1 else 2, layer)][br_idx - 1]
+    sr = _MP3_RATES[version][sr_idx]
+    if layer == 1:
+        samples = 384
+        frame_len = (12 * kbps * 1000 // sr + pad) * 4
+    else:
+        samples = 1152 if (layer == 2 or version == 1) else 576
+        frame_len = samples // 8 * kbps * 1000 // sr + pad
+    return frame_len, samples, sr, channels, kbps
+
+
+def _mp3_stats(b: bytes) -> tuple[int, int, int, int]:
+    """(duration_ms, sample_rate, channels, avg_bitrate_kbps) from an
+    MPEG audio (MP3) byte stream by walking frame headers — an ID3v2
+    prefix is skipped via its syncsafe size, a trailing ID3v1 'TAG'
+    block is tolerated. Raises ``NotImplementedError`` when no valid
+    frame sequence exists (the codec boundary contract)."""
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | \
+               ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        i = 10 + size + (10 if b[5] & 0x10 else 0)
+    # resync to the first valid frame (some encoders pad after ID3)
+    first = None
+    while i + 4 <= len(b):
+        first = _mp3_frame(b, i)
+        if first is not None:
+            break
+        i += 1
+    if first is None:
+        raise NotImplementedError("no MPEG audio frame sync found")
+    total_samples = 0
+    kbps_sum = n_frames = 0
+    sr = first[2]
+    channels = first[3]
+    while i + 4 <= len(b):
+        f = _mp3_frame(b, i)
+        if f is None:
+            if b[i : i + 3] == b"TAG":  # ID3v1 trailer
+                break
+            raise NotImplementedError(f"broken MPEG frame sequence at byte {i}")
+        frame_len, samples, f_sr, _ch, kbps = f
+        if f_sr != sr:
+            raise NotImplementedError("sample-rate change mid-stream")
+        total_samples += samples
+        kbps_sum += kbps
+        n_frames += 1
+        i += frame_len
+    duration_ms = total_samples * 1000 // sr
+    return duration_ms, sr, channels, round(kbps_sum / max(n_frames, 1))
+
+
+def _ogg_stats(b: bytes) -> tuple[str, int, int, int, int]:
+    """(codec, duration_ms, sample_rate, channels, bitrate_kbps) from an
+    Ogg container by walking page headers: the first packet identifies
+    Vorbis (``\\x01vorbis``) or Opus (``OpusHead``); duration comes from
+    the LAST page's granule position (PCM samples at the stream rate for
+    Vorbis; 48 kHz units minus pre-skip for Opus). Raises
+    ``NotImplementedError`` for other codecs (e.g. Theora, FLAC-in-Ogg)
+    or malformed pages."""
+    if b[:4] != b"OggS":
+        raise NotImplementedError("not an Ogg container")
+    codec = None
+    sr = channels = 0
+    pre_skip = 0
+    last_granule = 0
+    i = 0
+    while i + 27 <= len(b):
+        if b[i : i + 4] != b"OggS" or b[i + 4] != 0:
+            raise NotImplementedError(f"malformed Ogg page at byte {i}")
+        (granule,) = struct.unpack_from("<q", b, i + 6)
+        nsegs = b[i + 26]
+        body_off = i + 27 + nsegs
+        body_len = sum(b[i + 27 : i + 27 + nsegs])
+        if body_off + body_len > len(b):
+            raise NotImplementedError("truncated Ogg page")
+        if codec is None:
+            body = b[body_off : body_off + body_len]
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                codec = "vorbis"
+                channels = body[11]
+                (sr,) = struct.unpack_from("<I", body, 12)
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "opus"
+                channels = body[9]
+                (pre_skip,) = struct.unpack_from("<H", body, 10)
+                sr = 48000  # granule timebase; input rate at 12 is advisory
+            else:
+                raise NotImplementedError("unsupported Ogg codec")
+        if granule >= 0:
+            last_granule = granule
+        i = body_off + body_len
+    if sr <= 0:
+        raise NotImplementedError("Ogg identification header missing rate")
+    samples = max(last_granule - (pre_skip if codec == "opus" else 0), 0)
+    duration_ms = samples * 1000 // sr
+    kbps = round(len(b) * 8 / max(duration_ms, 1))
+    return codec, duration_ms, sr, channels, kbps
+
+
+AUDIO_METADATA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("codec", StringType(), True),
+        StructField("decode_status", StringType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bitrate_kbps", IntegerType(), True),
+    ]
+)
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Audio accounting across codec tiers, Arrow-batched: per payload,
+    the codec, a ``decode_status`` pipelines can aggregate to quantify
+    the fraction the PCM tier skips, and duration / rate / channels /
+    bitrate from HEADERS alone:
+
+    - ``pcm_wav`` → status ``full`` (``audio_features``/``audio_spectral``
+      can decode samples),
+    - ``mp3`` / ``vorbis`` / ``opus`` → status ``header_only``
+      (frame/page-header walk — no entropy decode, so metadata is exact
+      but samples are unavailable without a codec library),
+    - anything else (or a null payload) → status ``unsupported`` with
+      null fields, NOT an exception — this operator is the accounting
+      tier, so it must survive a mixed crawl batch.
+    """
+
+    def one(mid, payload):
+        row = {
+            "media_id": mid, "codec": None, "decode_status": "unsupported",
+            "duration_ms": None, "sample_rate": None, "channels": None,
+            "bitrate_kbps": None,
+        }
+        if payload is None:
+            return row
+        b = bytes(payload)
+        try:
+            if b[:4] == b"RIFF":
+                with wave.open(io.BytesIO(b)) as w:
+                    n, sr, ch = w.getnframes(), w.getframerate(), w.getnchannels()
+                row.update(
+                    codec="pcm_wav", decode_status="full",
+                    duration_ms=n * 1000 // max(sr, 1), sample_rate=sr,
+                    channels=ch,
+                    bitrate_kbps=round(len(b) * 8 / max(n * 1000 // max(sr, 1), 1)),
+                )
+            elif b[:4] == b"OggS":
+                codec, dur, sr, ch, kbps = _ogg_stats(b)
+                row.update(codec=codec, decode_status="header_only",
+                           duration_ms=dur, sample_rate=sr, channels=ch,
+                           bitrate_kbps=kbps)
+            elif b[:3] == b"ID3" or (
+                len(b) > 1 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+            ):
+                dur, sr, ch, kbps = _mp3_stats(b)
+                row.update(codec="mp3", decode_status="header_only",
+                           duration_ms=dur, sample_rate=sr, channels=ch,
+                           bitrate_kbps=kbps)
+        except (NotImplementedError, wave.Error, EOFError):
+            pass  # stays 'unsupported' — accounting must not throw
+        return row
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [one(m, p) for m, p in zip(pdf["media_id"], pdf["payload"])]
+            out = pd.DataFrame(rows)
+            out["duration_ms"] = out["duration_ms"].astype("Int64")
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["channels"] = out["channels"].astype("Int32")
+            out["bitrate_kbps"] = out["bitrate_kbps"].astype("Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, AUDIO_METADATA_SCHEMA
+    )
 
 
 def _bmp_rle8(b: bytes, off: int, w: int, h: int) -> np.ndarray:
@@ -615,7 +835,10 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
     The real path decodes RIFF/PCM WAV payloads with stdlib ``wave`` +
     numpy (``_wav_stats``): duration from frames/rate, RMS over
     [-1, 1]-normalized channel-averaged samples, sign-change count.
-    Compressed audio (mp3/ogg/non-PCM) raises — needs librosa/soundfile.
+    Compressed audio (mp3/ogg/non-PCM) raises here — SAMPLE decode needs
+    librosa/soundfile; use ``audio_metadata`` for the header tier
+    (duration/rate/channels/bitrate without decoding) and its
+    ``decode_status`` column to quantify the skipped fraction.
     The ``fake=True`` stub derives deterministic values from the content
     hash through the same mapInPandas plumbing."""
     out_schema = StructType(

@@ -2506,3 +2506,134 @@ def test_bmp_rle8_malformed_raises_codec_boundary():
     out = _bmp_pixels(_bmp_bytes(indices=np.zeros((4, 6)), palette=pal,
                                  bpp=8, compression=1, rle=edge))
     assert (out[-1] == pal[1]).all()
+
+
+# -- compressed-audio header tier: independent test-side stream builders ----
+
+
+def _mp3_bytes(n_frames=38, kbps=128, sr=44100, stereo=True, id3=False):
+    """Build a valid MPEG-1 Layer III frame sequence (silent payloads —
+    the header tier never entropy-decodes), optionally ID3v2-prefixed.
+    Independent of the decoder: fields are packed from the spec."""
+    out = bytearray()
+    if id3:
+        tag_body = b"\x00" * 100
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(len(tag_body) >> 21) & 0x7F, (len(tag_body) >> 14) & 0x7F,
+             (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
+        ) + tag_body
+    br_idx = {32: 1, 40: 2, 48: 3, 56: 4, 64: 5, 80: 6, 96: 7, 112: 8,
+              128: 9, 160: 10, 192: 11, 224: 12, 256: 13, 320: 14}[kbps]
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sr]
+    frame_len = 144 * kbps * 1000 // sr  # no padding bit set
+    for _ in range(n_frames):
+        h = bytes([
+            0xFF,
+            0xFB,                       # sync cont. | MPEG1 | Layer III | no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            0x00 if stereo else 0xC0,   # channel mode
+        ])
+        out += h + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def _ogg_pages(packets_and_granules, serial=7):
+    """Assemble Ogg pages (one packet per page, correct 255-lacing)."""
+    import struct as s
+    import zlib as z
+
+    out = bytearray()
+    for seq, (body, granule) in enumerate(packets_and_granules):
+        segs = []
+        n = len(body)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        htype = 2 if seq == 0 else (4 if seq == len(packets_and_granules) - 1 else 0)
+        page = s.pack("<4sBBqIIIB", b"OggS", 0, htype, granule, serial, seq, 0,
+                      len(segs)) + bytes(segs) + body
+        out += page  # checksum left 0 — the header tier does not verify CRCs
+    return bytes(out)
+
+
+def _vorbis_stream(sr=22050, channels=2, total_samples=44100):
+    import struct as s
+
+    ident = b"\x01vorbis" + s.pack("<IBI", 0, channels, sr) + b"\x00" * 13
+    return _ogg_pages([
+        (ident, 0),
+        (b"\xaa" * 300, total_samples // 2),
+        (b"\xbb" * 40, total_samples),
+    ])
+
+
+def _opus_stream(channels=1, pre_skip=312, total_48k=96000):
+    import struct as s
+
+    head = b"OpusHead" + s.pack("<BBHIhB", 1, channels, pre_skip, 48000, 0, 0)
+    return _ogg_pages([
+        (head, 0),
+        (b"\xcc" * 120, total_48k // 2),
+        (b"\xdd" * 120, total_48k),
+    ])
+
+
+def test_mp3_header_stats():
+    from temporai_mivdp_spark.llmdata.multimodal import _mp3_stats
+
+    # 38 frames * 1152 samples @44100 = 43776 samples -> 992 ms
+    dur, sr, ch, kbps = _mp3_stats(_mp3_bytes())
+    assert (dur, sr, ch, kbps) == (38 * 1152 * 1000 // 44100, 44100, 2, 128)
+
+    # ID3v2 prefix skipped; mono 64 kbps @32000; ID3v1 trailer tolerated
+    dur, sr, ch, kbps = _mp3_stats(
+        _mp3_bytes(n_frames=10, kbps=64, sr=32000, stereo=False, id3=True)
+        + b"TAG" + b"\x00" * 125
+    )
+    assert (dur, sr, ch, kbps) == (10 * 1152 * 1000 // 32000, 32000, 1, 64)
+
+    with pytest.raises(NotImplementedError):
+        _mp3_stats(b"\x00" * 64)
+
+
+def test_ogg_header_stats():
+    from temporai_mivdp_spark.llmdata.multimodal import _ogg_stats
+
+    codec, dur, sr, ch, _ = _ogg_stats(_vorbis_stream())
+    assert (codec, dur, sr, ch) == ("vorbis", 2000, 22050, 2)
+
+    codec, dur, sr, ch, _ = _ogg_stats(_opus_stream())
+    # (96000 - 312 pre-skip) / 48k = 1993 ms
+    assert (codec, dur, sr, ch) == ("opus", (96000 - 312) * 1000 // 48000, 48000, 1)
+
+    with pytest.raises(NotImplementedError):
+        _ogg_stats(_ogg_pages([(b"\x80theora-ish", 0)]))
+
+
+def test_audio_metadata_mixed_batch(spark):
+    """The accounting tier must survive a mixed crawl batch: PCM WAV
+    reports status 'full', MP3/Vorbis/Opus report exact header metadata
+    as 'header_only', garbage and null payloads degrade to 'unsupported'
+    rows instead of failing the batch."""
+    rows = [
+        (1, _square_wav_bytes(), None, None, None, None),
+        (2, _mp3_bytes(), None, None, None, None),
+        (3, _vorbis_stream(), None, None, None, None),
+        (4, _opus_stream(), None, None, None, None),
+        (5, b"\x00garbage not audio at all", None, None, None, None),
+        (6, None, None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.audio_metadata(media).collect()}
+    assert (got[1].codec, got[1].decode_status, got[1].duration_ms,
+            got[1].sample_rate, got[1].channels) == ("pcm_wav", "full", 100, 8000, 1)
+    assert (got[2].codec, got[2].decode_status, got[2].sample_rate,
+            got[2].channels, got[2].bitrate_kbps) == ("mp3", "header_only", 44100, 2, 128)
+    assert (got[3].codec, got[3].decode_status, got[3].duration_ms) == (
+        "vorbis", "header_only", 2000)
+    assert (got[4].codec, got[4].decode_status, got[4].channels) == (
+        "opus", "header_only", 1)
+    for mid in (5, 6):
+        assert got[mid].decode_status == "unsupported"
+        assert got[mid].codec is None and got[mid].duration_ms is None
