@@ -1,0 +1,180 @@
+"""Data Selection via Importance Resampling (DSIR) — domain-targeted
+corpus selection with hashed n-gram features.
+
+The published recipe (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling"): fit two bag-of-hashed-ngram
+distributions — one on a small TARGET corpus (the domain you want more
+of), one on the RAW crawl — and score every raw document by the
+log-likelihood ratio of its tokens under the two; resample the crawl
+proportionally to the ratio. It is the standard way to tilt a 100 TB
+crawl toward a domain without a trained classifier.
+
+Spark-first shape, every stage bounded:
+
+* the feature space is ``n_buckets`` hashed slots (default 4096), so
+  BOTH distribution fits are explode → hash → groupBy(bucket) with
+  map-side combine — the shuffle carries at most ``n_buckets`` rows per
+  partition regardless of corpus size;
+* the log-ratio table is an ``n_buckets``-row broadcast dimension (the
+  langid weight-table discipline) — scoring is one broadcast join + one
+  doc-keyed map-side-combined SUM, no driver round-trip;
+* scores are INTEGER-scaled (round(log-ratio × 1e6) per bucket) so the
+  per-doc sum is exact in any partitioning / summation order — the
+  module-level float discipline (queries.py docstring);
+* selection is either exact top-k on the integer score (deterministic,
+  oracle-mirrorable) or Gumbel-top-k resampling (md5-derandomized noise
+  — the faithful "sample ∝ exp(score)" form; float comparison at the
+  selection boundary, so it is test-verified rather than hash-compared).
+
+Hash portability: bucket = ``int(md5(token)[:8], 16) % n_buckets`` —
+bit-identical in DuckDB (``('0x' || substr(md5(t),1,8))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from temporai_mivdp_spark.llmdata.dedup import normalize_text
+
+#: integer scaling for log-ratio scores: 1e-6 nat resolution, exact
+#: 64-bit sums for any realistic document length
+_SCALE = 1_000_000
+
+
+def _token_buckets(
+    docs: DataFrame, n_buckets: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, bucket) per token occurrence: normalize → whitespace split →
+    32-bit md5 hash → modulo. Row-local until the caller aggregates."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return toks.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def dsir_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """The n_buckets-row log-ratio dimension: for each hashed bucket,
+    ``score = round(1e6 * (ln P_target(b) - ln P_raw(b)))`` with
+    Laplace smoothing ``P(b) = (count_b + 1) / (total + n_buckets)``.
+
+    Two bounded aggregations (≤ n_buckets rows each) full-outer-joined —
+    buckets unseen on a side count 0 and still get a finite smoothed
+    score. The result broadcasts; persist it to reuse one fit across
+    many scoring runs.
+    """
+    def side(df: DataFrame, name: str) -> DataFrame:
+        counts = (
+            _token_buckets(df.select(F.lit(0).alias("__id"), text_col),
+                           n_buckets, text_col, "__id")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(f"__c_{name}"))
+        )
+        return counts
+
+    t = side(target, "t")
+    r = side(raw, "r")
+    # totals ride along as window sums over the tiny joined table — no
+    # extra pass over either corpus
+    joined = t.join(r, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("__c_t", F.lit(0)).alias("__c_t"),
+        F.coalesce("__c_r", F.lit(0)).alias("__c_r"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    log_ratio = (
+        F.log((F.col("__c_t") + 1) / (F.sum("__c_t").over(w) + n_buckets))
+        - F.log((F.col("__c_r") + 1) / (F.sum("__c_r").over(w) + n_buckets))
+    )
+    return joined.select(
+        "bucket",
+        F.round(log_ratio * _SCALE).cast("long").alias("score"),
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    ratios: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document importance: the integer sum of bucket scores over the
+    document's tokens (∝ log ∏ P_t/P_r). One explode + broadcast join +
+    map-side-combined sum; docs with no tokens surface with importance 0
+    and ``n_scored`` 0 via the left join back."""
+    scored = (
+        _token_buckets(raw, n_buckets, text_col, id_col)
+        .join(F.broadcast(ratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce("score", F.lit(0))).alias("importance"),
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("importance", F.lit(0)).cast("long").alias("importance"),
+            F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+        )
+    )
+
+
+def dsir_top_k(
+    importance: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    out_col: str = "selected",
+) -> DataFrame:
+    """Deterministic selection: flag the ``k`` highest-importance docs
+    (ties broken by ascending id — a total order, so the flag is exact
+    and oracle-mirrorable). Rank via one global window over the narrow
+    (id, importance) projection; at fleet scale swap in the two-phase
+    per-partition top-k of ``sample_exact_k`` — the flag semantics are
+    identical."""
+    w = Window.orderBy(F.col("importance").desc(), F.col(id_col).asc())
+    return importance.withColumn(
+        out_col, (F.row_number().over(w) <= k)
+    )
+
+
+def dsir_gumbel_sample(
+    importance: DataFrame,
+    k: int,
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Importance RESAMPLING proper — k draws without replacement with
+    probability ∝ exp(importance / 1e6 / temperature) — via the Gumbel
+    top-k trick with md5-derandomized noise: ``g = -ln(-ln(u))`` with
+    ``u = (md5_32(seed||id) + 0.5) / 2^32``, select the k largest
+    ``score + g``. Deterministic in (seed, id), partitioning-invariant.
+    The selection key is a double, so boundary ties are float-sensitive
+    — this variant is test-verified (distributional + determinism), not
+    driver-hash-compared; ``dsir_top_k`` is the integer-exact tier.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(2**32))
+    key = F.col("importance") / (_SCALE * temperature) - F.log(-F.log(u))
+    w = Window.orderBy(F.desc(key), F.col(id_col).asc())
+    return importance.withColumn("selected", F.row_number().over(w) <= k)

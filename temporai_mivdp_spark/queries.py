@@ -78,6 +78,9 @@ WINDOW_TAIL: tuple[str, ...] = (
     "a3_conditional_count",
     "o_sort_topk_first",
     "f_scalar_suite",
+    # round 6: displaced for dsir_select — union+anti stay window-covered
+    # by u1_u2_union_anti_grid; the when()-split here is a projection
+    "p8_split_label_union",
 )
 
 

@@ -1367,3 +1367,78 @@ def text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer on top."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return text.gopher_keep(docs, min_tokens=20)
+
+
+@_register(
+    "dsir_select",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents
+      ) WHERE t <> ''
+    ),
+    b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096 AS bucket
+      FROM tok
+    ),
+    tcnt AS (
+      SELECT bucket, count(*) AS ct FROM b
+      WHERE doc_id IN (SELECT doc_id FROM documents
+                       WHERE source IN ('src1', 'src2', 'src3'))
+      GROUP BY 1
+    ),
+    rcnt AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+    j AS (
+      SELECT coalesce(t.bucket, r.bucket) AS bucket,
+             coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+      FROM tcnt t FULL OUTER JOIN rcnt r ON t.bucket = r.bucket
+    ),
+    ratio AS (
+      SELECT bucket,
+             CAST(round(1000000 * (
+               ln((ct + 1.0) / (sum(ct) OVER () + 4096))
+               - ln((cr + 1.0) / (sum(cr) OVER () + 4096))
+             )) AS BIGINT) AS score
+      FROM j
+    ),
+    imp AS (
+      SELECT b.doc_id,
+             CAST(sum(coalesce(score, 0)) AS BIGINT) AS importance,
+             CAST(count(*) AS BIGINT) AS n_scored
+      FROM b LEFT JOIN ratio USING (bucket) GROUP BY 1
+    ),
+    full_imp AS (
+      SELECT d.doc_id,
+             coalesce(importance, 0) AS importance,
+             coalesce(n_scored, 0) AS n_scored
+      FROM documents d LEFT JOIN imp ON d.doc_id = imp.doc_id
+    )
+    SELECT doc_id, importance, n_scored,
+           row_number() OVER (ORDER BY importance DESC, doc_id ASC) <= 100
+             AS selected
+    FROM full_imp
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR domain-targeted selection (llmdata/dsir.py; Xie et al. 2023)
+    end to end: target = the src1-3 slice of the corpus, raw = the whole
+    corpus; fit both hashed-unigram distributions (4096 buckets, two
+    bounded aggregations), build the integer-scaled log-ratio broadcast
+    dimension, score every document (explode → broadcast join →
+    map-side-combined exact integer sum), and flag the deterministic
+    top-100. The oracle replays the entire fit + score + select chain,
+    so the check is scale-factor-independent. The Gumbel resampling
+    tier (sample ∝ exp(score)) is test-verified in
+    tests/test_llmdata.py — its selection key is float, so it stays out
+    of the hash-compared surface by design."""
+    from temporai_mivdp_spark.llmdata import dsir
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    raw = docs.select("doc_id", "text")
+    target = docs.filter(F.col("source").isin("src1", "src2", "src3")).select(
+        "doc_id", "text"
+    )
+    ratios = dsir.dsir_log_ratios(raw, target, n_buckets=4096)
+    imp = dsir.dsir_importance(raw, ratios, n_buckets=4096)
+    return dsir.dsir_top_k(imp, k=100)

@@ -2637,3 +2637,70 @@ def test_audio_metadata_mixed_batch(spark):
     for mid in (5, 6):
         assert got[mid].decode_status == "unsupported"
         assert got[mid].codec is None and got[mid].duration_ms is None
+
+
+# -- DSIR importance resampling --------------------------------------------
+
+
+def test_dsir_importance_properties(spark):
+    """The log-ratio fit must tilt toward the target domain: docs written
+    in the target's vocabulary score higher than off-domain docs;
+    importance is exact-integer and partitioning-invariant; empty docs
+    surface with importance 0."""
+    from temporai_mivdp_spark.llmdata import dsir
+
+    target_rows = [(100 + i, "quantum flux capacitor resonance chamber") for i in range(5)]
+    on_domain = [(i, "quantum resonance flux readings in the chamber") for i in range(3)]
+    off_domain = [(10 + i, "cheap shoes sale discount buy now free shipping") for i in range(3)]
+    raw_rows = on_domain + off_domain + [(99, ""), (98, None)]
+    raw = spark.createDataFrame(raw_rows, "doc_id: long, text: string")
+    target = spark.createDataFrame(target_rows, "doc_id: long, text: string")
+
+    ratios = dsir.dsir_log_ratios(raw, target, n_buckets=512)
+    imp = dsir.dsir_importance(raw, ratios, n_buckets=512)
+    got = {r.doc_id: (r.importance, r.n_scored) for r in imp.collect()}
+    assert len(got) == len(raw_rows)
+    on = [got[i][0] for i in range(3)]
+    off = [got[10 + i][0] for i in range(3)]
+    assert min(on) > max(off)
+    assert got[99] == (0, 0) and got[98] == (0, 0)
+
+    # partitioning invariance: exact integer equality across layouts
+    imp2 = dsir.dsir_importance(raw.repartition(13), ratios, n_buckets=512)
+    assert {r.doc_id: r.importance for r in imp2.collect()} == {
+        k: v[0] for k, v in got.items()
+    }
+
+
+def test_dsir_selection_tiers(spark):
+    """dsir_top_k flags exactly k docs by (importance desc, id asc);
+    dsir_gumbel_sample is deterministic in (seed, id), re-deals with the
+    seed, and across seeds prefers high-importance docs (the sample-
+    proportional-to-exp(score) contract, checked distributionally)."""
+    from temporai_mivdp_spark.llmdata import dsir
+
+    rows = [(i, int((i % 10) * 1_000_000)) for i in range(50)]
+    imp = spark.createDataFrame(rows, "doc_id: long, importance: long").withColumn(
+        "n_scored", F.lit(10).cast("long")
+    )
+
+    top = dsir.dsir_top_k(imp, k=5)
+    sel = sorted(r.doc_id for r in top.filter("selected").collect())
+    # importance 9e6 docs are 9, 19, 29, 39, 49 -> all five, ids ascending
+    assert sel == [9, 19, 29, 39, 49]
+
+    g1 = {r.doc_id for r in dsir.dsir_gumbel_sample(imp, 10, seed="a").filter("selected").collect()}
+    g1b = {r.doc_id for r in dsir.dsir_gumbel_sample(imp.repartition(7), 10, seed="a").filter("selected").collect()}
+    g2 = {r.doc_id for r in dsir.dsir_gumbel_sample(imp, 10, seed="b").filter("selected").collect()}
+    assert g1 == g1b            # partitioning-invariant
+    assert len(g1) == 10
+    assert g1 != g2             # seed re-deals
+    # distributional tilt: across seeds, selected mean importance beats
+    # the corpus mean (4.5e6) comfortably
+    means = []
+    for s in range(8):
+        picked = dsir.dsir_gumbel_sample(imp, 10, seed=f"s{s}").filter("selected")
+        means.append(
+            picked.agg(F.avg("importance")).collect()[0][0]
+        )
+    assert sum(means) / len(means) > 6_000_000
