@@ -81,6 +81,10 @@ WINDOW_TAIL: tuple[str, ...] = (
     # round 6: displaced for dsir_select — union+anti stay window-covered
     # by u1_u2_union_anti_grid; the when()-split here is a projection
     "p8_split_label_union",
+    # round 6: displaced for text_quality_model — broadcast dictionary
+    # joins stay window-covered by the flagship (plan-asserted),
+    # j7_lookup_first_match, and the langid weight dimension
+    "j4_dictionary_join",
 )
 
 

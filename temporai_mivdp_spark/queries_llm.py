@@ -1442,3 +1442,69 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios = dsir.dsir_log_ratios(raw, target, n_buckets=4096)
     imp = dsir.dsir_importance(raw, ratios, n_buckets=4096)
     return dsir.dsir_top_k(imp, k=100)
+
+
+def _quality_model_oracle_sql() -> str:
+    """Full-mirror oracle for text_quality_model: the same feature SQL
+    the text_quality oracle pins, a fixed-order literal dot product with
+    the pretrained weights (re-derived at registration — the langid
+    score-table discipline), no transcendentals, so both engines produce
+    bit-identical logits."""
+    from temporai_mivdp_spark.llmdata.quality_model import (
+        FEATURES,
+        pretrained_quality_weights,
+    )
+
+    b, w = pretrained_quality_weights()
+    logit = repr(b) + "".join(
+        f" + {wj!r} * {name}" for name, wj in zip(FEATURES, w)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, ' ' || {_NORM} || ' ' AS pad,
+             length(text) AS n_chars,
+             string_split({_NORM}, ' ') AS w,
+             len(string_split({_NORM}, ' ')) AS n_tokens
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+        coalesce(least(n_tokens, 512) / 512.0, 0.0) AS len_feat,
+        coalesce(n_chars * 1.0 / n_tokens / 10.0, 0.0) AS cpt_feat,
+        CASE WHEN coalesce(n_chars, 0) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / n_chars
+        END AS punct_ratio,
+        CASE WHEN coalesce(n_chars, 0) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / n_chars
+        END AS digit_ratio,
+        CASE WHEN coalesce(n_chars, 0) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / n_chars
+        END AS upper_ratio,
+        coalesce(({_STOP_SUM}) * 1.0 / n_tokens, 0.0) AS stopword_ratio,
+        coalesce(len(list_distinct(w)) * 1.0 / len(w), 0.0) AS uniq_ratio
+      FROM t
+    )
+    SELECT doc_id, len_feat, cpt_feat, punct_ratio, digit_ratio, upper_ratio,
+           stopword_ratio, uniq_ratio,
+           ({logit}) AS logit,
+           ({logit}) > 0 AS keep
+    FROM f
+    """
+
+
+@_register("text_quality_model", _quality_model_oracle_sql())
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (llmdata/quality_model.py): the
+    pretrained logistic tier — weights re-derived at import from the
+    fixed in-repo clean-prose/junk seed by deterministic pure-Python
+    gradient descent — inlined as plan literals over the oracle-pinned
+    cheap features. One codegen'd projection: no shuffle, no Python, no
+    broadcast; the logit is a fixed-order double dot product with no
+    transcendentals, so the oracle's replay is bit-identical. The
+    distributed trainer (`logreg_fit`, one bounded-gradient aggregation
+    per iteration) is differentially tested against the pure-Python fit
+    in tests/test_llmdata.py."""
+    from temporai_mivdp_spark.llmdata import quality_model as qm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return qm.quality_model_score(docs)
