@@ -85,6 +85,7 @@ PINNED_EXTRAS = [
     "text_quantile_norm",
     "text_chunk_overlap",
     "dsir_select",  # round-6 addition
+    "dsir_gumbel",  # round-7 addition
 ]
 
 #: Timed rounds per query (interleaved). 5 rounds x ~12 queries spreads each

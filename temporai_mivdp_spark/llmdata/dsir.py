@@ -134,6 +134,39 @@ def dsir_importance(
     )
 
 
+def _flag_top_k_by_threshold(
+    importance: DataFrame,
+    key: Column,
+    k: int,
+    id_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Flag the k largest rows under (``key`` desc, id asc) WITHOUT a
+    global sort: the composite ``struct(-key, id)`` makes that ordering
+    a plain ascending struct comparison, so the k-th boundary is
+    ``orderBy(composite).limit(k)`` — TakeOrderedAndProject, per-
+    partition k-row heaps merged on the driver, never a single-partition
+    shuffle — reduced to ONE row by ``max``. The 1-row boundary
+    broadcasts back and every row flags by comparison. Exactly the
+    row_number()-over-global-window semantics (total order, exact k
+    flags), at the cost of one extra scan of the narrow composite
+    projection instead of shipping the whole frame through one window
+    task. ``key`` must be non-null; ``k <= 0`` flags nothing."""
+    comp = F.struct((-key).alias("neg_key"), F.col(id_col).alias("tie"))
+    boundary = (
+        importance.select(comp.alias("__comp"))
+        .orderBy(F.col("__comp").asc())
+        .limit(k)
+        .agg(F.max("__comp").alias("__boundary"))
+    )
+    return (
+        importance.crossJoin(F.broadcast(boundary))
+        # null boundary = k<=0 (limit(0) → max over nothing): flag none
+        .withColumn(out_col, F.coalesce(comp <= F.col("__boundary"), F.lit(False)))
+        .drop("__boundary")
+    )
+
+
 def dsir_top_k(
     importance: DataFrame,
     k: int,
@@ -142,13 +175,40 @@ def dsir_top_k(
 ) -> DataFrame:
     """Deterministic selection: flag the ``k`` highest-importance docs
     (ties broken by ascending id — a total order, so the flag is exact
-    and oracle-mirrorable). Rank via one global window over the narrow
-    (id, importance) projection; at fleet scale swap in the two-phase
-    per-partition top-k of ``sample_exact_k`` — the flag semantics are
-    identical."""
-    w = Window.orderBy(F.col("importance").desc(), F.col(id_col).asc())
-    return importance.withColumn(
-        out_col, (F.row_number().over(w) <= k)
+    and oracle-mirrorable) via the broadcast-threshold form of
+    ``_flag_top_k_by_threshold`` — per-partition top-k heaps, no
+    single-partition global window, so the plan holds at 10^10 docs."""
+    return _flag_top_k_by_threshold(
+        importance, F.col("importance").cast("long"), k, id_col, out_col
+    )
+
+
+def dsir_gumbel_key(
+    seed: str, id_col: str = "doc_id", temperature: float = 1.0
+) -> Column:
+    """The integer-scaled Gumbel selection key: ``round(importance/T) +
+    round(1e6 · g)`` with ``g = -ln(-ln(u))``, ``u = (md5_32(seed||id)
+    + 0.5) / 2^32``. Scaling g to 1e-6-nat resolution keeps the key a
+    64-bit integer — exact comparisons, hash-comparable output, and the
+    same robustness contract as the catalog's other log-domain floats
+    (round-to-6-decimals absorbs last-ulp libm differences everywhere
+    off a measure-zero rounding boundary). Deterministic in (seed, id),
+    partitioning-invariant; DuckDB mirror:
+    ``round(importance/T) + round(1e6 * -ln(-ln(
+    (('0x'||substr(md5(seed||id),1,8))::BIGINT + 0.5)/4294967296)))``."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(2**32))
+    g = -F.log(-F.log(u))
+    return (
+        F.round(F.col("importance") / temperature).cast("long")
+        + F.round(g * _SCALE).cast("long")
     )
 
 
@@ -158,23 +218,18 @@ def dsir_gumbel_sample(
     seed: str = "dsir",
     id_col: str = "doc_id",
     temperature: float = 1.0,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Importance RESAMPLING proper — k draws without replacement with
     probability ∝ exp(importance / 1e6 / temperature) — via the Gumbel
-    top-k trick with md5-derandomized noise: ``g = -ln(-ln(u))`` with
-    ``u = (md5_32(seed||id) + 0.5) / 2^32``, select the k largest
-    ``score + g``. Deterministic in (seed, id), partitioning-invariant.
-    The selection key is a double, so boundary ties are float-sensitive
-    — this variant is test-verified (distributional + determinism), not
-    driver-hash-compared; ``dsir_top_k`` is the integer-exact tier.
-    """
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
-            16, 10,
-        ).cast("double")
-        + 0.5
-    ) / F.lit(float(2**32))
-    key = F.col("importance") / (_SCALE * temperature) - F.log(-F.log(u))
-    w = Window.orderBy(F.desc(key), F.col(id_col).asc())
-    return importance.withColumn("selected", F.row_number().over(w) <= k)
+    top-k trick with the md5-derandomized INTEGER key of
+    ``dsir_gumbel_key`` (ties broken by ascending id). Selection uses
+    the same broadcast-threshold plan as ``dsir_top_k`` — per-partition
+    heaps, no global window — and because the key is integer-exact the
+    selection is hash-comparable, not merely test-verified. Pass
+    ``key_col`` to also emit the key for oracle comparison."""
+    key = dsir_gumbel_key(seed, id_col, temperature)
+    out = _flag_top_k_by_threshold(importance, key, k, id_col, "selected")
+    if key_col is not None:
+        out = out.withColumn(key_col, key)
+    return out

@@ -237,14 +237,49 @@ def _mp3_stats(b: bytes) -> tuple[int, int, int, int]:
     return duration_ms, sr, channels, round(kbps_sum / max(n_frames, 1))
 
 
+def _flac_streaminfo(b: bytes, off: int) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bits_per_sample, total_samples) from a
+    FLAC STREAMINFO block: ``off`` points at the ``fLaC`` signature;
+    STREAMINFO is mandated to be the FIRST metadata block (type 0,
+    34-byte body — 16 bytes of header math after the block sizes:
+    20-bit rate, 3-bit channels-1, 5-bit bps-1, 36-bit total samples).
+    Raises ``NotImplementedError`` on anything malformed."""
+    if b[off : off + 4] != b"fLaC" or len(b) < off + 8 + 34:
+        raise NotImplementedError("missing fLaC signature/STREAMINFO")
+    if b[off + 4] & 0x7F != 0:
+        raise NotImplementedError("first FLAC metadata block is not STREAMINFO")
+    blen = int.from_bytes(b[off + 5 : off + 8], "big")
+    if blen < 34:
+        raise NotImplementedError("short STREAMINFO block")
+    packed = int.from_bytes(b[off + 18 : off + 26], "big")
+    sr = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if sr <= 0:
+        raise NotImplementedError("STREAMINFO missing sample rate")
+    return sr, channels, bps, total
+
+
+def _flac_stats(b: bytes) -> tuple[int, int, int, int]:
+    """(duration_ms, sample_rate, channels, bitrate_kbps) for a BARE
+    .flac payload — 16 bytes of STREAMINFO header math, no frame
+    decode; the same stdlib discipline as the MP3/Ogg walkers."""
+    sr, channels, _bps, total = _flac_streaminfo(b, 0)
+    duration_ms = total * 1000 // sr
+    kbps = round(len(b) * 8 / max(duration_ms, 1))
+    return duration_ms, sr, channels, kbps
+
+
 def _ogg_stats(b: bytes) -> tuple[str, int, int, int, int]:
     """(codec, duration_ms, sample_rate, channels, bitrate_kbps) from an
     Ogg container by walking page headers: the first packet identifies
-    Vorbis (``\\x01vorbis``) or Opus (``OpusHead``); duration comes from
-    the LAST page's granule position (PCM samples at the stream rate for
-    Vorbis; 48 kHz units minus pre-skip for Opus). Raises
-    ``NotImplementedError`` for other codecs (e.g. Theora, FLAC-in-Ogg)
-    or malformed pages."""
+    Vorbis (``\\x01vorbis``), Opus (``OpusHead``), or FLAC-in-Ogg
+    (``\\x7fFLAC`` mapping packet wrapping the STREAMINFO); duration
+    comes from the LAST page's granule position (PCM samples at the
+    stream rate for Vorbis/FLAC; 48 kHz units minus pre-skip for Opus).
+    Raises ``NotImplementedError`` for other codecs (e.g. Theora) or
+    malformed pages."""
     if b[:4] != b"OggS":
         raise NotImplementedError("not an Ogg container")
     codec = None
@@ -272,6 +307,11 @@ def _ogg_stats(b: bytes) -> tuple[str, int, int, int, int]:
                 channels = body[9]
                 (pre_skip,) = struct.unpack_from("<H", body, 10)
                 sr = 48000  # granule timebase; input rate at 12 is advisory
+            elif body[:5] == b"\x7fFLAC" and len(body) >= 9 + 8 + 34:
+                # Ogg-FLAC mapping packet: 0x7F 'FLAC' major minor
+                # n_headers(BE16), then the bare-FLAC fLaC + STREAMINFO
+                codec = "flac"
+                sr, channels, _bps, _total = _flac_streaminfo(body, 9)
             else:
                 raise NotImplementedError("unsupported Ogg codec")
         if granule >= 0:
@@ -306,9 +346,10 @@ def audio_metadata(media: DataFrame) -> DataFrame:
 
     - ``pcm_wav`` → status ``full`` (``audio_features``/``audio_spectral``
       can decode samples),
-    - ``mp3`` / ``vorbis`` / ``opus`` → status ``header_only``
-      (frame/page-header walk — no entropy decode, so metadata is exact
-      but samples are unavailable without a codec library),
+    - ``mp3`` / ``vorbis`` / ``opus`` / ``flac`` (bare or in-Ogg) →
+      status ``header_only`` (frame/page-header walk, or 16 bytes of
+      STREAMINFO math for FLAC — no entropy decode, so metadata is
+      exact but samples are unavailable without a codec library),
     - anything else (or a null payload) → status ``unsupported`` with
       null fields, NOT an exception — this operator is the accounting
       tier, so it must survive a mixed crawl batch.
@@ -345,6 +386,11 @@ def audio_metadata(media: DataFrame) -> DataFrame:
                 row.update(codec="mp3", decode_status="header_only",
                            duration_ms=dur, sample_rate=sr, channels=ch,
                            bitrate_kbps=kbps)
+            elif b[:4] == b"fLaC":
+                dur, sr, ch, kbps = _flac_stats(b)
+                row.update(codec="flac", decode_status="header_only",
+                           duration_ms=dur, sample_rate=sr, channels=ch,
+                           bitrate_kbps=kbps)
         except (NotImplementedError, wave.Error, EOFError):
             pass  # stays 'unsupported' — accounting must not throw
         return row
@@ -361,6 +407,134 @@ def audio_metadata(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, AUDIO_METADATA_SCHEMA
+    )
+
+
+def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
+    """(modality, codec, decode_status) for one payload — HEADER-CHEAP
+    accounting of what the decode tiers can do, no pixel/sample decode:
+
+    - ``full``: the in-repo stdlib decoders produce samples/pixels
+      (PCM WAV; PNG; GIF; 8-bit Huffman JPEG SOF0/1/2; BMP 24/32-bit
+      uncompressed or 1/4/8-bit RLE8/uncompressed),
+    - ``header_only``: exact metadata from container headers, payload
+      decode needs a codec library (MP3, Ogg Vorbis/Opus; JPEG variants
+      the decoder rejects — 12/16-bit precision, arithmetic SOF9-11,
+      hierarchical SOF13-15 — still carry dimensions in their SOF),
+    - ``unsupported``: unrecognized or null payloads.
+
+    The classification MUST track the decoders' real capabilities —
+    tests/test_llmdata.py pins status=='full' ⇔ the pixel/sample tier
+    succeeds over the synthesized fixture suite, so a decoder change
+    that widens/narrows coverage fails there, not silently here."""
+    if b is None or len(b) < 4:
+        return ("unknown", None, "unsupported")
+    if b[:4] == b"RIFF":
+        return ("audio", "pcm_wav", "full")
+    if b[:4] == b"OggS":
+        try:
+            codec = _ogg_stats(b)[0]
+            return ("audio", codec, "header_only")
+        except NotImplementedError:
+            return ("audio", "ogg", "unsupported")
+    if b[:3] == b"ID3" or (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+        try:
+            _mp3_stats(b)
+            return ("audio", "mp3", "header_only")
+        except NotImplementedError:
+            return ("audio", "mp3", "unsupported")
+    if b[:4] == b"fLaC":
+        try:
+            _flac_stats(b)
+            return ("audio", "flac", "header_only")
+        except NotImplementedError:
+            return ("audio", "flac", "unsupported")
+    dims = _image_dims(b)
+    if dims is None:
+        return ("unknown", None, "unsupported")
+    fmt = dims[0]
+    if fmt == "jpeg":
+        # dims came from the first SOFn segment; decodability depends on
+        # WHICH one and the sample precision (imagecodecs.jpeg_pixels
+        # accepts 8-bit SOF0/1/2 only)
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                ok = marker in (0xC0, 0xC1, 0xC2) and b[i + 4] == 8
+                return ("image", "jpeg", "full" if ok else "header_only")
+            i += 2 + struct.unpack_from(">H", b, i + 2)[0]
+        return ("image", "jpeg", "header_only")
+    if fmt == "bmp":
+        bpp = struct.unpack_from("<HH", b, 26)[1] if len(b) >= 34 else 0
+        comp = struct.unpack_from("<I", b, 30)[0] if len(b) >= 34 else 99
+        ok = (bpp in (24, 32) and comp == 0) or (bpp in (1, 4, 8) and comp in (0, 1))
+        return ("image", "bmp", "full" if ok else "header_only")
+    return ("image", fmt, "full")  # png, gif
+
+
+DECODE_ROLLUP_SCHEMA = StructType(
+    [
+        StructField("modality", StringType(), False),
+        StructField("codec", StringType(), True),
+        StructField("decode_status", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def media_decode_rollup(media: DataFrame) -> DataFrame:
+    """The curation-surface answer to "what fraction of image/audio bytes
+    did we only header-scan?": per (modality, decode_status), item and
+    byte counts plus within-modality fractions.
+
+    Plan: one Arrow-batched classification pass (header sniffing only —
+    no decode), then a groupBy over a key space bounded by
+    #modalities × #statuses (≤ ~12 rows), so the shuffle is trivially
+    small at any corpus size; fractions come from a broadcast join
+    against the ≤4-row per-modality totals — no window, no driver math.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p in pdf["payload"]:
+                b = None if p is None else bytes(p)
+                modality, codec, status = media_decode_status(b)
+                rows.append(
+                    {
+                        "modality": modality,
+                        "codec": codec,
+                        "decode_status": status,
+                        "n_bytes": 0 if b is None else len(b),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_ROLLUP_SCHEMA])
+
+    classified = media.select("payload").mapInPandas(batches, DECODE_ROLLUP_SCHEMA)
+    per_status = classified.groupBy("modality", "decode_status").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("n_bytes"),
+    )
+    totals = per_status.groupBy("modality").agg(
+        F.sum("n_items").alias("__tot_items"),
+        F.sum("n_bytes").alias("__tot_bytes"),
+    )
+    return (
+        per_status.join(F.broadcast(totals), "modality")
+        .select(
+            "modality",
+            "decode_status",
+            "n_items",
+            "n_bytes",
+            F.round(F.col("n_items") / F.col("__tot_items"), 6).alias("frac_items"),
+            F.round(
+                F.col("n_bytes") / F.greatest(F.col("__tot_bytes"), F.lit(1)), 6
+            ).alias("frac_bytes"),
+        )
     )
 
 

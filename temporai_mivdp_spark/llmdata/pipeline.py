@@ -74,6 +74,26 @@ def materialize_curation(
     return {"text_files": n}
 
 
+def curation_media_report(media: DataFrame) -> DataFrame:
+    """First-class curation output for multimodal corpora: per
+    (modality, decode_status) item/byte counts and within-modality
+    fractions — "what fraction of audio/image bytes did we only
+    header-scan (or skip)" is a number a 100 TB run must report, not
+    bury in per-row nulls. Delegates to
+    ``multimodal.media_decode_rollup`` (header-sniff classification,
+    bounded-key aggregation); returns the ≤ #modalities × #statuses row
+    rollup, so callers can ``.collect()`` it into run telemetry or
+    union it across ingest epochs.
+
+    Reference parity note: the reference pipeline is text-only — this
+    surface extends it for the multimodal columns (SURVEY.md §2
+    additions), same accounting-over-silent-loss discipline as
+    ``decode_status`` itself (multimodal.py:292-345)."""
+    from temporai_mivdp_spark.llmdata import multimodal as mm
+
+    return mm.media_decode_rollup(media)
+
+
 def guard_corpus(
     docs: DataFrame,
     bench: DataFrame,

@@ -74,10 +74,21 @@ def quality_feature_vector(
         F.split(normalize_text(t), " ").alias("__toks"),
     )
     n_chars = F.length("__t")
-    n_tokens = F.size("__toks")
+    # array_size, NOT size: size(null) is -1 (legacy sentinel), which
+    # would leak -1/512 len_feat and -1/-1 uniq_ratio for null text;
+    # array_size propagates null so the coalesce below lands every
+    # degenerate doc on the documented all-zero feature row — matching
+    # the DuckDB oracle (len(NULL) IS NULL) and quality_features_py
+    n_tokens = F.array_size("__toks")
     stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
     feats = {
-        "len_feat": F.least(n_tokens, F.lit(_LEN_CAP)) / F.lit(float(_LEN_CAP)),
+        # when() guard: least() SKIPS nulls (returns 512 for null
+        # n_tokens, both in Spark and DuckDB), which would score a null
+        # doc as max-length — propagate the null into the coalesce
+        "len_feat": F.when(
+            n_tokens.isNotNull(),
+            F.least(n_tokens, F.lit(_LEN_CAP)) / F.lit(float(_LEN_CAP)),
+        ),
         "cpt_feat": n_chars / n_tokens / F.lit(10.0),
         "punct_ratio": F.regexp_count("__t", F.lit(r"[.!?,;:]")) / n_chars,
         "digit_ratio": F.regexp_count("__t", F.lit(r"[0-9]")) / n_chars,
@@ -85,7 +96,7 @@ def quality_feature_vector(
         "stopword_ratio": F.regexp_count(
             normalize_text(F.col("__t")), F.lit(stop_pat)
         ) / n_tokens,
-        "uniq_ratio": F.size(F.array_distinct("__toks")) / n_tokens,
+        "uniq_ratio": F.array_size(F.array_distinct("__toks")) / n_tokens,
     }
     return with_toks.select(
         id_col,
@@ -101,10 +112,21 @@ def quality_features_py(text: str | None) -> list[float]:
     view of the seed corpus and the differential tests' reference. Only
     NULL short-circuits to zeros; an empty string flows through the same
     arithmetic as the Spark expressions (split('') is [''], so
-    n_tokens = 1 — identical on both sides)."""
+    n_tokens = 1 — identical on both sides).
+
+    Regex semantics mirror the ENGINE OF RECORD (Spark's Java regex),
+    whose classes are split-brained — measured, not assumed
+    (tests/test_llmdata.py::test_quality_features_py_mirrors_spark):
+    ``\\s`` is ASCII by default (NBSP is NOT whitespace → ``re.ASCII``
+    on the normalize sub), while ``\\b`` is Unicode-aware ('aé' has no
+    boundary after the 'a' → Python's DEFAULT \\b, no ASCII flag). The
+    DuckDB oracle (RE2) has ASCII \\b and no lookarounds to emulate the
+    Unicode one, so oracle parity on the stopword feature holds on the
+    ASCII domain the test corpora exercise; this mirror follows Spark,
+    not RE2, off that domain."""
     if text is None:
         return [0.0] * len(FEATURES)
-    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
     toks = norm.split(" ")
     n_chars = len(text)
     n_tokens = len(toks)

@@ -85,6 +85,11 @@ WINDOW_TAIL: tuple[str, ...] = (
     # joins stay window-covered by the flagship (plan-asserted),
     # j7_lookup_first_match, and the langid weight dimension
     "j4_dictionary_join",
+    # round 7: displaced for dsir_gumbel — group max/mean aggregation
+    # stays window-covered by a2_two_level_agg, a5_a10_summary_counts,
+    # a8_winsorize and a9_group_mean_impute (null-skipping mean
+    # semantics exercised directly by a9's mean-impute oracle)
+    "a4_group_max_nanmean",
 )
 
 

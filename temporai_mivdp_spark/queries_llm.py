@@ -49,8 +49,12 @@ def _curation_scratch_dir(spark: SparkSession) -> str:
     Cleanup is two-tier: an ``atexit`` hook removes this process's
     directory (safe — the returned lazy frame is consumed before
     interpreter exit), and each call sweeps SIBLING app directories whose
-    mtime is older than 24h (left by crashed runs; live concurrent
-    sessions are younger than the TTL)."""
+    mtime is older than 24h. The TTL is a LIVENESS signal, not just a
+    write timestamp: every call re-touches this app's directory
+    (``os.utime``), so a long-lived session that keeps using its
+    checkpoint keeps its mtime fresh and a concurrent sweeper never
+    deletes a directory a live session still references — only sessions
+    idle (or dead) for a full day lose theirs."""
     import atexit
     import os
     import re
@@ -65,6 +69,12 @@ def _curation_scratch_dir(spark: SparkSession) -> str:
     if mine not in _CURATION_SCRATCH_REGISTERED:
         _CURATION_SCRATCH_REGISTERED.add(mine)
         atexit.register(shutil.rmtree, mine, ignore_errors=True)
+    # liveness heartbeat: keep this session's dir younger than any
+    # concurrent sweeper's TTL for as long as it keeps being used
+    try:
+        os.utime(mine)
+    except OSError:
+        pass
     cutoff = time.time() - 24 * 3600
     for entry in os.listdir(root):
         stale = os.path.join(root, entry)
@@ -1369,9 +1379,10 @@ def text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_keep(docs, min_tokens=20)
 
 
-@_register(
-    "dsir_select",
-    f"""
+# Shared fit+score CTE chain for both DSIR entries: hashed-unigram
+# target/raw fits, integer-scaled log-ratio dimension, exact per-doc
+# importance (mirrors llmdata/dsir.py step by step).
+_DSIR_FIT_SCORE_CTE = f"""
     WITH tok AS (
       SELECT doc_id, t FROM (
         SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents
@@ -1414,6 +1425,13 @@ def text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
              coalesce(n_scored, 0) AS n_scored
       FROM documents d LEFT JOIN imp ON d.doc_id = imp.doc_id
     )
+"""
+
+
+@_register(
+    "dsir_select",
+    _DSIR_FIT_SCORE_CTE
+    + """
     SELECT doc_id, importance, n_scored,
            row_number() OVER (ORDER BY importance DESC, doc_id ASC) <= 100
              AS selected
@@ -1427,11 +1445,12 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded aggregations), build the integer-scaled log-ratio broadcast
     dimension, score every document (explode → broadcast join →
     map-side-combined exact integer sum), and flag the deterministic
-    top-100. The oracle replays the entire fit + score + select chain,
-    so the check is scale-factor-independent. The Gumbel resampling
-    tier (sample ∝ exp(score)) is test-verified in
-    tests/test_llmdata.py — its selection key is float, so it stays out
-    of the hash-compared surface by design."""
+    top-100 via the broadcast-threshold selection (TakeOrderedAndProject
+    boundary, no doc-scale window — plan-pinned by
+    tests/test_plans.py::test_dsir_selection_has_no_doc_scale_window).
+    The oracle replays the entire fit + score + select chain, so the
+    check is scale-factor-independent. The Gumbel resampling tier is
+    the separate hash-compared entry ``dsir_gumbel``."""
     from temporai_mivdp_spark.llmdata import dsir
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
@@ -1442,6 +1461,49 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios = dsir.dsir_log_ratios(raw, target, n_buckets=4096)
     imp = dsir.dsir_importance(raw, ratios, n_buckets=4096)
     return dsir.dsir_top_k(imp, k=100)
+
+
+@_register(
+    "dsir_gumbel",
+    _DSIR_FIT_SCORE_CTE
+    + """
+    , gkey AS (
+      SELECT doc_id, importance, n_scored,
+             CAST(round(importance / 1.0) AS BIGINT)
+             + CAST(round(1000000 * -ln(-ln(
+                 (('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  + 0.5) / 4294967296.0
+               ))) AS BIGINT) AS gumbel_key
+      FROM full_imp
+    )
+    SELECT doc_id, importance, n_scored,
+           row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC) <= 100
+             AS selected,
+           gumbel_key
+    FROM gkey
+    """,
+)
+def dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING proper (llmdata/dsir.py::
+    dsir_gumbel_sample; Xie et al. 2023 §2): k draws without
+    replacement with probability ∝ exp(importance/1e6) via the Gumbel
+    top-k trick. Same fit + score chain as ``dsir_select``; the
+    selection key is the INTEGER-scaled ``importance + round(1e6·g)``
+    with md5-derandomized noise g (dsir.py::dsir_gumbel_key), so the
+    draw is deterministic, partitioning-invariant, and hash-comparable
+    — the oracle replays fit + score + key + selection end to end.
+    Selection is the same broadcast-threshold plan as dsir_top_k
+    (TakeOrderedAndProject boundary, no doc-scale window)."""
+    from temporai_mivdp_spark.llmdata import dsir
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    raw = docs.select("doc_id", "text")
+    target = docs.filter(F.col("source").isin("src1", "src2", "src3")).select(
+        "doc_id", "text"
+    )
+    ratios = dsir.dsir_log_ratios(raw, target, n_buckets=4096)
+    imp = dsir.dsir_importance(raw, ratios, n_buckets=4096)
+    return dsir.dsir_gumbel_sample(imp, k=100, seed="dsir", key_col="gumbel_key")
 
 
 def _quality_model_oracle_sql() -> str:
@@ -1469,7 +1531,8 @@ def _quality_model_oracle_sql() -> str:
     ),
     f AS (
       SELECT doc_id,
-        coalesce(least(n_tokens, 512) / 512.0, 0.0) AS len_feat,
+        CASE WHEN n_tokens IS NULL THEN 0.0
+             ELSE least(n_tokens, 512) / 512.0 END AS len_feat,
         coalesce(n_chars * 1.0 / n_tokens / 10.0, 0.0) AS cpt_feat,
         CASE WHEN coalesce(n_chars, 0) = 0 THEN 0.0
              ELSE length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / n_chars

@@ -86,6 +86,28 @@ def test_coverage_doc_mentions_every_catalog_query():
     assert not missing, missing
 
 
+def test_coverage_doc_lists_exact_window_tail_command():
+    """COVERAGE.md's copy-paste re-verification command must name exactly
+    the keys in queries.WINDOW_TAIL — a stale command silently skips
+    re-verifying a displaced entry (this bit round 6: j4_dictionary_join
+    was displaced but never added to the documented command)."""
+    import re
+    from pathlib import Path
+
+    from temporai_mivdp_spark.queries import WINDOW_TAIL
+
+    text = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
+    m = re.search(
+        r"oracle_check\.py /root/testdata/sf0\.01 ([a-z0-9_\s]+?)`", text
+    )
+    assert m, "re-verification command not found in COVERAGE.md"
+    documented = set(m.group(1).split())
+    assert documented == set(WINDOW_TAIL), (
+        sorted(set(WINDOW_TAIL) - documented),
+        sorted(documented - set(WINDOW_TAIL)),
+    )
+
+
 def test_catalog_executes_under_ansi_mode(spark):
     """Spark 4 deployments increasingly run ANSI mode; the engine
     defaults it OFF for the reference's coerce semantics, but every

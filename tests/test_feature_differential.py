@@ -377,17 +377,38 @@ def test_ep2_chain_matches_reference_transliteration(spark, seed, group_mode, im
         )
         assert got == want, mod
 
-    # selection: curated-id semi-join on both sides
-    diag_ids = sorted(want_diag)[: max(1, len(want_diag) // 2)]
+    # selection: the curated-list semi-join (features_selection_icu,
+    # reference feature_preproc_icu.py:394-529 — df[df[id].isin(curated)])
+    # for ALL FIVE modalities, compared as (stay, id) multisets, not just
+    # counts: half the distinct ids per modality, deterministically
+    ref_frames = {
+        "diag": (r_diag_g, "new_icd_code"),
+        "out": (r_out, "itemid"),
+        "proc": (r_proc, "itemid"),
+        "med": (r_med, "itemid"),
+        "chart": (r_chart_c, "itemid"),
+    }
+    curated_pd = {
+        mod: [
+            c if col == "new_icd_code" else int(c)
+            for c in sorted(df[col].unique())[: max(1, df[col].nunique() // 2)]
+        ]
+        for mod, (df, col) in ref_frames.items()
+    }
     sel_sp = api.features_selection_icu(
-        {"diag": feats["diag"], "chart": feats["chart"]},
+        feats,
         {
-            "diag": spark.createDataFrame([(c,) for c in diag_ids], "new_icd_code: string"),
-            "chart": spark.createDataFrame([(220045,)], "itemid: long"),
+            mod: spark.createDataFrame(
+                [(c,) for c in curated_pd[mod]],
+                f"{col}: {'string' if col == 'new_icd_code' else 'long'}",
+            )
+            for mod, (_, col) in ref_frames.items()
         },
     )
-    assert sel_sp["diag"].count() == int(r_diag_g["new_icd_code"].isin(diag_ids).sum())
-    assert (
-        sel_sp["chart"].count()
-        == int((r_chart_c["itemid"] == 220045).sum())
-    )
+    for mod, (ref_df, col) in ref_frames.items():
+        r_sel = ref_df[ref_df[col].isin(curated_pd[mod])]
+        got_pairs = sorted(
+            (r["stay_id"], r[col]) for r in sel_sp[mod].select("stay_id", col).collect()
+        )
+        want_pairs = sorted(zip(r_sel["stay_id"], r_sel[col]))
+        assert got_pairs == want_pairs, mod

@@ -2704,3 +2704,226 @@ def test_dsir_selection_tiers(spark):
             picked.agg(F.avg("importance")).collect()[0][0]
         )
     assert sum(means) / len(means) > 6_000_000
+
+
+# ---------------------------------------------------------------------------
+# model-based quality scoring (llmdata/quality_model.py)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_features_py_mirrors_spark(spark):
+    """quality_features_py is documented as the pure-Python mirror of the
+    Spark feature projection — pin row parity, including Java's
+    split-brained regex semantics off the ASCII domain: \\s is ASCII
+    (NBSP is a token character, not whitespace) while \\b is
+    Unicode-aware ('aé' has no boundary after the 'a'), plus the
+    null-text all-zero contract (array_size null propagation)."""
+    from temporai_mivdp_spark.llmdata import quality_model as qm
+
+    texts = [
+        "The committee reviewed the proposal, and it WAS 90% done!",
+        "",
+        None,
+        "buy " * 40 + "now",
+        "aé b the café a x",   # non-ASCII letters + NBSP whitespace
+        "word",
+        "a a a a a the the the 12345 ... !!!",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: [r[name] for name in qm.FEATURES]
+        for r in qm.quality_feature_vector(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = qm.quality_features_py(t)
+        assert got[i] == pytest.approx(expected, rel=1e-12, abs=1e-12), (i, t)
+
+
+def test_logreg_fit_matches_pure_python_fit(spark):
+    """The distributed trainer must reproduce _fit_py on the same labeled
+    frame — same iteration count / lr / l2, identical math, only the
+    float partial-sum order differs (docstring bound ~1e-12/iter)."""
+    from temporai_mivdp_spark.llmdata import quality_model as qm
+
+    xs = [
+        qm.quality_features_py(t)
+        for t in qm._SEED_POSITIVE + qm._SEED_NEGATIVE
+    ]
+    ys = [1] * len(qm._SEED_POSITIVE) + [0] * len(qm._SEED_NEGATIVE)
+    b_py, w_py = qm._fit_py(xs, ys, n_iter=40)
+
+    rows = [(y, *x) for x, y in zip(xs, ys)]
+    schema = "label: int, " + ", ".join(f"{n}: double" for n in qm.FEATURES)
+    feats = spark.createDataFrame(rows, schema).repartition(7)
+    b_sp, w_sp = qm.logreg_fit(feats, "label", n_iter=40)
+
+    assert b_sp == pytest.approx(b_py, abs=1e-8)
+    assert list(w_sp) == pytest.approx(list(w_py), abs=1e-8)
+
+    # and the fitted model separates the seed, like the pretrained tier
+    for x, y in zip(xs, ys):
+        z = b_sp + sum(wj * xj for wj, xj in zip(w_sp, x))
+        assert (z > 0) == (y == 1)
+
+
+# ---------------------------------------------------------------------------
+# decode-status rollup (curation surface for multimodal accounting)
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(sr=8000, n=800, ch=1):
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(b"\x00\x01" * (n * ch))
+    return buf.getvalue()
+
+
+def _arithmetic_jpeg_bytes():
+    """SOI + SOF9 (arithmetic sequential) header — dims present, decode
+    unsupported by imagecodecs.jpeg_pixels."""
+    import struct as s
+
+    sof = s.pack(">BBHHB", 8, 0, 4, 4, 1) + bytes([1, 0x11, 0])
+    return (
+        b"\xff\xd8\xff\xc9" + s.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
+    )
+
+
+def _media_fixtures():
+    """(name, payload, want_modality, want_status) — the classifier's
+    contract over one of each tier."""
+    return [
+        ("wav", _wav_bytes(), "audio", "full"),
+        ("mp3", _mp3_bytes(n_frames=6), "audio", "header_only"),
+        ("vorbis", _vorbis_stream(), "audio", "header_only"),
+        ("ogg_unknown", _ogg_pages([(b"\x7fFLAC\x00\x00", 0)]), "audio", "unsupported"),
+        ("png", _png_bytes([[(10, 20, 30), (40, 50, 60)]] * 2, color_type=2), "image", "full"),
+        ("jpeg_arith", _arithmetic_jpeg_bytes(), "image", "header_only"),
+        ("garbage", b"\x00\x01\x02\x03garbage-bytes", "unknown", "unsupported"),
+        ("null", None, "unknown", "unsupported"),
+    ]
+
+
+def test_media_decode_status_classifier():
+    from temporai_mivdp_spark.llmdata.multimodal import media_decode_status
+
+    for name, payload, modality, status in _media_fixtures():
+        got_mod, _codec, got_status = media_decode_status(payload)
+        assert (got_mod, got_status) == (modality, status), name
+
+
+def test_media_decode_status_tracks_decoder_capability():
+    """status=='full' must mean the pixel/sample tier actually decodes,
+    and header_only/unsupported must mean it doesn't — the classifier is
+    an accounting mirror of the decoders, pinned here so capability
+    drift fails a test instead of lying in telemetry."""
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _raster_pixels,
+        _wav_samples,
+        media_decode_status,
+    )
+
+    for name, payload, _modality, status in _media_fixtures():
+        if payload is None:
+            continue
+        modality, _codec, got_status = media_decode_status(payload)
+        if modality == "image":
+            try:
+                _raster_pixels(payload)
+                decodes = True
+            except NotImplementedError:
+                decodes = False
+        elif modality == "audio":
+            try:
+                _wav_samples(payload)
+                decodes = True
+            except (NotImplementedError, Exception):
+                decodes = False
+        else:
+            continue
+        assert decodes == (got_status == "full"), name
+
+
+def test_media_decode_rollup_fractions(spark):
+    from temporai_mivdp_spark.llmdata.pipeline import curation_media_report
+
+    fixtures = _media_fixtures()
+    media = spark.createDataFrame(
+        [(i, payload) for i, (_, payload, _, _) in enumerate(fixtures)],
+        "media_id: long, payload: binary",
+    ).repartition(3)
+    rows = {(r.modality, r.decode_status): r for r in curation_media_report(media).collect()}
+
+    # audio: 1 full (wav), 2 header_only (mp3+vorbis), 1 unsupported
+    assert rows[("audio", "full")].n_items == 1
+    assert rows[("audio", "header_only")].n_items == 2
+    assert rows[("audio", "unsupported")].n_items == 1
+    assert rows[("audio", "header_only")].frac_items == pytest.approx(0.5)
+    # image: 1 full (png), 1 header_only (arithmetic jpeg)
+    assert rows[("image", "full")].n_items == 1
+    assert rows[("image", "header_only")].frac_items == pytest.approx(0.5)
+    # unknown: garbage + null, all unsupported
+    assert rows[("unknown", "unsupported")].n_items == 2
+    assert rows[("unknown", "unsupported")].frac_items == pytest.approx(1.0)
+    # byte fractions sum to 1 within each modality that has bytes
+    for mod in ("audio", "image"):
+        total = sum(r.frac_bytes for (m, _), r in rows.items() if m == mod)
+        assert total == pytest.approx(1.0, abs=1e-5)
+
+
+def _flac_bytes(sr=44100, channels=2, bps=16, total_samples=132300, in_ogg=False):
+    """Independent test-side FLAC STREAMINFO builder (fields packed from
+    the spec, not via the parser): fLaC signature + a last-flagged
+    STREAMINFO block; optionally wrapped in the Ogg-FLAC mapping packet."""
+    import struct as s
+
+    packed = (sr << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total_samples
+    streaminfo = (
+        s.pack(">HH", 4096, 4096)            # min/max blocksize
+        + (0).to_bytes(3, "big") * 2         # min/max framesize (unknown)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                       # md5 of raw samples
+    )
+    bare = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    if not in_ogg:
+        return bare + b"\xde\xad" * 200      # fake frame bytes for bitrate
+    mapping = b"\x7fFLAC\x01\x00" + s.pack(">H", 0) + bare
+    return _ogg_pages([(mapping, 0), (b"\xee" * 150, total_samples // 2),
+                       (b"\xef" * 150, total_samples)])
+
+
+def test_flac_header_stats():
+    from temporai_mivdp_spark.llmdata.multimodal import _flac_stats, _ogg_stats
+
+    dur, sr, ch, kbps = _flac_stats(_flac_bytes())
+    assert (dur, sr, ch) == (3000, 44100, 2)    # 132300 samples @ 44.1k
+    assert kbps > 0
+
+    codec, dur, sr, ch, _ = _ogg_stats(_flac_bytes(sr=48000, channels=1,
+                                                   total_samples=96000, in_ogg=True))
+    assert (codec, dur, sr, ch) == ("flac", 2000, 48000, 1)
+
+    with pytest.raises(NotImplementedError):
+        _flac_stats(b"fLaC\x00\x00\x00")        # truncated
+
+
+def test_flac_audio_metadata_rows(spark):
+    from temporai_mivdp_spark.llmdata import multimodal
+
+    media = spark.createDataFrame(
+        [(1, _flac_bytes()), (2, _flac_bytes(in_ogg=True)), (3, _wav_bytes())],
+        "media_id: long, payload: binary",
+    )
+    rows = {r.media_id: r for r in multimodal.audio_metadata(media).collect()}
+    assert rows[1].codec == "flac" and rows[1].decode_status == "header_only"
+    assert rows[1].duration_ms == 3000 and rows[1].sample_rate == 44100
+    assert rows[2].codec == "flac" and rows[2].decode_status == "header_only"
+    assert rows[3].codec == "pcm_wav" and rows[3].decode_status == "full"
