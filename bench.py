@@ -86,6 +86,7 @@ PINNED_EXTRAS = [
     "text_chunk_overlap",
     "dsir_select",  # round-6 addition
     "dsir_gumbel",  # round-7 addition
+    "dedup_semantic",  # round-7 addition
 ]
 
 #: Timed rounds per query (interleaved). 5 rounds x ~12 queries spreads each

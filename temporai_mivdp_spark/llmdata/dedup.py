@@ -935,6 +935,101 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    eps: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, call two items
+    semantic duplicates when their cosine exceeds ``eps`` WITHIN a
+    cluster, and keep one representative per duplicate set — preferring
+    the item FARTHEST from its centroid (the paper's choice: it keeps
+    the cluster's fringe and thins the dense core).
+
+    Parallel keep rule (deterministic, one pass): an item is dropped iff
+    some item with strictly higher keep-priority in its cluster sits
+    within ``eps`` of it, where priority orders by (centroid_sim ASC,
+    id ASC) — farthest first, id tie-break. This is the DOMINANCE form
+    of the paper's sequential greedy: slightly stricter (an item can be
+    dropped by a neighbour that was itself dropped), but order-free, so
+    it runs as one bucket-equality self-join instead of a per-cluster
+    sequential scan, and an oracle can replay it clause for clause.
+
+    Plan at 100 TB: assignment is the zero-shuffle literal-centroid
+    projection (``assign_ivf_buckets``); the only wide operations are
+    the self-join on the cluster id and the drop-set distinct. The
+    self-join is quadratic IN CLUSTER OCCUPANCY, so the deployment rule
+    is the paper's: scale the centroid count with the corpus (k ∝ N —
+    SemDeDup uses 50k clusters for 440M items) so occupancy stays
+    bounded and the join is corpus-linear; pass ``kmeans_fit(corpus,
+    n=...)`` as ``centroids``. The measured fixed-k decade ratio (8.2×
+    at k=16, SCALING.md round 7) is the quadratic term showing —
+    correct, and exactly what occupancy-bounded k removes.
+    ``centroid_sim``
+    is rounded to 1e-6 BEFORE ranking so the priority order — not just
+    the emitted value — is identical across engines.
+
+    Returns (id, bucket, centroid_sim, keep) for every input row.
+    Citation (behavioral contract only — no reference code exists for
+    this; the reference pipeline is tabular/clinical):
+    SURVEY.md §2 "beyond-reference additions".
+    """
+    from temporai_mivdp_spark.llmdata.similarity import (
+        _centroid_array,
+        _centroid_sims,
+        _dot,
+        _norm,
+    )
+
+    cents = _centroid_array(centroids, "centroid_id", vec_col)
+    best = F.array_max(
+        F.transform(
+            _centroid_sims(F.col(vec_col), cents),
+            lambda s: F.struct(s["sim"].alias("sim"), (-s["cid"]).alias("negcid")),
+        )
+    )
+    assigned = embeddings.withColumn("__nrm", _norm(F.col(vec_col))).select(
+        id_col,
+        vec_col,
+        "__nrm",
+        (-best["negcid"]).cast("long").alias("bucket"),
+        # full cosine to the OWN centroid: best.sim is dot/|c|; divide by
+        # |v| (rounded → cross-engine-stable ranking AND output)
+        F.round(best["sim"] / F.col("__nrm"), 6).alias("centroid_sim"),
+    ).withColumn("__pri", F.struct("centroid_sim", id_col))
+
+    a = assigned.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"),
+        F.col("__nrm").alias("a_n"), F.col("bucket").alias("a_bucket"),
+        F.col("__pri").alias("a_pri"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"),
+        F.col("__nrm").alias("b_n"), F.col("bucket").alias("b_bucket"),
+        F.col("__pri").alias("b_pri"),
+    )
+    dropped = (
+        a.join(b, (F.col("a_bucket") == F.col("b_bucket")) & (F.col("a_pri") < F.col("b_pri")))
+        .filter(_dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")) >= eps)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "bucket",
+            "centroid_sim",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def _rotate_checkpoint(df: DataFrame, prev_ids: set):
     """``localCheckpoint(eager=True)`` with deterministic cleanup: after
     the new checkpoint materializes, unpersist the backing RDDs of the

@@ -474,7 +474,11 @@ def chunk_documents(
     toks = docs.select(
         id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
     )
-    n = F.size("__toks")
+    # array_size (null-propagating), not size (-1 sentinel): a null doc
+    # must produce ZERO chunks — with size(null) = -1 the when() below
+    # counted one chunk of null text (edgecase_check catch); with a null
+    # n the chunk count is null and the explode drops the row
+    n = F.array_size("__toks")
     # chunks = 1 + ceil((n - chunk_size) / stride) for n > chunk_size:
     # the first chunk covers chunk_size tokens, each later one extends
     # coverage by stride. Integer form (n - overlap - 1) div stride + 1

@@ -34,8 +34,12 @@ STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
 
 def token_count(col: Column) -> Column:
     """Whitespace token count (the cheap proxy; a BPE-ish subword count is
-    ``bpe_token_estimate``)."""
-    return F.size(F.split(normalize_text(col), " "))
+    ``bpe_token_estimate``). ``array_size``, not ``size``: ``size(null)``
+    is the -1 legacy sentinel, which leaks into output columns where the
+    DuckDB oracles (``len(NULL) IS NULL``) and every downstream consumer
+    expect null for null text (adversarial-corpus harness,
+    tools/edgecase_check.py); in filters both behave as exclusion."""
+    return F.array_size(F.split(normalize_text(col), " "))
 
 
 def bpe_token_estimate(col: Column) -> Column:
@@ -602,11 +606,17 @@ def quantile_normalize(
     the rank is corpus-global and the plan is a single-partition window
     (fine for dimension-sized inputs, wrong for a 100 TB fact — pass a
     group).
+
+    Null scores rank FIRST (percentile 0 end) — explicitly: Spark's
+    ascending default is nulls-first but DuckDB/Postgres default to
+    nulls-LAST, which would hand a null-quality doc percentile 1.0 and
+    sail it over any keep threshold (edgecase_check catch; the oracle
+    says NULLS FIRST for the same reason).
     """
     out = out_col or f"{value_col}_pct"
     w = (
         Window.partitionBy(group_col) if group_col else Window.partitionBy()
-    ).orderBy(F.col(value_col).asc())
+    ).orderBy(F.col(value_col).asc_nulls_first())
     return df.withColumn(out, F.percent_rank().over(w))
 
 
@@ -848,11 +858,15 @@ def fingerprint(
         F.md5(normalize_text(F.col(text_col))).alias("content_md5"),
         toks.alias("__toks"),
     )
-    grams = base.select(
+    grams = base.filter(F.size("__toks") >= 4).select(
+        # the >=4 guard keeps the print a true 4-gram signature: shorter
+        # docs have NO 4-gram and surface null via the left join (the
+        # oracle's len==4 CASE agrees — edgecase_check caught the old
+        # form hashing partial shingles for 1-3-token docs)
         id_col,
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("__toks") - 4, F.lit(0))),
+                F.sequence(F.lit(0), F.size("__toks") - 4),
                 lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, 4)),
             )
         ).alias("__g"),

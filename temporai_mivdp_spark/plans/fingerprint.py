@@ -45,6 +45,15 @@ _NORMALIZERS: list[tuple[re.Pattern[str], str]] = [
     # cpu/partition confs without the plan SHAPE changing
     (re.compile(r"partitioning\((.*?), \d+\)"), r"partitioning(\1)"),
     (re.compile(r"splits=\d+"), "splits="),
+    # scan-metadata values (DataFilters etc.) are CHAR-truncated at 100
+    # chars BEFORE normalization, so a plan embedding long literals
+    # (e.g. dedup_semantic's inlined centroid array) gets cut at a point
+    # that shifts with pre-normalization expression-id widths — the one
+    # source of run-to-run fingerprint drift observed. Collapse any
+    # bracket value that was truncated (ends in "..." with no closing
+    # bracket); untruncated values — every other query — are unchanged,
+    # preserving fingerprint continuity across rounds.
+    (re.compile(r"\[[^\]\n]*\.\.\."), "[<truncated>"),
 ]
 
 

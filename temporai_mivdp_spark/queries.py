@@ -90,6 +90,11 @@ WINDOW_TAIL: tuple[str, ...] = (
     # a8_winsorize and a9_group_mean_impute (null-skipping mean
     # semantics exercised directly by a9's mean-impute oracle)
     "a4_group_max_nanmean",
+    # round 7: displaced for dedup_semantic — the reshape/one-hot family
+    # stays window-covered by r1_r2_pivot_onehot (same Expand-based
+    # pivot strategy; R3's explode+pivot composition remains oracle'd
+    # here in the tail and tested in tests/test_operators.py)
+    "r3_multilabel_onehot",
 )
 
 

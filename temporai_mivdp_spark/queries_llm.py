@@ -250,6 +250,52 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_semantic",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+      FROM e ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, v, vn, bucket, round(sim / vn, 6) AS centroid_sim FROM (
+        SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS vn,
+               c.cid AS bucket, list_dot_product(c.cv, e.v) / c.cn AS sim,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(c.cv, e.v) / c.cn DESC, c.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b ON a.bucket = b.bucket
+       AND (a.centroid_sim < b.centroid_sim
+            OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
+      WHERE list_dot_product(a.v, b.v) / (a.vn * b.vn) >= 0.25
+    )
+    SELECT a.vec_id, a.bucket, a.centroid_sim,
+           d.vec_id IS NULL AS keep
+    FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (llmdata/dedup.py::semantic_dedup;
+    Abbas et al. 2023): 16 deterministic centroids (the sim_topk_ivf
+    quantizer), zero-shuffle literal-centroid assignment, within-cluster
+    cosine >= 0.25 = semantic duplicate (the synthetic embeddings'
+    p99 pairwise cosine is ~0.29, so the threshold bites), keep the
+    farthest-from-centroid representative via the order-free dominance
+    rule. centroid_sim is 1e-6-rounded BEFORE ranking so priority order
+    is engine-portable; the oracle replays assignment, priority, and
+    dominance clause for clause."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.deterministic_centroids(emb, n=16)
+    return dedup.semantic_dedup(emb, cents, eps=0.25)
+
+
+@_register(
     "sim_topk_bruteforce",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -619,7 +665,8 @@ def text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            CAST(strlen(text) AS BIGINT) AS byte_len,
            md5(text) AS content_md5,
-           'application/octet-stream' AS sniffed_mime
+           CASE WHEN text IS NULL THEN NULL
+                ELSE 'application/octet-stream' END AS sniffed_mime
     FROM documents
     """,
 )
@@ -1122,9 +1169,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_perplexity",
     f"""
     WITH ctoks AS (
+      -- drop blank docs BEFORE tokenizing (bigram_lm's nonblank filter):
+      -- string_split('', ' ') is [''] in DuckDB, which would smuggle a
+      -- '' unigram into the fit that the engine never counts
       SELECT string_split({_NORM}, ' ') AS w
       FROM (SELECT text FROM documents)
-      WHERE len(string_split({_NORM}, ' ')) > 0
+      WHERE coalesce({_NORM}, '') <> ''
     ),
     uni AS (
       SELECT u AS w, count(*) AS c
@@ -1304,7 +1354,8 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, grp, score,
-           percent_rank() OVER (PARTITION BY grp ORDER BY score) AS score_pct
+           percent_rank() OVER (PARTITION BY grp ORDER BY score NULLS FIRST)
+             AS score_pct
     FROM scored
     """,
 )

@@ -2927,3 +2927,69 @@ def test_flac_audio_metadata_rows(spark):
     assert rows[1].duration_ms == 3000 and rows[1].sample_rate == 44100
     assert rows[2].codec == "flac" and rows[2].decode_status == "header_only"
     assert rows[3].codec == "pcm_wav" and rows[3].decode_status == "full"
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_keeps_farthest_and_drops_dominated(spark):
+    """Hand-built geometry: centroid seeds are the 2 lowest-id vectors
+    (axis-aligned); a tight bundle around +x must collapse to ONE kept
+    representative — the member FARTHEST from the centroid — while the
+    orthogonal singleton and the far-off member survive."""
+    from temporai_mivdp_spark.llmdata import dedup as dd
+    from temporai_mivdp_spark.llmdata import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # centroid seed A (+x)
+        (1, [0.0, 1.0, 0.0]),     # centroid seed B (+y)
+        (10, [0.9, 0.1, 0.0]),    # +x bundle
+        (11, [0.9, 0.11, 0.0]),   # +x bundle (nearly identical to 10)
+        (12, [0.9, 0.12, 0.0]),   # +x bundle
+        (13, [0.3, 0.0, 0.95]),   # assigned to A but nearly orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = sim.deterministic_centroids(emb, n=2)
+    out = {r.vec_id: r for r in dd.semantic_dedup(emb, cents, eps=0.98).collect()}
+
+    bundle = [out[i] for i in (10, 11, 12)]
+    assert all(r.bucket == 0 for r in bundle)
+    kept = [r.vec_id for r in bundle if r.keep]
+    # the bundle's farthest-from-centroid member (lowest centroid_sim)
+    farthest = min(bundle, key=lambda r: (r.centroid_sim, r.vec_id)).vec_id
+    assert kept == [farthest]
+    # orthogonal-ish member: no neighbour within eps — survives
+    assert out[13].keep
+    # seeds: 0 is inside the bundle's eps-ball? cos(0, 10) ~ 0.9938 < 0.98? no:
+    # 0.9/sqrt(0.82) = 0.9938 >= 0.98, so the seed competes with the bundle
+    # via the dominance rule; just assert the rule's determinism here
+    assert {r.vec_id for r in out.values()} == {0, 1, 10, 11, 12, 13}
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    from temporai_mivdp_spark.llmdata import dedup as dd
+    from temporai_mivdp_spark.llmdata import similarity as sim
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = sim.deterministic_centroids(emb, n=4)
+    a = sorted(tuple(r) for r in dd.semantic_dedup(emb, cents, eps=0.5).collect())
+    b = sorted(
+        tuple(r)
+        for r in dd.semantic_dedup(emb.repartition(13), cents, eps=0.5).collect()
+    )
+    assert a == b
+    # every bucket's kept set is non-empty when the bucket is non-empty
+    import collections
+
+    per_bucket = collections.defaultdict(list)
+    for vec_id, bucket, _cs, keep in a:
+        per_bucket[bucket].append(keep)
+    assert all(any(keeps) for keeps in per_bucket.values())

@@ -395,12 +395,17 @@ def test_streaming_curation_gate_parity_with_batch(spark):
     assert want[4][0] == "de" and not want[4][3]
     assert want[7][0] == "ru" and not want[7][3]
     assert not want[3][3] and not want[6][3]
-    # null/empty text: present in the output (quarantine side), keep=false
+    # null/empty text: present in the output (quarantine side), keep=false;
+    # a NULL doc carries null n_tokens (array_size null propagation —
+    # round-7 edgecase fix; formerly the -1 size() sentinel)
     assert 9 in got and got[9][3] is False
     assert 10 in got and got[10][3] is False
+    assert any(v[2] is None for k, v in want.items() if k in (9, 10))
     # real-text docs only: the empty-string doc reports n_tokens=1
     # (whitespace-split semantics) but zero BPE pieces by design
-    assert all(v[1] > 0 for k, v in want.items() if v[2] > 0 and k <= 8)
+    assert all(
+        v[1] > 0 for k, v in want.items() if v[2] is not None and v[2] > 0 and k <= 8
+    )
 
 
 def test_stream_heavy_hitters_bounds_and_exact_tier(spark):

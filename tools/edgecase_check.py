@@ -1,0 +1,161 @@
+"""Adversarial-corpus differential: the oracle harness over degenerate rows.
+
+The standard harness (tools/oracle_check.py) runs engine vs DuckDB on
+the driver's clean synthetic tables — which contain no null text, no
+empty strings, no whitespace-only documents. Null/empty inputs are
+exactly where engine semantics silently fork (Spark's ``size(null)`` is
+-1 while DuckDB's ``len(NULL)`` is NULL — the bug class the
+quality-model mirror test caught in round 7), so this tool re-runs the
+SAME per-entry comparison on a corpus whose ``documents`` table is
+augmented with adversarial rows:
+
+null text, empty string, whitespace-only, mixed-whitespace, a single
+token, punctuation-only, digits-only, a single uppercase char,
+repeated stopwords, a 5000-token giant, CRLF lines, and an exact
+duplicate of a base-corpus document (cross-dup against real data).
+
+All adversarial text is ASCII ON PURPOSE: Java regex ``\\b`` is
+Unicode-aware while DuckDB/RE2's is ASCII (measured in
+tests/test_llmdata.py::test_quality_features_py_mirrors_spark), so
+non-ASCII stopword-boundary parity is structurally impossible — the
+engine-of-record behavior off the ASCII domain is pinned by the Python
+mirror tests instead. Here we verify the NULL/empty/shape semantics
+every entry must get right at any scale.
+
+Usage: python tools/edgecase_check.py [query ...]   (default: all)
+Exit 0 iff every checked entry matches its oracle on the augmented
+corpus. tests/test_entry.py::test_edgecase_corpus_parity runs the same
+augmentation for a fast subset; this tool is the full sweep.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+BASE = "/root/testdata/sf0.001"
+
+#: (doc_id, text) — ids far above any real id; lang/source chosen to
+#: flow through every filter the catalog applies (langid entries
+#: re-predict language themselves)
+ADVERSARIAL_DOCS = [
+    (9_000_001, None),
+    (9_000_002, ""),
+    (9_000_003, "   "),
+    (9_000_004, " \t\n  \r\n "),
+    (9_000_005, "word"),
+    (9_000_006, "!!!???;;;,,,..."),
+    (9_000_007, "12345 67890 11111"),
+    (9_000_008, "A"),
+    (9_000_009, "the the the the the the"),
+    (9_000_010, "tok " * 5000),
+    (9_000_011, "line one\r\nline two\r\nline one\r\n"),
+]
+
+
+def build_corpus(out_dir: str) -> None:
+    """Copy every sf0.001 table; augment documents with the adversarial
+    rows (plus an exact duplicate of the first base document)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for p in Path(BASE).glob("*.parquet"):
+        if p.name == "documents.parquet":
+            continue
+        target = Path(out_dir) / p.name
+        if p.is_dir():
+            shutil.copytree(p, target)
+        else:
+            shutil.copy(p, target)
+
+    base = pq.read_table(f"{BASE}/documents.parquet")
+    first_text = base.column("text")[0].as_py()
+    rows = ADVERSARIAL_DOCS + [(9_000_012, first_text)]
+    extra = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=base.schema.field("doc_id").type),
+            "text": pa.array([r[1] for r in rows], type=base.schema.field("text").type),
+            "lang": pa.array(["en"] * len(rows), type=base.schema.field("lang").type),
+            "source": pa.array(["src1"] * len(rows), type=base.schema.field("source").type),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else None for r in rows],
+                type=base.schema.field("n_chars").type,
+            ),
+        }
+    )
+    pq.write_table(pa.concat_tables([base, extra]), f"{out_dir}/documents.parquet")
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+
+    import __spark_entry__ as entrymod
+    from temporai_mivdp_spark.session import get_test_session
+
+    tmp = tempfile.mkdtemp(prefix="mivdp_edgecase_")
+    try:
+        build_corpus(tmp)
+
+        # same comparison core as oracle_check (kept in that module)
+        sys.path.insert(0, "tools")
+        from oracle_check import duck_connection, normalize
+
+        spark = get_test_session(cpus=8)
+        con = duck_connection(tmp)
+        qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+        failures, checked = [], 0
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            if name not in oracles:
+                continue
+            checked += 1
+            t0 = time.time()
+            try:
+                sdf = fn(spark, tmp)
+                s_cols = sdf.columns
+                s_rows = [tuple(r) for r in sdf.collect()]
+                res = con.execute(oracles[name])
+                d_cols = [d[0] for d in res.description]
+                d_rows = res.fetchall()
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"FAIL  {name}: error: {e}")
+                continue
+            problems = []
+            if sorted(s_cols) != sorted(d_cols):
+                problems.append(f"columns {sorted(s_cols)} vs {sorted(d_cols)}")
+            if len(s_rows) != len(d_rows):
+                problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
+            if not problems:
+                ns, nd = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
+                if ns != nd:
+                    diff = next(
+                        (i, a, b) for i, (a, b) in enumerate(zip(ns, nd)) if a != b
+                    )
+                    problems.append(
+                        f"values differ, first at sorted-row {diff[0]}:\n"
+                        f"  spark={diff[1]}\n  duck ={diff[2]}"
+                    )
+            if problems:
+                failures.append(name)
+                print(f"FAIL  {name}: " + "; ".join(problems))
+            else:
+                print(f"PASS  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+
+        print(f"\n{checked - len(failures)}/{checked} pass on the adversarial corpus")
+        return 1 if failures else 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
