@@ -271,21 +271,12 @@ def _flac_stats(b: bytes) -> tuple[int, int, int, int]:
     return duration_ms, sr, channels, kbps
 
 
-def _ogg_stats(b: bytes) -> tuple[str, int, int, int, int]:
-    """(codec, duration_ms, sample_rate, channels, bitrate_kbps) from an
-    Ogg container by walking page headers: the first packet identifies
-    Vorbis (``\\x01vorbis``), Opus (``OpusHead``), or FLAC-in-Ogg
-    (``\\x7fFLAC`` mapping packet wrapping the STREAMINFO); duration
-    comes from the LAST page's granule position (PCM samples at the
-    stream rate for Vorbis/FLAC; 48 kHz units minus pre-skip for Opus).
-    Raises ``NotImplementedError`` for other codecs (e.g. Theora) or
-    malformed pages."""
+def _ogg_pages(b: bytes):
+    """Yield ``(granule_position, body_bytes)`` per Ogg page; raises
+    ``NotImplementedError`` on a malformed or truncated page. Shared by
+    the audio (Vorbis/Opus/FLAC) and video (Theora) header walkers."""
     if b[:4] != b"OggS":
         raise NotImplementedError("not an Ogg container")
-    codec = None
-    sr = channels = 0
-    pre_skip = 0
-    last_granule = 0
     i = 0
     while i + 27 <= len(b):
         if b[i : i + 4] != b"OggS" or b[i + 4] != 0:
@@ -296,8 +287,25 @@ def _ogg_stats(b: bytes) -> tuple[str, int, int, int, int]:
         body_len = sum(b[i + 27 : i + 27 + nsegs])
         if body_off + body_len > len(b):
             raise NotImplementedError("truncated Ogg page")
+        yield granule, b[body_off : body_off + body_len]
+        i = body_off + body_len
+
+
+def _ogg_stats(b: bytes) -> tuple[str, int, int, int, int]:
+    """(codec, duration_ms, sample_rate, channels, bitrate_kbps) from an
+    Ogg container by walking page headers: the first packet identifies
+    Vorbis (``\\x01vorbis``), Opus (``OpusHead``), or FLAC-in-Ogg
+    (``\\x7fFLAC`` mapping packet wrapping the STREAMINFO); duration
+    comes from the LAST page's granule position (PCM samples at the
+    stream rate for Vorbis/FLAC; 48 kHz units minus pre-skip for Opus).
+    Raises ``NotImplementedError`` for other codecs (Theora is the
+    VIDEO walker ``_theora_stats``) or malformed pages."""
+    codec = None
+    sr = channels = 0
+    pre_skip = 0
+    last_granule = 0
+    for granule, body in _ogg_pages(b):
         if codec is None:
-            body = b[body_off : body_off + body_len]
             if body[:7] == b"\x01vorbis" and len(body) >= 16:
                 codec = "vorbis"
                 channels = body[11]
@@ -316,13 +324,168 @@ def _ogg_stats(b: bytes) -> tuple[str, int, int, int, int]:
                 raise NotImplementedError("unsupported Ogg codec")
         if granule >= 0:
             last_granule = granule
-        i = body_off + body_len
     if sr <= 0:
         raise NotImplementedError("Ogg identification header missing rate")
     samples = max(last_granule - (pre_skip if codec == "opus" else 0), 0)
     duration_ms = samples * 1000 // sr
     kbps = round(len(b) * 8 / max(duration_ms, 1))
     return codec, duration_ms, sr, channels, kbps
+
+
+def _theora_stats(b: bytes) -> tuple[int, int, int, int, int, int]:
+    """(width, height, fps_num, fps_den, n_frames, duration_ms) for an
+    Ogg Theora payload from HEADERS alone: the ``\\x80theora``
+    identification packet carries picture dims (PICW/PICH, 24-bit BE),
+    the frame rate as an exact rational (FRN/FRD, 32-bit BE), and
+    KFGSHIFT — the bit split of every granule position into (keyframe
+    number << shift | frames since keyframe). Total frames = the two
+    granule fields of the LAST page summed + 1; no entropy decode.
+    Raises ``NotImplementedError`` on non-Theora or malformed input."""
+    ident = None
+    last_granule = 0
+    for granule, body in _ogg_pages(b):
+        if ident is None:
+            if body[:7] != b"\x80theora" or len(body) < 42:
+                raise NotImplementedError("not an Ogg Theora stream")
+            ident = body
+        if granule >= 0:
+            last_granule = granule
+    if ident is None:
+        raise NotImplementedError("empty Ogg container")
+    picw = int.from_bytes(ident[14:17], "big")
+    pich = int.from_bytes(ident[17:20], "big")
+    frn = int.from_bytes(ident[22:26], "big")
+    frd = int.from_bytes(ident[26:30], "big")
+    two = int.from_bytes(ident[40:42], "big")  # QUAL(6) KFGSHIFT(5) PF(2) RES(3)
+    kfgshift = (two >> 5) & 0x1F
+    if frn <= 0 or frd <= 0:
+        raise NotImplementedError("Theora ident missing frame rate")
+    iframe = last_granule >> kfgshift
+    pframe = last_granule & ((1 << kfgshift) - 1)
+    n_frames = iframe + pframe + (1 if last_granule > 0 else 0)
+    duration_ms = n_frames * 1000 * frd // frn
+    return picw, pich, frn, frd, n_frames, duration_ms
+
+
+def _gif_animation_stats(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, duration_ms) from a GIF payload by
+    BLOCK WALKING only — image descriptors counted and GCE delays
+    (centiseconds) summed, LZW data skipped sub-block by sub-block, no
+    pixel decode. The full composited decode is
+    ``imagecodecs.gif_frames``; this is the accounting tier's cheap
+    mirror. Raises ``NotImplementedError`` on malformed input."""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        raise NotImplementedError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", b, 6)
+    flags = b[10]
+    i = 13
+    if flags & 0x80:  # global color table
+        i += 3 * (2 << (flags & 0x07))
+    n_frames = 0
+    duration_ms = 0
+
+    def skip_subblocks(j: int) -> int:
+        while j < len(b) and b[j] != 0:
+            j += 1 + b[j]
+        return j + 1
+
+    while i < len(b):
+        block = b[i]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if i + 1 < len(b) and b[i + 1] == 0xF9 and i + 7 < len(b):
+                (delay_cs,) = struct.unpack_from("<H", b, i + 4)
+                duration_ms += delay_cs * 10
+            i = skip_subblocks(i + 2)
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                raise NotImplementedError("truncated GIF image descriptor")
+            lflags = b[i + 9]
+            i += 10
+            if lflags & 0x80:
+                i += 3 * (2 << (lflags & 0x07))
+            i += 1  # LZW min code size
+            i = skip_subblocks(i)
+            n_frames += 1
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+    if n_frames == 0:
+        raise NotImplementedError("GIF with no image data")
+    return w, h, n_frames, duration_ms
+
+
+VIDEO_METADATA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("codec", StringType(), True),
+        StructField("decode_status", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("fps_milli", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """Video accounting across codec tiers, Arrow-batched — the video
+    sibling of ``audio_metadata``:
+
+    - animated/still GIF → status ``full`` (``imagecodecs.gif_frames``
+      decodes the composited timed frames; stats here come from the
+      header-only block walk — frame count, summed GCE delays),
+    - Ogg Theora → status ``header_only`` (dims / exact-rational fps /
+      frame count / duration from the ident packet + last granule, no
+      entropy decode),
+    - anything else (or null) → ``unsupported`` with null fields —
+      accounting must survive a mixed crawl batch, never throw.
+
+    ``fps_milli`` is fps × 1000 rounded down (exact for GIF's
+    centisecond timebase and near-exact for Theora's rational)."""
+
+    def one(mid, payload):
+        row = {
+            "media_id": mid, "codec": None, "decode_status": "unsupported",
+            "width": None, "height": None, "n_frames": None,
+            "fps_milli": None, "duration_ms": None,
+        }
+        if payload is None:
+            return row
+        b = bytes(payload)
+        try:
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                w, h, n, dur = _gif_animation_stats(b)
+                row.update(
+                    codec="gif", decode_status="full", width=w, height=h,
+                    n_frames=n, duration_ms=dur,
+                    fps_milli=(n * 1_000_000 // dur) if dur > 0 else None,
+                )
+            elif b[:4] == b"OggS":
+                w, h, frn, frd, n, dur = _theora_stats(b)
+                row.update(
+                    codec="theora", decode_status="header_only", width=w,
+                    height=h, n_frames=n, duration_ms=dur,
+                    fps_milli=frn * 1000 // frd,
+                )
+        except NotImplementedError:
+            pass  # stays 'unsupported'
+        return row
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [one(m, p) for m, p in zip(pdf["media_id"], pdf["payload"])]
+            out = pd.DataFrame(rows)
+            for c in ("n_frames", "fps_milli", "duration_ms"):
+                out[c] = out[c].astype("Int64")
+            for c in ("width", "height"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, VIDEO_METADATA_SCHEMA
+    )
 
 
 AUDIO_METADATA_SCHEMA = StructType(
@@ -436,7 +599,11 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             codec = _ogg_stats(b)[0]
             return ("audio", codec, "header_only")
         except NotImplementedError:
-            return ("audio", "ogg", "unsupported")
+            try:
+                _theora_stats(b)
+                return ("video", "theora", "header_only")
+            except NotImplementedError:
+                return ("audio", "ogg", "unsupported")
     if b[:3] == b"ID3" or (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
         try:
             _mp3_stats(b)

@@ -2993,3 +2993,99 @@ def test_semantic_dedup_partition_invariant(spark):
     for vec_id, bucket, _cs, keep in a:
         per_bucket[bucket].append(keep)
     assert all(any(keeps) for keeps in per_bucket.values())
+
+
+def _theora_ident(picw=320, pich=240, frn=25, frd=1, kfgshift=6):
+    import struct as s
+
+    return (
+        b"\x80theora"
+        + bytes([3, 2, 1])                              # VMAJ VMIN VREV
+        + s.pack(">HH", (picw + 15) // 16, (pich + 15) // 16)
+        + picw.to_bytes(3, "big") + pich.to_bytes(3, "big")
+        + bytes([0, 0])                                 # PICX PICY
+        + s.pack(">II", frn, frd)
+        + (0).to_bytes(3, "big") + (1).to_bytes(3, "big")  # PAR
+        + bytes([0]) + (0).to_bytes(3, "big")           # CS NOMBR
+        + ((0 << 10) | (kfgshift << 5)).to_bytes(2, "big")  # QUAL|KFGSHIFT|PF|RES
+    )
+
+
+def test_theora_header_stats():
+    from temporai_mivdp_spark.llmdata.multimodal import _theora_stats
+
+    # 50 frames at 25 fps: last granule = keyframe 40, 9 p-frames since
+    payload = _ogg_pages([
+        (_theora_ident(), 0),
+        (b"\x00" * 60, (40 << 6) | 9),
+    ])
+    w, h, frn, frd, n, dur = _theora_stats(payload)
+    assert (w, h, frn, frd) == (320, 240, 25, 1)
+    assert n == 50 and dur == 2000
+
+    with pytest.raises(NotImplementedError):
+        _theora_stats(_vorbis_stream())
+
+
+def test_video_metadata_rows(spark):
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata import multimodal
+    from tests.test_imagecodecs import gif_anim_bytes
+
+    gct = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    gif = gif_anim_bytes(
+        (3, 2), gct,
+        [
+            {"indices": np.zeros((2, 3), int), "delay_cs": 30},
+            {"indices": np.ones((2, 3), int), "delay_cs": 10},
+            {"indices": np.zeros((2, 3), int), "delay_cs": 20},
+        ],
+    )
+    theora = _ogg_pages([(_theora_ident(), 0), (b"\x00" * 60, (40 << 6) | 9)])
+    media = spark.createDataFrame(
+        [(1, gif), (2, theora), (3, b"garbage-not-a-video"), (4, None)],
+        "media_id: long, payload: binary",
+    )
+    rows = {r.media_id: r for r in multimodal.video_metadata(media).collect()}
+    g = rows[1]
+    assert (g.codec, g.decode_status) == ("gif", "full")
+    assert (g.width, g.height, g.n_frames, g.duration_ms) == (3, 2, 3, 600)
+    assert g.fps_milli == 3 * 1_000_000 // 600        # 5 fps
+    t = rows[2]
+    assert (t.codec, t.decode_status) == ("theora", "header_only")
+    assert (t.width, t.height, t.n_frames, t.duration_ms) == (320, 240, 50, 2000)
+    assert t.fps_milli == 25000
+    assert rows[3].decode_status == "unsupported" and rows[3].codec is None
+    assert rows[4].decode_status == "unsupported"
+
+    # the decode-status classifier agrees on modality
+    from temporai_mivdp_spark.llmdata.multimodal import media_decode_status
+
+    assert media_decode_status(theora) == ("video", "theora", "header_only")
+    assert media_decode_status(gif)[0] == "image"   # stills tier owns GIF
+
+
+def test_gif_animation_stats_matches_full_decode():
+    """The header-only block walk must agree with the real composited
+    decoder on frame count and total timeline."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.imagecodecs import gif_frames
+    from temporai_mivdp_spark.llmdata.multimodal import _gif_animation_stats
+    from tests.test_imagecodecs import gif_anim_bytes
+
+    gct = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], np.uint8)
+    payload = gif_anim_bytes(
+        (4, 3), gct,
+        [
+            {"indices": np.zeros((3, 4), int), "delay_cs": 12},
+            {"indices": np.ones((3, 4), int), "delay_cs": 0},
+            {"indices": np.full((3, 4), 2, int), "delay_cs": 7},
+        ],
+    )
+    w, h, n, dur = _gif_animation_stats(payload)
+    frames = gif_frames(payload)
+    assert n == len(frames) == 3
+    assert dur == sum(d for d, _ in frames) == 190
+    assert (w, h) == (4, 3)
