@@ -3089,3 +3089,52 @@ def test_gif_animation_stats_matches_full_decode():
     assert n == len(frames) == 3
     assert dur == sum(d for d, _ in frames) == 190
     assert (w, h) == (4, 3)
+
+
+def test_semantic_dedup_kept_set_is_eps_separated(spark):
+    """Dominance-rule invariant: if two kept items shared a bucket with
+    cosine >= eps, the higher-priority one would dominate the other —
+    contradiction. So the KEPT set must be pairwise eps-separated
+    within every bucket, for any input. Randomized corpora + a
+    pathological single-cluster (all-identical-direction) case."""
+    import itertools
+    import math
+    import random
+
+    from temporai_mivdp_spark.llmdata import dedup as dd
+    from temporai_mivdp_spark.llmdata import similarity as sim
+
+    def check(rows, n_cent, eps):
+        emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        cents = sim.deterministic_centroids(emb, n=n_cent)
+        out = dd.semantic_dedup(emb, cents, eps=eps).collect()
+        vecs = dict(rows)
+        kept_by_bucket = {}
+        for r in out:
+            if r.keep:
+                kept_by_bucket.setdefault(r.bucket, []).append(r.vec_id)
+        for bucket, ids in kept_by_bucket.items():
+            for a, b in itertools.combinations(ids, 2):
+                va, vb = vecs[a], vecs[b]
+                cos = sum(x * y for x, y in zip(va, vb)) / (
+                    math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(x * x for x in vb))
+                )
+                assert cos < eps, (bucket, a, b, cos)
+        # and nothing vanished
+        assert len(out) == len(rows)
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(60)]
+        check(rows, n_cent=3, eps=0.6)
+
+    # giant single cluster, heavy duplication: 40 near-identical vectors
+    # (all assigned to the one centroid) + slight noise — the dominance
+    # rule must still produce an eps-separated kept set, not die or
+    # keep everything
+    rng = random.Random(9)
+    base = [1.0, 0.2, 0.1, 0.05]
+    rows = [
+        (i, [x + rng.gauss(0, 0.001) for x in base]) for i in range(40)
+    ]
+    check(rows, n_cent=1, eps=0.999)
