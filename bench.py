@@ -87,6 +87,13 @@ PINNED_EXTRAS = [
     "dsir_select",  # round-6 addition
     "dsir_gumbel",  # round-7 addition
     "dedup_semantic",  # round-7 addition
+    "sample_stratified",  # round-7 addition
+    "text_encode_vocab",  # round-7 addition
+    "sample_temperature",  # round-7 addition
+    "split_leakage_safe",  # round-7 addition
+    "sample_token_budget",  # round-7 addition
+    "sim_mean_vectors",  # round-7 addition
+    "embed_kmeans",  # round-7 addition
 ]
 
 #: Timed rounds per query (interleaved). 5 rounds x ~12 queries spreads each

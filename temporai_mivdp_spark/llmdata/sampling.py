@@ -122,6 +122,7 @@ def token_budget_sample(
     group_col: str | None = None,
     key_col: str = "doc_id",
     seed: str = "budget",
+    order_expr: Column | None = None,
 ) -> DataFrame:
     """Deterministic token-budget sampling: keep a pseudo-random subset
     of documents whose combined token count fills ``budget_tokens`` —
@@ -148,8 +149,20 @@ def token_budget_sample(
     ``key_col`` must be unique per row (a doc id): rows sharing a key
     value are indistinguishable by any function of the key, and which
     of them crosses the boundary would be partition-order luck.
+
+    ``order_expr`` overrides the layout hash (default ``xxhash64(seed:
+    key)``) with a caller-supplied deterministic expression over the
+    row — the engine-portability lever: xxhash64 has no DuckDB/ANSI
+    twin, so a cross-engine mirror (the catalog oracle) supplies the
+    shared md5-prefix hash instead. The expression must be a pure
+    function of the row (same determinism contract as the default) and
+    collisions are still broken by ``key_col``.
     """
-    h = F.xxhash64(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+    h = (
+        order_expr
+        if order_expr is not None
+        else F.xxhash64(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+    )
     packed = pack_sequences(
         df.withColumn("__ord", h),
         max_tokens=budget_tokens,
@@ -214,9 +227,15 @@ def temperature_resample(
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    total = F.sum("__n").over(Window.partitionBy())
+    # single-group windows are fine HERE: input is one row per source
+    # (bounded by contract). The partition key is a column-derived
+    # constant (__n % 1) rather than an empty spec so WindowExec doesn't
+    # WARN "No Partition Defined" on every run — the ratio-table pattern
+    # shared with dsir/build_vocabulary.
+    w = Window.partitionBy(F.col("__n") % 1)
+    total = F.sum("__n").over(w)
     share = F.pow(F.col("__n") / total, F.lit(1.0 / temperature))
-    norm = F.sum(share).over(Window.partitionBy())
+    norm = F.sum(share).over(w)
     rates = counts.select(
         group_col,
         F.least(

@@ -27,6 +27,8 @@ aggregate) over doubles — no UDFs, no Python in the hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -372,6 +374,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     seed_centroids: DataFrame | None = None,
     sample_fraction: float | None = None,
+    snap_grid: float | None = None,
 ) -> tuple[DataFrame, list[float]]:
     """Train the IVF coarse quantizer: spherical k-means (Lloyd's), each
     round expressed as one distributed pass over the corpus.
@@ -422,6 +425,20 @@ def kmeans_fit(
     before the full corpus adds information; the full corpus only ever
     pays the one row-local ``assign_ivf_buckets`` pass at index-build
     time. ``history`` then reports the sample's mean winning-sim.
+
+    ``snap_grid`` makes the iteration FIXED-POINT: each updated
+    centroid coordinate is snapped to the nearest grid multiple
+    (``floor(x/grid + 0.5) * grid``) before it re-enters the next
+    round's literal array. With inputs pre-quantized to integer-valued
+    doubles and ``snap_grid=1.0``, every quantity in the fit — dot
+    products, norms², partial sums — is an exactly-representable
+    integer in a double (dim 64 × 1e6-scale coords stays under 2^53),
+    so the result is bit-identical regardless of summation order:
+    across reruns, partitionings, and engines (the ``embed_kmeans``
+    catalog oracle replays the fit clause for clause on that
+    contract). Without it, the mean update's float summation order can
+    drift a last ulp between runs; snapping is the standard fixed-point
+    remedy and costs one multiply per coordinate per round.
 
     Why not ``pyspark.ml.clustering.KMeans``: MLlib's fit returns an
     opaque model object (RDD-era internals, nondeterministic k-means||
@@ -505,6 +522,10 @@ def kmeans_fit(
         nxt = dict(cur)  # empty buckets keep their previous centroid
         for r in rows:
             mean = [float(s["m"]) for s in r["__arr"]]
+            if snap_grid is not None:
+                # math.floor on a float is exact IEEE; identical to the
+                # oracle's SQL floor(x/grid + 0.5) * grid
+                mean = [math.floor(x / snap_grid + 0.5) * snap_grid for x in mean]
             old = cur[int(r["__b"])]
             shift = max(shift, sum((a - b) ** 2 for a, b in zip(mean, old)) ** 0.5)
             nxt[int(r["__b"])] = mean

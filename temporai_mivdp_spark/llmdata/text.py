@@ -253,8 +253,14 @@ def build_vocabulary(
         .agg(F.count(F.lit(1)).alias("count"))
     )
     topk = counts.orderBy(F.col("count").desc(), F.col("token").asc()).limit(size)
-    # single-partition window is fine HERE: input is <= size rows
-    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    # single-group window is fine HERE: input is <= size rows. The
+    # partition key is a column-derived constant (count % 1 — Catalyst
+    # folds count*0 and literal keys away, leaving an empty spec that
+    # WARNs "No Partition Defined" every run; the dsir ratio-table
+    # pattern)
+    w = Window.partitionBy(F.col("count") % 1).orderBy(
+        F.col("count").desc(), F.col("token").asc()
+    )
     return topk.withColumn("__r", F.row_number().over(w)).select(
         "token",
         (F.col("__r") - 1 + reserved).cast("long").alias("token_id"),

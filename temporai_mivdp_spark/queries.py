@@ -95,6 +95,43 @@ WINDOW_TAIL: tuple[str, ...] = (
     # pivot strategy; R3's explode+pivot composition remains oracle'd
     # here in the tail and tested in tests/test_operators.py)
     "r3_multilabel_onehot",
+    # round 7: displaced for sample_stratified — the string→array parse
+    # (F13) stays window-exercised by the split/filter/transform array
+    # chains inside text_encode_vocab, text_chunk_overlap, and every
+    # tokenizing text entry
+    "f13_json_extract",
+    # round 7: displaced for text_encode_vocab — the join family stays
+    # the window's most-covered (flagship broadcast dims, j7 first-match,
+    # j8 interval-exists, every llm broadcast join); J6's right-merge
+    # shape keeps its oracle here and its test in tests/test_operators.py
+    "j6_right_merge_summary",
+    # round 7: displaced for sample_temperature — left-semi/IN filtering
+    # stays window-exercised by the equality-join guards inside
+    # pipeline_guard_corpus and the anti-join grid in
+    # u1_u2_union_anti_grid; U4's id-intersection left-semi remains
+    # tested in tests/test_operators.py
+    "p5_semi_join_filter",
+    # round 7: displaced for split_leakage_safe — the observation-window
+    # trim stays window-covered by j_asof_event_value (as-of trim on the
+    # same event/time axis) and the w5_w6_w7 grid consumers
+    "w1_w2_hours_window_trim",
+    # round 7: displaced for sample_token_budget — tumbling-bucket
+    # aggregation stays window-covered by w4_w8_dense_grid_indicator
+    # (the same floor-bucket time grid) and the streaming twin
+    # (streaming/windows.py) is differentially tested against this
+    # exact batch query
+    "w3_tumbling_bucket",
+    # round 7: displaced for sim_mean_vectors — the rolling/ordered
+    # window family stays window-covered by w5_w6_w7_impute_active (the
+    # same partitioned ordered-window cascade) and
+    # window_ranking_family
+    "ts_rolling_interp_peak",
+    # round 7: displaced for embed_kmeans — exact md5-group dedup is the
+    # window's most-redundantly exercised shape: pipeline_guard_corpus
+    # and pipeline_docs_curation both run it inside their compositions,
+    # and dedup_duplicate_clusters' cluster formation subsumes the
+    # group-min keeper
+    "dedup_exact",
 )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from temporai_mivdp_spark.llmdata import bpe, dedup, sampling, similarity, text
 from temporai_mivdp_spark.queries import ORACLE, QUERIES, _register, _t
@@ -915,6 +916,369 @@ def sample_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return sampling.source_quota(
         docs, max_per_group=20, group_col="source", key_col="doc_id", seed="quota"
+    )
+
+
+@_register(
+    "sample_stratified",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < (CASE source
+               WHEN 'src1' THEN 0.25
+               WHEN 'src2' THEN 0.5
+               WHEN 'src3' THEN 0.75
+               ELSE 0.1
+             END) * 10000
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (llmdata/sampling.py::
+    stratified_hash_sample): per-stratum keep rates via a broadcast
+    rate table and an md5 hash-bucket compare — the corpus-rebalancing
+    primitive (downsample the dominant source/language). Deterministic
+    in (seed, doc_id), so higher rates give strict supersets (tested);
+    the oracle replays the bucket arithmetic bit for bit."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.stratified_hash_sample(
+        docs,
+        rates={"src1": 0.25, "src2": 0.5, "src3": 0.75},
+        strata_col="source",
+        key_col="doc_id",
+        seed="strat",
+        default_rate=0.1,
+    ).select("doc_id", "source")
+
+
+@_register(
+    "text_encode_vocab",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, w[i] AS token, i AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split({_NORM}, ' '), t -> t <> '') AS w
+        FROM documents
+      ), unnest(generate_series(1, len(w))) AS u(i)
+    ),
+    counts AS (SELECT token, count(*) AS count FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY count DESC, token ASC) AS BIGINT)
+               AS token_id
+      FROM (SELECT * FROM counts ORDER BY count DESC, token ASC LIMIT 500)
+    ),
+    enc AS (
+      SELECT t.doc_id,
+             list(coalesce(v.token_id, 0) ORDER BY t.pos) AS token_ids
+      FROM toks t LEFT JOIN vocab v USING (token)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, coalesce(enc.token_ids, CAST([] AS BIGINT[])) AS token_ids
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN enc USING (doc_id)
+    """,
+)
+def text_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text→ids encoding under a deterministic frequency vocabulary
+    (llmdata/text.py::build_vocabulary + encode_tokens): top-500 tokens
+    by (count desc, token asc) get ids 1..500 (0 = OOV), every document
+    becomes its ordered token-id array. The vocabulary selection is
+    TakeOrderedAndProject (per-partition heaps — never a global rank
+    window over the full distinct-token set) and the encode join
+    broadcasts the size-bounded vocab; the oracle rebuilds the same
+    vocab and arrays clause for clause, including empty arrays for
+    token-less docs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = text.build_vocabulary(docs, size=500)
+    return text.encode_tokens(docs, vocab)
+
+
+@_register(
+    "sample_temperature",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    s AS (SELECT source, n, pow(n / (SELECT sum(n) FROM c), 0.5) AS share FROM c),
+    r AS (
+      SELECT source,
+             least(1.0,
+                   0.5 * (share / (SELECT sum(share) FROM s))
+                       * ((SELECT sum(n) FROM c) / n)) AS rate
+      FROM s
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < rate * 10000
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (llmdata/sampling.py::
+    temperature_resample) — the standard multi-source pretraining
+    rebalance: keep source i with rate ∝ (n_i/N)^(1/T) / n_i, T=2 and
+    target_fraction=0.5 here, so rare sources are up-weighted (their
+    rate saturates at 1 — sampling without replacement cannot
+    up-sample) and the head source is cut hardest. One bounded count
+    aggregation + a broadcast rate table + the row-local md5 keep
+    decision; the oracle recomputes the rate algebra clause for
+    clause. The share/normalizer sums run over #sources rows (bounded
+    by contract), never the corpus."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.temperature_resample(
+        docs,
+        temperature=2.0,
+        group_col="source",
+        key_col="doc_id",
+        seed="mix",
+        target_fraction=0.5,
+    ).select("doc_id", "source")
+
+
+@_register(
+    "split_leakage_safe",
+    f"""
+    WITH d2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents
+    ),
+    ck AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5({_NORM})) AS cluster_id
+      FROM d2
+    ),
+    b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('split' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM ck
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (llmdata/sampling.py::
+    leakage_safe_split): the corpus is doubled with byte-identical
+    copies (ids +1M) so every document HAS a duplicate, exact-dup
+    clusters (min doc_id per normalized-content hash) feed the split as
+    the hash key, and therefore each copy pair provably lands in one
+    split — the guard that keeps train/test duplicates from inflating
+    eval. Row-local split assignment (md5 bucket against the 90/5/5
+    boundaries); the only exchanges are the content-hash window and the
+    cluster join (broadcast-eligible). The oracle replays cluster
+    formation and bucket arithmetic bit for bit."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    clusters = doubled.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(dedup.normalize_text(F.col("text")))))
+        .alias("cluster_id"),
+    )
+    out = sampling.leakage_safe_split(
+        doubled,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        clusters=clusters,
+        seed="split",
+    )
+    return out.select("doc_id", "split")
+
+
+@_register(
+    "sample_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split({_NORM}, ' ')) AS n_tokens,
+             ('0x' || substr(md5('budget' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT *,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY h ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens FROM c WHERE before < 2000
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling (llmdata/sampling.py::
+    token_budget_sample) — the "N tokens per source" mixture recipe:
+    documents are laid out in deterministic hash order and admitted
+    while the source's 2000-token budget is unexhausted (the crossing
+    document stays, matching how packing consumes it; raising the
+    budget strictly adds documents). The layout hash is the portable
+    60-bit md5 prefix via ``order_expr`` — same sample on every
+    engine, rerun, and partitioning — and the cumulative sum is the
+    per-source partitioned window (the global variant's two-level
+    prefix sum is exercised by ``pipeline_docs_curation``)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    counted = docs.withColumn("n_tokens", text.token_count(F.col("text")))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("budget"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    return sampling.token_budget_sample(
+        counted, budget_tokens=2000, group_col="source", order_expr=h
+    ).select("doc_id", "source", "n_tokens")
+
+
+#: integer quantization grid shared by the embedding-mean entries: float32
+#: coords × 1e6 snap to integer-valued doubles, so every downstream sum
+#: (dot products, norms², per-position partial sums) is exact in IEEE
+#: double regardless of summation order — bit-identical across engines,
+#: reruns, and partitionings (dim 64 × 1e6-scale stays far under 2^53)
+_QUANT = 1_000_000
+
+
+def _quantize_vec(col):
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * _QUANT + F.lit(0.5)).cast("double")
+    )
+
+
+@_register(
+    "sim_mean_vectors",
+    f"""
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding::DOUBLE[], x -> floor(x * {_QUANT} + 0.5)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    px AS (
+      SELECT label, i AS pos, v[i] AS x
+      FROM q, unnest(generate_series(1, len(v))) AS u(i)
+    ),
+    m AS (
+      SELECT label, pos, sum(x) AS s, count(*) AS c
+      FROM px GROUP BY label, pos
+    )
+    SELECT label,
+           list(s / c / {_QUANT}.0 ORDER BY pos) AS mean_embedding,
+           max(CASE WHEN pos = 1 THEN c END) AS n_vectors
+    FROM m GROUP BY label
+    """,
+)
+def sim_mean_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean embedding (llmdata/similarity.py::mean_vectors) —
+    the corpus-drift / source-fingerprint telemetry op. Bounded-shuffle
+    shape: posexplode to (group, pos) partial sums with map-side
+    combine (wire cost = groups × dim × partitions, corpus-size
+    independent), reassembled from exactly dim rows per group. Inputs
+    are 1e-6-grid quantized (``_QUANT``) so the partial sums are exact
+    integers in doubles and the mean is bit-identical across engines
+    and summation orders; the oracle replays quantize → per-position
+    sum → descale clause for clause."""
+    emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    q = emb.select("label", _quantize_vec(F.col("embedding")).alias("embedding"))
+    mv = similarity.mean_vectors(q, "label")
+    return mv.select(
+        "label",
+        F.transform("embedding", lambda m: m / _QUANT).alias("mean_embedding"),
+        "n_vectors",
+    )
+
+
+def _kmeans_iter_sql(prev: str, a: str, m: str, out: str) -> str:
+    """One Lloyd round of the ``embed_kmeans`` mirror: spherical
+    assignment (max dot/|c|, ties to the lower centroid id — exactly
+    ``assign_ivf_buckets``), per-(bucket, position) integer-exact mean,
+    snap to the unit grid, empty buckets keep their previous centroid."""
+    return f"""
+    {a} AS (
+      SELECT vec_id, v, cid AS b FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(c.cv, e.v)
+                            / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    {m} AS (
+      SELECT b, pos, floor(sum(x) / count(*) + 0.5) AS mu
+      FROM (SELECT b, i AS pos, v[i] AS x
+            FROM {a}, unnest(generate_series(1, len(v))) AS u(i))
+      GROUP BY b, pos
+    ),
+    {out} AS (
+      SELECT p.cid, coalesce(g.nv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN
+        (SELECT b AS cid, list(mu ORDER BY pos) AS nv FROM {m} GROUP BY b) g
+        USING (cid)
+    )"""
+
+
+@_register(
+    "embed_kmeans",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> floor(x * {_QUANT} + 0.5)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 4),
+    {_kmeans_iter_sql('c0', 'a1', 'm1', 'c1')},
+    {_kmeans_iter_sql('c1', 'a2', 'm2', 'c2')},
+    a3 AS (
+      SELECT vec_id, cid AS b FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(c.cv, e.v)
+                            / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    sz AS (SELECT b, count(*) AS n FROM a3 GROUP BY b)
+    SELECT c2.cid AS centroid_id,
+           coalesce(sz.n, 0) AS n_vectors,
+           list_transform(c2.cv, x -> x / {_QUANT}.0) AS centroid
+    FROM c2 LEFT JOIN sz ON c2.cid = sz.b
+    """,
+)
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (llmdata/similarity.py::
+    kmeans_fit, the IVF coarse-quantizer trainer): 4 deterministic
+    seeds, 2 fixed-point Lloyd rounds (``snap_grid`` snaps each updated
+    centroid to the 1e-6 quantization grid), then a final zero-shuffle
+    literal-centroid assignment for bucket sizes. On the quantized
+    corpus every dot product, norm², and mean numerator is an exact
+    integer in a double, so the whole fit is bit-identical across
+    engines, reruns, and partitionings — the oracle replays seed →
+    assign → snap-mean → assign → snap-mean → final-assign clause for
+    clause, including empty buckets keeping their previous centroid.
+    Per round the corpus pays one row-local scoring pass and one
+    bounded (bucket × dim × partitions) mean shuffle; centroids cross
+    the driver as n × dim floats by construction."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select("vec_id", _quantize_vec(F.col("embedding")).alias("embedding"))
+    cents, _ = similarity.kmeans_fit(q, n=4, iterations=2, tol=0.0, snap_grid=1.0)
+    sizes = similarity.assign_ivf_buckets(q, cents).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return (
+        cents.join(sizes, cents.centroid_id == sizes.bucket, "left")
+        .select(
+            "centroid_id",
+            F.coalesce("n_vectors", F.lit(0).cast("long")).alias("n_vectors"),
+            F.transform("embedding", lambda x: x / _QUANT).alias("centroid"),
+        )
     )
 
 

@@ -942,6 +942,102 @@ def test_token_budget_sample_global(spark):
     assert {r.doc_id for r in out} != {r.doc_id for r in other.collect()}
 
 
+def test_token_budget_sample_order_expr_portable(spark):
+    """order_expr swaps the layout hash (the engine-portability lever the
+    sample_token_budget oracle relies on): same budget contract, same
+    determinism, but a different — caller-controlled — admission order."""
+    from pyspark.sql import functions as F
+
+    from temporai_mivdp_spark.llmdata import sampling
+
+    rows = [(i, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tokens: int")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("budget"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    out = sampling.token_budget_sample(df, budget_tokens=100, order_expr=h).collect()
+    assert 100 <= sum(r.n_tokens for r in out) < 110
+    # deterministic, and independent of input partitioning
+    again = sampling.token_budget_sample(
+        df.repartition(7), budget_tokens=100, order_expr=h
+    )
+    assert {r.doc_id for r in out} == {r.doc_id for r in again.collect()}
+    # the md5 order is a genuinely different layout than the xxhash default
+    default = sampling.token_budget_sample(df, budget_tokens=100)
+    assert {r.doc_id for r in out} != {r.doc_id for r in default.collect()}
+    # and the admitted set is exactly the md5-order prefix (the oracle rule:
+    # admitted iff the budget was not exhausted before the doc's first token)
+    import hashlib
+
+    def key(i: int) -> int:
+        return int(hashlib.md5(f"budget{i}".encode()).hexdigest()[:15], 16)
+
+    ordered = sorted(range(100), key=lambda i: (key(i), i))
+    expect, spent = set(), 0
+    for i in ordered:
+        if spent < 100:
+            expect.add(i)
+        spent += 10
+    assert {r.doc_id for r in out} == expect
+
+
+def test_temperature_resample_saturates_rare_and_cuts_head(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    rows = [(i, "head") for i in range(900)] + [(1000 + i, "rare") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out = sampling.temperature_resample(df, temperature=4.0, target_fraction=0.5)
+    got = out.collect()
+    by_src: dict[str, int] = {}
+    for r in got:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # rare source saturates at rate 1 (keeps everything): its target share
+    # under T=4 exceeds what sampling without replacement can deliver
+    assert by_src.get("rare") == 20
+    # the head source is cut hard — well below its natural 900 and below
+    # the plain 50% a temperature-free downsample would keep
+    assert by_src.get("head", 0) < 450
+    # deterministic in (seed, doc_id): rerun and repartition agree
+    again = sampling.temperature_resample(
+        df.repartition(5), temperature=4.0, target_fraction=0.5
+    )
+    assert {r.doc_id for r in got} == {r.doc_id for r in again.collect()}
+    # T=1 keeps natural proportions: every source's keep rate is the global
+    # target_fraction, so the head/rare ratio survives (within hash noise)
+    nat = sampling.temperature_resample(df, temperature=1.0, target_fraction=0.5)
+    nat_by: dict[str, int] = {}
+    for r in nat.collect():
+        nat_by[r.source] = nat_by.get(r.source, 0) + 1
+    assert 0.35 < nat_by["head"] / 900 < 0.65
+    assert 0.2 <= nat_by.get("rare", 0) / 20 <= 0.8
+
+
+def test_kmeans_fit_snap_grid_fixed_point(spark):
+    """snap_grid=1.0 on integer-valued inputs keeps every centroid
+    coordinate integral through the rounds — the bit-stability contract
+    the embed_kmeans full-mirror oracle is built on."""
+    from temporai_mivdp_spark.llmdata import similarity
+
+    rows = [
+        (i, [float((i % 3) * 1000 + j) for j in range(4)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    c1, h1 = similarity.kmeans_fit(df, n=3, iterations=3, tol=0.0, snap_grid=1.0)
+    for r in c1.collect():
+        for x in r.embedding:
+            assert x == int(x), r
+    # bit-identical under repartitioning (exact integer sums -> no
+    # summation-order drift anywhere in the fit)
+    c2, h2 = similarity.kmeans_fit(
+        df.repartition(13), n=3, iterations=3, tol=0.0, snap_grid=1.0
+    )
+    assert sorted(map(tuple, ((r.centroid_id, *r.embedding) for r in c1.collect()))) == \
+        sorted(map(tuple, ((r.centroid_id, *r.embedding) for r in c2.collect())))
+    assert h1 == h2
+
+
 def test_bloom_hit_columns_matches_batch_path(spark, docs):
     bench = docs.filter(F.col("doc_id") == 1)
     bloom = dedup.shingle_bloom(bench, n=3, m_bits=1 << 16, k_hashes=4)
