@@ -903,14 +903,18 @@ def embedding_near_duplicates(
     pairs — test-scale only; at 100 TB always pass a block (e.g. an IVF
     assignment from similarity.assign_ivf_buckets).
     """
-    from temporai_mivdp_spark.llmdata.similarity import _dot, _norm
+    from temporai_mivdp_spark.llmdata.similarity import _dot, _norm, finite_vectors
 
     # norms are per-VECTOR, so compute them once on each join side —
     # folding them inside a per-pair cosine would run two extra
     # higher-order-function folds per candidate pair (HOF lambdas are
     # interpreted, not codegen'd; measured ~3x on the blocked self-join)
     cols = [id_col, vec_col] + ([block_col] if block_col else [])
-    sided = embeddings.select(*cols).withColumn("__nrm", _norm(F.col(vec_col)))
+    sided = (
+        finite_vectors(embeddings, vec_col, nonzero=True)
+        .select(*cols)
+        .withColumn("__nrm", _norm(F.col(vec_col)))
+    )
     a = sided.select(
         *[F.col(c).alias(f"a_{c}") for c in cols], F.col("__nrm").alias("a___nrm")
     )
@@ -977,7 +981,9 @@ def semantic_dedup(
     is rounded to 1e-6 BEFORE ranking so the priority order — not just
     the emitted value — is identical across engines.
 
-    Returns (id, bucket, centroid_sim, keep) for every input row.
+    Returns (id, bucket, centroid_sim, keep) for every finite input row
+    (null / non-finite vectors are excluded up front —
+    ``similarity.finite_vectors``).
     Citation (behavioral contract only — no reference code exists for
     this; the reference pipeline is tabular/clinical):
     SURVEY.md §2 "beyond-reference additions".
@@ -987,6 +993,7 @@ def semantic_dedup(
         _centroid_sims,
         _dot,
         _norm,
+        finite_vectors,
     )
 
     cents = _centroid_array(centroids, "centroid_id", vec_col)
@@ -996,7 +1003,9 @@ def semantic_dedup(
             lambda s: F.struct(s["sim"].alias("sim"), (-s["cid"]).alias("negcid")),
         )
     )
-    assigned = embeddings.withColumn("__nrm", _norm(F.col(vec_col))).select(
+    assigned = finite_vectors(embeddings, vec_col, nonzero=True).withColumn(
+        "__nrm", _norm(F.col(vec_col))
+    ).select(
         id_col,
         vec_col,
         "__nrm",

@@ -63,6 +63,40 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def finite_vectors(
+    df: DataFrame, vec_col: str = "embedding", nonzero: bool = False
+) -> DataFrame:
+    """Corrupt-embedding guard shared by every corpus-facing similarity /
+    embedding-dedup function: drop null vectors and vectors containing
+    any non-finite coordinate (NaN / ±inf).
+
+    Why exclusion (not propagation): a null vector has no similarity to
+    anything, and NaN poisons every dot product it touches — at corpus
+    scale one corrupt row would otherwise seed a NaN centroid, rank
+    nondeterministically (NaN ordering is a classic engine-semantics
+    fork — measured by ``tools/edgecase_check.py --embeddings``), or
+    silently occupy top-k slots. Excluding corrupt rows is the standard
+    curation semantic and keeps every downstream comparison within IEEE
+    totally-ordered finite doubles, where the DuckDB oracles agree bit
+    for bit. Row-local filter — no shuffle, safe on a 100 TB scan.
+
+    ``nonzero=True`` additionally drops all-zero vectors — required by
+    every COSINE consumer (a zero vector has no direction; its 0/0
+    cosine is NaN, which sorts LARGEST in both engines and would occupy
+    the top-1 slot of every probe). Mean/centroid consumers keep zero
+    vectors: a zero mean contribution is well-defined, and spherical
+    assignment ranks zero vectors by the deterministic id tie-break.
+    """
+    v = F.col(vec_col)
+    corrupt = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    # null vec: isNotNull() is false, so the null-valued `corrupt` never
+    # decides; three-valued AND resolves to false and the row drops
+    out = df.filter(v.isNotNull() & ~corrupt)
+    if nonzero:
+        out = out.filter(F.exists(v, lambda x: x != F.lit(0.0)))
+    return out
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -81,11 +115,12 @@ def brute_force_topk(
     corpus× (probe side) redundantly; per-pair work should be one dot
     product.
     """
-    p = probes.select(
+    p = finite_vectors(probes, vec_col, nonzero=True).select(
         F.col(probe_id_col).alias("__pid"), F.col(vec_col).alias("__pvec")
     ).withColumn("__pn", _norm(F.col("__pvec")))
     scored = (
-        corpus.select(id_col, vec_col)
+        finite_vectors(corpus, vec_col, nonzero=True)
+        .select(id_col, vec_col)
         .withColumn("__cn", _norm(F.col(vec_col)))
         .crossJoin(F.broadcast(p))
         .filter(F.col(id_col) != F.col("__pid"))
@@ -185,6 +220,8 @@ def brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    corpus = finite_vectors(corpus, vec_col, nonzero=True)
+    probes = finite_vectors(probes, vec_col, nonzero=True)
     pdf = probes.select(probe_id_col, vec_col).toPandas()
     pids = pdf[probe_id_col].to_numpy()
     P = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -314,9 +351,12 @@ def deterministic_centroids(
     corpus: DataFrame, n: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Centroid seed set: the n lowest-id vectors. Deterministic and cheap;
-    replaceable by k-means (Spark ML) without changing the plan shape."""
+    replaceable by k-means (Spark ML) without changing the plan shape.
+    Corrupt rows are excluded first — a null/NaN seed would poison every
+    assignment it serves."""
     return (
-        corpus.orderBy(F.col(id_col).asc())
+        finite_vectors(corpus, vec_col, nonzero=True)
+        .orderBy(F.col(id_col).asc())
         .limit(n)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias(vec_col))
     )
@@ -337,10 +377,10 @@ def mean_vectors(
     ``posexplode`` to (group, pos) partial sums (map-side combine keeps
     the wire at groups x dim x partitions rows regardless of corpus
     size), then reassemble each group's array from exactly dim rows via
-    ``array_sort(collect_list)``. Null vectors are excluded from both
-    mean and count.
+    ``array_sort(collect_list)``. Null and non-finite vectors are
+    excluded from both mean and count (``finite_vectors``).
     """
-    ex = df.filter(F.col(vec_col).isNotNull()).select(
+    ex = finite_vectors(df, vec_col).select(
         group_col, F.posexplode(F.col(vec_col)).alias("__pos", "__x")
     )
     per_pos = ex.groupBy(group_col, "__pos").agg(
@@ -456,7 +496,7 @@ def kmeans_fit(
         for r in cents.select("centroid_id", vec_col).collect()
     }
     history: list[float] = []
-    src = corpus
+    src = finite_vectors(corpus, vec_col)
     if sample_fraction is not None and sample_fraction < 1.0:
         src = src.filter(
             F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1_000_000))
@@ -584,8 +624,19 @@ def ivf_topk(
     centroids' buckets. Recall rises with nprobe (== exact when nprobe =
     #centroids). The bucket join is an equality join on the bucket id —
     this is what survives a 1000-executor corpus."""
-    assigned = assign_ivf_buckets(corpus, centroids, vec_col=vec_col, id_col=id_col)
-    probe_buckets = _route_probes(probes, centroids, nprobe, vec_col, probe_id_col)
+    assigned = assign_ivf_buckets(
+        finite_vectors(corpus, vec_col, nonzero=True),
+        centroids,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    probe_buckets = _route_probes(
+        finite_vectors(probes, vec_col, nonzero=True),
+        centroids,
+        nprobe,
+        vec_col,
+        probe_id_col,
+    )
     candidates = assigned.withColumn("__cn2", _norm(F.col(vec_col))).join(
         F.broadcast(probe_buckets), "bucket"
     ).filter(F.col(id_col) != F.col("__pid"))
@@ -636,7 +687,12 @@ def persist_ivf_index(
     ranks on the stored tinyints directly (cosines shift by the <1%
     int8 rounding error — ranks are near-identical, exact values are
     not; pick per index, the layout records which)."""
-    assigned = assign_ivf_buckets(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    assigned = assign_ivf_buckets(
+        finite_vectors(corpus, vec_col, nonzero=True),
+        centroids,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
     if quantize:
         assigned = quantize_int8(assigned, vec_col=vec_col, out_col="__q").select(
             id_col, F.col("__q").alias(vec_col), "bucket"
@@ -913,6 +969,7 @@ def lsh_signatures(
     ``dim`` (embedding width) fixes the literal plane arrays at plan
     build; pass it when known. When ``None`` it is peeked from the first
     row — one tiny job at build time, never in the per-row path."""
+    df = finite_vectors(df, vec_col, nonzero=True)
     if dim is None:
         row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
         if not row:

@@ -49,11 +49,21 @@ _NORMALIZERS: list[tuple[re.Pattern[str], str]] = [
     # chars BEFORE normalization, so a plan embedding long literals
     # (e.g. dedup_semantic's inlined centroid array) gets cut at a point
     # that shifts with pre-normalization expression-id widths — the one
-    # source of run-to-run fingerprint drift observed. Collapse any
-    # bracket value that was truncated (ends in "..." with no closing
-    # bracket); untruncated values — every other query — are unchanged,
-    # preserving fingerprint continuity across rounds.
-    (re.compile(r"\[[^\]\n]*\.\.\."), "[<truncated>"),
+    # source of run-to-run fingerprint drift observed. Collapse the
+    # ENTIRE truncated value, key to first "...": the earlier
+    # last-unclosed-bracket collapse kept a prefix whose LENGTH still
+    # moved with the cut whenever an inner "]" closed the outer bracket
+    # (array literals inside a filter), which is exactly how a wider
+    # session expr-id counter can still flip a fingerprint. Untruncated
+    # values — every other query — are unchanged.
+    # \.{3,}: the cut can land right after a literal's decimal point
+    # ("0." + appended "..." = "...."), so consume the WHOLE dot run —
+    # a lazy match up to the first three dots leaves a cut-dependent
+    # stray "." behind (observed flipping embed_kmeans's fingerprint
+    # with session history)
+    (re.compile(r"(\b\w+): \[[^\n]*?\.{3,}"), r"\1: [<truncated>"),
+    # non-"Key: ["-shaped truncations (bare bracket values)
+    (re.compile(r"\[[^\]\n]*\.{3,}"), "[<truncated>"),
 ]
 
 

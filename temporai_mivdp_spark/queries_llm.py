@@ -40,6 +40,22 @@ _AUG_SQL = (
     "UNION ALL SELECT doc_id + 1000000 AS doc_id, text || ' zqx' AS text FROM documents"
 )
 
+#: DuckDB twin of similarity.finite_vectors — the corrupt-embedding guard
+#: every embedding-reading oracle applies before touching a vector (the
+#: engine excludes null / non-finite vectors up front; NaN ordering and
+#: null dot products are exactly where engine semantics fork, measured by
+#: tools/edgecase_check.py --embeddings)
+_FINITE_SQL = (
+    "embedding IS NOT NULL "
+    "AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0"
+)
+
+#: DuckDB twin of finite_vectors(nonzero=True) — the cosine consumers
+#: additionally exclude all-zero vectors (no direction, 0/0-NaN cosine)
+_DIRECTED_SQL = (
+    _FINITE_SQL + " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+
 
 def _curation_scratch_dir(spark: SparkSession) -> str:
     """Engine-owned scratch directory for the curation stage checkpoint.
@@ -232,8 +248,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_embedding_neardup",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_DIRECTED_SQL})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
@@ -252,8 +269,9 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_semantic",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_DIRECTED_SQL}),
     cents AS (
       SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn
       FROM e ORDER BY vec_id LIMIT 16
@@ -298,8 +316,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "sim_topk_bruteforce",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_DIRECTED_SQL}),
     p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
     s AS (
       SELECT p.pid, e.vec_id,
@@ -326,8 +345,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "sim_topk_ivf",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_DIRECTED_SQL}),
     cents AS (
       SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn
       FROM e ORDER BY vec_id LIMIT 16
@@ -1140,23 +1160,44 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: coords × 1e6 snap to integer-valued doubles, so every downstream sum
 #: (dot products, norms², per-position partial sums) is exact in IEEE
 #: double regardless of summation order — bit-identical across engines,
-#: reruns, and partitionings (dim 64 × 1e6-scale stays far under 2^53)
+#: reruns, and partitionings. The exactness arithmetic needs a magnitude
+#: bound, so the quantizer CLAMPS at ±2^23 (raw |x| ≤ 8.39 — unit-normish
+#: embeddings never come close; the corpus max is 0.58): 64-dim dot
+#: products stay ≤ 2^52 and per-group sums stay exact past 10^9 rows per
+#: group. Unclamped, one 1e30-magnitude row would push sums past 2^53 and
+#: re-open summation-order drift (measured by edgecase_check
+#: --embeddings). Non-finite coords never reach the quantizer — the
+#: entries exclude them via similarity.finite_vectors / _FINITE_SQL.
 _QUANT = 1_000_000
+_QCLAMP = 1 << 23
+
+#: DuckDB twin of _quantize_vec (apply only after the _FINITE_SQL guard:
+#: least/greatest on NaN is its own cross-engine fork)
+_QUANT_SQL = (
+    f"list_transform(embedding::DOUBLE[], x -> "
+    f"least(greatest(floor(x * {_QUANT} + 0.5), -{_QCLAMP}.0), {_QCLAMP}.0))"
+)
 
 
 def _quantize_vec(col):
-    return F.transform(
-        col, lambda x: F.floor(x.cast("double") * _QUANT + F.lit(0.5)).cast("double")
-    )
+    def _q(x):
+        f = F.floor(x.cast("double") * _QUANT + F.lit(0.5))
+        return (
+            F.when(f > _QCLAMP, F.lit(_QCLAMP))
+            .when(f < -_QCLAMP, F.lit(-_QCLAMP))
+            .otherwise(f)
+            .cast("double")
+        )
+
+    return F.transform(col, _q)
 
 
 @_register(
     "sim_mean_vectors",
     f"""
     WITH q AS (
-      SELECT label,
-             list_transform(embedding::DOUBLE[], x -> floor(x * {_QUANT} + 0.5)) AS v
-      FROM embeddings WHERE embedding IS NOT NULL
+      SELECT label, {_QUANT_SQL} AS v
+      FROM embeddings WHERE {_FINITE_SQL}
     ),
     px AS (
       SELECT label, i AS pos, v[i] AS x
@@ -1182,7 +1223,9 @@ def sim_mean_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers in doubles and the mean is bit-identical across engines
     and summation orders; the oracle replays quantize → per-position
     sum → descale clause for clause."""
-    emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    emb = similarity.finite_vectors(
+        _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    )
     q = emb.select("label", _quantize_vec(F.col("embedding")).alias("embedding"))
     mv = similarity.mean_vectors(q, "label")
     return mv.select(
@@ -1227,11 +1270,11 @@ def _kmeans_iter_sql(prev: str, a: str, m: str, out: str) -> str:
     "embed_kmeans",
     f"""
     WITH e AS (
-      SELECT vec_id,
-             list_transform(embedding::DOUBLE[], x -> floor(x * {_QUANT} + 0.5)) AS v
-      FROM embeddings
+      SELECT vec_id, {_QUANT_SQL} AS v
+      FROM embeddings WHERE {_FINITE_SQL}
     ),
-    c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 4),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+           WHERE len(list_filter(v, x -> x <> 0)) > 0 ORDER BY vec_id LIMIT 4),
     {_kmeans_iter_sql('c0', 'a1', 'm1', 'c1')},
     {_kmeans_iter_sql('c1', 'a2', 'm2', 'c2')},
     a3 AS (
@@ -1266,7 +1309,9 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per round the corpus pays one row-local scoring pass and one
     bounded (bucket × dim × partitions) mean shuffle; centroids cross
     the driver as n × dim floats by construction."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = similarity.finite_vectors(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     q = emb.select("vec_id", _quantize_vec(F.col("embedding")).alias("embedding"))
     cents, _ = similarity.kmeans_fit(q, n=4, iterations=2, tol=0.0, snap_grid=1.0)
     sizes = similarity.assign_ivf_buckets(q, cents).groupBy("bucket").agg(
@@ -1301,7 +1346,8 @@ def _lsh_oracle_sql(tables: int, bits: int, dim: int) -> str:
         for t in range(tables)
     )
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_DIRECTED_SQL}),
     sig AS ({sig_selects}),
     cand AS (
       SELECT DISTINCT p.vec_id AS pid, s.vec_id AS nid

@@ -173,3 +173,36 @@ def test_edgecase_corpus_parity(spark, tmp_path):
         assert sorted(s_cols) == sorted(d_cols), name
         assert len(s_rows) == len(d_rows), (name, len(s_rows), len(d_rows))
         assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols), name
+
+
+def test_edgecase_vector_corpus_parity(spark, tmp_path):
+    """Fast subset of tools/edgecase_check.py --embeddings: the
+    degenerate-vector rules (null/NaN/inf vectors excluded, zero vectors
+    dropped by cosine consumers, quantizer clamp) must hold against the
+    DuckDB oracles on the vector-adversarial corpus. Pins the
+    corrupt-vector exclusion policy (similarity.finite_vectors) against
+    regression; the 7-entry sweep is the tool."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import __spark_entry__ as entrymod
+    from edgecase_check import build_embeddings_corpus
+    from oracle_check import duck_connection, normalize
+
+    sf = str(tmp_path / "edgevec")
+    (tmp_path / "edgevec").mkdir()
+    build_embeddings_corpus(sf)
+    con = duck_connection(sf)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    subset = ["sim_topk_bruteforce", "sim_mean_vectors", "embed_kmeans"]
+    for name in subset:
+        sdf = qs[name](spark, sf)
+        s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        res = con.execute(oracles[name])
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+        assert sorted(s_cols) == sorted(d_cols), name
+        assert len(s_rows) == len(d_rows), (name, len(s_rows), len(d_rows))
+        assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols), name

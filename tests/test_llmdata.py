@@ -1014,6 +1014,38 @@ def test_temperature_resample_saturates_rare_and_cuts_head(spark):
     assert 0.2 <= nat_by.get("rare", 0) / 20 <= 0.8
 
 
+def test_finite_vectors_excludes_corrupt_and_directionless(spark):
+    """The corrupt-embedding guard: null / NaN / inf vectors never reach
+    a similarity computation, and cosine consumers also drop zero
+    vectors (whose 0/0-NaN cosine would rank FIRST — NaN sorts largest)."""
+    import math
+
+    from temporai_mivdp_spark.llmdata import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, None),                        # null vector
+        (3, [float("nan"), 1.0, 1.0]),    # NaN coordinate
+        (4, [float("inf"), 1.0, 1.0]),    # inf coordinate
+        (5, [0.0, 0.0, 0.0]),             # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    kept = {r.vec_id for r in similarity.finite_vectors(df).collect()}
+    assert kept == {0, 1, 5}
+    directed = {
+        r.vec_id for r in similarity.finite_vectors(df, nonzero=True).collect()
+    }
+    assert directed == {0, 1}
+    # end to end: corrupt rows neither rank nor emit NaN cosines
+    probes = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(df, probes, k=10).collect()
+    assert {r.neighbor_id for r in out} == {1}
+    assert all(not math.isnan(r.cosine) for r in out)
+
+
 def test_kmeans_fit_snap_grid_fixed_point(spark):
     """snap_grid=1.0 on integer-valued inputs keeps every centroid
     coordinate integral through the rounds — the bit-stability contract

@@ -22,10 +22,18 @@ engine-of-record behavior off the ASCII domain is pinned by the Python
 mirror tests instead. Here we verify the NULL/empty/shape semantics
 every entry must get right at any scale.
 
-Usage: python tools/edgecase_check.py [--unicode] [query ...]
+Usage: python tools/edgecase_check.py [--unicode|--embeddings] [query ...]
 Exit 0 iff every checked entry matches its oracle on the augmented
 corpus. tests/test_entry.py::test_edgecase_corpus_parity runs the same
 augmentation for a fast subset; this tool is the full sweep.
+
+``--embeddings`` augments the EMBEDDINGS table instead (null vector,
+all-zero vector with zero norm, huge magnitudes, float32 denormals, a
+NaN-poisoned vector, an exact duplicate and an exact negation of a base
+row) and checks the embedding-reading entries — the degenerate-vector
+counterpart of the text tier: zero-norm cosine (0/0), NaN propagation
+through ranking, and null-vector exclusion are exactly where engine
+semantics fork.
 
 ``--unicode`` swaps in the UNICODE adversarial rows (accents, CJK,
 Cyrillic, emoji, NBSP, combining marks) and SKIPS the entries whose
@@ -80,6 +88,35 @@ UNICODE_DOCS = [
     (9_100_008, "tab\tand em-space whitespace kinds"),
 ]
 
+#: the catalog entries that read the embeddings table — the --embeddings
+#: tier's domain (everything else never sees a vector)
+EMBEDDING_ENTRIES = [
+    "dedup_embedding_neardup",
+    "dedup_semantic",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "sim_mean_vectors",
+    "embed_kmeans",
+]
+
+
+def adversarial_vectors(base_vec: list[float], base_label: int, dim: int):
+    """(vec_id, embedding|None, label) rows: ids far above any real id so
+    deterministic_centroids (lowest-id seeds) never elects one."""
+    nan = float("nan")
+    return [
+        (9_000_001, None, 0),                       # null vector
+        (9_000_002, [0.0] * dim, 0),                # zero norm -> 0/0 cosine
+        (9_000_003, [1.0e30] * dim, 1),             # huge magnitudes
+        (9_000_004, [1.0e-40] * dim, 1),            # float32 denormals
+        (9_000_005, [-1.0] * dim, 0),               # uniform negative
+        (9_000_006, list(base_vec), base_label),    # exact dup: cosine = 1
+        (9_000_007, [-x for x in base_vec], base_label),  # negation: cosine = -1
+        (9_000_008, [nan] + [1.0] * (dim - 1), 1),  # NaN poison
+    ]
+
+
 #: entries whose oracle parity is ASCII-only BY MEASUREMENT: they count
 #: stopword/marker occurrences with \b, and Java's \b is Unicode-aware
 #: while DuckDB/RE2's is ASCII (pinned in tests/test_llmdata.py::
@@ -93,6 +130,41 @@ UNICODE_EXEMPT = {
     "pipeline_docs_curation",
     "pipeline_guard_corpus",
 }
+
+
+def build_embeddings_corpus(out_dir: str) -> None:
+    """Copy every sf0.001 table; augment EMBEDDINGS with the adversarial
+    vectors (see ``adversarial_vectors``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for p in Path(BASE).glob("*.parquet"):
+        if p.name == "embeddings.parquet":
+            continue
+        target = Path(out_dir) / p.name
+        if p.is_dir():
+            shutil.copytree(p, target)
+        else:
+            shutil.copy(p, target)
+
+    base = pq.read_table(f"{BASE}/embeddings.parquet")
+    base_vec = base.column("embedding")[0].as_py()
+    base_label = base.column("label")[0].as_py()
+    rows = adversarial_vectors(base_vec, base_label, len(base_vec))
+    extra = pa.table(
+        {
+            "vec_id": pa.array(
+                [r[0] for r in rows], type=base.schema.field("vec_id").type
+            ),
+            "embedding": pa.array(
+                [r[1] for r in rows], type=base.schema.field("embedding").type
+            ),
+            "label": pa.array(
+                [r[2] for r in rows], type=base.schema.field("label").type
+            ),
+        }
+    )
+    pq.write_table(pa.concat_tables([base, extra]), f"{out_dir}/embeddings.parquet")
 
 
 def build_corpus(out_dir: str, rows_override=None) -> None:
@@ -134,14 +206,20 @@ def build_corpus(out_dir: str, rows_override=None) -> None:
 
 def main() -> int:
     unicode_tier = "--unicode" in sys.argv
+    emb_tier = "--embeddings" in sys.argv
     only = {a for a in sys.argv[1:] if not a.startswith("--")}
+    if emb_tier:
+        only = only & set(EMBEDDING_ENTRIES) if only else set(EMBEDDING_ENTRIES)
 
     import __spark_entry__ as entrymod
     from temporai_mivdp_spark.session import get_test_session
 
     tmp = tempfile.mkdtemp(prefix="mivdp_edgecase_")
     try:
-        build_corpus(tmp, rows_override=UNICODE_DOCS if unicode_tier else None)
+        if emb_tier:
+            build_embeddings_corpus(tmp)
+        else:
+            build_corpus(tmp, rows_override=UNICODE_DOCS if unicode_tier else None)
 
         # same comparison core as oracle_check (kept in that module)
         sys.path.insert(0, "tools")
@@ -194,7 +272,11 @@ def main() -> int:
             else:
                 print(f"PASS  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
 
-        tier = "unicode" if unicode_tier else "degenerate-row"
+        tier = (
+            "degenerate-vector"
+            if emb_tier
+            else ("unicode" if unicode_tier else "degenerate-row")
+        )
         print(f"\n{checked - len(failures)}/{checked} pass on the {tier} adversarial corpus")
         return 1 if failures else 0
     finally:
