@@ -94,6 +94,10 @@ PINNED_EXTRAS = [
     "sample_token_budget",  # round-7 addition
     "sim_mean_vectors",  # round-7 addition
     "embed_kmeans",  # round-7 addition
+    # stream_tumbling_bucket is deliberately NOT fingerprinted here:
+    # building its DataFrame EXECUTES the streaming query (memory sink),
+    # and the returned frame's plan is a memory-table scan — no stable
+    # batch plan to pin. Its regression signal is the oracle row itself.
 ]
 
 #: Timed rounds per query (interleaved). 5 rounds x ~12 queries spreads each

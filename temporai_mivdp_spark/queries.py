@@ -132,6 +132,13 @@ WINDOW_TAIL: tuple[str, ...] = (
     # and dedup_duplicate_clusters' cluster formation subsumes the
     # group-min keeper
     "dedup_exact",
+    # round 7: displaced for stream_tumbling_bucket — A7's group-count +
+    # rank-1 + filter composition stays window-covered by
+    # a2_two_level_agg (two-level counts), window_ranking_family and
+    # j7_lookup_first_match (first-of-group selection); the full
+    # mode-vote chain keeps its oracle here, its property test, and the
+    # EP-2 composition differential
+    "a7_mode_vote_filter",
 )
 
 
@@ -660,6 +667,102 @@ def w3_tumbling_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.round(F.col("value") * 100, 0).cast("long")) / (100.0 * F.count("value"))
             ).alias("avg_value"),
         ],
+    )
+
+
+#: monotone suffix for streaming memory-sink names: repeat invocations in
+#: one session (bench warmup + timed rounds, repeated oracle runs) each
+#: need a fresh query name
+_STREAM_SINK_SEQ = __import__("itertools").count()
+
+
+@_register(
+    "stream_tumbling_bucket",
+    """
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(value)) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3's STREAMING twin executed for real: a Structured Streaming
+    query (parquet file source → epoch-aligned 6-hour ``window()``
+    aggregation → memory sink, ``availableNow`` trigger) whose emitted
+    result faces the same DuckDB oracle as every batch entry. Unlike
+    the per-user-anchored batch `w3_tumbling_bucket`, buckets here are
+    epoch-aligned — the only alignment an unbounded stream can know
+    before seeing a user's first event — so the oracle is the
+    epoch-floor groupBy. The replay watermark is set beyond the data's
+    horizon: on a bounded replay nothing may be dropped as late, which
+    is what makes the result deterministic and oracle-checkable (a
+    deployment picks a real watermark from the feed's out-of-orderness
+    and accepts the documented late-drop). avg_value goes through
+    integer cents (queries.py module docstring discipline). The memory
+    sink holds users × buckets rows — bounded output, not the stream.
+    """
+    from temporai_mivdp_spark import streaming as st_mod
+
+    # same nanos handling as sources.load_table, but the conversion must
+    # live INSIDE the streaming plan (the file source reads raw longs)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events_path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(events_path).schema
+    # pathGlobFilter matches LEAF file names: right when the table is a
+    # single bare file inside a multi-table landing dir (the test
+    # fixtures), wrong when it is a directory of part-files (any real
+    # write, the decade-sweep inflation) — there the glob would match
+    # zero part files and the stream would silently emit nothing, so
+    # stream the directory itself as the source path
+    if __import__("os").path.isdir(events_path):
+        src = st_mod.read_parquet_stream(
+            spark, events_path, raw_schema, max_files_per_trigger=1024
+        )
+    else:
+        src = st_mod.read_parquet_stream(
+            spark,
+            sf_dir,
+            raw_schema,
+            max_files_per_trigger=1024,
+            path_glob="events.parquet",
+        )
+    ts_type = dict(src.dtypes).get("ts")
+    if ts_type == "bigint":
+        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # watermarks demand an event time of TIMESTAMP type (with time zone);
+    # nanos parquet surfaces as TIMESTAMP_NTZ (or bigint under the legacy
+    # conf) — the cast is wall-clock-preserving under the UTC session
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    bucketed = st_mod.stream_tumbling_bucket(
+        src.select("user_id", "ts", "value"),
+        "ts",
+        ["user_id"],
+        bucket_hours=6,
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                / (100.0 * F.count("value"))
+            ).alias("avg_value"),
+        ],
+        watermark="100000 hours",
+    )
+    name = f"stream_w3_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        bucketed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.col("bucket_start").cast("long").alias("bucket_start"),
+        "n_events",
+        "avg_value",
     )
 
 

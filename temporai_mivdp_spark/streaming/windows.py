@@ -22,15 +22,20 @@ def read_parquet_stream(
     path: str,
     schema: StructType,
     max_files_per_trigger: int = 16,
+    path_glob: str | None = None,
 ) -> DataFrame:
     """File-based streaming source over a parquet directory (the landing
     pattern for event feeds at rest). ``maxFilesPerTrigger`` bounds
-    per-micro-batch work."""
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+    per-micro-batch work. ``path`` must be a DIRECTORY (the file source
+    refuses a bare file as basePath); ``path_glob`` narrows it to
+    matching files — e.g. one table's file inside a multi-table
+    landing dir."""
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.parquet(path)
 
 
 def stream_tumbling_bucket(
