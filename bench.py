@@ -94,10 +94,13 @@ PINNED_EXTRAS = [
     "sample_token_budget",  # round-7 addition
     "sim_mean_vectors",  # round-7 addition
     "embed_kmeans",  # round-7 addition
-    # stream_tumbling_bucket is deliberately NOT fingerprinted here:
-    # building its DataFrame EXECUTES the streaming query (memory sink),
-    # and the returned frame's plan is a memory-table scan — no stable
-    # batch plan to pin. Its regression signal is the oracle row itself.
+    "sketch_distinct",  # round-7 addition
+    "text_bm25",  # round-7 addition
+    # stream_tumbling_bucket / stream_dedup_keys are deliberately NOT
+    # fingerprinted here: building their DataFrames EXECUTES the
+    # streaming query (memory sink), and the returned frame's plan is a
+    # memory-table scan — no stable batch plan to pin. Their regression
+    # signal is the oracle row itself.
 ]
 
 #: Timed rounds per query (interleaved). 5 rounds x ~12 queries spreads each

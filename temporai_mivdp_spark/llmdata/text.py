@@ -595,6 +595,88 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: the top-k documents for a bag-of-terms query —
+    the standard relevance scorer for corpus search, prompt-grounding
+    retrieval over a crawl, and targeted-subset mining ("every document
+    about X") where tf-idf's per-document keyword view is the wrong
+    axis. Lucene's non-negative idf variant: ``ln(1 + (N - df + 0.5) /
+    (df + 0.5))``, so corpus-saturating terms contribute ~0 instead of
+    going negative.
+
+    Plan at 100 TB: the per-(doc, term) count FILTERS to the query's
+    terms before aggregating (a literal IN over the exploded tokens —
+    the scan discards everything else map-side); document length joins
+    in on the id key; the query-sized df/idf dimension broadcasts; and
+    the top-k is ``orderBy().limit(k)`` — TakeOrderedAndProject's
+    per-partition heaps, never a global sort. N and avgdl are two
+    scalars pulled once at plan build (same eager contract as the
+    tf-idf corpus count).
+
+    Determinism discipline: each term's contribution is quantized to
+    integer nano-units (``floor(x·1e9 + 0.5)``) BEFORE the per-document
+    sum, so the sum is exact in int64 and order-independent, and the
+    ranking key is that integer — no float ordering anywhere. The
+    emitted ``bm25`` is the descaled sum (one exact-input division, no
+    final round — queries.py module-docstring discipline).
+    """
+    toks = tokenize(docs.select(id_col, text_col), text_col=text_col).filter(
+        F.col("token") != ""
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    head = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n_docs = int(head["n"] or 0)
+    if n_docs == 0:
+        return docs.select(F.col(id_col)).limit(0).withColumn("bm25", F.lit(0.0))
+    avgdl = head["tot"] / n_docs
+    tf = (
+        toks.filter(F.col("token").isin(list(query_terms)))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    # association pinned left-to-right and mirrored term-for-term by the
+    # catalog oracle — double ops are not associative, so both engines
+    # must multiply/divide in the same order for the quantized integer
+    # to match exactly
+    contrib = idf * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "token")
+        .join(dl, id_col)
+        .select(
+            id_col,
+            F.floor(contrib * F.lit(1e9) + F.lit(0.5)).cast("long").alias("__cu"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__cu").alias("__su"))
+    )
+    return (
+        scored.orderBy(F.col("__su").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, (F.col("__su") / F.lit(1e9)).alias("bm25"))
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     value_col: str,

@@ -139,6 +139,23 @@ WINDOW_TAIL: tuple[str, ...] = (
     # mode-vote chain keeps its oracle here, its property test, and the
     # EP-2 composition differential
     "a7_mode_vote_filter",
+    # round 7: displaced for sketch_distinct — A9's group-stat impute
+    # stays window-covered by w5_w6_w7_impute_active, whose cascade
+    # terminal stage is the same whole-partition group mean
+    # (operators/timeseries.py::impute_cascade); a9 keeps its oracle
+    # here and its operator tests
+    "a9_group_mean_impute",
+    # round 7: displaced for stream_dedup_keys — event-time interval
+    # semantics stay window-covered by j_asof_event_value (the as-of
+    # probe on the same event/time axis) and the w4_w8 time grid; j8
+    # keeps its property + differential tests and its oracle here
+    "j8_interval_exists_label",
+    # round 7: displaced for text_bm25 — the group-percentile machinery
+    # stays window-covered by text_quantile_norm (per-group quantile
+    # normalization over the same percentile primitives); a8 keeps its
+    # EP-2 composition differential, its property tests, and its oracle
+    # here
+    "a8_winsorize",
 )
 
 
@@ -676,6 +693,62 @@ def w3_tumbling_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SINK_SEQ = __import__("itertools").count()
 
 
+def _stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a Structured Streaming file source with an
+    event-time ``ts`` ready for watermarking — shared by every catalog
+    entry that executes a real stream.
+
+    Same nanos handling as sources.load_table, but the conversion must
+    live INSIDE the streaming plan (the file source reads raw longs).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events_path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(events_path).schema
+    # pathGlobFilter matches LEAF file names: right when the table is a
+    # single bare file inside a multi-table landing dir (the test
+    # fixtures), wrong when it is a directory of part-files (any real
+    # write, the decade-sweep inflation) — there the glob would match
+    # zero part files and the stream would silently emit nothing, so
+    # stream the directory itself as the source path
+    from temporai_mivdp_spark import streaming as st_mod
+
+    if __import__("os").path.isdir(events_path):
+        src = st_mod.read_parquet_stream(
+            spark, events_path, raw_schema, max_files_per_trigger=1024
+        )
+    else:
+        src = st_mod.read_parquet_stream(
+            spark,
+            sf_dir,
+            raw_schema,
+            max_files_per_trigger=1024,
+            path_glob="events.parquet",
+        )
+    ts_type = dict(src.dtypes).get("ts")
+    if ts_type == "bigint":
+        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # watermarks demand an event time of TIMESTAMP type (with time zone);
+    # nanos parquet surfaces as TIMESTAMP_NTZ (or bigint under the legacy
+    # conf) — the cast is wall-clock-preserving under the UTC session
+    return src.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_stream_to_memory(df: DataFrame, prefix: str, mode: str) -> str:
+    """Execute a streaming DataFrame to a fresh memory sink under an
+    ``availableNow`` trigger; returns the sink table name."""
+    name = f"{prefix}_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return name
+
+
 @_register(
     "stream_tumbling_bucket",
     """
@@ -704,37 +777,7 @@ def stream_tumbling_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     from temporai_mivdp_spark import streaming as st_mod
 
-    # same nanos handling as sources.load_table, but the conversion must
-    # live INSIDE the streaming plan (the file source reads raw longs)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    events_path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(events_path).schema
-    # pathGlobFilter matches LEAF file names: right when the table is a
-    # single bare file inside a multi-table landing dir (the test
-    # fixtures), wrong when it is a directory of part-files (any real
-    # write, the decade-sweep inflation) — there the glob would match
-    # zero part files and the stream would silently emit nothing, so
-    # stream the directory itself as the source path
-    if __import__("os").path.isdir(events_path):
-        src = st_mod.read_parquet_stream(
-            spark, events_path, raw_schema, max_files_per_trigger=1024
-        )
-    else:
-        src = st_mod.read_parquet_stream(
-            spark,
-            sf_dir,
-            raw_schema,
-            max_files_per_trigger=1024,
-            path_glob="events.parquet",
-        )
-    ts_type = dict(src.dtypes).get("ts")
-    if ts_type == "bigint":
-        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    # watermarks demand an event time of TIMESTAMP type (with time zone);
-    # nanos parquet surfaces as TIMESTAMP_NTZ (or bigint under the legacy
-    # conf) — the cast is wall-clock-preserving under the UTC session
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = _stream_events_source(spark, sf_dir)
     bucketed = st_mod.stream_tumbling_bucket(
         src.select("user_id", "ts", "value"),
         "ts",
@@ -749,21 +792,64 @@ def stream_tumbling_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame
         ],
         watermark="100000 hours",
     )
-    name = f"stream_w3_sink_{next(_STREAM_SINK_SEQ)}"
-    q = (
-        bucketed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    name = _run_stream_to_memory(bucketed, "stream_w3_sink", "complete")
     return spark.table(name).select(
         "user_id",
         F.col("bucket_start").cast("long").alias("bucket_start"),
         "n_events",
         "avg_value",
     )
+
+
+@_register(
+    "stream_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type,
+           CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start
+    FROM events
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup executed for real: the event feed deduped to
+    one row per (user, event_type, 6-hour epoch bucket) with
+    ``dropDuplicatesWithinWatermark`` (streaming/windows.py::
+    stream_dedup) — the exactly-once admission gate an ingest pipeline
+    puts in front of feature stores and training-corpus landing zones.
+
+    Only the KEY columns are emitted: within-key ties are broken by
+    micro-batch arrival order, which a distributed replay does not pin,
+    so the deterministic, oracle-checkable surface is the deduped key
+    SET (DuckDB: SELECT DISTINCT). The replay watermark again sits
+    beyond the data horizon so the bounded replay drops nothing; a
+    deployment picks a real horizon and gets state bounded to keys
+    younger than watermark + bucket (dropDuplicatesWithinWatermark
+    evicts older state — plain dropDuplicates would grow forever;
+    eviction is measured in tools/scale_stateful.py's state-bound
+    sweeps).
+    """
+    from temporai_mivdp_spark import streaming as st_mod
+
+    src = _stream_events_source(spark, sf_dir)
+    keyed = src.select(
+        "user_id",
+        "event_type",
+        (F.floor(F.col("ts").cast("long") / 21600) * 21600)
+        .cast("long")
+        .alias("bucket_start"),
+        "ts",
+    )
+    deduped = st_mod.stream_dedup(
+        keyed,
+        ["user_id", "event_type", "bucket_start"],
+        "ts",
+        watermark="100000 hours",
+    )
+    name = _run_stream_to_memory(
+        deduped.select("user_id", "event_type", "bucket_start"),
+        "stream_dedup_sink",
+        "append",
+    )
+    return spark.table(name)
 
 
 @_register(

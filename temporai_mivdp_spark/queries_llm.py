@@ -2016,6 +2016,129 @@ def _quality_model_oracle_sql() -> str:
     """
 
 
+@_register(
+    "sketch_distinct",
+    f"""
+    WITH d AS (
+      SELECT source, {_NORM} AS k FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT source, k,
+             ('0x' || substr(md5(k), 1, 13))::BIGINT AS h,
+             ('0x' || substr(md5(k), 14, 4))::BIGINT % 16 AS bucket
+      FROM d
+    ),
+    pb AS (SELECT source, bucket, min(h) AS m FROM h GROUP BY 1, 2),
+    sk AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_buckets_occupied,
+             CAST(sum(m) AS BIGINT) AS s
+      FROM pb GROUP BY 1
+    ),
+    ex AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_exact
+      FROM d GROUP BY 1
+    )
+    SELECT ex.source, n_docs, n_distinct_exact, n_buckets_occupied,
+           CASE WHEN n_buckets_occupied < 16
+                THEN -16.0 * ln(1.0 - CAST(n_buckets_occupied AS DOUBLE) / 16.0)
+                -- 16*15*2^52 pre-multiplied (exact in a double): DuckDB
+                -- types bare x.0 literals DECIMAL and the three-way
+                -- DECIMAL product overflows DECIMAL(18)
+                ELSE CAST(1080863910568919040 AS DOUBLE) / CAST(s AS DOUBLE) END
+             AS distinct_est
+    FROM ex JOIN sk USING (source)
+    """,
+)
+def sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-content estimation via the mergeable
+    bucketed-minimum sketch (operators/sketches.py) — the
+    ORACLE-CHECKABLE twin of ``corpus_stats``' HyperLogLog telemetry:
+    built from md5/min/sum/ln only, so the DuckDB oracle replays the
+    whole estimator bit for bit (hash sum and occupancy are exact
+    integers; both estimate branches are pure functions of them). The
+    exact per-source distinct count rides alongside so the estimate's
+    error is visible in the output itself. k=16 buckets keeps BOTH
+    regimes exercised across the test scales (linear counting under
+    partial occupancy at sf0.001/sf0.01 where sources hold ~25 docs,
+    the harmonic bucket-minimum path at sf0.1 and beyond); a deployment
+    raises k for precision — error ≈ 1/√k, the sketch stays
+    groups × k rows. The exact-distinct column is the entry's own
+    verification surface; a 100 TB run drops it and keeps the two
+    map-side-combinable sketch aggregates."""
+    from temporai_mivdp_spark.operators import sketches
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", dedup.normalize_text(F.col("text")).alias("k"))
+    )
+    est = sketches.bucket_min_distinct(
+        docs, key=F.col("k"), group_cols=["source"], n_buckets=16
+    )
+    exact = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("k").alias("n_distinct_exact"),
+    )
+    return exact.join(est, "source").select(
+        "source", "n_docs", "n_distinct_exact", "n_buckets_occupied", "distinct_est"
+    )
+
+
+#: the BM25 demo query — three corpus terms with distinct document
+#: frequencies so the idf weighting actually orders the result
+_BM25_TERMS = ("customer", "vector", "window")
+
+
+@_register(
+    "text_bm25",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+      FROM documents WHERE coalesce({_NORM}, '') <> ''
+    ),
+    t2 AS (SELECT doc_id, term FROM toks WHERE term != ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM t2
+      WHERE term IN ('customer', 'vector', 'window') GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               (ln(1.0 + (c.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                * ((tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / c.avgdl)))))
+               * 1000000000.0 + 0.5) AS BIGINT) AS cu
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+    ),
+    s AS (SELECT doc_id, CAST(sum(cu) AS BIGINT) AS su FROM contrib GROUP BY 1)
+    SELECT doc_id, su / 1000000000.0 AS bm25
+    FROM s
+    QUALIFY row_number() OVER (ORDER BY su DESC, doc_id ASC) <= 10
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed three-term query
+    (llmdata/text.py::bm25_topk) — corpus search / targeted-subset
+    mining, the query-centric complement of text_tfidf's per-document
+    keywords. The oracle replays Lucene-style idf, the length-normalized
+    tf saturation, and the nano-unit quantization clause for clause with
+    the arithmetic association pinned on both sides; ranking is on the
+    exact integer nano-score (floats never ordered). Plan: token scan
+    filtered to the query terms before aggregation, broadcast
+    query-sized idf dimension, id-keyed length join, TakeOrderedAndProject
+    top-k — no global sort, no Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bm25_topk(docs, _BM25_TERMS, k=10)
+
+
 @_register("text_quality_model", _quality_model_oracle_sql())
 def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (llmdata/quality_model.py): the

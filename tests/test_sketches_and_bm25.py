@@ -1,0 +1,162 @@
+"""Unit tests for the round-7 additions: the mergeable bucketed-minimum
+distinct sketch (operators/sketches.py) and BM25 retrieval
+(llmdata/text.py::bm25_topk). Both are engine-portable-by-construction;
+these tests pin the algebraic contracts (mergeability, estimator
+regimes, ranking math) that the catalog oracles then re-check
+engine-vs-engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from temporai_mivdp_spark.llmdata.text import bm25_topk
+from temporai_mivdp_spark.operators import sketches
+
+
+def _h52(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:13], 16)
+
+
+def _bucket(key: str, k: int) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[13:17], 16) % k
+
+
+def _py_sketch(keys, k):
+    """Pure-Python replay of bucket_min_sketch for one group."""
+    mins: dict[int, int] = {}
+    for key in keys:
+        b = _bucket(key, k)
+        h = _h52(key)
+        if b not in mins or h < mins[b]:
+            mins[b] = h
+    return mins
+
+
+def _py_estimate(mins, k):
+    occ = len(mins)
+    if occ < k:
+        return -float(k) * math.log(1.0 - occ / float(k))
+    return (k * (k - 1.0) * sketches.HASH_WIDTH) / float(sum(mins.values()))
+
+
+def test_sketch_rows_bounded_and_null_excluded(spark):
+    rows = [(g, f"k{i % 7}") for g in ("a", "b") for i in range(50)]
+    rows += [("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    sk = sketches.bucket_min_sketch(df, F.col("k"), ["g"], n_buckets=16).collect()
+    # ≤ groups × k rows no matter the input size; nulls count nothing
+    assert len(sk) <= 2 * 16
+    expected = _py_sketch([f"k{i}" for i in range(7)], 16)
+    for g in ("a", "b"):
+        got = {r.bucket: r.min_hash for r in sk if r.g == g}
+        assert got == expected
+
+
+def test_sketch_merge_equals_whole_corpus_sketch(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B), exactly — the
+    property that lets per-day sketch rows fold without rescans. The
+    slices overlap on purpose (min is idempotent)."""
+    all_keys = [f"key{i}" for i in range(200)]
+    a = spark.createDataFrame([(k,) for k in all_keys[:120]], ["k"])
+    b = spark.createDataFrame([(k,) for k in all_keys[90:]], ["k"])
+    union = spark.createDataFrame([(k,) for k in all_keys], ["k"])
+    merged = sketches.merge_sketches(
+        sketches.bucket_min_sketch(a, F.col("k"), n_buckets=32),
+        sketches.bucket_min_sketch(b, F.col("k"), n_buckets=32),
+    )
+    whole = sketches.bucket_min_sketch(union, F.col("k"), n_buckets=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_estimate_regimes_match_python_replay(spark):
+    """Both estimator branches are pure functions of exact integers; the
+    Spark result must equal the Python replay to the last bit."""
+    # partial occupancy: 5 distinct keys into 64 buckets
+    few = spark.createDataFrame([(f"x{i}",) for i in range(5)], ["k"])
+    est = sketches.bucket_min_distinct(few, F.col("k"), n_buckets=64).collect()[0]
+    mins = _py_sketch([f"x{i}" for i in range(5)], 64)
+    assert est.n_buckets_occupied == len(mins) < 64
+    assert est.distinct_est == _py_estimate(mins, 64)
+
+    # full occupancy: 3000 distinct keys saturate 16 buckets
+    many = spark.createDataFrame([(f"y{i}",) for i in range(3000)], ["k"])
+    est2 = sketches.bucket_min_distinct(many, F.col("k"), n_buckets=16).collect()[0]
+    mins2 = _py_sketch([f"y{i}" for i in range(3000)], 16)
+    assert est2.n_buckets_occupied == 16 == len(mins2)
+    assert est2.distinct_est == _py_estimate(mins2, 16)
+
+
+def test_estimate_accuracy_band(spark):
+    """k=64 → relative error ≈ 1/√64 = 12.5%; assert a 3-sigma-ish band
+    on a deterministic 2000-distinct corpus (duplicates must not move
+    the estimate at all — min is duplicate-blind)."""
+    keys = [f"doc-{i}" for i in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys + keys[:500]], ["k"])
+    est = sketches.bucket_min_distinct(df, F.col("k"), n_buckets=64).collect()[0]
+    assert 2000 * 0.6 < est.distinct_est < 2000 * 1.4
+    nodup = sketches.bucket_min_distinct(
+        spark.createDataFrame([(k,) for k in keys], ["k"]), F.col("k"), n_buckets=64
+    ).collect()[0]
+    assert nodup.distinct_est == est.distinct_est
+
+
+def _py_bm25(corpus: dict[str, str], terms, k1=1.2, b=0.75):
+    """Pure-Python replay of bm25_topk's exact arithmetic, nano-unit
+    quantization included, association pinned the same way."""
+    toks = {d: t.split() for d, t in corpus.items()}
+    dl = {d: len(t) for d, t in toks.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    out = {}
+    for d, t in toks.items():
+        su = 0
+        for term in terms:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+            contrib = idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl[d] / avgdl))))
+            su += math.floor(contrib * 1e9 + 0.5)
+        if su:
+            out[d] = su / 1e9
+    return out
+
+
+def test_bm25_ranking_matches_python_replay(spark):
+    corpus = {
+        "d1": "apple banana apple",
+        "d2": "apple",
+        "d3": "cherry banana cherry banana",
+        "d4": "dog dog dog dog dog",
+    }
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = {r.doc_id: r.bm25 for r in bm25_topk(df, ("apple", "cherry"), k=10).collect()}
+    assert got == _py_bm25(corpus, ("apple", "cherry"))
+    # d4 has no query term: absent, not zero-scored
+    assert "d4" not in got
+    # rarer term (cherry, df=1) must outweigh the common one at equal tf
+    assert got["d3"] > got["d2"]
+
+
+def test_bm25_topk_cuts_and_tie_breaks(spark):
+    """k cuts the result; ties on the integer nano-score break on doc_id
+    ascending (the deterministic, oracle-matching order)."""
+    corpus = {f"d{i}": "same text here" for i in range(6)}
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = [r.doc_id for r in bm25_topk(df, ("same",), k=3).collect()]
+    assert got == ["d0", "d1", "d2"]
+
+
+def test_bm25_empty_corpus_and_no_hits(spark):
+    df = spark.createDataFrame([], "doc_id string, text string")
+    out = bm25_topk(df, ("apple",), k=5)
+    assert out.columns == ["doc_id", "bm25"] and out.count() == 0
+    df2 = spark.createDataFrame([("d1", "cat")], ["doc_id", "text"])
+    assert bm25_topk(df2, ("zebra",), k=5).count() == 0
