@@ -96,11 +96,12 @@ PINNED_EXTRAS = [
     "embed_kmeans",  # round-7 addition
     "sketch_distinct",  # round-7 addition
     "text_bm25",  # round-7 addition
-    # stream_tumbling_bucket / stream_dedup_keys are deliberately NOT
-    # fingerprinted here: building their DataFrames EXECUTES the
-    # streaming query (memory sink), and the returned frame's plan is a
-    # memory-table scan — no stable batch plan to pin. Their regression
-    # signal is the oracle row itself.
+    "sketch_quantile",  # round-7 addition
+    # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
+    # deliberately NOT fingerprinted here: building their DataFrames
+    # EXECUTES the streaming query (memory sink), and the returned
+    # frame's plan is a memory-table scan — no stable batch plan to pin.
+    # Their regression signal is the oracle row itself.
 ]
 
 #: Timed rounds per query (interleaved). 5 rounds x ~12 queries spreads each

@@ -1,4 +1,5 @@
-"""Deterministic, engine-portable distinct-count sketching.
+"""Deterministic, engine-portable sketching: distinct counts and
+quantiles as mergeable, oracle-checkable state.
 
 ``corpus_stats`` (llmdata/text.py) answers "how big / how duplicated is
 this corpus" with HyperLogLog++ (``approx_count_distinct``) — the right
@@ -137,4 +138,71 @@ def bucket_min_distinct(
     """One-shot convenience: sketch + estimate in a single plan."""
     return estimate_distinct(
         bucket_min_sketch(df, key, group_cols, n_buckets), n_buckets
+    )
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    value: Column,
+    group_cols: Sequence[str] = (),
+    width: float = 1.0,
+) -> DataFrame:
+    """The quantile sketch's state: (group…, bucket, cnt) with
+    ``bucket = floor(value / width)`` — the oracle-checkable twin of
+    ``corpus_stats``' ``approx_quantile`` (t-digest/KLL-family sketches
+    are engine-private; a fixed-grid histogram is the portable one).
+    Null values count nothing. ONE map-side-combinable groupBy.count:
+    shuffle ≤ groups × (value range / width) rows regardless of input,
+    and counts ADD, so per-slice histograms fold (``merge_histograms``)
+    without rescans — same incremental-ingest contract as
+    ``bucket_min_sketch``. ``floor`` of an IEEE division is the same
+    bits on every engine, so the state itself is exactly portable."""
+    g = list(group_cols)
+    return (
+        df.filter(value.isNotNull())
+        .select(*g, F.floor(value / F.lit(width)).cast("long").alias("bucket"))
+        .groupBy(*g, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histograms(*hists: DataFrame) -> DataFrame:
+    """Fold histogram row-sets from disjoint corpus slices: counts add.
+    Exact: merge(hist(A), hist(B)) == hist(A ⊎ B) for disjoint slices
+    (unlike min-sketches, counts are NOT idempotent — don't fold the
+    same slice twice)."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def estimate_quantile(
+    hist: DataFrame, q: float, width: float = 1.0, out_col: str = "quantile_est"
+) -> DataFrame:
+    """Collapse histogram rows to (group…, n_rows, <out_col>): the
+    LOWER EDGE of the first bucket whose running count reaches
+    ``ceil(q · n)`` — the histogram's discrete q-quantile, below the
+    true order statistic by at most ``width``. Every step is exact
+    (integer cumulative sums; ``ceil`` of one double product), so the
+    emitted double is bit-identical on every engine. The cumulative
+    window runs over histogram ROWS (≤ range/width per group), never
+    the data."""
+    from pyspark.sql.window import Window
+
+    groups = [c for c in hist.columns if c not in ("bucket", "cnt")]
+    w = Window.partitionBy(*groups).orderBy("bucket")
+    tot = Window.partitionBy(*groups)
+    cum = hist.select(
+        *groups,
+        "bucket",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(tot).alias("n_rows"),
+    )
+    hit = cum.filter(
+        F.col("__cum") >= F.ceil(F.lit(float(q)) * F.col("n_rows"))
+    )
+    return hit.groupBy(*groups, "n_rows").agg(
+        (F.min("bucket") * F.lit(width)).alias(out_col)
     )

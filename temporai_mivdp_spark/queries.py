@@ -156,6 +156,16 @@ WINDOW_TAIL: tuple[str, ...] = (
     # EP-2 composition differential, its property tests, and its oracle
     # here
     "a8_winsorize",
+    # round 7: displaced for stream_session_agg — the summary-count
+    # aggregate family stays window-covered by a2_two_level_agg and the
+    # corpus-stat aggregations inside text_gopher/text_tfidf; a5/a10
+    # keep their oracle here and the run_pipeline surface
+    "a5_a10_summary_counts",
+    # round 7: displaced for sketch_quantile — the broadcast-dictionary
+    # + first-match family stays window-covered by
+    # window_ranking_family's rank-1 suite and the flagship's broadcast
+    # join chain; j7 keeps its oracle here and its operator tests
+    "j7_lookup_first_match",
 )
 
 
@@ -850,6 +860,76 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return spark.table(name)
+
+
+@_register(
+    "stream_session_agg",
+    """
+    WITH l AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) > 21600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           min(epoch_us(ts)) AS session_start_us,
+           max(epoch_us(ts)) + 21600000000 AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows executed as a REAL Structured Streaming
+    query (streaming/windows.py::stream_session_windows — the streaming
+    twin of the batch `ts_sessionize` entry): per user, a session closes
+    after 6 hours of silence; `session_window` state per key is ONE open
+    session, merged/extended as events arrive, which is what makes the
+    shape viable on an unbounded feed where the batch gaps-and-islands
+    window (lag + cumulative sum) cannot run. The DuckDB oracle IS that
+    batch gaps-and-islands rewrite — on a bounded replay the two must
+    agree row for row, and the boundary semantics are pinned
+    empirically: an event exactly `gap` after its predecessor MERGES
+    (Spark starts a new session only when delta > gap, verified on
+    synthetic rows), so the oracle's break predicate is strict `>`.
+    Timestamps are emitted as exact MICROSECOND epochs (`unix_micros` /
+    `epoch_us` — both truncate the parquet nanos the same way), with
+    `session_end = last_event + gap` exactly as `session_window` defines
+    it. The replay watermark sits beyond the data horizon so nothing is
+    dropped as late (the determinism contract shared by every streaming
+    entry here); a deployment picks a real horizon and gets state
+    bounded to open sessions younger than watermark + gap.
+    """
+    from temporai_mivdp_spark import streaming as st_mod
+
+    src = _stream_events_source(spark, sf_dir)
+    sess = st_mod.stream_session_windows(
+        src.select("user_id", "ts"),
+        "ts",
+        ["user_id"],
+        gap="6 hours",
+        watermark="100000 hours",
+    )
+    name = _run_stream_to_memory(sess, "stream_session_sink", "complete")
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("first_event")).alias("session_start_us"),
+        (F.unix_micros(F.col("last_event")) + F.lit(21600000000)).alias(
+            "session_end_us"
+        ),
+        "n_events",
+    )
 
 
 @_register(

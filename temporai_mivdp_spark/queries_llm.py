@@ -2085,6 +2085,95 @@ def sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sketch_quantile",
+    """
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM v GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bucket,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n_rows
+      FROM h
+    ),
+    p50 AS (
+      -- CAST: DuckDB types the bare 10.0 literal DECIMAL, which would
+      -- surface the estimate as Decimal instead of the double Spark emits
+      SELECT event_type, n_rows,
+             min(bucket) * CAST(10.0 AS DOUBLE) AS p50_est
+      FROM c WHERE cum >= ceil(0.5 * n_rows) GROUP BY 1, 2
+    ),
+    p95 AS (
+      SELECT event_type, min(bucket) * CAST(10.0 AS DOUBLE) AS p95_est
+      FROM c WHERE cum >= ceil(0.95 * n_rows) GROUP BY 1
+    ),
+    r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    ex AS (
+      SELECT event_type, value AS p50_exact FROM r
+      WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    )
+    SELECT event_type, n_rows, p50_est, p95_est, p50_exact
+    FROM p50 JOIN p95 USING (event_type) JOIN ex USING (event_type)
+    """,
+)
+def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile estimation via the mergeable fixed-width
+    histogram sketch (operators/sketches.py::fixed_width_histogram /
+    estimate_quantile) — the oracle-checkable twin of ``corpus_stats``'
+    ``approx_quantile`` telemetry, same contract as `sketch_distinct`:
+    built from floor/count/cumsum/ceil only, so DuckDB replays the
+    whole estimator bit for bit (bucket ids and running counts are
+    exact integers; the estimate is the first bucket's lower edge whose
+    running count reaches ceil(q·n) — below the true order statistic by
+    at most the bucket width). The sketch is ONE map-side-combinable
+    groupBy.count bounded at groups × range/width rows, counts ADD
+    across corpus slices (merge_histograms), and the quantile collapse
+    windows over histogram ROWS, never the data. The exact p50 order
+    statistic rides alongside as the error surface — ITS row_number
+    window sorts the raw values per group and is the one piece a 100 TB
+    run drops with the column (verification-only, like
+    `sketch_distinct`'s countDistinct)."""
+    from temporai_mivdp_spark.operators import sketches
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    hist = sketches.fixed_width_histogram(ev, F.col("value"), ["event_type"], 10.0)
+    p50 = sketches.estimate_quantile(hist, 0.5, 10.0, "p50_est")
+    p95 = sketches.estimate_quantile(hist, 0.95, 10.0, "p95_est").drop("n_rows")
+    w = Window.partitionBy("event_type").orderBy("value")
+    cw = Window.partitionBy("event_type")
+    exact = (
+        ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(cw).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")))
+        .select("event_type", F.col("value").alias("p50_exact"))
+    )
+    return (
+        p50.join(p95, "event_type")
+        .join(exact, "event_type")
+        .select("event_type", "n_rows", "p50_est", "p95_est", "p50_exact")
+    )
+
+
 #: the BM25 demo query — three corpus terms with distinct document
 #: frequencies so the idf weighting actually orders the result
 _BM25_TERMS = ("customer", "vector", "window")

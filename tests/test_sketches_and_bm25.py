@@ -106,6 +106,48 @@ def test_estimate_accuracy_band(spark):
     assert nodup.distinct_est == est.distinct_est
 
 
+def test_histogram_merge_and_quantile_regimes(spark):
+    """Counts add across disjoint slices (merge == whole-corpus
+    histogram), and the quantile estimate is the exact lower edge of
+    the ceil(q·n)-th bucket — checked against a Python replay."""
+    vals_a = [float(i) for i in range(100)]
+    vals_b = [float(i) for i in range(50, 250)]
+    a = spark.createDataFrame([(v,) for v in vals_a], ["v"])
+    b = spark.createDataFrame([(v,) for v in vals_b], ["v"])
+    union = spark.createDataFrame([(v,) for v in vals_a + vals_b], ["v"])
+    merged = sketches.merge_histograms(
+        sketches.fixed_width_histogram(a, F.col("v"), width=10.0),
+        sketches.fixed_width_histogram(b, F.col("v"), width=10.0),
+    )
+    whole = sketches.fixed_width_histogram(union, F.col("v"), width=10.0)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    est = sketches.estimate_quantile(whole, 0.5, 10.0).collect()[0]
+    allv = sorted(vals_a + vals_b)
+    n = len(allv)
+    # python replay: lower edge of the bucket holding the ceil(q·n)-th value
+    target = allv[math.ceil(0.5 * n) - 1]
+    assert est.n_rows == n
+    assert est.quantile_est == math.floor(target / 10.0) * 10.0
+    # the estimate under-shoots the order statistic by < one bucket width
+    assert 0 <= target - est.quantile_est < 10.0
+
+
+def test_histogram_grouped_nulls_and_negative_values(spark):
+    df = spark.createDataFrame(
+        [("a", -15.0), ("a", -5.0), ("a", None), ("b", 4.0), ("b", 7.0)],
+        ["g", "v"],
+    )
+    hist = sketches.fixed_width_histogram(df, F.col("v"), ["g"], width=10.0)
+    got = {(r.g, r.bucket): r.cnt for r in hist.collect()}
+    # floor semantics on negatives: -15/10 -> bucket -2, -5/10 -> bucket -1
+    assert got == {("a", -2): 1, ("a", -1): 1, ("b", 0): 2}
+    q = {r.g: r.quantile_est for r in sketches.estimate_quantile(hist, 0.5, 10.0).collect()}
+    assert q == {"a": -20.0, "b": 0.0}
+
+
 def _py_bm25(corpus: dict[str, str], terms, k1=1.2, b=0.75):
     """Pure-Python replay of bm25_topk's exact arithmetic, nano-unit
     quantization included, association pinned the same way."""

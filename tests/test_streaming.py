@@ -82,6 +82,28 @@ def test_stream_session_windows(spark, event_dir):
     assert sorted(per_user[2]) == [1, 1]
 
 
+def test_session_window_boundary_is_strict_gt(spark):
+    """Load-bearing for the stream_session_agg DuckDB oracle: an event
+    exactly `gap` after its predecessor MERGES — Spark's session_window
+    starts a new session only when the delta is strictly greater than
+    the gap, and session end = last event + gap. The gaps-and-islands
+    oracle therefore breaks on `delta > gap`, not `>=`."""
+    rows = [("u", t) for t in (0, 100, 250)]
+    df = spark.createDataFrame(rows, ["k", "sec"]).withColumn(
+        "ts", F.col("sec").cast("timestamp")
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "100 seconds").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("st"),
+            F.col("w.end").cast("long").alias("en"),
+            "n",
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == [(0, 200, 2), (250, 350, 1)]
+
+
 def test_stream_dedup(spark, event_dir):
     d, batch_df = event_dir
     dup_dir = tempfile.mkdtemp(prefix="stream-dup-")
