@@ -166,6 +166,16 @@ WINDOW_TAIL: tuple[str, ...] = (
     # window_ranking_family's rank-1 suite and the flagship's broadcast
     # join chain; j7 keeps its oracle here and its operator tests
     "j7_lookup_first_match",
+    # round 7: displaced for stream_sliding_bucket — the Expand-based
+    # grouping-sets strategy stays window-covered by r1_r2_pivot_onehot
+    # (the same Expand physical operator under pivot); olap_rollup keeps
+    # its oracle here
+    "olap_rollup",
+    # round 7: displaced for stream_interval_join — gaps-and-islands
+    # sessionization stays window-covered by stream_session_agg, whose
+    # DuckDB oracle IS the batch gaps-and-islands rewrite hash-checked
+    # by the driver; ts_sessionize keeps its oracle here
+    "ts_sessionize",
 )
 
 
@@ -930,6 +940,123 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
     )
+
+
+@_register(
+    "stream_sliding_bucket",
+    """
+    WITH off AS (SELECT i FROM generate_series(0, 3) AS t(i)),
+    w AS (
+      SELECT user_id,
+             (CAST(floor(epoch(ts) / 3600) AS BIGINT) - i) * 3600
+               AS window_start,
+             value
+      FROM events CROSS JOIN off
+    )
+    SELECT user_id, window_start, count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(value))
+             AS avg_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation executed as a REAL Structured Streaming
+    query (streaming/windows.py::stream_sliding_bucket): 4-hour windows
+    sliding every hour, so each event lands in exactly 4 overlapping
+    epoch-aligned windows — rolling per-user stats with a bounded emit
+    rate, the streaming twin of the batch rolling range window. The
+    DuckDB oracle materializes the overlap explicitly: a 4-row offset
+    dimension cross-joined onto the events (window_start =
+    hour-floor − i hours, i ∈ 0..3) then the same groupBy — on a bounded
+    replay the window() assignment and the offset arithmetic must agree
+    row for row. State per key is (watermark + window)/slide open
+    windows (the helper's documented bound); the replay watermark again
+    sits beyond the horizon so nothing drops as late. avg_value goes
+    through integer cents (module-docstring discipline).
+    """
+    from temporai_mivdp_spark import streaming as st_mod
+
+    src = _stream_events_source(spark, sf_dir)
+    agg = st_mod.stream_sliding_bucket(
+        src.select("user_id", "ts", "value"),
+        "ts",
+        ["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                / (100.0 * F.count("value"))
+            ).alias("avg_value"),
+        ],
+        window_hours=4,
+        slide_hours=1,
+        watermark="100000 hours",
+    )
+    name = _run_stream_to_memory(agg, "stream_slide_sink", "complete")
+    return spark.table(name).select(
+        "user_id",
+        F.col("window_start").cast("long").alias("window_start"),
+        "n_events",
+        "avg_value",
+    )
+
+
+@_register(
+    "stream_interval_join",
+    """
+    SELECT a.user_id,
+           epoch_us(a.ts) AS click_us,
+           epoch_us(b.ts) AS purchase_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click'
+     AND b.event_type = 'purchase'
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000
+    """,
+)
+def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed for real
+    (streaming/windows.py::stream_interval_join): every click matched
+    with the same user's purchases in the following 6 hours — the
+    click→conversion attribution shape, and the streaming twin of the
+    batch readmission interval-exists join (J8). Both sides are streams
+    (a self-join of the event feed split by type); the time-range
+    predicate in the join condition is what lets Structured Streaming
+    bound the buffered state — a click is droppable once the purchase
+    watermark passes click_ts + 6h. Inner matches emit as they are
+    found, so with the replay watermark beyond the horizon the emitted
+    set is exactly the batch inequality join, which is the DuckDB
+    oracle verbatim. The oracle compares MICROSECOND epochs on both
+    sides (`epoch_us` / `unix_micros`) because the parquet carries
+    nanos: comparing raw ns timestamps in DuckDB against Spark's
+    µs-truncated event times would disagree on pairs that differ only
+    below the microsecond.
+    """
+    from temporai_mivdp_spark import streaming as st_mod
+
+    src = _stream_events_source(spark, sf_dir)
+    clicks = src.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    joined = st_mod.stream_interval_join(
+        clicks,
+        purchases,
+        "user_id",
+        max_delay="6 hours",
+        watermark="100000 hours",
+    )
+    name = _run_stream_to_memory(
+        joined.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("click_us"),
+            F.unix_micros(F.col("ts_r")).alias("purchase_us"),
+        ),
+        "stream_ij_sink",
+        "append",
+    )
+    return spark.table(name)
 
 
 @_register(
