@@ -677,6 +677,74 @@ def bm25_topk(
     )
 
 
+def pmi_bigrams(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    standard corpus-analysis lens for multiword expressions ("new york",
+    "machine learning"), tokenizer-merge candidates, and boilerplate
+    phrase discovery. ``pmi = ln p(xy) − ln p(x) − ln p(y)`` with
+    ``p(xy) = c_xy/N_bigrams`` and ``p(x) = c_x/N_tokens``.
+
+    Determinism discipline: every ``ln`` input is an integer-valued
+    double (exact counts), ``2·ln(N)`` is an exact ×2, and the five-term
+    sum is associated LEFT TO RIGHT — the catalog oracle mirrors the
+    expression term for term in the same order, so the emitted double is
+    bit-identical across engines and the float ranking is safe (ties
+    break on the words).
+
+    Plan at 100 TB: bigrams are row-local (two shifted ``slice``s of the
+    token array zipped — no position explode, no self-join); unigram and
+    bigram counts are map-side-combinable hash aggregations; the
+    ``min_count`` filter prunes the long tail BEFORE the two
+    unigram-count joins (hash-keyed on the word — the vocabulary is
+    unbounded, so the dim side is deliberately NOT broadcast); the two
+    corpus totals are 1-row aggregates cross-joined in-plan; the top-k
+    is ``orderBy().limit(k)`` — TakeOrderedAndProject, no global sort.
+    """
+    t = F.split(normalize_text(F.col(text_col)), " ")
+    toks = (
+        docs.filter(normalize_text(F.col(text_col)) != "")
+        .select(t.alias("t"))
+    )
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    n_big = bcnt.agg(F.sum("n_pair").alias("n_big"))
+    cx = uni.select(F.col("w").alias("w1"), F.col("c").alias("cx"))
+    cy = uni.select(F.col("w").alias("w2"), F.col("c").alias("cy"))
+    pmi = (
+        F.log(F.col("n_pair").cast("double"))
+        - F.log(F.col("cx").cast("double"))
+        - F.log(F.col("cy").cast("double"))
+        + F.lit(2.0) * F.log(F.col("n_uni").cast("double"))
+        - F.log(F.col("n_big").cast("double"))
+    )
+    return (
+        bcnt.filter(F.col("n_pair") >= min_count)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     value_col: str,

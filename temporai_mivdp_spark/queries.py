@@ -176,6 +176,16 @@ WINDOW_TAIL: tuple[str, ...] = (
     # DuckDB oracle IS the batch gaps-and-islands rewrite hash-checked
     # by the driver; ts_sessionize keeps its oracle here
     "ts_sessionize",
+    # round 7: displaced for stream_enrich — the deterministic-sampling
+    # family stays window-covered by sample_stratified,
+    # sample_temperature, and sample_token_budget (all in the window);
+    # the quota entry keeps its oracle here
+    "sample_source_quota",
+    # round 7: displaced for text_pmi — the regexp_replace clean/redact
+    # chains stay window-exercised by text_quality's regex feature
+    # passes and text_boilerplate's line-level regex dedup; the redact
+    # entry keeps its oracle here and the mojibake property tests
+    "text_clean_redact",
 )
 
 
@@ -1056,6 +1066,56 @@ def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_ij_sink",
         "append",
     )
+    return spark.table(name)
+
+
+@_register(
+    "stream_enrich",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n_events,
+           sum(CAST(round(e.value * 100) AS BIGINT)) / (100.0 * count(e.value))
+             AS avg_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment executed for real
+    (streaming/windows.py::stream_enrich): the event feed joined per
+    micro-batch against the static customer dimension (market segment),
+    then aggregated per (segment, event_type) — the streaming form of
+    the engine's fact × dictionary broadcast joins (J3/J4), and the
+    shape every feature-store ingest uses to attach slowly-changing
+    attributes without shuffling the stream. The static side is
+    broadcast inside each trigger (re-read if its files change); the
+    stream side never shuffles for the join — only the 25-key
+    aggregation exchanges. The DuckDB oracle is the same join +
+    groupBy in batch; avg goes through integer cents (module-docstring
+    discipline). State is the 5×5 (segment, type) running-agg keys —
+    trivially bounded, which is why complete mode is safe here.
+    """
+    from temporai_mivdp_spark import streaming as st_mod
+
+    src = _stream_events_source(spark, sf_dir)
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    enriched = st_mod.stream_enrich(
+        src.select("user_id", "event_type", "value"), dim, "user_id", how="inner"
+    )
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            / (100.0 * F.count("value"))
+        ).alias("avg_value"),
+    )
+    name = _run_stream_to_memory(agg, "stream_enrich_sink", "complete")
     return spark.table(name)
 
 

@@ -2174,6 +2174,54 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_pmi",
+    f"""
+    WITH d AS (
+      SELECT string_split({_NORM}, ' ') AS a
+      FROM documents WHERE coalesce({_NORM}, '') <> ''
+    ),
+    uni AS (SELECT unnest(a) AS w FROM d),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+    un AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM ucnt),
+    idx AS (
+      SELECT a, unnest(generate_series(1, greatest(len(a) - 1, 1))) AS i
+      FROM d
+    ),
+    big AS (
+      SELECT a[i] AS w1, a[i + 1] AS w2 FROM idx WHERE len(a) >= i + 1
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY 1, 2),
+    bn AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_big FROM bcnt)
+    SELECT w1, w2, n_pair,
+           ln(CAST(n_pair AS DOUBLE)) - ln(CAST(cx.c AS DOUBLE))
+             - ln(CAST(cy.c AS DOUBLE))
+             + 2.0 * ln(CAST(n_uni AS DOUBLE))
+             - ln(CAST(n_big AS DOUBLE)) AS pmi
+    FROM bcnt
+    JOIN ucnt cx ON bcnt.w1 = cx.w
+    JOIN ucnt cy ON bcnt.w2 = cy.w
+    CROSS JOIN un CROSS JOIN bn
+    WHERE n_pair >= 5
+    QUALIFY row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) <= 20
+    """,
+)
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information
+    (llmdata/text.py::pmi_bigrams) — multiword-expression /
+    tokenizer-merge-candidate mining over the corpus. The oracle
+    mirrors the five-ln expression term for term in the same
+    left-to-right association (every ln input is an exact integer-valued
+    double, so the emitted pmi is bit-identical and the float ordering
+    is portable; ties break on the words). Plan: row-local bigram
+    zipping (no position self-join), map-side-combinable counts, the
+    min-count filter ahead of the two hash-keyed unigram joins
+    (vocabulary unbounded — deliberately not broadcast), two 1-row
+    corpus totals cross-joined, TakeOrderedAndProject top-k."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return text.pmi_bigrams(docs, k=20, min_count=5)
+
+
 #: the BM25 demo query — three corpus terms with distinct document
 #: frequencies so the idf weighting actually orders the result
 _BM25_TERMS = ("customer", "vector", "window")

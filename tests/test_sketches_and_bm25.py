@@ -196,6 +196,57 @@ def test_bm25_topk_cuts_and_tie_breaks(spark):
     assert got == ["d0", "d1", "d2"]
 
 
+def _py_pmi(corpus, min_count=1):
+    """Pure-Python replay of pmi_bigrams' exact arithmetic (same
+    left-to-right ln association)."""
+    toks = [t.lower().split() for t in corpus]
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for t in toks:
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n_uni = sum(uni.values())
+    n_big = sum(big.values())
+    out = {}
+    for (a, b), c in big.items():
+        if c < min_count:
+            continue
+        out[(a, b)] = (
+            math.log(float(c))
+            - math.log(float(uni[a]))
+            - math.log(float(uni[b]))
+            + 2.0 * math.log(float(n_uni))
+            - math.log(float(n_big))
+        )
+    return out
+
+
+def test_pmi_bigrams_matches_python_replay(spark):
+    from temporai_mivdp_spark.llmdata.text import pmi_bigrams
+
+    corpus = [
+        "new york is big",
+        "new york city",
+        "big data new york",
+        "york new",  # reversed pair: direction matters
+        "solo",  # single token: unigram yes, bigram no
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+    got = {(r.w1, r.w2): (r.n_pair, r.pmi) for r in pmi_bigrams(df, k=100, min_count=1).collect()}
+    want = _py_pmi(corpus)
+    assert set(got) == set(want)
+    for pair, pmi in want.items():
+        assert got[pair][1] == pmi, pair
+    # the 3x collocation outranks every 1x pair of equally-common words
+    assert got[("new", "york")][0] == 3
+    assert got[("new", "york")][1] > got[("york", "new")][1]
+    # min_count prunes, k cuts, ordering is (pmi desc, words asc)
+    top = pmi_bigrams(df, k=2, min_count=3).collect()
+    assert [(r.w1, r.w2) for r in top] == [("new", "york")]
+
+
 def test_bm25_empty_corpus_and_no_hits(spark):
     df = spark.createDataFrame([], "doc_id string, text string")
     out = bm25_topk(df, ("apple",), k=5)
