@@ -554,3 +554,55 @@ def sample_exact_k(
         .limit(k)
         .drop("__h")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "ws",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Exactly ``k`` rows drawn WITHOUT replacement with probability
+    proportional to ``weight_col`` — Efraimidis & Spirakis (2006) A-ES:
+    each row gets the priority ``-ln(u) / w`` for a uniform ``u`` and is
+    selected iff its priority is among the k smallest (equivalent to the
+    classic ``u^(1/w)`` top-k form, but the log form needs no pow). The
+    one-pass weighted-reservoir algorithm every curation pipeline uses
+    for "sample 10k docs, long documents proportionally more often" /
+    importance-weighted eval draws.
+
+    Derandomized and engine-portable like the rest of this module:
+    ``u = (h + 1) / 2^52`` with ``h`` the 52-bit md5 prefix of
+    ``seed || key`` — ``h + 1 ≤ 2^52`` is exact in a double and the
+    division is by a power of two, so ``u ∈ (0, 1]`` is exact; ``ln``
+    of the same bits is the same bits on every engine, and the final
+    divide by the weight is one IEEE op. Reruns, shard order, and
+    engines elect the SAME sample, and scaling every weight by a
+    constant c scales every priority by 1/c — the ORDER, and therefore
+    the sample, is invariant (pinned in tests). Rows with null or
+    non-positive weight are excluded (they have zero selection mass).
+
+    Plan shape: row-local priority then ``orderBy().limit(k)`` —
+    TakeOrderedAndProject per-partition heaps, no global sort, driver
+    memory O(k) (same contract as ``sample_exact_k``).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4503599627370496.0)  # 2^52
+    pri = -F.log(u) / F.col(weight_col).cast("double")
+    out = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+    if priority_col is None:
+        return out.drop("__pri")
+    return out.withColumnRenamed("__pri", priority_col)

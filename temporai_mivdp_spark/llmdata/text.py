@@ -624,7 +624,10 @@ def bm25_topk(
     Determinism discipline: each term's contribution is quantized to
     integer nano-units (``floor(x·1e9 + 0.5)``) BEFORE the per-document
     sum, so the sum is exact in int64 and order-independent, and the
-    ranking key is that integer — no float ordering anywhere. The
+    ranking key is that integer — no float ordering anywhere. (The idf
+    ``ln`` is the one transcendental; engines agree on it to 1 ulp, so
+    cross-engine nano-units can only differ on a ~1e-16-relative .5
+    tie.) The
     emitted ``bm25`` is the descaled sum (one exact-input division, no
     final round — queries.py module-docstring discipline).
     """
@@ -692,9 +695,11 @@ def pmi_bigrams(
     Determinism discipline: every ``ln`` input is an integer-valued
     double (exact counts), ``2·ln(N)`` is an exact ×2, and the five-term
     sum is associated LEFT TO RIGHT — the catalog oracle mirrors the
-    expression term for term in the same order, so the emitted double is
-    bit-identical across engines and the float ranking is safe (ties
-    break on the words).
+    expression term for term in the same order, so the emitted double
+    matches across engines to a few ulps (engine ``ln`` agrees to 1 ulp;
+    everything else is exact IEEE) — far inside the harness's 6-decimal
+    canonicalization — and the float ranking is stable (ties break on
+    the words).
 
     Plan at 100 TB: bigrams are row-local (two shifted ``slice``s of the
     token array zipped — no position explode, no self-join); unigram and

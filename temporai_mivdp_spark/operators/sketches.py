@@ -7,9 +7,13 @@ production default, but its estimate is engine-private: no other system
 can reproduce the number, so it can only ever be rows-checked. This
 module is the ORACLE-CHECKABLE twin: a bucketed-minimum (KMV-family)
 distinct sketch built from nothing but ``md5``, ``min``, ``sum`` and
-``ln`` — primitives every engine implements identically — so Spark,
-DuckDB, or a downstream warehouse reading the persisted sketch rows all
-derive the *bit-identical* estimate.
+``ln``. The SKETCH STATE (hashes, minima, occupancy, their sums) is
+exact integers on every engine; the estimate applies at most one ``ln``
+to those exact integers, and engine ``ln`` implementations agree to
+within 1 ulp (JVM Math.log is spec-bound to 1 ulp; C libm is correctly
+rounded) — six orders of magnitude inside the harness's 6-decimal float
+canonicalization. So Spark, DuckDB, or a downstream warehouse reading
+the persisted sketch rows all derive the same estimate.
 
 Sketch: hash each key to a uniform 52-bit integer (13 hex chars of md5 —
 exactly representable in a double AND in every engine's bigint), route it
@@ -111,7 +115,9 @@ def estimate_distinct(
 
     Both regimes (see module docstring) are pure functions of exact
     integers — the occupied-bucket count and the int64 sum of bucket
-    minima — so the emitted double is bit-identical on every engine.
+    minima — so the emitted double is engine-portable: the harmonic
+    branch is exact IEEE division, the linear-counting branch is one
+    ``ln`` of an exact input (agreeing across engines to 1 ulp).
     """
     k = float(n_buckets)
     groups = [c for c in sketch.columns if c not in ("bucket", "min_hash")]

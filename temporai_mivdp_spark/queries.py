@@ -186,6 +186,11 @@ WINDOW_TAIL: tuple[str, ...] = (
     # passes and text_boilerplate's line-level regex dedup; the redact
     # entry keeps its oracle here and the mojibake property tests
     "text_clean_redact",
+    # round 7: displaced for sample_weighted — hash-banded near-dup
+    # detection stays window-covered by dedup_minhash_lsh (the same
+    # banded equality-join design) and dedup_ngram_jaccard; simhash
+    # keeps its oracle here and its unit tests
+    "dedup_simhash",
 )
 
 

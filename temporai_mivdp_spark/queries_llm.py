@@ -2055,8 +2055,10 @@ def sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed-minimum sketch (operators/sketches.py) — the
     ORACLE-CHECKABLE twin of ``corpus_stats``' HyperLogLog telemetry:
     built from md5/min/sum/ln only, so the DuckDB oracle replays the
-    whole estimator bit for bit (hash sum and occupancy are exact
-    integers; both estimate branches are pure functions of them). The
+    whole estimator (hash sum and occupancy are exact integers; the
+    estimate branches are pure functions of them — exact division on
+    the harmonic path, one 1-ulp-agreeing ``ln`` on the linear-counting
+    path, far inside the harness's 6-decimal canonicalization). The
     exact per-source distinct count rides alongside so the estimate's
     error is visible in the output itself. k=16 buckets keeps BOTH
     regimes exercised across the test scales (linear counting under
@@ -2175,6 +2177,43 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sample_weighted",
+    """
+    WITH w AS (
+      SELECT doc_id, n_chars FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    p AS (
+      SELECT doc_id, n_chars,
+             -ln( (('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                    + 1.0)
+                  / 4503599627370496.0 ) / CAST(n_chars AS DOUBLE) AS pri
+      FROM w
+    )
+    SELECT doc_id, n_chars, pri FROM p
+    QUALIFY row_number() OVER (ORDER BY pri ASC, doc_id ASC) <= 50
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (llmdata/sampling.py::weighted_sample_k — Efraimidis-Spirakis A-ES
+    with md5-derandomized uniforms): the 50 documents elected with
+    probability proportional to length. The oracle replays the whole
+    priority computation (u = (h+1)/2^52 is exact — power-of-two
+    division of an exactly-representable integer — and -ln(u)/w is
+    associated identically on both sides; the single ln agrees across
+    engines to 1 ulp, so the elected SET is stable and the priorities
+    match far inside the harness tolerance). Plan: row-local priorities,
+    TakeOrderedAndProject top-k — no global sort, no shuffle of the
+    losers. The weight-scale invariance (all weights × c ⇒ identical
+    sample) is pinned in tests."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.weighted_sample_k(
+        docs, "n_chars", 50, key_col="doc_id", seed="ws", priority_col="pri"
+    )
+
+
+@_register(
     "text_pmi",
     f"""
     WITH d AS (
@@ -2212,8 +2251,9 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer-merge-candidate mining over the corpus. The oracle
     mirrors the five-ln expression term for term in the same
     left-to-right association (every ln input is an exact integer-valued
-    double, so the emitted pmi is bit-identical and the float ordering
-    is portable; ties break on the words). Plan: row-local bigram
+    double and engine ln implementations agree to 1 ulp, so the emitted
+    pmi matches far inside the harness tolerance and the float ordering
+    is stable; ties break on the words). Plan: row-local bigram
     zipping (no position self-join), map-side-combinable counts, the
     min-count filter ahead of the two hash-keyed unigram joins
     (vocabulary unbounded — deliberately not broadcast), two 1-row
@@ -2268,7 +2308,10 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     keywords. The oracle replays Lucene-style idf, the length-normalized
     tf saturation, and the nano-unit quantization clause for clause with
     the arithmetic association pinned on both sides; ranking is on the
-    exact integer nano-score (floats never ordered). Plan: token scan
+    integer nano-score, never raw float order (the one transcendental —
+    idf's ln — agrees across engines to 1 ulp, so a quantization
+    boundary flip needs a true value within ~1e-16 relative of a .5
+    nano-unit tie). Plan: token scan
     filtered to the query terms before aggregation, broadcast
     query-sized idf dimension, id-keyed length join, TakeOrderedAndProject
     top-k — no global sort, no Python."""

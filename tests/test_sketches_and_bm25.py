@@ -253,3 +253,49 @@ def test_bm25_empty_corpus_and_no_hits(spark):
     assert out.columns == ["doc_id", "bm25"] and out.count() == 0
     df2 = spark.createDataFrame([("d1", "cat")], ["doc_id", "text"])
     assert bm25_topk(df2, ("zebra",), k=5).count() == 0
+
+
+def test_weighted_sample_replay_scale_invariance_and_bias(spark):
+    """A-ES weighted sampling: (a) priorities match the pure-Python
+    replay bit for bit, (b) scaling every weight by a constant leaves
+    the elected sample identical (priority order scales uniformly),
+    (c) heavier rows are actually over-represented, (d) null/zero
+    weights are excluded, (e) repartitioning does not change the
+    sample."""
+    from temporai_mivdp_spark.llmdata.sampling import weighted_sample_k
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(500)]
+    rows += [(9001, None), (9002, 0.0), (9003, -3.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+
+    got = {
+        r.doc_id: r.pri
+        for r in weighted_sample_k(df, "w", 50, priority_col="pri").collect()
+    }
+
+    def py_pri(doc_id, w):
+        h = int(hashlib.md5(f"ws{doc_id}".encode()).hexdigest()[:13], 16)
+        return -math.log((h + 1.0) / 4503599627370496.0) / w
+
+    pris = sorted(
+        (py_pri(i, w), i) for i, w in rows if w is not None and w > 0
+    )
+    want = {i: p for p, i in pris[:50]}
+    # JVM Math.log and C libm may differ in the last ulp, so the replay
+    # matches to relative 1e-12 (the oracle harness canonicalizes floats
+    # at 6 decimals — far looser); the elected SET must match exactly
+    assert set(got) == set(want)
+    for i in want:
+        assert math.isclose(got[i], want[i], rel_tol=1e-12), i
+    assert not {9001, 9002, 9003} & set(got)
+
+    # heavy rows are 10% of the population but ~90% of the weight mass
+    heavy = sum(1 for i in got if i % 10 == 0)
+    assert heavy > 25
+
+    scaled = df.withColumn("w", F.col("w") * 7.0)
+    same = {r.doc_id for r in weighted_sample_k(scaled, "w", 50).collect()}
+    assert same == set(got)
+
+    rep = {r.doc_id for r in weighted_sample_k(df.repartition(13), "w", 50).collect()}
+    assert rep == set(got)
