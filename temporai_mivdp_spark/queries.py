@@ -191,6 +191,12 @@ WINDOW_TAIL: tuple[str, ...] = (
     # banded equality-join design) and dedup_ngram_jaccard; simhash
     # keeps its oracle here and its unit tests
     "dedup_simhash",
+    # round 7: displaced for sketch_overlap — connected-component
+    # clustering stays window-covered by split_leakage_safe, whose
+    # oracle replays near-dup cluster construction for the co-assignment
+    # check; the clusters entry keeps its O(log n) chain tests and its
+    # oracle here
+    "dedup_duplicate_clusters",
 )
 
 

@@ -2088,6 +2088,130 @@ def sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sketch_overlap",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT {_NORM} AS k FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT DISTINCT k FROM (
+        SELECT {_NORM} AS k FROM documents
+        WHERE text IS NOT NULL AND doc_id % 2 = 0
+        UNION ALL
+        SELECT {_NORM.replace("text", "(text || ' zqx')")} AS k FROM documents
+        WHERE text IS NOT NULL AND doc_id % 2 = 1
+      )
+    ),
+    ha AS (
+      SELECT ('0x' || substr(md5(k), 1, 13))::BIGINT AS h,
+             ('0x' || substr(md5(k), 14, 4))::BIGINT % 16 AS bucket
+      FROM a
+    ),
+    hb AS (
+      SELECT ('0x' || substr(md5(k), 1, 13))::BIGINT AS h,
+             ('0x' || substr(md5(k), 14, 4))::BIGINT % 16 AS bucket
+      FROM b
+    ),
+    sa AS (SELECT bucket, min(h) AS m FROM ha GROUP BY 1),
+    sb AS (SELECT bucket, min(h) AS m FROM hb GROUP BY 1),
+    su AS (
+      SELECT bucket, min(m) AS m
+      FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY 1
+    ),
+    ea AS (
+      SELECT CASE WHEN count(*) < 16
+                  THEN -16.0 * ln(1.0 - CAST(count(*) AS DOUBLE) / 16.0)
+                  ELSE CAST(1080863910568919040 AS DOUBLE)
+                       / CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) END AS est
+      FROM sa
+    ),
+    eb AS (
+      SELECT CASE WHEN count(*) < 16
+                  THEN -16.0 * ln(1.0 - CAST(count(*) AS DOUBLE) / 16.0)
+                  ELSE CAST(1080863910568919040 AS DOUBLE)
+                       / CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) END AS est
+      FROM sb
+    ),
+    eu AS (
+      SELECT CASE WHEN count(*) < 16
+                  THEN -16.0 * ln(1.0 - CAST(count(*) AS DOUBLE) / 16.0)
+                  ELSE CAST(1080863910568919040 AS DOUBLE)
+                       / CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) END AS est
+      FROM su
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS overlap_exact
+      FROM a JOIN b USING (k)
+    )
+    SELECT ea.est AS distinct_a_est,
+           eb.est AS distinct_b_est,
+           eu.est AS distinct_union_est,
+           ea.est + eb.est - eu.est AS overlap_est,
+           overlap_exact
+    FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ex
+    """,
+)
+def sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation from persisted sketches
+    (operators/sketches.py): |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    the union's sketch is ``merge_sketches`` of the two corpora's
+    sketch rows — NO rescan of either corpus, which is the whole point:
+    contamination/overlap scoping across crawl dumps works from the
+    per-dump sketch tables alone. B is engineered from the fixture with
+    known ~50% overlap (even-id docs shared verbatim, odd-id docs
+    mutated), and the exact intersection rides alongside as the error
+    surface. Every estimate is the same pure-function-of-exact-integers
+    estimator as `sketch_distinct` (the inclusion-exclusion is three
+    exact-state estimates combined with two IEEE adds), so the DuckDB
+    oracle replays the whole computation. The sketch side is three
+    bounded groupBy.min aggregations; the exact column's distinct-join
+    is verification-only, dropped with the column at deployment."""
+    from temporai_mivdp_spark.operators import sketches
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    a = base.select(dedup.normalize_text(F.col("text")).alias("k")).distinct()
+    b = (
+        base.filter(F.col("doc_id") % 2 == 0)
+        .select(dedup.normalize_text(F.col("text")).alias("k"))
+        .unionByName(
+            base.filter(F.col("doc_id") % 2 == 1).select(
+                dedup.normalize_text(F.concat(F.col("text"), F.lit(" zqx"))).alias("k")
+            )
+        )
+        .distinct()
+    )
+    sk_a = sketches.bucket_min_sketch(a, F.col("k"), n_buckets=16)
+    sk_b = sketches.bucket_min_sketch(b, F.col("k"), n_buckets=16)
+    sk_u = sketches.merge_sketches(sk_a, sk_b)
+    est_a = sketches.estimate_distinct(sk_a, 16).select(
+        F.col("distinct_est").alias("distinct_a_est")
+    )
+    est_b = sketches.estimate_distinct(sk_b, 16).select(
+        F.col("distinct_est").alias("distinct_b_est")
+    )
+    est_u = sketches.estimate_distinct(sk_u, 16).select(
+        F.col("distinct_est").alias("distinct_union_est")
+    )
+    exact = a.join(b, "k").agg(F.count(F.lit(1)).alias("overlap_exact"))
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(exact)
+        .select(
+            "distinct_a_est",
+            "distinct_b_est",
+            "distinct_union_est",
+            (
+                F.col("distinct_a_est")
+                + F.col("distinct_b_est")
+                - F.col("distinct_union_est")
+            ).alias("overlap_est"),
+            "overlap_exact",
+        )
+    )
+
+
+@_register(
     "sketch_quantile",
     """
     WITH v AS (
