@@ -100,6 +100,7 @@ PINNED_EXTRAS = [
     "text_pmi",  # round-7 addition
     "sample_weighted",  # round-7 addition
     "sketch_overlap",  # round-7 addition
+    "dedup_span_coverage",  # round-7 addition
     # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
     # deliberately NOT fingerprinted here: building their DataFrames
     # EXECUTES the streaming query (memory sink), and the returned

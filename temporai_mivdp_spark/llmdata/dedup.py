@@ -847,6 +847,102 @@ def repeated_spans(
     return examples.select("span_hash", "n_docs", "n_occurrences", "span")
 
 
+def span_coverage(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-content coverage: for every document, the
+    fraction of its tokens lying inside an ``n``-token span that also
+    occurs in at least ``min_docs`` distinct documents. This is the
+    actionable per-doc form of the cross-corpus signal
+    ``repeated_spans`` reports per SPAN — the exact-substring dedup
+    policy of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") drops or trims documents by exactly this
+    measure (e.g. "remove docs whose duplicated coverage exceeds 80%"),
+    and it needs positions, not just span identities.
+
+    One row per non-null-text document:
+    ``(doc_id, n_tokens, dup_spans, covered_tokens, coverage)`` where
+    ``dup_spans`` counts this doc's span START positions whose span is
+    cross-doc duplicated, ``covered_tokens`` is the size of the UNION of
+    those spans' ``[pos, pos+n)`` token intervals (overlapping spans are
+    not double-counted), and ``coverage = covered_tokens / n_tokens``.
+    Docs shorter than ``n`` tokens have no spans and coverage 0.
+
+    Shape, sized for 100 TB:
+
+    1. Span hashes are computed row-local inside the explode
+       (``xxhash64`` — output depends only on which spans collide
+       across docs, not on hash values, so the native codegen hash is
+       safe; same argument as ``ngram_jaccard_pairs``) and every wide
+       shuffle moves fixed-width (hash, id, pos) rows, never span text.
+    2. Survivor detection is the two-level aggregate of
+       ``repeated_spans``: (hash, doc) map-side combine, then a
+       doc-count per hash — no posting lists, no distinct-count sketch.
+    3. Positions join back to survivors on the 8-byte hash (plain
+       shuffled equality join; survivors are the small side but can
+       exceed broadcast at corpus scale, so the planner decides).
+    4. The interval union is a per-document window (``partitionBy`` the
+       doc id — bounded by document length, never a global sort): for
+       duplicated start positions p1 < p2 < ... the union size is
+       sum(min(n, p_next − p)) with n for the last — one ``lead`` and
+       one aggregate.
+    """
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
+    )
+    sized = toks.select(id_col, "__toks", F.size("__toks").alias("n_tokens"))
+    spans = sized.filter(F.col("n_tokens") >= n).select(
+        id_col,
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, n))),
+            )
+        ).alias("pos", "__h"),
+    )
+    survivors = (
+        spans.groupBy("__h", id_col)
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    dup_pos = spans.join(survivors, "__h").select(id_col, "n_tokens", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pieces = dup_pos.withColumn(
+        "__piece",
+        F.coalesce(F.least(F.lit(n), F.lead("pos").over(w) - F.col("pos")), F.lit(n)),
+    )
+    per_doc = pieces.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum("__piece").alias("covered_tokens"),
+    )
+    return (
+        sized.select(id_col, "n_tokens")
+        .join(per_doc, [id_col, "n_tokens"], "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            # exact-integer IEEE division — bit-identical across engines,
+            # so no rounding (the harness rounds floats itself)
+            (
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("coverage"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 16,

@@ -197,6 +197,12 @@ WINDOW_TAIL: tuple[str, ...] = (
     # check; the clusters entry keeps its O(log n) chain tests and its
     # oracle here
     "dedup_duplicate_clusters",
+    # round 7: displaced for dedup_span_coverage — embedding-block
+    # near-dup detection stays window-covered by dedup_semantic (the
+    # same block-keyed embedding self-join design) and the sim_topk_*
+    # index entries; the neardup entry keeps its oracle here and its
+    # degenerate-vector (--embeddings) tier coverage
+    "dedup_embedding_neardup",
 )
 
 

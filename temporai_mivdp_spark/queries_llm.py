@@ -1755,6 +1755,70 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_span_coverage",
+    f"""
+    WITH d2 AS ({_AUG_SQL}),
+    toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w
+      FROM d2 WHERE text IS NOT NULL
+    ),
+    sized AS (SELECT doc_id, w, len(w) AS n_tokens FROM toks),
+    idx AS (
+      SELECT doc_id, n_tokens, w,
+             unnest(generate_series(1, n_tokens - 9)) AS i
+      FROM sized WHERE n_tokens >= 10
+    ),
+    sp AS (
+      SELECT doc_id, n_tokens, i,
+             ('0x' || substr(md5(array_to_string(w[i:i+9], ' ')), 1, 15))::BIGINT AS h
+      FROM idx
+    ),
+    surv AS (
+      SELECT h FROM (SELECT DISTINCT h, doc_id FROM sp)
+      GROUP BY h HAVING count(*) >= 2
+    ),
+    dup AS (SELECT doc_id, n_tokens, i FROM sp JOIN surv USING (h)),
+    pieces AS (
+      SELECT doc_id, n_tokens,
+             coalesce(
+               least(10, lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i),
+               10) AS piece
+      FROM dup
+    ),
+    cov AS (
+      SELECT doc_id, n_tokens,
+             count(*) AS dup_spans, sum(piece) AS covered
+      FROM pieces GROUP BY 1, 2
+    )
+    SELECT s.doc_id, s.n_tokens,
+           CAST(coalesce(c.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+           CAST(coalesce(c.covered, 0) AS DOUBLE) / s.n_tokens AS coverage
+    FROM sized s LEFT JOIN cov c ON s.doc_id = c.doc_id
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-content coverage (llmdata/dedup.py::
+    span_coverage) — the exact-substring dedup DROP signal of Lee et
+    al. 2022: the fraction of each doc's tokens inside a 10-token span
+    that also occurs in >= 2 distinct documents, computed as a true
+    interval UNION (overlapping spans never double-count). The
+    `repeated_spans` entry reports the corpus's duplicated spans; this
+    one turns positions into the per-doc filter column a curation
+    pipeline thresholds on. Fixture is the augmented corpus (every doc
+    + a near-exact mutated copy), so originals must come out at
+    coverage 1.0 and mutants just under — on top of any natural
+    repeats, which the oracle mirrors span for span. Hash identity
+    never reaches the output (only which spans collide across docs
+    does), so Spark uses codegen xxhash64 while the oracle keeps md5 —
+    the `ngram_jaccard_pairs` portability argument. Scale shape: wide
+    shuffles carry (8-byte hash, id, pos) only; survivor detection is
+    two map-side-combinable aggregates; the interval union is one
+    per-document window (bounded by doc length, never global)."""
+    return dedup.span_coverage(_augmented(spark, sf_dir), n=10, min_docs=2)
+
+
+@_register(
     "text_quantile_norm",
     f"""
     WITH scored AS (

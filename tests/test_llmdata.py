@@ -870,6 +870,57 @@ def test_repeated_spans_cross_document(spark):
         assert len(holders) >= 2, (r.span, holders)
 
 
+def test_span_coverage_interval_union(spark):
+    """Hand-built corpus with known duplicated-span geometry: the union
+    arithmetic (overlapping spans merge, disjoint spans add, tail span
+    counts n) is checked against exact expected token counts."""
+    shared_a = "alpha bravo charlie delta"          # 4 tokens
+    shared_b = "echo foxtrot golf hotel"            # 4 tokens
+    rows = [
+        # doc 1: shared_a at positions 0-3 and 2x filler, shared_b at 6-9
+        (1, shared_a + " pad1 pad2 " + shared_b),   # 10 tokens
+        # doc 2: same shared runs, different filler -> same spans survive
+        (2, shared_a + " own1 own2 " + shared_b),   # 10 tokens
+        # doc 3: nothing shared
+        (3, "november oscar papa quebec romeo sierra tango uniform"),
+        # doc 4: shorter than n -> no spans, coverage 0
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in dedup.span_coverage(docs, n=4, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # docs 1/2: duplicated 4-token spans start at positions 0 and 6
+    # (the filler differs, so no other window is cross-doc). Disjoint
+    # intervals [0,4) and [6,10) -> 8 covered of 10.
+    for d in (1, 2):
+        assert out[d].n_tokens == 10
+        assert out[d].dup_spans == 2
+        assert out[d].covered_tokens == 8
+        assert out[d].coverage == 0.8
+    assert out[3].covered_tokens == 0 and out[3].coverage == 0.0
+    assert out[4].n_tokens == 2 and out[4].coverage == 0.0
+
+    # overlap case: two docs sharing a 6-token run; with n=4 the run
+    # yields 3 overlapping duplicated spans (starts 0,1,2) whose union
+    # is exactly the 6-token run, not 12.
+    run = "one two three four five six"
+    docs2 = spark.createDataFrame(
+        [(1, run + " endx"), (2, run + " endy")], "doc_id: long, text: string"
+    )
+    out2 = {r.doc_id: r for r in dedup.span_coverage(docs2, n=4, min_docs=2).collect()}
+    for d in (1, 2):
+        assert out2[d].dup_spans == 3
+        assert out2[d].covered_tokens == 6
+        assert out2[d].n_tokens == 7
+
+    # exact duplicates: full coverage 1.0
+    docs3 = spark.createDataFrame(
+        [(1, run), (2, run)], "doc_id: long, text: string"
+    )
+    out3 = dedup.span_coverage(docs3, n=4, min_docs=2).collect()
+    assert all(r.coverage == 1.0 for r in out3)
+
+
 def test_leakage_safe_split_co_assigns_clusters(spark):
     from temporai_mivdp_spark.llmdata import sampling
 
