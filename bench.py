@@ -101,6 +101,11 @@ PINNED_EXTRAS = [
     "sample_weighted",  # round-7 addition
     "sketch_overlap",  # round-7 addition
     "dedup_span_coverage",  # round-7 addition
+    # ingest_jsonl: fingerprinted like the other extras — building the
+    # frame performs its scratch-dir JSONL write (the curation
+    # checkpoint pattern, untimed planning cost); the read-back plan is
+    # path-normalized so the fingerprint is session-stable
+    "ingest_jsonl",  # round-7 addition
     # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
     # deliberately NOT fingerprinted here: building their DataFrames
     # EXECUTES the streaming query (memory sink), and the returned

@@ -203,6 +203,13 @@ WINDOW_TAIL: tuple[str, ...] = (
     # index entries; the neardup entry keeps its oracle here and its
     # degenerate-vector (--embeddings) tier coverage
     "dedup_embedding_neardup",
+    # round 7: displaced for ingest_jsonl — brute-force ANN stays
+    # window-covered by sim_topk_ivf and sim_topk_lsh (whose oracles
+    # replay the same quantized cosine arithmetic over the same
+    # vectors); brute force keeps its oracle here, its bench headline
+    # slot, and the recall-floor tests that compare the index entries
+    # against it
+    "sim_topk_bruteforce",
 )
 
 

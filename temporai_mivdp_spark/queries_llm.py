@@ -1819,6 +1819,94 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ingest_jsonl",
+    """
+    WITH tagged AS (
+      SELECT CASE WHEN coalesce(doc_id % 7 = 3, FALSE)
+                  THEN '__corrupt__' ELSE lang END AS lang,
+             CASE WHEN coalesce(doc_id % 7 = 3, FALSE)
+                  THEN NULL ELSE doc_id END AS doc_id,
+             CASE WHEN coalesce(doc_id % 7 = 3, FALSE)
+                  THEN NULL ELSE text END AS text,
+             coalesce(doc_id % 7 = 3, FALSE) AS is_bad
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(CASE WHEN text IS NULL AND NOT is_bad THEN 1 END)
+                AS BIGINT) AS n_null_text,
+           CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+    FROM tagged GROUP BY lang
+    """,
+)
+def ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion with corrupt-record accounting
+    (sources/readers.py::read_jsonl) — the canonical web-corpus
+    interchange format, read the way a 100 TB job must: EXPLICIT schema
+    (inference = two full corpus scans), PERMISSIVE mode routing
+    malformed lines into ``_corrupt_record`` instead of failing the job
+    on one bad shard. The entry is a REAL write + re-read: documents are
+    serialized to JSON lines in the engine scratch dir (the curation
+    checkpoint pattern) with every ``doc_id % 7 == 3`` line
+    deterministically TRUNCATED mid-object, then scanned back and
+    rolled up per language — parsed rows, id checksum, null-text count
+    (``to_json`` omits null fields, so null text must round-trip to
+    null), UTF-8 byte mass (multibyte round-trip check) — with the
+    corrupt lines surfacing as a ``__corrupt__`` row. The DuckDB oracle
+    replays the injection rule from the table (the scratch path is
+    session-scoped, so the oracle cannot read the file; what it checks
+    is that serialize → corrupt → parse → account is LOSSLESS for good
+    rows and exactly-counted for bad ones). One aggregation, map-side
+    combinable; the single non-scan stage is the groupBy exchange on
+    (lang)."""
+    import os
+    import re
+
+    from temporai_mivdp_spark.sources import readers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    line = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "text": ')
+        ),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang", "text")))
+    # subdir keyed by sf_dir: one session building this entry at two
+    # scale factors (the decade sweep does) must not overwrite the files
+    # an earlier build's lazy scan still references
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir)
+    path = os.path.join(_curation_scratch_dir(spark), f"ingest_jsonl_{safe}")
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    schema = (
+        StructType()
+        .add("doc_id", LongType())
+        .add("lang", StringType())
+        .add("text", StringType())
+    )
+    parsed = readers.read_jsonl(spark, path, schema)
+    tagged = parsed.select(
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "doc_id",
+        "text",
+        "_corrupt_record",
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.count(
+            F.when(F.col("text").isNull() & F.col("_corrupt_record").isNull(), 1)
+        ).alias("n_null_text"),
+        F.sum(F.octet_length("text")).alias("sum_chars"),
+    )
+
+
+@_register(
     "text_quantile_norm",
     f"""
     WITH scored AS (
