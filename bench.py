@@ -106,6 +106,7 @@ PINNED_EXTRAS = [
     # checkpoint pattern, untimed planning cost); the read-back plan is
     # path-normalized so the fingerprint is session-stable
     "ingest_jsonl",  # round-7 addition
+    "shard_assign",  # round-7 addition
     # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
     # deliberately NOT fingerprinted here: building their DataFrames
     # EXECUTES the streaming query (memory sink), and the returned

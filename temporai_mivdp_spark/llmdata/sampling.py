@@ -337,6 +337,38 @@ def deterministic_shuffle(
     return df.orderBy(h.asc(), F.col(key_col).asc())
 
 
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: str = "shard",
+    shard_col: str = "shard",
+    order_col: str = "shard_order",
+) -> DataFrame:
+    """Deterministic shard assignment + within-shard training order for
+    a sharded corpus writer: ``shard = md5_32(seed||key) % n_shards``
+    and ``order = md5('order:'||seed||key)`` — the
+    ``deterministic_shuffle`` key restricted to a shard. Both are
+    row-local projections (no shuffle, no RNG state); the writer then
+    does ``df.repartition(n_shards, shard).sortWithinPartitions(order)``
+    and gets byte-reproducible, evenly-loaded output files on ANY
+    cluster size — the property a ``repartition().orderBy(rand())``
+    layout lacks. One shard = one write task = one bounded sort, which
+    is how output sharding is SUPPOSED to bound per-task state at
+    100 TB (pick n_shards so corpus/n_shards fits a task). Changing
+    ``seed`` re-deals both placement and order (epoch reshuffling
+    without rewriting upstream stages). Portable: both hashes have
+    exact DuckDB twins (see ``_hash_bucket``)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = F.col(key_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), key)), 1, 8), 16, 10
+    ).cast("long")
+    order = F.md5(F.concat(F.lit("order:" + seed), key))
+    return df.withColumn(shard_col, h % n_shards).withColumn(order_col, order)
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

@@ -210,6 +210,12 @@ WINDOW_TAIL: tuple[str, ...] = (
     # slot, and the recall-floor tests that compare the index entries
     # against it
     "sim_topk_bruteforce",
+    # round 7: displaced for shard_assign — BPE tokenization stays
+    # window-covered by pipeline_docs_curation, whose composition runs
+    # the same bounded merge tables on every doc and packs by the
+    # resulting counts; the count entry keeps its oracle here, its
+    # bench headline slot, and the merge-table unit tests
+    "text_bpe_count",
 )
 
 

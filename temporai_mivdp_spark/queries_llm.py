@@ -1907,6 +1907,46 @@ def ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "shard_assign",
+    """
+    WITH a AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5('epoch0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 8 AS shard,
+             md5('order:epoch0' || CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+           arg_min(doc_id, ord) AS first_doc,
+           arg_max(doc_id, ord) AS last_doc
+    FROM a GROUP BY shard
+    """,
+)
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout (llmdata/sampling.py::
+    shard_assign) — the writer-side twin of `deterministic_shuffle`:
+    every doc gets a shard (md5 mod 8) and a within-shard order key,
+    both row-local, so a 100 TB writer reproduces byte-identical,
+    evenly-loaded shard files on any cluster size and re-deals them per
+    epoch by changing the seed. The checked surface is per-shard
+    accounting: row count and byte mass (the BALANCE the md5 assignment
+    must deliver) plus the first/last doc under the shard order (the
+    ORDER determinism — one wrong boundary doc means the order key or
+    the tie semantics diverged). One map-side-combinable aggregate;
+    min_by/max_by keeps the boundary probe out of any sort."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    assigned = sampling.shard_assign(docs, 8, seed="epoch0")
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("sum_bytes"),
+        F.min_by("doc_id", "shard_order").alias("first_doc"),
+        F.max_by("doc_id", "shard_order").alias("last_doc"),
+    )
+
+
+@_register(
     "text_quantile_norm",
     f"""
     WITH scored AS (

@@ -921,6 +921,34 @@ def test_span_coverage_interval_union(spark):
     assert all(r.coverage == 1.0 for r in out3)
 
 
+def test_shard_assign_deterministic_and_balanced(spark):
+    from temporai_mivdp_spark.llmdata import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(4000)], "doc_id: long, text: string"
+    )
+    a = sampling.shard_assign(docs, 16, seed="e0")
+    b = sampling.shard_assign(docs, 16, seed="e0")
+    rows_a = {r.doc_id: (r.shard, r.shard_order) for r in a.collect()}
+    rows_b = {r.doc_id: (r.shard, r.shard_order) for r in b.collect()}
+    assert rows_a == rows_b                       # same seed == same deal
+    shards = [v[0] for v in rows_a.values()]
+    assert set(shards) <= set(range(16))
+    counts = {s: shards.count(s) for s in set(shards)}
+    # md5 balance: each of 16 shards gets ~250 of 4000; 3-sigma ~ 46
+    assert all(abs(c - 250) < 60 for c in counts.values()), counts
+    # a different seed re-deals placement (overwhelmingly likely to move
+    # at least one of 4000 docs; md5 makes this deterministic, not flaky)
+    c = {r.doc_id: r.shard for r in sampling.shard_assign(docs, 16, seed="e1").collect()}
+    assert any(c[i] != rows_a[i][0] for i in rows_a)
+    # order keys are collision-free here, so within-shard order is total
+    orders = [v[1] for v in rows_a.values()]
+    assert len(set(orders)) == len(orders)
+
+    with pytest.raises(ValueError):
+        sampling.shard_assign(docs, 0)
+
+
 def test_leakage_safe_split_co_assigns_clusters(spark):
     from temporai_mivdp_spark.llmdata import sampling
 
