@@ -187,9 +187,10 @@ WINDOW_TAIL: tuple[str, ...] = (
     # entry keeps its oracle here and the mojibake property tests
     "text_clean_redact",
     # round 7: displaced for sample_weighted — hash-banded near-dup
-    # detection stays window-covered by dedup_minhash_lsh (the same
-    # banded equality-join design) and dedup_ngram_jaccard; simhash
-    # keeps its oracle here and its unit tests
+    # detection stays window-covered by dedup_ngram_jaccard and (since
+    # the dedup_incremental promotion) by dedup_incremental's full
+    # minhash/band replay; simhash keeps its oracle here and its unit
+    # tests
     "dedup_simhash",
     # round 7: displaced for sketch_overlap — connected-component
     # clustering stays window-covered by split_leakage_safe, whose
@@ -216,6 +217,13 @@ WINDOW_TAIL: tuple[str, ...] = (
     # resulting counts; the count entry keeps its oracle here, its
     # bench headline slot, and the merge-table unit tests
     "text_bpe_count",
+    # round 7: displaced for dedup_incremental, whose oracle replays
+    # the SAME md5-seeded minhash permutation family and band hashing
+    # end-to-end (index build + band equality join — a strict superset
+    # of the self-join entry's chain) on top of the exact-key
+    # anti-join; the lsh entry keeps its oracle here, its bench
+    # headline slot, and the recall/threshold unit tests
+    "dedup_minhash_lsh",
 )
 
 

@@ -1947,6 +1947,135 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_incremental",
+    f"""
+    WITH old_docs AS (SELECT doc_id, text FROM documents),
+    new_docs AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' zqx' END AS text
+      FROM documents
+    ),
+    seen AS (SELECT DISTINCT md5({_NORM}) AS k FROM old_docs),
+    keyed AS (SELECT doc_id, text, md5({_NORM}) AS k FROM new_docs),
+    inshard AS (
+      SELECT doc_id, text, k FROM (
+        SELECT doc_id, text, k, min(doc_id) OVER (PARTITION BY k) AS mk
+        FROM keyed
+      ) WHERE doc_id = mk
+    ),
+    novel AS (
+      SELECT i.doc_id, i.text FROM inshard i
+      LEFT JOIN seen s ON i.k = s.k WHERE s.k IS NULL
+    ),
+    tok_o AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM old_docs),
+    idx_o AS (
+      SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      FROM tok_o
+    ),
+    sh_o AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM idx_o WHERE len(w[i:i+2]) = 3
+    ),
+    base_o AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS x
+      FROM sh_o
+    ),
+    sig_o AS (
+      SELECT doc_id, g.i AS h_idx,
+             min(((1000003 + g.i * 999983) * x + (12345 + g.i * 7919))
+                 % 2147483647) AS mh
+      FROM base_o, (SELECT unnest(generate_series(0, 7)) AS i) g
+      GROUP BY 1, 2
+    ),
+    bh_o AS (
+      SELECT doc_id, h_idx // 2 AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY mh)) AS bh
+      FROM sig_o GROUP BY 1, 2
+    ),
+    tok_n AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM novel),
+    idx_n AS (
+      SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      FROM tok_n
+    ),
+    sh_n AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM idx_n WHERE len(w[i:i+2]) = 3
+    ),
+    base_n AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS x
+      FROM sh_n
+    ),
+    sig_n AS (
+      SELECT doc_id, g.i AS h_idx,
+             min(((1000003 + g.i * 999983) * x + (12345 + g.i * 7919))
+                 % 2147483647) AS mh
+      FROM base_n, (SELECT unnest(generate_series(0, 7)) AS i) g
+      GROUP BY 1, 2
+    ),
+    bh_n AS (
+      SELECT doc_id, h_idx // 2 AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY mh)) AS bh
+      FROM sig_n GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bh_n n JOIN bh_o o ON n.band = o.band AND n.bh = o.bh
+    )
+    SELECT nv.doc_id AS new_id,
+           CAST(coalesce(m.c, 0) AS BIGINT) AS n_matches
+    FROM novel nv
+    LEFT JOIN (SELECT new_id, count(*) AS c FROM pairs GROUP BY 1) m
+      ON nv.doc_id = m.new_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest dedup of a NEW shard against PERSISTED corpus
+    state (llmdata/dedup.py::incremental_exact_novel +
+    incremental_lsh_candidates) — the shape a daily 100 TB crawl
+    pipeline actually runs: the corpus is never rescanned, only its two
+    state tables are consulted (the exact content-key set and the LSH
+    band index from `lsh_band_index`, both appendable). Fixture: the
+    new shard is every doc re-submitted — even ids verbatim (must be
+    REMOVED by the exact stage), odd ids mutated with a token appended
+    (must SURVIVE the exact stage and then surface with band matches
+    against their originals). Output is one row per exact-novel new doc
+    with its count of colliding index docs — 0 = genuinely new
+    content. The oracle replays every stage: the md5 key anti-join, the
+    within-shard min-id keeper (window over the key, null keys grouped
+    — identical in both engines), and the full minhash/band chain
+    (the portable md5-seeded permutation family of
+    `dedup_minhash_lsh`'s oracle). Scale shape: stage 1 is one
+    shard-sized window + an anti-join against the key set; stage 2's
+    join is new-shard-sized on one side and equality-keyed on
+    (band, bh) — with the index bucketed by (band, bh) the shuffle is
+    one-sided."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_shard = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" zqx")))
+        .alias("text"),
+    )
+    seen = docs.select(
+        F.md5(dedup.normalize_text(F.col("text"))).alias("content_key")
+    ).distinct()
+    novel = dedup.incremental_exact_novel(new_shard, seen)
+    index = dedup.lsh_band_index(docs, num_hashes=8, bands=4)
+    cands = dedup.incremental_lsh_candidates(novel, index, num_hashes=8, bands=4)
+    matches = cands.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_matches"))
+    return (
+        novel.select(F.col("doc_id").alias("new_id"))
+        .join(matches, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+    )
+
+
+@_register(
     "text_quantile_norm",
     f"""
     WITH scored AS (
