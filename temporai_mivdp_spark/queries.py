@@ -79,7 +79,9 @@ WINDOW_TAIL: tuple[str, ...] = (
     "o_sort_topk_first",
     "f_scalar_suite",
     # round 6: displaced for dsir_select — union+anti stay window-covered
-    # by u1_u2_union_anti_grid; the when()-split here is a projection
+    # by the augmented-corpus unionByName fixtures and (since the
+    # dedup_incremental promotion) its left-anti exact stage; the
+    # when()-split here is a projection
     "p8_split_label_union",
     # round 6: displaced for text_quality_model — broadcast dictionary
     # joins stay window-covered by the flagship (plan-asserted),
@@ -107,9 +109,9 @@ WINDOW_TAIL: tuple[str, ...] = (
     "j6_right_merge_summary",
     # round 7: displaced for sample_temperature — left-semi/IN filtering
     # stays window-exercised by the equality-join guards inside
-    # pipeline_guard_corpus and the anti-join grid in
-    # u1_u2_union_anti_grid; U4's id-intersection left-semi remains
-    # tested in tests/test_operators.py
+    # pipeline_guard_corpus and dedup_incremental's left-anti exact
+    # stage; U4's id-intersection left-semi remains tested in
+    # tests/test_operators.py
     "p5_semi_join_filter",
     # round 7: displaced for split_leakage_safe — the observation-window
     # trim stays window-covered by j_asof_event_value (as-of trim on the
@@ -224,6 +226,13 @@ WINDOW_TAIL: tuple[str, ...] = (
     # anti-join; the lsh entry keeps its oracle here, its bench
     # headline slot, and the recall/threshold unit tests
     "dedup_minhash_lsh",
+    # round 7: displaced for stream_ingest_jsonl — unionByName stays
+    # window-exercised by every augmented-corpus fixture
+    # (dedup_span_coverage, dedup_incremental's new-shard build) and
+    # the anti-join/index-difference shape by dedup_incremental's
+    # left-anti exact stage; the grid entry keeps its oracle here and
+    # the operator unit tests
+    "u1_u2_union_anti_grid",
 )
 
 

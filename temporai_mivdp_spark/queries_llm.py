@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from temporai_mivdp_spark.llmdata import bpe, dedup, sampling, similarity, text
-from temporai_mivdp_spark.queries import ORACLE, QUERIES, _register, _t
+from temporai_mivdp_spark.queries import (
+    ORACLE,
+    QUERIES,
+    _register,
+    _run_stream_to_memory,
+    _t,
+)
 
 #: DuckDB expression for the normalized text (mirror of dedup.normalize_text)
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1818,9 +1824,70 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_coverage(_augmented(spark, sf_dir), n=10, min_docs=2)
 
 
-@_register(
-    "ingest_jsonl",
-    """
+def _jsonl_fixture_schema():
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    return (
+        StructType()
+        .add("doc_id", LongType())
+        .add("lang", StringType())
+        .add("text", StringType())
+    )
+
+
+def _write_jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Serialize documents to JSON lines in the engine scratch dir with
+    every ``doc_id % 7 == 3`` line deterministically TRUNCATED
+    mid-object; returns the directory path. Shared by the batch and
+    streaming JSONL ingest entries so both face the identical corrupt
+    injection (and the identical DuckDB replay)."""
+    import os
+    import re
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    line = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "text": ')
+        ),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang", "text")))
+    # subdir keyed by sf_dir: one session building this entry at two
+    # scale factors (the decade sweep does) must not overwrite the files
+    # an earlier build's lazy scan still references
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir)
+    path = os.path.join(_curation_scratch_dir(spark), f"ingest_jsonl_{safe}")
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    return path
+
+
+def _jsonl_lang_accounting(parsed: DataFrame) -> DataFrame:
+    """The shared rollup both JSONL ingest entries check: per-lang
+    parsed rows / id checksum / null-text count / UTF-8 byte mass, with
+    corrupt lines surfacing as a ``__corrupt__`` row."""
+    tagged = parsed.select(
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "doc_id",
+        "text",
+        "_corrupt_record",
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.count(
+            F.when(F.col("text").isNull() & F.col("_corrupt_record").isNull(), 1)
+        ).alias("n_null_text"),
+        F.sum(F.octet_length("text")).alias("sum_chars"),
+    )
+
+
+#: DuckDB replay of the JSONL fixture's corrupt-injection + accounting —
+#: shared by the batch and streaming ingest entries (the scratch path is
+#: session-scoped, so the oracle cannot read the file; what it checks is
+#: that serialize → corrupt → parse → account is LOSSLESS for good rows
+#: and exactly-counted for bad ones)
+_JSONL_ACCOUNTING_SQL = """
     WITH tagged AS (
       SELECT CASE WHEN coalesce(doc_id % 7 = 3, FALSE)
                   THEN '__corrupt__' ELSE lang END AS lang,
@@ -1838,72 +1905,57 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_null_text,
            CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
     FROM tagged GROUP BY lang
-    """,
-)
+    """
+
+
+@_register("ingest_jsonl", _JSONL_ACCOUNTING_SQL)
 def ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion with corrupt-record accounting
     (sources/readers.py::read_jsonl) — the canonical web-corpus
     interchange format, read the way a 100 TB job must: EXPLICIT schema
     (inference = two full corpus scans), PERMISSIVE mode routing
     malformed lines into ``_corrupt_record`` instead of failing the job
-    on one bad shard. The entry is a REAL write + re-read: documents are
-    serialized to JSON lines in the engine scratch dir (the curation
-    checkpoint pattern) with every ``doc_id % 7 == 3`` line
-    deterministically TRUNCATED mid-object, then scanned back and
-    rolled up per language — parsed rows, id checksum, null-text count
-    (``to_json`` omits null fields, so null text must round-trip to
-    null), UTF-8 byte mass (multibyte round-trip check) — with the
-    corrupt lines surfacing as a ``__corrupt__`` row. The DuckDB oracle
-    replays the injection rule from the table (the scratch path is
-    session-scoped, so the oracle cannot read the file; what it checks
-    is that serialize → corrupt → parse → account is LOSSLESS for good
-    rows and exactly-counted for bad ones). One aggregation, map-side
+    on one bad shard. The entry is a REAL write + re-read
+    (`_write_jsonl_fixture`, the curation checkpoint pattern) with
+    every ``doc_id % 7 == 3`` line deterministically TRUNCATED
+    mid-object, then scanned back and rolled up per language
+    (`_jsonl_lang_accounting`): parsed rows, id checksum, null-text
+    count (``to_json`` omits null fields, so null text must round-trip
+    to null), UTF-8 byte mass (multibyte round-trip check), corrupt
+    lines as a ``__corrupt__`` row. One aggregation, map-side
     combinable; the single non-scan stage is the groupBy exchange on
     (lang)."""
-    import os
-    import re
-
     from temporai_mivdp_spark.sources import readers
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    line = F.when(
-        F.col("doc_id") % 7 == 3,
-        F.concat(
-            F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "text": ')
-        ),
-    ).otherwise(F.to_json(F.struct("doc_id", "lang", "text")))
-    # subdir keyed by sf_dir: one session building this entry at two
-    # scale factors (the decade sweep does) must not overwrite the files
-    # an earlier build's lazy scan still references
-    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir)
-    path = os.path.join(_curation_scratch_dir(spark), f"ingest_jsonl_{safe}")
-    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    path = _write_jsonl_fixture(spark, sf_dir)
+    parsed = readers.read_jsonl(spark, path, _jsonl_fixture_schema())
+    return _jsonl_lang_accounting(parsed)
 
-    from pyspark.sql.types import LongType, StringType, StructType
 
-    schema = (
-        StructType()
-        .add("doc_id", LongType())
-        .add("lang", StringType())
-        .add("text", StringType())
+@_register("stream_ingest_jsonl", _JSONL_ACCOUNTING_SQL)
+def stream_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JSONL landing-zone ingestion executed for real
+    (streaming/windows.py::read_jsonl_stream): the SAME corrupt-injected
+    JSONL fixture as the batch `ingest_jsonl`, consumed as a Structured
+    Streaming FILE SOURCE (the pattern for a landing directory that
+    crawl dumps keep arriving into) — explicit schema, PERMISSIVE
+    corrupt-line routing, ``maxFilesPerTrigger`` bounding micro-batch
+    work — aggregated per language into a complete-mode memory sink
+    under an ``availableNow`` trigger, so the bounded replay emits
+    exactly the batch rollup and faces the identical DuckDB oracle.
+    State is one running-agg row per language (+ the ``__corrupt__``
+    bucket) — trivially bounded, which is what makes complete mode safe
+    here; the corrupt accounting rides the stream, so a bad landed file
+    surfaces in the sink instead of killing the query."""
+    from temporai_mivdp_spark import streaming as st_mod
+
+    path = _write_jsonl_fixture(spark, sf_dir)
+    parsed = st_mod.read_jsonl_stream(
+        spark, path, _jsonl_fixture_schema(), max_files_per_trigger=1024
     )
-    parsed = readers.read_jsonl(spark, path, schema)
-    tagged = parsed.select(
-        F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__"))
-        .otherwise(F.col("lang"))
-        .alias("lang"),
-        "doc_id",
-        "text",
-        "_corrupt_record",
-    )
-    return tagged.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("doc_id").alias("sum_doc_id"),
-        F.count(
-            F.when(F.col("text").isNull() & F.col("_corrupt_record").isNull(), 1)
-        ).alias("n_null_text"),
-        F.sum(F.octet_length("text")).alias("sum_chars"),
-    )
+    agg = _jsonl_lang_accounting(parsed)
+    name = _run_stream_to_memory(agg, "stream_jsonl_sink", "complete")
+    return spark.table(name)
 
 
 @_register(

@@ -19,6 +19,7 @@ from temporai_mivdp_spark.streaming.stateful import (
     stream_session_finalize,
 )
 from temporai_mivdp_spark.streaming.windows import (
+    read_jsonl_stream,
     read_parquet_stream,
     stream_dedup,
     stream_enrich,
@@ -30,6 +31,7 @@ from temporai_mivdp_spark.streaming.windows import (
 
 __all__ = [
     "ingest_dedup_stream",
+    "read_jsonl_stream",
     "read_parquet_stream",
     "stream_dedup",
     "stream_enrich",

@@ -38,6 +38,31 @@ def read_parquet_stream(
     return reader.parquet(path)
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming twin of ``sources.readers.read_jsonl``: a file-based
+    JSONL source with the same 100 TB discipline — explicit schema
+    (a streaming source cannot infer one anyway) and PERMISSIVE
+    corrupt-line routing so one bad landed file never kills the query.
+    ``maxFilesPerTrigger`` bounds per-micro-batch work."""
+    if corrupt_col not in schema.fieldNames():
+        from pyspark.sql.types import StringType
+
+        schema = schema.add(corrupt_col, StringType(), True)
+    return (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
 def stream_tumbling_bucket(
     events: DataFrame,
     ts_col: str,
