@@ -162,6 +162,27 @@ def main() -> None:
     for name in names:
         dfs[name].write.format("noop").mode("overwrite").save()
 
+    # Host-speed calibration: a fixed, DATA-INDEPENDENT workload (hash +
+    # sum over a generated range, no I/O, no shuffle) timed with the same
+    # best-of-N discipline. Round 6 showed every query drifting +8–36%
+    # with byte-identical plan fingerprints — provably not the plans —
+    # and a round-7 re-measure reproduced the drift on an
+    # apparently-quiet host (load ~2.6/32 with no user). This number
+    # lets any cross-round comparison separate host-speed drift from
+    # plan regressions: queries/calibration is the host-normalized
+    # signal. ~0.4 s at 32 cpus on the r7 host.
+    from pyspark.sql import functions as _F
+
+    cal_df = (
+        spark.range(0, 1_000_000_000, 1, int(cpus))
+        .select(_F.sum(_F.xxhash64("id")).alias("s"))
+    )
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cal_df.write.format("noop").mode("overwrite").save()
+        cal = min(cal, time.perf_counter() - t0)
+
     timings = {name: float("inf") for name in names}
     for _ in range(ROUNDS):
         for name in names:
@@ -178,6 +199,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "plans": plans,
+                "calibration_sec": round(cal, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
