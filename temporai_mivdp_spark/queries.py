@@ -233,6 +233,12 @@ WINDOW_TAIL: tuple[str, ...] = (
     # left-anti exact stage; the grid entry keeps its oracle here and
     # the operator unit tests
     "u1_u2_union_anti_grid",
+    # round 7: displaced for stream_ingest_dedup — trigram language-ID
+    # stays window-exercised by pipeline_docs_curation, whose curation
+    # gate runs the same trigram scorer + broadcast weight dimension on
+    # every doc; langid keeps its oracle here, its bench headline slot,
+    # and the 20-language unit tests
+    "text_langid",
 )
 
 

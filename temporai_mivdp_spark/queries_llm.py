@@ -2128,6 +2128,153 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_ingest_dedup",
+    f"""
+    WITH old_docs AS (SELECT doc_id, text FROM documents),
+    b0keys AS (
+      SELECT md5({_NORM}) AS k, min(doc_id) AS keep FROM old_docs GROUP BY 1
+    ),
+    b0 AS (SELECT keep AS doc_id, CAST(0 AS BIGINT) AS ingest_batch FROM b0keys),
+    kept0 AS (
+      SELECT d.doc_id, d.text FROM old_docs d JOIN b0keys b ON d.doc_id = b.keep
+    ),
+    new_docs AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' zqx' END AS text
+      FROM documents
+    ),
+    keyed AS (SELECT doc_id, text, md5({_NORM}) AS k FROM new_docs),
+    inshard AS (
+      SELECT doc_id, text, k FROM (
+        SELECT doc_id, text, k, min(doc_id) OVER (PARTITION BY k) AS mk
+        FROM keyed
+      ) WHERE doc_id = mk
+    ),
+    novel AS (
+      SELECT i.doc_id, i.text FROM inshard i
+      LEFT JOIN b0keys s ON i.k = s.k WHERE s.k IS NULL
+    ),
+    tok_o AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM kept0),
+    idx_o AS (
+      SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      FROM tok_o
+    ),
+    sh_o AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM idx_o WHERE len(w[i:i+2]) = 3
+    ),
+    base_o AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS x
+      FROM sh_o
+    ),
+    sig_o AS (
+      SELECT doc_id, g.i AS h_idx,
+             min(((1000003 + g.i * 999983) * x + (12345 + g.i * 7919))
+                 % 2147483647) AS mh
+      FROM base_o, (SELECT unnest(generate_series(0, 7)) AS i) g
+      GROUP BY 1, 2
+    ),
+    bh_o AS (
+      SELECT doc_id, h_idx // 2 AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY mh)) AS bh
+      FROM sig_o GROUP BY 1, 2
+    ),
+    tok_n AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM novel),
+    idx_n AS (
+      SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      FROM tok_n
+    ),
+    sh_n AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM idx_n WHERE len(w[i:i+2]) = 3
+    ),
+    base_n AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS x
+      FROM sh_n
+    ),
+    sig_n AS (
+      SELECT doc_id, g.i AS h_idx,
+             min(((1000003 + g.i * 999983) * x + (12345 + g.i * 7919))
+                 % 2147483647) AS mh
+      FROM base_n, (SELECT unnest(generate_series(0, 7)) AS i) g
+      GROUP BY 1, 2
+    ),
+    bh_n AS (
+      SELECT doc_id, h_idx // 2 AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY mh)) AS bh
+      FROM sig_n GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT DISTINCT n.doc_id
+      FROM bh_n n JOIN bh_o o ON n.band = o.band AND n.bh = o.bh
+    ),
+    b1 AS (
+      SELECT nv.doc_id, CAST(1 AS BIGINT) AS ingest_batch
+      FROM novel nv LEFT JOIN matched m ON nv.doc_id = m.doc_id
+      WHERE m.doc_id IS NULL
+    )
+    SELECT doc_id, ingest_batch FROM b0
+    UNION ALL SELECT doc_id, ingest_batch FROM b1
+    """,
+)
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest dedup STREAM executed for real
+    (streaming/ingest.py::ingest_dedup_stream) — the foreachBatch
+    pipeline whose only cross-shard memory is the two slim state tables
+    (exact content keys + LSH band index), with idempotent
+    epoch-partitioned writes. Fixture: two parquet shards land in
+    arrival order (``maxFilesPerTrigger=1`` makes each shard a
+    micro-batch) — shard 0 is the corpus, shard 1 re-submits every doc
+    (evens verbatim, odds mutated). The accepted output must therefore
+    be: batch 0 = the corpus's exact-dedup keepers (state was empty, so
+    nothing near-dups), batch 1 = only the mutants that ALSO escape the
+    band index built from batch 0's survivors (~0.4% of them at
+    sf0.001). The DuckDB oracle replays the entire two-batch history —
+    keeper windows, key anti-join, and the full minhash/band chain
+    against batch-0's kept docs — so a wrong batch boundary, a state
+    leak (a batch seeing its own keys), or a band drift all
+    hash-mismatch. Scale notes in the module docstring: state reads are
+    key-only (accepted text never re-read), and a replayed epoch
+    overwrites its own partitions byte-for-byte."""
+    import os
+    import re
+
+    from temporai_mivdp_spark import streaming as st_mod
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir)
+    root = os.path.join(_curation_scratch_dir(spark), f"stream_ingest_{safe}")
+    inp, state, out = f"{root}/in", f"{root}/state", f"{root}/out"
+    if not os.path.exists(inp):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        # one part file per shard so maxFilesPerTrigger=1 maps one
+        # shard to one micro-batch; sequential writes order the mtimes
+        docs.coalesce(1).write.mode("append").parquet(inp)
+        docs.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" zqx")))
+            .alias("text"),
+        ).coalesce(1).write.mode("append").parquet(inp)
+    writer = st_mod.ingest_dedup_stream(
+        spark,
+        inp,
+        state,
+        out,
+        schema="doc_id long, text string",
+        num_hashes=8,
+        bands=4,
+        max_files_per_trigger=1,
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "doc_id", F.col("ingest_batch").cast("long").alias("ingest_batch")
+    )
+
+
+@_register(
     "text_quantile_norm",
     f"""
     WITH scored AS (

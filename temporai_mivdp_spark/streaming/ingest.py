@@ -87,6 +87,7 @@ def ingest_dedup_stream(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
 ):
     """Build (not start) a streaming query that watches ``input_path``
     for document parquet shards and writes only never-seen-before,
@@ -97,6 +98,11 @@ def ingest_dedup_stream(
     .start()`` (or a processing-time trigger) on it. The checkpoint
     lives under ``state_dir/checkpoint`` so stream restarts resume with
     both their offsets and their dedup state intact.
+    ``max_files_per_trigger`` bounds each micro-batch's file count —
+    batch boundaries are SEMANTIC here (a doc dedups against prior
+    batches' state but within its own batch by min-id), so a landing
+    zone whose shards must dedup against each other in arrival order
+    sets it to the per-shard file count.
     """
     keys_path = f"{state_dir}/keys"
     bands_path = f"{state_dir}/bands"
@@ -140,7 +146,10 @@ def ingest_dedup_stream(
         finally:
             kept.unpersist()
 
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
     return stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", f"{state_dir}/checkpoint"
     )
