@@ -207,11 +207,11 @@ WINDOW_TAIL: tuple[str, ...] = (
     # degenerate-vector (--embeddings) tier coverage
     "dedup_embedding_neardup",
     # round 7: displaced for ingest_jsonl — brute-force ANN stays
-    # window-covered by sim_topk_ivf and sim_topk_lsh (whose oracles
-    # replay the same quantized cosine arithmetic over the same
-    # vectors); brute force keeps its oracle here, its bench headline
-    # slot, and the recall-floor tests that compare the index entries
-    # against it
+    # window-covered by sim_topk_lsh and the IVF replay (sim_topk_ivf,
+    # later superseded in-window by stream_serve_topk, which shares the
+    # identical oracle); brute force keeps its oracle here, its bench
+    # headline slot, and the recall-floor tests that compare the index
+    # entries against it
     "sim_topk_bruteforce",
     # round 7: displaced for shard_assign — BPE tokenization stays
     # window-covered by pipeline_docs_curation, whose composition runs
@@ -239,6 +239,12 @@ WINDOW_TAIL: tuple[str, ...] = (
     # every doc; langid keeps its oracle here, its bench headline slot,
     # and the 20-language unit tests
     "text_langid",
+    # round 7: displaced for stream_serve_topk, which shares the
+    # IDENTICAL oracle (the full IVF plan replay) — the IVF chain stays
+    # hash-checked in-window through the serving entry, and the batch
+    # entry keeps its oracle here plus the recall and
+    # partition-pruning plan tests
+    "sim_topk_ivf",
 )
 
 

@@ -349,9 +349,11 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, probes, k=10)
 
 
-@_register(
-    "sim_topk_ivf",
-    f"""
+#: the full IVF plan replay (16 lowest-id centroids, nprobe=4, k=10,
+#: 1e-6-rounded cosine, id tie-breaks) — shared by the batch `sim_topk_ivf`
+#: and the streaming `stream_serve_topk`, which must answer IDENTICALLY
+#: from the persisted index layout
+_IVF_TOPK_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE {_DIRECTED_SQL}),
     cents AS (
@@ -389,8 +391,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (PARTITION BY pid ORDER BY cosine DESC, vec_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@_register("sim_topk_ivf", _IVF_TOPK_SQL)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-10 (16 deterministic centroids,
     nprobe=4): the scale path — probes scan ~nprobe/16 of the corpus.
@@ -405,6 +409,50 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = similarity.deterministic_centroids(emb, n=16)
     return similarity.ivf_topk(emb, probes, cents, k=10, nprobe=4)
+
+
+@_register("stream_serve_topk", _IVF_TOPK_SQL)
+def stream_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN serving executed for real
+    (streaming/ingest.py::serve_topk_stream): probe vectors land as a
+    parquet shard in a watched directory and are answered inside
+    ``foreachBatch`` against a PERSISTED `persist_ivf_index` layout —
+    the corpus scan carries the routed buckets as a partition filter,
+    so each micro-batch opens only nprobe/16 of the index directories.
+    The emitted (probe, neighbor, cosine, rank) rows must be IDENTICAL
+    to the batch `sim_topk_ivf` over the same fixture (same 16
+    lowest-id centroids, nprobe=4, k=10, 1e-6-rounded cosine, id
+    tie-breaks), so both entries share one oracle — the serving path
+    and the batch path provably cannot drift. Exactly-once via the
+    checkpoint + idempotent batch-partitioned output (the
+    `ingest_dedup_stream` recipe)."""
+    import os
+    import re
+
+    from temporai_mivdp_spark.streaming.ingest import serve_topk_stream
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir)
+    root = os.path.join(_curation_scratch_dir(spark), f"serve_topk_{safe}")
+    index, probes_dir, out = f"{root}/index", f"{root}/probes", f"{root}/out"
+    emb = _t(spark, sf_dir, "embeddings")
+    if not os.path.exists(root):
+        cents = similarity.deterministic_centroids(emb, n=16)
+        similarity.persist_ivf_index(emb, cents, index)
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        ).coalesce(1).write.parquet(probes_dir)
+    probe_schema = spark.read.parquet(probes_dir).schema
+    q = (
+        serve_topk_stream(
+            spark, probes_dir, index, out, probe_schema, k=10, nprobe=4
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "probe_id", "neighbor_id", "cosine", "rank"
+    )
 
 
 

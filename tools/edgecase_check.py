@@ -98,6 +98,7 @@ EMBEDDING_ENTRIES = [
     "sim_topk_lsh",
     "sim_mean_vectors",
     "embed_kmeans",
+    "stream_serve_topk",
 ]
 
 
