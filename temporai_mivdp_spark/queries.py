@@ -245,6 +245,12 @@ WINDOW_TAIL: tuple[str, ...] = (
     # entry keeps its oracle here plus the recall and
     # partition-pruning plan tests
     "sim_topk_ivf",
+    # round 7: displaced for stream_ingest_curation — the round-5
+    # promotion has had two rounds of driver-green exposure (r6, r7),
+    # and the quality-rule family stays window-exercised by
+    # text_quality's feature suite and text_quality_model's scored
+    # projection; gopher keeps its oracle here and its rule unit tests
+    "text_gopher",
 )
 
 

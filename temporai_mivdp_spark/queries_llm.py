@@ -2322,6 +2322,162 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_pred_ctes(src: str) -> str:
+    """CTE block computing ``langpred(doc_id, lang_pred)`` — the FULL
+    20-language trigram replay of ``text.language_id_ngram`` over a
+    source CTE ``src`` with (doc_id, text). Same derivation discipline
+    as ``_langid_ngram_oracle_sql`` (score tables re-derived from the
+    fixed in-repo samples and inlined as VALUES), factored so gate
+    compositions (the curation stream) can consume the prediction
+    without duplicating the scorer by hand — `curation_gate` uses the
+    trigram tier, NOT the marker heuristic the batch curation
+    composition uses."""
+    tables = text.trigram_score_tables()
+    langs = sorted(tables)
+    feats = sorted(next(iter(tables.values())))
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    values = ",\n      ".join(
+        "('" + esc(g) + "', " + ", ".join(str(tables[la][g]) for la in langs) + ")"
+        for g in feats
+    )
+    w_cols = ", ".join(f"w_{la}" for la in langs)
+    score_cols = ", ".join(
+        f"CAST(sum(w_{la}) AS BIGINT) AS score_{la}" for la in langs
+    )
+    coalesced = ", ".join(f"coalesce(score_{la}, 0) AS score_{la}" for la in langs)
+    return f"""lg_t AS (
+      SELECT doc_id, text, {_NORM} AS nt FROM {src}
+    ),
+    lg_g AS (
+      SELECT doc_id, substr(nt, i, 3) AS g3
+      FROM (SELECT doc_id, nt, unnest(generate_series(1, length(nt) - 2)) AS i
+            FROM lg_t WHERE length(nt) >= 3)
+    ),
+    lg_w(g3, {w_cols}) AS (VALUES
+      {values}
+    ),
+    lg_s AS (
+      SELECT doc_id, {score_cols}
+      FROM lg_g JOIN lg_w USING (g3) GROUP BY doc_id
+    ),
+    lg_f AS (
+      SELECT lg_t.doc_id, lg_t.text, {coalesced}
+      FROM lg_t LEFT JOIN lg_s ON lg_t.doc_id = lg_s.doc_id
+    ),
+    langpred AS (
+      SELECT doc_id, {_langid_argmax_case(langs)} AS lang_pred FROM lg_f
+    )"""
+
+
+@_register(
+    "stream_ingest_curation",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text, ' ' || {_NORM} || ' ' AS pad,
+             length(text) AS n_chars,
+             len(string_split({_NORM}, ' ')) AS n_tokens
+      FROM documents
+    ),
+    {_bpe_oracle_ctes("base")},
+    {_langid_pred_ctes("base")},
+    feat AS (
+      SELECT base.doc_id, n_tokens,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / n_chars
+               AS punct_ratio,
+             coalesce(bc.bpe_tokens, 0) AS bpe_tokens
+      FROM base LEFT JOIN bcnt bc ON base.doc_id = bc.doc_id
+    ),
+    gate AS (
+      SELECT f.doc_id,
+             coalesce(n_tokens >= 10 AND punct_ratio < 0.2
+                      AND lp.lang_pred IN ('en', 'und'),
+                      FALSE) AS keep,
+             n_tokens, bpe_tokens, lp.lang_pred
+      FROM feat f LEFT JOIN langpred lp ON f.doc_id = lp.doc_id
+    )
+    SELECT doc_id, keep,
+           CASE WHEN keep THEN n_tokens END AS n_tokens,
+           CASE WHEN keep THEN bpe_tokens END AS bpe_tokens,
+           CASE WHEN keep THEN lang_pred END AS lang_pred
+    FROM gate
+    """,
+)
+def stream_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation gate executed for real
+    (streaming/ingest.py::ingest_curation_stream): document shards land
+    in a watched directory and pass through llmdata/pipeline.py::
+    curation_gate — the SAME function the batch `pipeline_docs_curation`
+    composition runs, so the two paths cannot drift — with accepted
+    docs and quarantined rejects routed to separate epoch-partitioned
+    sinks (the audit-trail shape of a production ingest). The checked
+    surface is the ROUTING DECISION for every submitted doc (one row
+    per doc with its `keep` flag — a doc missing from BOTH sinks, the
+    classic null-propagating-filter bug, shows up as a lost row) plus
+    the full gate metadata (token count, real-BPE count, predicted
+    language) for every ACCEPTED doc; quarantine metadata is nulled on
+    both sides because degenerate inputs (null/blank text) are exactly
+    where engine feature semantics legitimately fork — the decision,
+    not the diagnostics, is the contract there. Exactly-once via
+    checkpoint + idempotent batch-partitioned writes."""
+    import os
+    import re
+
+    from temporai_mivdp_spark.streaming.ingest import ingest_curation_stream
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir)
+    root = os.path.join(_curation_scratch_dir(spark), f"stream_curation_{safe}")
+    inp, out = f"{root}/in", f"{root}/out"
+    if not os.path.exists(inp):
+        _t(spark, sf_dir, "documents").select("doc_id", "text").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+    q = (
+        ingest_curation_stream(spark, inp, out, schema="doc_id long, text string")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    def _route(path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # route empty: parquet dir has no data files
+            return None
+
+    acc = _route(f"{out}/accepted")
+    qua = _route(f"{out}/quarantine")
+    parts = []
+    if acc is not None:
+        parts.append(
+            acc.select(
+                "doc_id",
+                F.lit(True).alias("keep"),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+                "lang_pred",
+            )
+        )
+    if qua is not None:
+        parts.append(
+            qua.select(
+                "doc_id",
+                F.lit(False).alias("keep"),
+                F.lit(None).cast("long").alias("n_tokens"),
+                F.lit(None).cast("long").alias("bpe_tokens"),
+                F.lit(None).cast("string").alias("lang_pred"),
+            )
+        )
+    if not parts:
+        raise RuntimeError("curation stream produced no output partitions")
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
 @_register(
     "text_quantile_norm",
     f"""
