@@ -500,3 +500,56 @@ def test_bmp_roundtrip_property(data):
         idx = rng.integers(0, n, size=(h, w))
         b = _bmp_bytes(indices=idx, palette=pal, bpp=bpp)
         assert (_bmp_pixels(b) == pal[idx]).all(), mode
+
+
+@given(data=st.data())
+@_SETTINGS
+def test_span_coverage_matches_bruteforce(spark, data):
+    """dedup.span_coverage vs a direct Python re-statement: build random
+    docs from a tiny vocabulary (forcing cross-doc shingle collisions),
+    enumerate duplicated n-token spans by brute force, take the union of
+    their [pos, pos+n) intervals per doc, and compare every output
+    column. Hunts off-by-ones the fixture geometry can't reach:
+    adjacent-but-not-overlapping spans, runs ending at the doc tail,
+    docs of exactly n tokens."""
+    from temporai_mivdp_spark.llmdata import dedup
+
+    n = data.draw(st.integers(2, 4))
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(data.draw(st.integers(2, 6))):
+        toks = data.draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=12))
+        docs.append((i, " ".join(toks)))
+
+    # brute force: span -> set of docs containing it (with positions)
+    span_docs: dict[tuple[str, ...], set[int]] = {}
+    positions: dict[int, list[tuple[int, tuple[str, ...]]]] = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        positions[did] = []
+        for p in range(len(toks) - n + 1):
+            sp = tuple(toks[p : p + n])
+            span_docs.setdefault(sp, set()).add(did)
+            positions[did].append((p, sp))
+
+    expected = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        dup_pos = [p for p, sp in positions[did] if len(span_docs[sp]) >= 2]
+        covered: set[int] = set()
+        for p in dup_pos:
+            covered.update(range(p, p + n))
+        expected[did] = (len(toks), len(dup_pos), len(covered))
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_spans, r.covered_tokens, r.coverage)
+        for r in dedup.span_coverage(df, n=n, min_docs=2).collect()
+    }
+    assert set(got) == set(expected)
+    for did, (n_tokens, dup_spans, covered) in expected.items():
+        g = got[did]
+        assert g[0] == n_tokens, (did, g, expected[did])
+        assert g[1] == dup_spans, (did, g, expected[did])
+        assert g[2] == covered, (did, g, expected[did])
+        assert g[3] == covered / n_tokens
