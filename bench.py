@@ -108,6 +108,8 @@ PINNED_EXTRAS = [
     "ingest_jsonl",  # round-7 addition
     "shard_assign",  # round-7 addition
     "dedup_incremental",  # round-7 addition
+    "j_range_bucketed",  # round-7 addition
+    "j_interval_overlap",  # round-7 addition
     # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
     # deliberately NOT fingerprinted here: building their DataFrames
     # EXECUTES the streaming query (memory sink), and the returned

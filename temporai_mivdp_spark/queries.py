@@ -251,6 +251,18 @@ WINDOW_TAIL: tuple[str, ...] = (
     # text_quality's feature suite and text_quality_model's scored
     # projection; gopher keeps its oracle here and its rule unit tests
     "text_gopher",
+    # round 7: displaced for j_range_bucketed — same precedent as
+    # text_gopher (round-5 promotion, two rounds of driver-green
+    # exposure); the unigram-LM fit+score machinery stays
+    # window-exercised by dsir_select (the same explode -> broadcast
+    # ratio dim -> integer-exact map-side sum over the same token
+    # stream) and text_quality_model's scored projection
+    "text_perplexity",
+    # round 7: displaced for j_interval_overlap — same precedent; the
+    # df/idf corpus-stat machinery stays window-exercised by text_bm25
+    # (Lucene idf over the same document-frequency aggregation) and
+    # text_pmi's corpus-count chain
+    "text_tfidf",
 )
 
 
@@ -1797,6 +1809,103 @@ def window_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_orderkey").over(w).alias("prev_key"),
         F.lead("o_orderkey").over(w).alias("next_key"),
         (cents - prev_cents).alias("cents_delta"),
+    )
+
+
+@_register(
+    "j_range_bucketed",
+    """
+    SELECT e.event_id, o.o_orderkey, epoch_us(e.ts) AS t_us
+    FROM events e JOIN orders o
+      ON e.user_id = o.o_custkey
+     AND epoch_us(e.ts) >= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+     AND epoch_us(e.ts) <= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                           + 604800000000
+    """,
+)
+def j_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/joins.py::range_join): every event
+    matched to the same customer's orders whose 7-day window contains
+    it, planned as an EQUALITY join on (user, day-bucket) — the naive
+    range predicate has no equi-key and Spark falls back to a
+    BroadcastNestedLoopJoin, quadratic and OOM-prone at corpus scale;
+    binning restores hash partitioning (each interval explodes into the
+    ~8 day-buckets it touches, the exact predicate filters the coarse
+    candidates, and a pair matches in exactly one bucket so no distinct
+    pass). The oracle is the PLAIN inequality join — the bucketing must
+    be invisible in the result. Epochs compare in microseconds on both
+    sides (the events parquet is TIMESTAMP(NANOS))."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us")
+    )
+    day_us = 86_400_000_000
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("w_start"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) + 7 * day_us
+        ).alias("w_end"),
+    )
+    out = join_ops.range_join(
+        ev, orders, "t_us", "w_start", "w_end", bucket=float(day_us), keys=["user_id"]
+    )
+    return out.select("event_id", "o_orderkey", "t_us")
+
+
+@_register(
+    "j_interval_overlap",
+    """
+    WITH o AS (
+      SELECT o_custkey AS user_id, o_orderkey,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS s,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) + 864000000000 AS e
+      FROM orders
+    )
+    SELECT a.user_id, a.o_orderkey AS a_key, b.o_orderkey AS b_key
+    FROM o a JOIN o b
+      ON a.user_id = b.user_id
+     AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval-overlap join (operators/joins.py::
+    interval_overlap_join): all pairs of the same customer's 10-day
+    order windows that overlap, planned as an equality join on
+    (user, bucket) with each pair kept in exactly ONE bucket (the first
+    bucket of the overlap region) — the interval×interval companion of
+    `j_range_bucketed`, and the same scale argument: the bare overlap
+    predicate is a nested-loop plan, the binning makes it
+    hash-partitioned and AQE-eligible. Oracle is the plain self-join on
+    the overlap predicate — bucketing and dedup-by-region-start must be
+    invisible in the result."""
+    day_us = 86_400_000_000
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) + 10 * day_us
+        ).alias("e"),
+    )
+    a = o.select(
+        "user_id",
+        F.col("o_orderkey").alias("a_key"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = o.select(
+        "user_id",
+        F.col("o_orderkey").alias("b_key"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    out = join_ops.interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", bucket=float(5 * day_us), keys=["user_id"]
+    )
+    return out.filter(F.col("a_key") < F.col("b_key")).select(
+        "user_id", "a_key", "b_key"
     )
 
 

@@ -58,16 +58,15 @@ def test_driver_window_prioritizes_least_proven_entries():
     window = set(keys[:50])
     promotions = {
         "text_chunk_overlap",
-        "text_tfidf",
-        "text_perplexity",
         "text_boilerplate",
         "text_repeated_spans",
         "text_quantile_norm",
-        # text_gopher left this set in round 7: after two rounds of
-        # driver-green exposure (r6, r7) it became a longest-stable row
-        # and was displaced into WINDOW_TAIL for stream_ingest_curation
-        # (rationale in queries.py / COVERAGE.md) — the policy is
-        # "newest entries face the driver", not a permanent roster
+        # text_gopher / text_perplexity / text_tfidf left this set in
+        # round 7: after two rounds of driver-green exposure (r6, r7)
+        # they became longest-stable rows and were displaced into
+        # WINDOW_TAIL for the round-7 promotions (rationales in
+        # queries.py / COVERAGE.md) — the policy is "newest entries
+        # face the driver", not a permanent roster
     }
     assert promotions <= window, promotions - window
     assert tuple(keys[len(keys) - len(WINDOW_TAIL):]) == WINDOW_TAIL
