@@ -27,6 +27,7 @@ from temporai_mivdp_spark.operators import (
     aggregates as agg_ops,
     joins as join_ops,
     reshape,
+    skew as skew_ops,
     sorts,
     timeseries as ts_ops,
 )
@@ -263,6 +264,12 @@ WINDOW_TAIL: tuple[str, ...] = (
     # (Lucene idf over the same document-frequency aggregation) and
     # text_pmi's corpus-count chain
     "text_tfidf",
+    # round 7: displaced for a_salted_skew — longest-stable granular
+    # row (driver-green since its promotion round); its verification
+    # mass is the codec unit-test battery, the decode_status rollup,
+    # and the edgecase tier, none of which depend on window
+    # membership, and its oracle re-verifies here every round
+    "multimodal_metadata",
 )
 
 
@@ -1809,6 +1816,41 @@ def window_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_orderkey").over(w).alias("prev_key"),
         F.lead("o_orderkey").over(w).alias("next_key"),
         (cents - prev_cents).alias("cents_delta"),
+    )
+
+
+@_register(
+    "a_salted_skew",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def a_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew playbook as a checked entry
+    (operators/skew.py): the fact side joins its dimension through
+    `salted_join` (dim replicated once per salt bucket, hot fact keys
+    scattered across buckets) and the rollup runs through
+    `salted_group_count` (count per (key, salt), then sum the partials)
+    — the fallback shapes for aggregations/joins AQE's runtime skew
+    splitting can't fix. The oracle is the PLAIN join + group count:
+    salting is a physical redistribution and must be invisible in the
+    result, which is exactly what the hash-check pins (a salt leaking
+    into keys, a lost/duplicated replica, or an unstable rand()-based
+    salt all mismatch). The salt is a deterministic row hash, so
+    retries and recomputation are stable; the skew stress tests
+    (tests/test_skew_and_stateful.py) carry the injected-hot-key
+    evidence."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = skew_ops.salted_join(ev, dim, "user_id", salt_buckets=8)
+    return skew_ops.salted_group_count(
+        joined, ["segment", "event_type"], salt_buckets=16, count_name="n"
     )
 
 
