@@ -26,13 +26,13 @@ def test_oracle_coverage():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle without query: {missing}"
-    # every SQL-expressible query should carry an oracle; rows-only checks
-    # are the documented exception list
+    # EVERY catalog entry carries an oracle — the approximate ANN paths
+    # included, since their determinism lets the oracles mirror the full
+    # plan (centroid routing / md5 planes) step by step. A new rows-only
+    # entry is a deliberate contract change: loosen this assertion AND
+    # document the exception in COVERAGE.md in the same commit.
     no_oracle = set(qs) - set(oracles)
-    # approximate-by-design ops: correctness asserted in tests/ (recall vs
-    # exact baseline), not SQL-reproducible
-    allowed_rows_only = {"sim_topk_ivf", "sim_topk_lsh"}
-    assert no_oracle <= allowed_rows_only, f"missing oracles: {no_oracle}"
+    assert not no_oracle, f"missing oracles: {no_oracle}"
 
 
 @pytest.mark.parametrize("name", ["flagship_revenue_by_nation"])
