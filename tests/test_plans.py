@@ -219,3 +219,32 @@ def test_dsir_selection_has_no_doc_scale_window(spark):
         ps = plans.executed_plan(tier)
         assert "TakeOrderedAndProject" in ps, ps[:2000]
         assert "Window" not in ps, ps[:2000]
+
+
+@pytest.mark.parametrize("name", ["j_range_bucketed", "j_interval_overlap"])
+def test_binned_joins_never_nested_loop(spark, name):
+    """The whole point of the binned range/overlap joins is restoring an
+    EQUALITY key: if the bucketing is broken (bucket column dropped from
+    the join keys, explode removed), Spark silently falls back to a
+    BroadcastNestedLoopJoin and correctness still passes — only the
+    100 TB plan dies. Pin the equality-join shape."""
+    df = QUERIES[name](spark, SF_SMOKE)
+    s = plans.plan_summary(df)
+    assert s.get("BroadcastNestedLoopJoin", 0) == 0, s
+    assert s.get("CartesianProduct", 0) == 0, s
+    assert s.get("BroadcastHashJoin", 0) + s.get("SortMergeJoin", 0) + s.get(
+        "ShuffledHashJoin", 0
+    ) >= 1, s
+
+
+def test_span_coverage_window_is_per_document(spark):
+    """dedup_span_coverage's interval union runs one window per DOCUMENT
+    (bounded by doc length); an unpartitioned Window.orderBy here would
+    ship every duplicated position through one task — the dsir_top_k
+    lesson from round 6. Pin the partitioning."""
+    df = QUERIES["dedup_span_coverage"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" in spec, spec
