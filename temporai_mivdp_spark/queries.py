@@ -270,6 +270,13 @@ WINDOW_TAIL: tuple[str, ...] = (
     # and the edgecase tier, none of which depend on window
     # membership, and its oracle re-verifies here every round
     "multimodal_metadata",
+    # round 7: displaced for text_bpe_train — same two-green-rounds
+    # precedent as the other round-5 text promotions; cross-document
+    # repeated-content detection stays window-exercised by
+    # dedup_span_coverage (the positional form of the same signal) and
+    # text_quality's regex passes; boilerplate keeps its oracle here
+    # and the banner-surfacing unit tests
+    "text_boilerplate",
 )
 
 

@@ -2478,6 +2478,84 @@ def stream_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def _bpe_train_oracle_sql(num_merges: int = 8, max_word_types: int = 4096) -> str:
+    """Full-mirror SQL for ``text_bpe_train``: replays Sennrich BPE
+    TRAINING itself, one unrolled (pair-count → argmax → merge-apply)
+    stage per learned merge. Uses `_bpe_oracle_ctes`'s bar encoding and
+    ``'|' → chr(1)`` delimiter mapping (unmapped in the final SELECT);
+    pair extraction splits the bar string back into its symbol list,
+    the argmax tie-break is (count desc, pair asc) — python tuple order
+    == DuckDB binary collation because UTF-8 preserves code-point order
+    — and each stage recounts from the CURRENT segmentation, which is
+    equivalent to the engine's incremental variant because a merged
+    pair's occurrences are all consumed by the left-to-right rewrite.
+    When a stage finds no pair (fully merged / degenerate corpus), its
+    LIMIT-1 CTE is empty, the cross join empties every later stage, and
+    the output simply stops at the merges learned so far — exactly the
+    trainer's ``break``."""
+    stages = []
+    for k in range(1, num_merges + 1):
+        prev = f"s{k - 1}"
+        stages.append(f"""e{k} AS (
+      SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+      FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS syms FROM {prev})
+    ),
+    p{k} AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, sum(cnt) AS c
+      FROM e{k} GROUP BY 1, 2
+    ),
+    b{k} AS (SELECT a, b FROM p{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    s{k} AS (
+      SELECT token, cnt,
+             replace(s, '|' || b{k}.a || '||' || b{k}.b || '|',
+                        '|' || b{k}.a || b{k}.b || '|') AS s
+      FROM {prev} CROSS JOIN b{k}
+    )""")
+        # noqa: the replace pattern is the _bpe_oracle_ctes merge kernel
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {k - 1} AS rank, replace(a, chr(1), '|') AS left,"
+        f" replace(b, chr(1), '|') AS right FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return f"""
+    WITH wt AS (
+      SELECT token, cnt FROM (
+        SELECT t AS token, count(*) AS cnt
+        FROM (SELECT unnest(string_split({_NORM}, ' ')) AS t FROM documents)
+        WHERE t <> '' GROUP BY 1
+      ) ORDER BY cnt DESC, token ASC LIMIT {max_word_types}
+    ),
+    s0 AS (
+      SELECT token, cnt,
+             '||' || array_to_string(
+                       string_split(replace(token, '|', chr(1)), ''), '||') || '||'
+               AS s
+      FROM wt
+    ),
+    {",".join(stages)}
+    {selects}
+    """
+
+
+@_register("text_bpe_train", _bpe_train_oracle_sql())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on the corpus, oracle-checked merge by
+    merge (llmdata/bpe.py::train_bpe): one distributed aggregate builds
+    the bounded word-frequency table (top 4096 types by count-desc,
+    word-asc — TakeOrdered, never a global window), then the Sennrich
+    merge loop runs driver-side over that table (the textbook scale
+    split — HF/sentencepiece trainers do the same). The DuckDB oracle
+    replays TRAINING ITSELF — eight unrolled pair-count → argmax →
+    merge-apply stages over the same word table — so a wrong tie-break,
+    a missed pair consumption, or an unstable word-table cutoff each
+    change a learned merge and hash-mismatch. The result is a plain
+    (rank, left, right) dimension, persistable next to the corpus like
+    any vocab; `text_bpe_count` / `pipeline_docs_curation` then apply
+    such tables at scale."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe.train_bpe(docs, num_merges=8, max_word_types=4096)
+
+
 @_register(
     "text_quantile_norm",
     f"""
