@@ -20,7 +20,8 @@ Charity rules (every one favors the pandas side):
 
 Semantics matched to the catalog queries (same outputs, verified by
 row-count equality at run time): ``a8_winsorize``,
-``w3_tumbling_bucket``, ``dedup_exact``.
+``w3_tumbling_bucket``, ``dedup_exact``, ``a2_two_level_agg``,
+``text_quality``, ``dedup_span_coverage``.
 
 Usage: python tools/pandas_baseline.py [sf_dir] [repeats]
 """
@@ -118,6 +119,50 @@ def pd_dedup_exact(docs: pd.DataFrame) -> pd.DataFrame:
     return g.agg(keep_id="min", n_copies="size").reset_index(drop=True)
 
 
+def pd_span_coverage(docs: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc duplicated-span coverage (dedup_span_coverage semantics,
+    n=10, min_docs=2, on the augmented corpus). Shingling has no
+    vectorized pandas form, so the per-doc loop below is exactly how a
+    single-node implementation does it; the survivor filter and the
+    interval union use groupby/numpy where possible."""
+    aug = pd.concat(
+        [docs, docs.assign(doc_id=docs["doc_id"] + 1_000_000, text=docs["text"] + " zqx")],
+        ignore_index=True,
+    )
+    aug = aug[aug["text"].notna()]
+    norm = aug["text"].str.lower().str.replace(_WS, " ", regex=True).str.strip()
+    toks = norm.str.split(" ")
+    ids = aug["doc_id"].to_numpy()
+    n_tokens = toks.map(len).to_numpy()
+    rows_doc: list = []
+    rows_pos: list = []
+    rows_h: list = []
+    for did, tk in zip(ids, toks.to_numpy()):
+        if len(tk) >= 10:
+            for p in range(len(tk) - 9):
+                rows_doc.append(did)
+                rows_pos.append(p)
+                rows_h.append(hash(" ".join(tk[p : p + 10])))
+    sp = pd.DataFrame({"doc_id": rows_doc, "pos": rows_pos, "h": rows_h})
+    nd = sp.groupby("h")["doc_id"].nunique()
+    dup = sp[sp["h"].isin(set(nd[nd >= 2].index))]
+
+    def union(g: pd.DataFrame) -> pd.Series:
+        pos = np.sort(g["pos"].to_numpy())
+        covered = int(np.minimum(np.diff(pos), 10).sum()) + 10
+        return pd.Series({"dup_spans": len(pos), "covered_tokens": covered})
+
+    cov = dup.groupby("doc_id").apply(union, include_groups=False)
+    out = pd.DataFrame({"doc_id": ids, "n_tokens": n_tokens}).merge(
+        cov, left_on="doc_id", right_index=True, how="left"
+    )
+    out[["dup_spans", "covered_tokens"]] = (
+        out[["dup_spans", "covered_tokens"]].fillna(0).astype("int64")
+    )
+    out["coverage"] = out["covered_tokens"] / out["n_tokens"]
+    return out
+
+
 SFS = ("0.01", "0.1")
 
 
@@ -141,6 +186,7 @@ def main() -> None:
             "dedup_exact": lambda: pd_dedup_exact(t["docs"]),
             "a2_two_level_agg": lambda: pd_two_level(t["li"]),
             "text_quality": lambda: pd_text_quality(t["docs"]),
+            "dedup_span_coverage": lambda: pd_span_coverage(t["docs"]),
         }
 
     names = list(pandas_cases(SFS[0]))
