@@ -187,3 +187,35 @@ def test_vocabulary_and_encoding_invariant(spark):
             "doc_id", F.col("token_ids").cast("string").alias("ids")
         ),
     )
+
+
+def test_shard_assign_invariant_and_writer_layout(spark, tmp_path):
+    """shard_assign's claims are layout claims: (1) shard + order key are
+    input-partitioning-independent (row-local md5), (2) the WRITER
+    recipe — repartition(n, shard) + sortWithinPartitions(order) +
+    partitioned write — produces the same (shard -> ordered doc list)
+    regardless of how the input arrived, i.e. byte-reproducible shard
+    files on any cluster size."""
+    docs = _docs(spark)
+    _assert_layout_invariant(
+        docs, lambda d: sampling.shard_assign(d, 8, seed="e0")
+    )
+    contents = []
+    for i, (_, layout) in enumerate(_layouts(docs)):
+        out = str(tmp_path / f"shards_{i}")
+        (
+            sampling.shard_assign(layout, 4, seed="e0")
+            .repartition(4, F.col("shard"))
+            .sortWithinPartitions("shard_order")
+            .write.partitionBy("shard")
+            .parquet(out)
+        )
+        per_shard = {}
+        for s in range(4):
+            rows = spark.read.parquet(f"{out}/shard={s}").collect()
+            # file order is the training order; re-sort ONLY by the
+            # written row order surrogate (shard_order) to read it back
+            per_shard[s] = [r.doc_id for r in sorted(rows, key=lambda r: r.shard_order)]
+        contents.append(per_shard)
+    assert contents[0] == contents[1] == contents[2]
+    assert sum(len(v) for v in contents[0].values()) == docs.count()
