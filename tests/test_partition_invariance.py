@@ -219,3 +219,47 @@ def test_shard_assign_invariant_and_writer_layout(spark, tmp_path):
         contents.append(per_shard)
     assert contents[0] == contents[1] == contents[2]
     assert sum(len(v) for v in contents[0].values()) == docs.count()
+
+
+def test_span_coverage_invariant(spark):
+    docs = _docs(spark)
+    _assert_layout_invariant(
+        docs, lambda d: dedup.span_coverage(d, n=4, min_docs=2)
+    )
+
+
+def test_incremental_dedup_invariant(spark):
+    """Both incremental stages must be layout-independent on BOTH sides:
+    the new shard's partitioning and the state tables' partitioning."""
+    docs = _docs(spark)
+    seen = docs.limit(40).select(
+        F.md5(dedup.normalize_text(F.col("text"))).alias("content_key")
+    )
+    _assert_layout_invariant(
+        docs, lambda d: dedup.incremental_exact_novel(d, seen).select(
+            "doc_id", "content_key"
+        )
+    )
+    index = dedup.lsh_band_index(docs.limit(60), num_hashes=8, bands=4)
+    _assert_layout_invariant(
+        docs,
+        lambda d: dedup.incremental_lsh_candidates(
+            d, index, num_hashes=8, bands=4
+        ),
+        key="doc_id",
+    )
+
+
+def test_sketch_state_invariant(spark):
+    """Sketch state (bucket minima / histogram counts) must not depend on
+    input layout — it is what gets PERSISTED and merged across dumps."""
+    from temporai_mivdp_spark.operators import sketches
+
+    docs = _docs(spark)
+    _assert_layout_invariant(
+        docs,
+        lambda d: sketches.bucket_min_sketch(
+            d.select("text"), F.col("text"), n_buckets=16
+        ),
+        key="text",
+    )
