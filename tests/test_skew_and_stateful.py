@@ -233,3 +233,56 @@ def test_repeated_spans_hot_span_stays_bounded(spark):
     counts = [r["count"] for r in staged]
     assert len(counts) > 1
     assert max(counts) <= 3 * (sum(counts) / len(counts)), counts
+
+
+def test_range_join_hot_key_and_wide_interval_bounded(spark):
+    """The binned range join's two skew axes, stressed together: one key
+    holds 50% of the points, and one interval spans the WHOLE axis
+    (exploding into span/bucket + 1 bucket rows). The exact result must
+    match the plain range predicate, the wide interval's explode must be
+    bounded by span/bucket + 1, and no partition may hold the whole hot
+    key's candidate set."""
+    from pyspark.sql import functions as F
+
+    from temporai_mivdp_spark.operators.joins import range_join
+
+    n = 2000
+    pts = spark.createDataFrame(
+        [(i, 1 if i % 2 == 0 else (i % 50) + 2, float(i % 1000)) for i in range(n)],
+        "pid: long, k: long, t: double",
+    )
+    # 60 narrow intervals + ONE whole-axis interval on the hot key
+    iv = spark.createDataFrame(
+        [(j, (j % 50) + 2, float(j * 15 % 900), float(j * 15 % 900 + 30)) for j in range(60)]
+        + [(999, 1, 0.0, 1000.0)],
+        "iid: long, k: long, s: double, e: double",
+    )
+    bucket = 50.0
+    got = range_join(pts, iv, "t", "s", "e", bucket=bucket, keys=["k"])
+    plain = (
+        pts.join(iv, "k")
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+    )
+    assert got.count() == plain.count()
+    # the wide interval explodes into exactly span/bucket + 1 rows
+    wide_buckets = 1000.0 / bucket + 1
+    exploded = iv.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / bucket).cast("long"),
+                F.floor(F.col("e") / bucket).cast("long"),
+            )
+        ),
+    )
+    assert exploded.filter(F.col("iid") == 999).count() == wide_buckets
+    # hot-key candidates spread across buckets: the join keys on
+    # (k, bucket), so the hot key's 1000 points land in 21 distinct
+    # join partitions-worth of keys, not one
+    hot_keys = (
+        got.filter(F.col("k") == 1)
+        .select(F.floor(F.col("t") / bucket).cast("long").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert hot_keys >= 20
