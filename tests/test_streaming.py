@@ -249,6 +249,37 @@ def test_ingest_dedup_stream_rolling_shards(spark):
     )
     assert keys_b1.count() == 5 and excl.count() == 4
 
+    # REAL at-least-once replay: drop the last epoch's commit marker
+    # (Structured Streaming will re-run that epoch on restart) AND one of
+    # its three writes (the bands partition — simulating a crash between
+    # the keys write and the bands write). The replayed epoch must see
+    # the state its first attempt saw, recompute the same survivors, and
+    # overwrite its own partitions — converging on the identical output.
+    import shutil
+    from pathlib import Path
+
+    last_epoch = int(by_batch[8])
+    commits = sorted(
+        p for p in Path(f"{state}/checkpoint/commits").iterdir()
+        if not p.name.startswith(".")
+    )
+    assert commits[-1].name == str(last_epoch)
+    commits[-1].unlink()
+    # the local-FS checksum sidecar must go with it, or the replay's
+    # commit rename collides with the stale .crc
+    crc = commits[-1].with_name(f".{commits[-1].name}.crc")
+    if crc.exists():
+        crc.unlink()
+    shutil.rmtree(f"{state}/bands/ingest_batch={last_epoch}")
+    run_available()
+    replay_rows = spark.read.parquet(out).collect()
+    assert {(r.doc_id, r.ingest_batch) for r in replay_rows} == {
+        (r.doc_id, r.ingest_batch) for r in rows
+    }
+    # and the torn state write was healed
+    bands = spark.read.parquet(f"{state}/bands")
+    assert bands.filter(bands.ingest_batch == last_epoch).count() > 0
+
 
 def test_streaming_ingest_quality_gate(spark):
     """The row-local quality surface (language-ID, quality score, bloom
