@@ -112,6 +112,7 @@ PINNED_EXTRAS = [
     "j_interval_overlap",  # round-7 addition
     "a_salted_skew",  # round-7 addition
     "text_bpe_train",  # round-7 addition
+    "sketch_quantile_merge",  # round-7 addition
     # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
     # deliberately NOT fingerprinted here: building their DataFrames
     # EXECUTES the streaming query (memory sink), and the returned

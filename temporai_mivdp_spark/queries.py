@@ -277,6 +277,13 @@ WINDOW_TAIL: tuple[str, ...] = (
     # text_quality's regex passes; boilerplate keeps its oracle here
     # and the banner-surfacing unit tests
     "text_boilerplate",
+    # round 7: displaced for sketch_quantile_merge — same
+    # two-green-rounds precedent; the cross-document repeated-span
+    # signal stays window-exercised by dedup_span_coverage (the
+    # positional superset: same shingle machinery, plus interval
+    # union), and the span-mining entry keeps its oracle here, its
+    # license-header unit tests, and its DuckDB differential
+    "text_repeated_spans",
 )
 
 

@@ -2557,6 +2557,119 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sketch_quantile_merge",
+    """
+    WITH v AS (
+      SELECT event_type, value,
+             coalesce(event_id % 2 = 0, FALSE) AS in_a
+      FROM events WHERE value IS NOT NULL
+    ),
+    ha AS (
+      SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM v WHERE in_a GROUP BY 1, 2
+    ),
+    hb AS (
+      SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM v WHERE NOT in_a GROUP BY 1, 2
+    ),
+    hm AS (
+      SELECT event_type, bucket, sum(cnt) AS cnt
+      FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb) GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bucket,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n_rows
+      FROM hm
+    ),
+    p50 AS (
+      SELECT event_type, n_rows,
+             min(bucket) * CAST(10.0 AS DOUBLE) AS p50_merged
+      FROM c WHERE cum >= ceil(0.5 * n_rows) GROUP BY 1, 2
+    ),
+    na AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_a FROM ha GROUP BY 1),
+    nb AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_b FROM hb GROUP BY 1),
+    r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    ex AS (
+      SELECT event_type, value AS p50_exact FROM r
+      WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    )
+    SELECT p50.event_type,
+           coalesce(na.n_a, 0) AS n_a,
+           coalesce(nb.n_b, 0) AS n_b,
+           n_rows, p50_merged, p50_exact
+    FROM p50
+    LEFT JOIN na ON p50.event_type = na.event_type
+    LEFT JOIN nb ON p50.event_type = nb.event_type
+    JOIN ex ON p50.event_type = ex.event_type
+    """,
+)
+def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dump quantile estimation from MERGED sketch state
+    (operators/sketches.py::merge_histograms) — the quantile twin of
+    `sketch_overlap`: the corpus arrives as two disjoint dumps (even /
+    odd event ids), each builds its per-group fixed-width histogram
+    independently, and the p50 estimate comes from the FOLDED state
+    alone — counts add exactly, so telemetry over a growing corpus
+    never rescans earlier dumps. The per-dump row masses ride along
+    (the fold's conservation check: n_a + n_b == n_rows in every
+    group), the exact p50 order statistic is the error surface, and the
+    DuckDB oracle replays dump splitting, both histograms, the count
+    fold, and the cumulative-collapse estimator bit for bit. Sketch
+    side: two map-side-combinable groupBy.counts + a histogram-row
+    union; the only raw-data window is the verification column's."""
+    from temporai_mivdp_spark.operators import sketches
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    in_a = F.coalesce(F.col("event_id") % 2 == 0, F.lit(False))
+    a = ev.filter(in_a).select("event_type", "value")
+    b = ev.filter(~in_a).select("event_type", "value")
+    ha = sketches.fixed_width_histogram(a, F.col("value"), ["event_type"], 10.0)
+    hb = sketches.fixed_width_histogram(b, F.col("value"), ["event_type"], 10.0)
+    merged = sketches.merge_histograms(ha, hb)
+    p50 = sketches.estimate_quantile(merged, 0.5, 10.0, "p50_merged")
+    na = ha.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n_a"))
+    nb = hb.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n_b"))
+    w = Window.partitionBy("event_type").orderBy("value")
+    cw = Window.partitionBy("event_type")
+    exact = (
+        ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(cw).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")))
+        .select("event_type", F.col("value").alias("p50_exact"))
+    )
+    return (
+        p50.join(na, "event_type", "left")
+        .join(nb, "event_type", "left")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            "n_rows",
+            "p50_merged",
+            "p50_exact",
+        )
+    )
+
+
+@_register(
     "text_quantile_norm",
     f"""
     WITH scored AS (

@@ -58,10 +58,9 @@ def test_driver_window_prioritizes_least_proven_entries():
     window = set(keys[:50])
     promotions = {
         "text_chunk_overlap",
-        "text_repeated_spans",
         "text_quantile_norm",
-        # text_gopher / text_perplexity / text_tfidf / text_boilerplate
-        # left this set in
+        # text_gopher / text_perplexity / text_tfidf / text_boilerplate /
+        # text_repeated_spans left this set in
         # round 7: after two rounds of driver-green exposure (r6, r7)
         # they became longest-stable rows and were displaced into
         # WINDOW_TAIL for the round-7 promotions (rationales in
