@@ -1,7 +1,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "plans": {name: fingerprint}, "sf": ...}.
+"queries": {name: sec}, "calibration_sec": ..., "sf": ...}.
+
+The stdout line is the DRIVER-facing artifact and is kept deliberately
+compact (<2000 chars): round 7 grew it past the driver's tail-capture
+window by inlining 47 plan fingerprints, and BENCH_r07.json recorded
+`parsed: null` — a full round with no perf signal. The fingerprints (and
+the host-normalized per-query ratios) now go to the BENCH_FULL.json
+sidecar, and the normalized round-over-round table is maintained in
+PLANS.md; the committed fingerprint pin stays PLANS.json.
 
 Methodology (why it looks like this — measured, not guessed):
 
@@ -196,20 +204,74 @@ def main() -> None:
             timings[name] = min(timings[name], time.perf_counter() - t0)
     timings = {name: round(t, 3) for name, t in timings.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "plans": plans,
-                "calibration_sec": round(cal, 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    cal = round(cal, 3)
+    payload = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "calibration_sec": cal,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload)
+    # Driver tail-capture contract: ONE line, comfortably under 2000 chars
+    # (round-7 lesson — the inlined plans map pushed it to 2,263 and the
+    # driver recorded parsed: null).
+    assert len(line) < 1900, f"bench stdout line too long ({len(line)} chars)"
+    print(line)
+
+    # Full artifact (fingerprints + host-normalized ratios) to a sidecar —
+    # everything the stdout line used to carry, without the size cap.
+    normalized = {n: round(t / cal, 2) for n, t in timings.items()} if cal else {}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump({**payload, "plans": plans, "queries_per_calibration": normalized},
+                  f, indent=1, sort_keys=True)
+    _update_plans_md_normalized_table(timings, cal, sf)
     spark.stop()
+
+
+NORM_BEGIN = "<!-- bench-normalized:begin (maintained by bench.py) -->"
+NORM_END = "<!-- bench-normalized:end -->"
+
+
+def _update_plans_md_normalized_table(timings, cal, sf) -> None:
+    """Maintain the host-normalized round-over-round table in PLANS.md.
+
+    Rounds 5→7 burned two verdict cycles on uniform host-speed drift
+    (byte-identical fingerprints, +8-36% wall time); queries[q] divided by
+    the data-independent calibration workload is the host-invariant
+    signal. The table lives between sentinel comments so both this
+    function and tools/explain_all.py can regenerate their own sections
+    without clobbering each other. Appends one column per run (keyed by
+    sf), keeping the latest value per query."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md")
+    try:
+        text = open(path).read()
+    except FileNotFoundError:
+        text = "# PLANS\n"
+    rows = "\n".join(
+        f"| {n} | {t:.3f} | {round(t / cal, 2) if cal else '—'} |"
+        for n, t in timings.items()
+    )
+    section = (
+        f"{NORM_BEGIN}\n\n"
+        "## Host-normalized headline timings (latest bench run)\n\n"
+        f"Calibration workload (1e9-row range→xxhash64→sum, best-of-3): "
+        f"**{cal}s** at sf={sf}. `t/cal` is the host-invariant signal — "
+        "compare IT round-over-round, not raw seconds (rounds 5→7 showed "
+        "±35% uniform host drift with byte-identical plan fingerprints).\n\n"
+        "| query | sec | t/cal |\n|---|---|---|\n"
+        f"{rows}\n\n{NORM_END}"
+    )
+    if NORM_BEGIN in text and NORM_END in text:
+        head, rest = text.split(NORM_BEGIN, 1)
+        _, tail = rest.split(NORM_END, 1)
+        text = head + section + tail
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(path, "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":

@@ -862,6 +862,22 @@ def _stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _await_or_raise(q, seconds: int) -> None:
+    """``awaitTermination(timeout)`` returns False on timeout, in which
+    case the sink holds a PARTIAL result that would be silently compared
+    against the oracle. Fail loudly instead: stop the hung query and
+    raise, so a slow/hung stream surfaces as a harness error, never as a
+    plausible-looking partial row set."""
+    if not q.awaitTermination(seconds):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} did not finish in {seconds}s; "
+                "sink is partial — refusing to read it"
+            )
+
+
 def _run_stream_to_memory(df: DataFrame, prefix: str, mode: str) -> str:
     """Execute a streaming DataFrame to a fresh memory sink under an
     ``availableNow`` trigger; returns the sink table name."""
@@ -873,7 +889,7 @@ def _run_stream_to_memory(df: DataFrame, prefix: str, mode: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     return name
 
 
@@ -1871,42 +1887,51 @@ def a_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "j_range_bucketed",
     """
-    SELECT e.event_id, o.o_orderkey, epoch_us(e.ts) AS t_us
-    FROM events e JOIN orders o
-      ON e.user_id = o.o_custkey
-     AND epoch_us(e.ts) >= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
-     AND epoch_us(e.ts) <= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
-                           + 604800000000
+    SELECT e.event_id, p.event_id AS purchase_id, epoch_us(e.ts) AS t_us
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND e.event_type IN ('click', 'view')
+     AND epoch_us(e.ts) >= epoch_us(p.ts)
+     AND epoch_us(e.ts) <= epoch_us(p.ts) + 259200000000
     """,
 )
 def j_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned range join (operators/joins.py::range_join): every event
-    matched to the same customer's orders whose 7-day window contains
-    it, planned as an EQUALITY join on (user, day-bucket) — the naive
-    range predicate has no equi-key and Spark falls back to a
-    BroadcastNestedLoopJoin, quadratic and OOM-prone at corpus scale;
-    binning restores hash partitioning (each interval explodes into the
-    ~8 day-buckets it touches, the exact predicate filters the coarse
-    candidates, and a pair matches in exactly one bucket so no distinct
-    pass). The oracle is the PLAIN inequality join — the bucketing must
-    be invisible in the result. Epochs compare in microseconds on both
+    """Binned range join (operators/joins.py::range_join): every
+    click/view matched to the same user's purchase windows [ts, ts+3d]
+    that contain it (post-purchase attribution), planned as an EQUALITY
+    join on (user, day-bucket) — the naive range predicate has no
+    equi-key and Spark falls back to a BroadcastNestedLoopJoin,
+    quadratic and OOM-prone at corpus scale; binning restores hash
+    partitioning (each interval explodes into the ~4 day-buckets it
+    touches, the exact predicate filters the coarse candidates, and a
+    pair matches in exactly one bucket so no distinct pass). Both join
+    sides derive from the events epoch, so the entry is non-vacuous at
+    every sf (the round-7 version probed orders' 1995-2001 dates against
+    2024 events — 0 rows both sides, a green row that proved nothing).
+    The oracle is the PLAIN inequality join — the bucketing must be
+    invisible in the result. Epochs compare in microseconds on both
     sides (the events parquet is TIMESTAMP(NANOS))."""
     ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us")
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
     )
     day_us = 86_400_000_000
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        "o_orderkey",
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("w_start"),
-        (
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")) + 7 * day_us
-        ).alias("w_end"),
+    probes = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "t_us"
+    )
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("t_us").alias("w_start"),
+        (F.col("t_us") + 3 * day_us).alias("w_end"),
     )
     out = join_ops.range_join(
-        ev, orders, "t_us", "w_start", "w_end", bucket=float(day_us), keys=["user_id"]
+        probes, wins, "t_us", "w_start", "w_end", bucket=float(day_us), keys=["user_id"]
     )
-    return out.select("event_id", "o_orderkey", "t_us")
+    return out.select("event_id", "purchase_id", "t_us")
 
 
 @_register(

@@ -22,6 +22,7 @@ from temporai_mivdp_spark.llmdata import bpe, dedup, sampling, similarity, text
 from temporai_mivdp_spark.queries import (
     ORACLE,
     QUERIES,
+    _await_or_raise,
     _register,
     _run_stream_to_memory,
     _t,
@@ -449,7 +450,7 @@ def stream_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_or_raise(q, 600)
     return spark.read.parquet(out).select(
         "probe_id", "neighbor_id", "cosine", "rank"
     )
@@ -1048,7 +1049,13 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks t LEFT JOIN vocab v USING (token)
       GROUP BY t.doc_id
     )
-    SELECT d.doc_id, coalesce(enc.token_ids, CAST([] AS BIGINT[])) AS token_ids
+    -- serialized, not a bare BIGINT[]: the driver's pandas canonicalizer
+    -- (sort_values -> factorize) raises on list cells (round-7 driver
+    -- err). Integer csv text is formatting-stable across both engines.
+    -- outer coalesce: DuckDB array_to_string([]) is NULL where Spark
+    -- concat_ws(empty array) is '' (edgecase-tier catch: token-less docs)
+    SELECT d.doc_id,
+           coalesce(array_to_string(enc.token_ids, ','), '') AS token_ids_csv
     FROM (SELECT DISTINCT doc_id FROM documents) d
     LEFT JOIN enc USING (doc_id)
     """,
@@ -1062,10 +1069,19 @@ def text_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the full distinct-token set) and the encode join
     broadcasts the size-bounded vocab; the oracle rebuilds the same
     vocab and arrays clause for clause, including empty arrays for
-    token-less docs."""
+    token-less docs. The checked output serializes the id array to an
+    integer csv (empty string for token-less docs): bare array columns
+    crash the driver's pandas canonicalizer (round-7 lesson), and
+    integer text is formatting-identical across engines."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     vocab = text.build_vocabulary(docs, size=500)
-    return text.encode_tokens(docs, vocab)
+    enc = text.encode_tokens(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.concat_ws(",", F.col("token_ids").cast("array<string>")).alias(
+            "token_ids_csv"
+        ),
+    )
 
 
 @_register(
@@ -1260,11 +1276,14 @@ def _quantize_vec(col):
     m AS (
       SELECT label, pos, sum(x) AS s, count(*) AS c
       FROM px GROUP BY label, pos
-    )
-    SELECT label,
-           list(s / c / {_QUANT}.0 ORDER BY pos) AS mean_embedding,
-           max(CASE WHEN pos = 1 THEN c END) AS n_vectors
-    FROM m GROUP BY label
+    ),
+    nv AS (SELECT label, c AS n_vectors FROM m WHERE pos = 1)
+    -- exploded (pos, mean_value) rows, not a bare DOUBLE[] column: the
+    -- driver's pandas canonicalizer raises on list cells (round-7 err)
+    SELECT m.label, CAST(m.pos AS BIGINT) AS pos,
+           m.s / m.c / {_QUANT}.0 AS mean_value,
+           nv.n_vectors
+    FROM m JOIN nv USING (label)
     """,
 )
 def sim_mean_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,15 +1295,21 @@ def sim_mean_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 1e-6-grid quantized (``_QUANT``) so the partial sums are exact
     integers in doubles and the mean is bit-identical across engines
     and summation orders; the oracle replays quantize → per-position
-    sum → descale clause for clause."""
+    sum → descale clause for clause. The checked output is exploded
+    (pos, mean_value) rows — a bare DOUBLE[] column crashes the
+    driver's pandas canonicalizer (round-7 lesson), and exploding
+    keeps the cells numeric instead of risking float text formatting."""
     emb = similarity.finite_vectors(
         _t(spark, sf_dir, "embeddings").select("label", "embedding")
     )
     q = emb.select("label", _quantize_vec(F.col("embedding")).alias("embedding"))
     mv = similarity.mean_vectors(q, "label")
     return mv.select(
+        "label", "n_vectors", F.posexplode("embedding").alias("pos", "mean_value")
+    ).select(
         "label",
-        F.transform("embedding", lambda m: m / _QUANT).alias("mean_embedding"),
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        (F.col("mean_value") / _QUANT).alias("mean_value"),
         "n_vectors",
     )
 
@@ -1343,10 +1368,15 @@ def _kmeans_iter_sql(prev: str, a: str, m: str, out: str) -> str:
       ) WHERE rn = 1
     ),
     sz AS (SELECT b, count(*) AS n FROM a3 GROUP BY b)
-    SELECT c2.cid AS centroid_id,
-           coalesce(sz.n, 0) AS n_vectors,
-           list_transform(c2.cv, x -> x / {_QUANT}.0) AS centroid
-    FROM c2 LEFT JOIN sz ON c2.cid = sz.b
+    -- exploded (pos, centroid_value) rows, not a bare DOUBLE[] column:
+    -- the driver's pandas canonicalizer raises on list cells (round-7 err)
+    SELECT centroid_id, n_vectors, CAST(i AS BIGINT) AS pos,
+           cv[i] / {_QUANT}.0 AS centroid_value
+    FROM (SELECT c2.cid AS centroid_id,
+                 coalesce(sz.n, 0) AS n_vectors,
+                 c2.cv AS cv
+          FROM c2 LEFT JOIN sz ON c2.cid = sz.b) t,
+         unnest(generate_series(1, len(cv))) AS u(i)
     """,
 )
 def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1371,12 +1401,22 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = similarity.assign_ivf_buckets(q, cents).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+    # exploded (pos, centroid_value) output: bare array columns crash the
+    # driver's pandas canonicalizer (round-7 lesson)
     return (
         cents.join(sizes, cents.centroid_id == sizes.bucket, "left")
         .select(
             "centroid_id",
             F.coalesce("n_vectors", F.lit(0).cast("long")).alias("n_vectors"),
-            F.transform("embedding", lambda x: x / _QUANT).alias("centroid"),
+            F.posexplode(F.transform("embedding", lambda x: x / _QUANT)).alias(
+                "pos", "centroid_value"
+            ),
+        )
+        .select(
+            "centroid_id",
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            "centroid_value",
+            "n_vectors",
         )
     )
 
@@ -2316,7 +2356,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=1,
     )
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(600)
+    _await_or_raise(q, 600)
     return spark.read.parquet(out).select(
         "doc_id", F.col("ingest_batch").cast("long").alias("ingest_batch")
     )
@@ -2439,7 +2479,7 @@ def stream_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_or_raise(q, 600)
 
     def _route(path: str) -> DataFrame | None:
         try:
@@ -2602,10 +2642,12 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, value AS p50_exact FROM r
       WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
     )
+    -- CAST n_rows like n_a/n_b: the window sum is HUGEINT, and the
+    -- driver's pandas .df() path coerces HUGEINT to float64 (round-7 miss)
     SELECT p50.event_type,
            coalesce(na.n_a, 0) AS n_a,
            coalesce(nb.n_b, 0) AS n_b,
-           n_rows, p50_merged, p50_exact
+           CAST(n_rows AS BIGINT) AS n_rows, p50_merged, p50_exact
     FROM p50
     LEFT JOIN na ON p50.event_type = na.event_type
     LEFT JOIN nb ON p50.event_type = nb.event_type
@@ -3165,7 +3207,12 @@ def sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, value AS p50_exact FROM r
       WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
     )
-    SELECT event_type, n_rows, p50_est, p95_est, p50_exact
+    -- CAST: the window sum types n_rows HUGEINT, which pandas coerces to
+    -- float64 in the driver's .df() path and hashes 210.0 against Spark's
+    -- 210 (round-7 driver miss; n_a/n_b in sketch_quantile_merge always
+    -- had this CAST — n_rows missed it)
+    SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+           p50_est, p95_est, p50_exact
     FROM p50 JOIN p95 USING (event_type) JOIN ex USING (event_type)
     """,
 )

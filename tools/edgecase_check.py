@@ -222,9 +222,10 @@ def main() -> int:
         else:
             build_corpus(tmp, rows_override=UNICODE_DOCS if unicode_tier else None)
 
-        # same comparison core as oracle_check (kept in that module)
+        # same comparison core as oracle_check (kept in that module) —
+        # driver-bug-compatible pandas canonicalization included
         sys.path.insert(0, "tools")
-        from oracle_check import duck_connection, normalize
+        from oracle_check import compare_entry, duck_connection
 
         spark = get_test_session(cpus=8)
         con = duck_connection(tmp)
@@ -243,35 +244,16 @@ def main() -> int:
             t0 = time.time()
             try:
                 sdf = fn(spark, tmp)
-                s_cols = sdf.columns
-                s_rows = [tuple(r) for r in sdf.collect()]
-                res = con.execute(oracles[name])
-                d_cols = [d[0] for d in res.description]
-                d_rows = res.fetchall()
+                problems, n_rows = compare_entry(sdf, con, oracles[name])
             except Exception as e:  # noqa: BLE001
                 failures.append(name)
                 print(f"FAIL  {name}: error: {e}")
                 continue
-            problems = []
-            if sorted(s_cols) != sorted(d_cols):
-                problems.append(f"columns {sorted(s_cols)} vs {sorted(d_cols)}")
-            if len(s_rows) != len(d_rows):
-                problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
-            if not problems:
-                ns, nd = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
-                if ns != nd:
-                    diff = next(
-                        (i, a, b) for i, (a, b) in enumerate(zip(ns, nd)) if a != b
-                    )
-                    problems.append(
-                        f"values differ, first at sorted-row {diff[0]}:\n"
-                        f"  spark={diff[1]}\n  duck ={diff[2]}"
-                    )
             if problems:
                 failures.append(name)
                 print(f"FAIL  {name}: " + "; ".join(problems))
             else:
-                print(f"PASS  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+                print(f"PASS  {name}: {n_rows} rows ({time.time()-t0:.1f}s)")
 
         tier = (
             "degenerate-vector"
