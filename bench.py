@@ -121,6 +121,11 @@ PINNED_EXTRAS = [
     "a_salted_skew",  # round-7 addition
     "text_bpe_train",  # round-7 addition
     "sketch_quantile_merge",  # round-7 addition
+    # layout_compaction: building the frame performs the small-files
+    # write + compaction into the scratch checkpoint (untimed build
+    # cost, same pattern as ingest_jsonl); the pinned plan is the
+    # read-back accounting over the compacted files (path-normalized)
+    "layout_compaction",  # round-8 addition
     # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
     # deliberately NOT fingerprinted here: building their DataFrames
     # EXECUTES the streaming query (memory sink), and the returned

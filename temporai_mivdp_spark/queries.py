@@ -100,8 +100,9 @@ WINDOW_TAIL: tuple[str, ...] = (
     "r3_multilabel_onehot",
     # round 7: displaced for sample_stratified — the string→array parse
     # (F13) stays window-exercised by the split/filter/transform array
-    # chains inside text_encode_vocab, text_chunk_overlap, and every
-    # tokenizing text entry
+    # chains inside text_encode_vocab and every tokenizing text entry
+    # (text_chunk_overlap, cited here originally, joined the tail in
+    # round 8 — the in-window coverage stands without it)
     "f13_json_extract",
     # round 7: displaced for text_encode_vocab — the join family stays
     # the window's most-covered (flagship broadcast dims, j7 first-match,
@@ -284,6 +285,14 @@ WINDOW_TAIL: tuple[str, ...] = (
     # union), and the span-mining entry keeps its oracle here, its
     # license-header unit tests, and its DuckDB differential
     "text_repeated_spans",
+    # round 8: displaced for layout_compaction — two rounds of
+    # driver-green exposure (r6, r7; driver-green is the round-8
+    # policy's promotion-out currency). Row-local chunk/window
+    # arithmetic stays window-exercised by text_encode_vocab's
+    # tokenize→array chains and pipeline_docs_curation's packing stage
+    # (the chunker's counting currency); the chunk entry keeps its
+    # oracle here and its coverage/overlap property test
+    "text_chunk_overlap",
 )
 
 

@@ -3421,3 +3421,58 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return qm.quality_model_score(docs)
+
+
+@_register(
+    "layout_compaction",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+             AS content_h32,
+           CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction as a checked entry (sources/sinks.py::
+    compact_parquet): the documents table is first written as 64
+    shard-accreted small files (the layout every incremental
+    pipeline — streaming sinks, per-shard ingest — actually produces),
+    then compacted into ~target-sized files with the file count derived
+    from the ACTUAL compressed on-disk bytes, and the checked output is
+    a per-source content accounting (row count, id checksum, 32-bit
+    md5 fold, UTF-8 byte mass) read back FROM THE COMPACTED FILES. The
+    oracle computes the same accounting from the original documents
+    table, so
+    the hash check pins exactly the compaction contract: a rewrite that
+    drops, duplicates, or corrupts any row mismatches, while the layout
+    itself (file sizes, partitioning, round-robin shuffle) must be
+    invisible in the content — the ingest-side twin of `shard_assign`'s
+    deterministic placement. The file-count math (ceil(bytes/target),
+    repartition-not-coalesce so a huge input is still read in parallel)
+    is pinned by tests/test_sources_and_differential.py and the layout
+    tests. Scratch subdirs are keyed by sf_dir (decade-sweep lesson:
+    two scale factors build this entry in one session)."""
+    import os
+    import re
+
+    from temporai_mivdp_spark.sources.sinks import compact_parquet
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir)
+    root = os.path.join(_curation_scratch_dir(spark), f"compaction_{safe}")
+    raw, dst = os.path.join(root, "raw"), os.path.join(root, "compact")
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        docs.repartition(64).write.mode("overwrite").parquet(raw)
+        compact_parquet(spark, raw, dst, target_file_mb=8)
+    compacted = spark.read.parquet(dst)
+    return compacted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        ).alias("content_h32"),
+        F.sum(F.octet_length("text")).alias("sum_bytes"),
+    )

@@ -57,15 +57,27 @@ def test_driver_window_prioritizes_least_proven_entries():
     assert len(keys) == len(QUERIES), "reorder must not drop entries"
     window = set(keys[:50])
     promotions = {
-        "text_chunk_overlap",
         "text_quantile_norm",
         # text_gopher / text_perplexity / text_tfidf / text_boilerplate /
         # text_repeated_spans left this set in
-        # round 7: after two rounds of driver-green exposure (r6, r7)
+        # round 7, and text_chunk_overlap in round 8: after two rounds
+        # of driver-green exposure (r6, r7)
         # they became longest-stable rows and were displaced into
-        # WINDOW_TAIL for the round-7 promotions (rationales in
+        # WINDOW_TAIL for the newer promotions (rationales in
         # queries.py / COVERAGE.md) — the policy is "newest entries
         # face the driver", not a permanent roster
+        # round-8 policy addition: driver-green rows are the ONLY
+        # promotion-out currency, so the five round-7 driver-red
+        # entries (fixed in round 8) must stay in the window until a
+        # driver CORRECTNESS file shows them green
+        "text_encode_vocab",
+        "sim_mean_vectors",
+        "embed_kmeans",
+        "sketch_quantile",
+        "sketch_quantile_merge",
+        "j_range_bucketed",
+        # the round-8 promotion itself
+        "layout_compaction",
     }
     assert promotions <= window, promotions - window
     assert tuple(keys[len(keys) - len(WINDOW_TAIL):]) == WINDOW_TAIL

@@ -180,3 +180,43 @@ def test_compact_parquet_partitioned_layout(spark):
         dirs = sorted(os.path.basename(p) for p in glob.glob(dst + "/part=*"))
         assert dirs == ["part=0", "part=1", "part=2"]
         assert spark.read.parquet(dst).count() == 1000
+
+
+def test_compact_parquet_file_count_tracks_bytes(spark):
+    """Pin the compaction sizing math the `layout_compaction` entry
+    relies on: the output file count is ceil(actual compressed source
+    bytes / target), NOT a row-count heuristic — and the rewrite
+    produces exactly that many files. Incompressible payloads (md5 hex)
+    make the byte math meaningful at test size."""
+    import glob
+    import math
+    import os
+
+    from temporai_mivdp_spark.sources.sinks import compact_parquet
+
+    with tempfile.TemporaryDirectory() as d:
+        src, dst = os.path.join(d, "src"), os.path.join(d, "dst")
+        (
+            spark.range(100_000)
+            .select(
+                "id",
+                F.repeat(F.md5(F.col("id").cast("string")), 4).alias("payload"),
+            )
+            .repartition(32)
+            .write.parquet(src)
+        )
+        total = sum(
+            os.path.getsize(p) for p in glob.glob(src + "/part-*.parquet")
+        )
+        target_mb = 1
+        expected = math.ceil(total / (target_mb * 1024 * 1024))
+        assert expected > 1, f"fixture too small to exercise the math ({total}B)"
+        n = compact_parquet(spark, src, dst, target_file_mb=target_mb)
+        assert n == expected, (n, expected, total)
+        assert len(glob.glob(dst + "/part-*.parquet")) == n
+        # content invariance across the rewrite (the oracle's job in the
+        # catalog entry, asserted directly here)
+        assert (
+            spark.read.parquet(dst).selectExpr("sum(id)", "count(*)").first()
+            == spark.read.parquet(src).selectExpr("sum(id)", "count(*)").first()
+        )
