@@ -126,6 +126,11 @@ PINNED_EXTRAS = [
     # cost, same pattern as ingest_jsonl); the pinned plan is the
     # read-back accounting over the compacted files (path-normalized)
     "layout_compaction",  # round-8 addition
+    # multimodal_audio_roundtrip: the synthesized-media decode chain is
+    # one row-local mapInPandas generation + one row-local codec walk —
+    # no shuffle; pinned so a plan regression (e.g. an accidental
+    # exchange creeping into the fixture) raises a PLANS.json diff
+    "multimodal_audio_roundtrip",  # round-8 addition
     # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
     # deliberately NOT fingerprinted here: building their DataFrames
     # EXECUTES the streaming query (memory sink), and the returned

@@ -256,9 +256,11 @@ WINDOW_TAIL: tuple[str, ...] = (
     # round 7: displaced for j_range_bucketed — same precedent as
     # text_gopher (round-5 promotion, two rounds of driver-green
     # exposure); the unigram-LM fit+score machinery stays
-    # window-exercised by dsir_select (the same explode -> broadcast
+    # window-exercised by dsir_gumbel (the same explode -> broadcast
     # ratio dim -> integer-exact map-side sum over the same token
-    # stream) and text_quality_model's scored projection
+    # stream; dsir_select, cited here originally, joined the tail in
+    # round 8 — gumbel's oracle replays its whole chain) and
+    # text_quality_model's scored projection
     "text_perplexity",
     # round 7: displaced for j_interval_overlap — same precedent; the
     # df/idf corpus-stat machinery stays window-exercised by text_bm25
@@ -293,6 +295,14 @@ WINDOW_TAIL: tuple[str, ...] = (
     # (the chunker's counting currency); the chunk entry keeps its
     # oracle here and its coverage/overlap property test
     "text_chunk_overlap",
+    # round 8: displaced for multimodal_audio_roundtrip — two rounds of
+    # driver-green exposure (r6, r7). The DSIR fit→score→select chain
+    # stays hash-checked in-window through dsir_gumbel, whose oracle
+    # replays the IDENTICAL fit+score stages plus the Gumbel key (a
+    # strict superset, the sim_topk_ivf→stream_serve_topk precedent);
+    # dsir_select keeps its oracle here, its plan test
+    # (TakeOrderedAndProject boundary), and its domain-tilt tests
+    "dsir_select",
 )
 
 

@@ -3476,3 +3476,111 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content_h32"),
         F.sum(F.octet_length("text")).alias("sum_bytes"),
     )
+
+
+def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media frame (media_id, payload) deterministically
+    from doc_id alone — the binary-column twin of the JSONL corrupt
+    fixture (`_write_jsonl_fixture`): every row's payload class and
+    header fields are a pure function of its id, so a DuckDB oracle can
+    replay the expected METADATA algebra without ever seeing the bytes.
+    Four classes, round-robin by doc_id % 4: a real PCM WAV (stdlib
+    `wave` writer), a real bare-FLAC STREAMINFO (bit-packed per the FLAC
+    spec — 20-bit rate, 3-bit channels-1, 5-bit bps-1, 36-bit total
+    samples), a junk payload no codec tier claims, and a NULL payload.
+    Arrow-batched generation; payloads stay under ~4 KB/row."""
+
+    def gen(it):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 4
+                n = 100 + (did % 900)
+                sr = (8000, 16000, 44100)[(did // 4) % 3]
+                ch = 1 + (did % 2)
+                if kind == 0:
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(ch)
+                        w.setsampwidth(2)
+                        w.setframerate(sr)
+                        w.writeframes(b"\x00\x00" * (n * ch))
+                    payload = buf.getvalue()
+                elif kind == 1:
+                    packed = (sr << 44) | ((ch - 1) << 41) | (15 << 36) | n
+                    body = (
+                        struct.pack(">HH", 4096, 4096)
+                        + b"\x00" * 6
+                        + packed.to_bytes(8, "big")
+                        + b"\x00" * 16
+                    )
+                    payload = (
+                        b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + body
+                    )
+                elif kind == 2:
+                    payload = b"JUNK" + did.to_bytes(8, "big")
+                else:
+                    payload = None
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen, "media_id long, payload binary")
+
+
+@_register(
+    "multimodal_audio_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'pcm_wav' WHEN 1 THEN 'flac' END
+             AS codec,
+           CASE doc_id % 4 WHEN 0 THEN 'full' WHEN 1 THEN 'header_only'
+                ELSE 'unsupported' END AS decode_status,
+           CASE WHEN doc_id % 4 IN (0, 1)
+                THEN CAST(((100 + doc_id % 900) * 1000)
+                          // ([8000, 16000, 44100][((doc_id // 4) % 3) + 1])
+                     AS BIGINT)
+           END AS duration_ms,
+           CASE WHEN doc_id % 4 IN (0, 1)
+                THEN CAST([8000, 16000, 44100][((doc_id // 4) % 3) + 1]
+                     AS INTEGER)
+           END AS sample_rate,
+           CASE WHEN doc_id % 4 IN (0, 1)
+                THEN CAST(1 + doc_id % 2 AS INTEGER)
+           END AS channels
+    FROM documents
+    """,
+)
+def multimodal_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio header decoding under the hash check (llmdata/
+    multimodal.py::audio_metadata): a mixed media corpus — PCM WAV,
+    bare-FLAC STREAMINFO, junk, NULL — is synthesized per row as a pure
+    function of doc_id (`_audio_fixture`), pushed through the actual
+    Arrow-batched codec walkers, and the checked output is the decoded
+    metadata (codec tier, decode_status, duration_ms, sample_rate,
+    channels). The oracle replays the GENERATOR's algebra — duration =
+    samples*1000 // rate, the rate/channel lattice, the per-class
+    status routing — so a wrong RIFF frame count, a misread STREAMINFO
+    bit field, a junk payload claimed by a codec, or a thrown exception
+    on the mixed batch all hash-mismatch. This closes the multimodal
+    tier's oracle gap: `multimodal_metadata` checks opaque-byte
+    plumbing; this entry checks the decode itself (serialize → binary →
+    parse → account, the `ingest_jsonl` pattern applied to media).
+    `bitrate_kbps` is deliberately NOT checked: its Python `round()` is
+    banker's, DuckDB's is half-away — a measured tie hazard, excluded
+    rather than papered over. Scale shape: one row-local mapInPandas
+    generation + one row-local decode pass, no shuffle at all."""
+    from temporai_mivdp_spark.llmdata import multimodal
+
+    media = _audio_fixture(spark, sf_dir)
+    return multimodal.audio_metadata(media).select(
+        "media_id", "codec", "decode_status", "duration_ms",
+        "sample_rate", "channels",
+    )

@@ -76,8 +76,9 @@ def test_driver_window_prioritizes_least_proven_entries():
         "sketch_quantile",
         "sketch_quantile_merge",
         "j_range_bucketed",
-        # the round-8 promotion itself
+        # the round-8 promotions themselves
         "layout_compaction",
+        "multimodal_audio_roundtrip",
     }
     assert promotions <= window, promotions - window
     assert tuple(keys[len(keys) - len(WINDOW_TAIL):]) == WINDOW_TAIL
