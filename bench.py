@@ -131,6 +131,7 @@ PINNED_EXTRAS = [
     # no shuffle; pinned so a plan regression (e.g. an accidental
     # exchange creeping into the fixture) raises a PLANS.json diff
     "multimodal_audio_roundtrip",  # round-8 addition
+    "multimodal_image_roundtrip",  # round-8 addition (same shuffle-free shape)
     # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
     # deliberately NOT fingerprinted here: building their DataFrames
     # EXECUTES the streaming query (memory sink), and the returned

@@ -250,17 +250,19 @@ WINDOW_TAIL: tuple[str, ...] = (
     # round 7: displaced for stream_ingest_curation — the round-5
     # promotion has had two rounds of driver-green exposure (r6, r7),
     # and the quality-rule family stays window-exercised by
-    # text_quality's feature suite and text_quality_model's scored
-    # projection; gopher keeps its oracle here and its rule unit tests
+    # text_quality's feature suite and pipeline_docs_curation's gate
+    # (text_quality_model, cited here originally, joined the tail in
+    # round 8); gopher keeps its oracle here and its rule unit tests
     "text_gopher",
     # round 7: displaced for j_range_bucketed — same precedent as
     # text_gopher (round-5 promotion, two rounds of driver-green
     # exposure); the unigram-LM fit+score machinery stays
     # window-exercised by dsir_gumbel (the same explode -> broadcast
     # ratio dim -> integer-exact map-side sum over the same token
-    # stream; dsir_select, cited here originally, joined the tail in
-    # round 8 — gumbel's oracle replays its whole chain) and
-    # text_quality_model's scored projection
+    # stream; dsir_select and text_quality_model, cited here
+    # originally, joined the tail in round 8 — gumbel's oracle replays
+    # dsir's whole chain, and the LM-scoring shape also lives in
+    # text_quality's in-window feature suite)
     "text_perplexity",
     # round 7: displaced for j_interval_overlap — same precedent; the
     # df/idf corpus-stat machinery stays window-exercised by text_bm25
@@ -303,6 +305,14 @@ WINDOW_TAIL: tuple[str, ...] = (
     # dsir_select keeps its oracle here, its plan test
     # (TakeOrderedAndProject boundary), and its domain-tilt tests
     "dsir_select",
+    # round 8: displaced for multimodal_image_roundtrip — two rounds of
+    # driver-green exposure (r6, r7). Quality scoring stays
+    # window-exercised by text_quality (the feature suite the model's
+    # pinned weights consume) and pipeline_docs_curation's gate (which
+    # runs the quality projection on every doc); the model entry keeps
+    # its bit-identical literal-dot-product oracle here plus the
+    # logreg_fit distributed-trainer differential in tests
+    "text_quality_model",
 )
 
 

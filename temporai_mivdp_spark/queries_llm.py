@@ -3584,3 +3584,138 @@ def multimodal_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "codec", "decode_status", "duration_ms",
         "sample_rate", "channels",
     )
+
+
+def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an image frame (media_id, payload) deterministically
+    from doc_id — the image-tier twin of `_audio_fixture`. Three
+    classes, round-robin by doc_id % 3: a real 8-bit grayscale PNG
+    (stdlib zlib deflate + CRC chunks, constant value doc_id % 256), a
+    real bottom-up 24-bit BMP (row padding + the format's BGR byte
+    order, constant per-channel values derived from doc_id — DISTINCT
+    per channel so a BGR/RGB swap in the decoder cannot cancel out),
+    and a NULL payload. Dims vary per row (w = 1 + id % 31,
+    h = 1 + id % 17), so stride/padding/row-order bugs surface."""
+
+    def gen(it):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def png_gray(w, h, v):
+            raw = b"".join(b"\x00" + bytes([v]) * w for _ in range(h))
+
+            def chunk(typ, data):
+                return (
+                    struct.pack(">I", len(data))
+                    + typ
+                    + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        def bmp24(w, h, r, g, b):
+            row = bytes([b, g, r]) * w  # BMP stores BGR
+            pad = (4 - (3 * w) % 4) % 4
+            px = (row + b"\x00" * pad) * h
+            hdr = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+            )
+            return hdr + dib + px
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 31, 1 + did % 17
+                kind = did % 3
+                if kind == 0:
+                    payload = png_gray(w, h, did % 256)
+                elif kind == 1:
+                    payload = bmp24(
+                        w, h, did % 256, (did // 3) % 256, (did // 7) % 256
+                    )
+                else:
+                    payload = None
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen, "media_id long, payload binary")
+
+
+@_register(
+    "multimodal_image_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(1 + doc_id % 31 AS DOUBLE)
+           END AS width,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(1 + doc_id % 17 AS DOUBLE)
+           END AS height,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN doc_id % 3 = 1 THEN CAST(doc_id % 256 AS DOUBLE)
+           END AS mean_r,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN doc_id % 3 = 1 THEN CAST((doc_id // 3) % 256 AS DOUBLE)
+           END AS mean_g,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN doc_id % 3 = 1 THEN CAST((doc_id // 7) % 256 AS DOUBLE)
+           END AS mean_b,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(0.0 AS DOUBLE) END AS lum_std,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+           END AS lum_min,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+           END AS lum_max
+    FROM documents
+    """,
+)
+def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decoding under the hash check (llmdata/multimodal.py::
+    decode_image → imagecodecs): constant-color PNGs (zlib inflate, PNG
+    scanline unfilter, grayscale→RGB expansion) and BMPs (bottom-up row
+    order, 4-byte padding, BGR→RGB) synthesized per row from doc_id
+    (`_image_fixture`), decoded by the actual production feature
+    extractor, the 8-float csv parsed back into numeric columns, and
+    every value checked against the generator algebra in DuckDB: a
+    wrong stride, an unapplied scanline filter, a BGR/RGB swap (the
+    channel means are constructed distinct), flipped row order, or a
+    dims mix-up all hash-mismatch. Luminance stats are checked only for
+    the GRAYSCALE rows, where lum == v exactly at 6 decimals for every
+    v in 0..255 (verified exhaustively) — for arbitrary (r,g,b) the
+    6dp-rounded lum sits one banker's-vs-half-away rounding tie away
+    from divergence, the same measured hazard that excludes
+    `bitrate_kbps` from the audio entry, so BMP rows carry NULL lum on
+    both sides by construction. Shuffle-free: two chained row-local
+    mapInPandas passes, like the audio twin."""
+    from pyspark.sql.types import DoubleType
+
+    from temporai_mivdp_spark.llmdata import multimodal
+
+    media = _image_fixture(spark, sf_dir)
+    feats = multimodal.decode_image(media)
+    f = F.split(F.col("features"), ",")
+
+    def fld(i: int):
+        return F.element_at(f, i).cast(DoubleType())
+
+    is_bmp = F.col("media_id") % 3 == 1
+    return feats.select(
+        "media_id",
+        fld(1).alias("width"),
+        fld(2).alias("height"),
+        fld(3).alias("mean_r"),
+        fld(4).alias("mean_g"),
+        fld(5).alias("mean_b"),
+        F.when(~is_bmp, fld(6)).alias("lum_std"),
+        F.when(~is_bmp, fld(7)).alias("lum_min"),
+        F.when(~is_bmp, fld(8)).alias("lum_max"),
+    )

@@ -79,6 +79,7 @@ def test_driver_window_prioritizes_least_proven_entries():
         # the round-8 promotions themselves
         "layout_compaction",
         "multimodal_audio_roundtrip",
+        "multimodal_image_roundtrip",
     }
     assert promotions <= window, promotions - window
     assert tuple(keys[len(keys) - len(WINDOW_TAIL):]) == WINDOW_TAIL
