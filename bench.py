@@ -227,8 +227,11 @@ def main() -> None:
     line = json.dumps(payload)
     # Driver tail-capture contract: ONE line, comfortably under 2000 chars
     # (round-7 lesson — the inlined plans map pushed it to 2,263 and the
-    # driver recorded parsed: null).
-    assert len(line) < 1900, f"bench stdout line too long ({len(line)} chars)"
+    # driver recorded parsed: null). Explicit raise, not assert: an
+    # optimized interpreter (-O) strips asserts and would print the
+    # oversized line anyway.
+    if len(line) >= 1900:
+        raise RuntimeError(f"bench stdout line too long ({len(line)} chars)")
     print(line)
 
     # Full artifact (fingerprints + host-normalized ratios) to a sidecar —
@@ -247,15 +250,17 @@ NORM_END = "<!-- bench-normalized:end -->"
 
 
 def _update_plans_md_normalized_table(timings, cal, sf) -> None:
-    """Maintain the host-normalized round-over-round table in PLANS.md.
+    """Maintain the host-normalized timings table in PLANS.md.
 
     Rounds 5→7 burned two verdict cycles on uniform host-speed drift
     (byte-identical fingerprints, +8-36% wall time); queries[q] divided by
     the data-independent calibration workload is the host-invariant
     signal. The table lives between sentinel comments so both this
     function and tools/explain_all.py can regenerate their own sections
-    without clobbering each other. Appends one column per run (keyed by
-    sf), keeping the latest value per query."""
+    without clobbering each other. The section holds the LATEST run only
+    (labelled with its sf and calibration); round-over-round comparison
+    is a git diff of this section — each round's snapshot commits it —
+    not an in-file history."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md")
     try:
         text = open(path).read()

@@ -3595,7 +3595,11 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, constant per-channel values derived from doc_id — DISTINCT
     per channel so a BGR/RGB swap in the decoder cannot cancel out),
     and a NULL payload. Dims vary per row (w = 1 + id % 31,
-    h = 1 + id % 17), so stride/padding/row-order bugs surface."""
+    h = 1 + id % 17), so stride and padding bugs surface. (Row-ORDER
+    bugs do not — constant-color rasters are flip-invariant by
+    construction; bottom-up/top-down coverage lives in the imagecodecs
+    unit tests, which roundtrip non-constant images against independent
+    test-side encoders.)"""
 
     def gen(it):
         import struct
@@ -3687,8 +3691,10 @@ def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractor, the 8-float csv parsed back into numeric columns, and
     every value checked against the generator algebra in DuckDB: a
     wrong stride, an unapplied scanline filter, a BGR/RGB swap (the
-    channel means are constructed distinct), flipped row order, or a
-    dims mix-up all hash-mismatch. Luminance stats are checked only for
+    channel means are constructed distinct), or a dims mix-up all
+    hash-mismatch. (Row-order flips do NOT — constant-color rasters
+    are flip-invariant; that axis is pinned by the imagecodecs unit
+    tests' non-constant roundtrips against independent encoders.) Luminance stats are checked only for
     the GRAYSCALE rows, where lum == v exactly at 6 decimals for every
     v in 0..255 (verified exhaustively) — for arbitrary (r,g,b) the
     6dp-rounded lum sits one banker's-vs-half-away rounding tie away

@@ -119,6 +119,23 @@ def test_canon_null_and_nan_equivalent():
     assert canon_cell(None) == canon_cell(float("nan"))
 
 
+def test_canon_nat_and_null_equivalent():
+    """DuckDB NULL in a DATE/TIMESTAMP column arrives as NaT after
+    .df(); Spark NULL collects as None — the temporal twin of the
+    NaN==NULL rule. Without the fold, a nullable date column
+    false-mismatches (('t','NaT') vs ('null',))."""
+    assert canon_cell(pd.NaT) == canon_cell(None)
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT d FROM (VALUES (DATE '1995-01-02'), (NULL)) t(d)"
+    ).df()
+    ns = canon_frame(d)
+    nd = canon_frame(
+        pd.DataFrame({"d": [datetime.date(1995, 1, 2), None]})
+    )
+    assert ns == nd
+
+
 def test_canon_date_equals_midnight_timestamp():
     """DuckDB DATE arrives as datetime64 midnight after .df(); Spark
     DateType collects as datetime.date."""

@@ -62,7 +62,10 @@ def canon_cell(v):
     cells (list/ndarray/dict/set) raise TypeError — the driver's
     canonicalizer crashes on them, so the local harness must too.
     """
-    if v is None:
+    if v is None or v is pd.NaT:
+        # NaT is DuckDB .df()'s NULL for DATE/TIMESTAMP columns, the
+        # temporal twin of the NaN-means-NULL rule below; without this
+        # fold a nullable date column false-mismatches (NaT vs None).
         return ("null",)
     if isinstance(v, (list, dict, set, np.ndarray)):
         raise TypeError(

@@ -52,7 +52,13 @@ def _run_stream(spark, src_dir, schema, build, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    # awaitTermination(timeout) returns False on timeout — the sink would
+    # then hold a PARTIAL result and the tool would report plausible
+    # numbers from it; fail loudly instead (same contract as
+    # queries._await_or_raise)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in 600s")
     batches = [
         p["durationMs"]["triggerExecution"]
         for p in q.recentProgress
