@@ -263,3 +263,37 @@ def test_sketch_state_invariant(spark):
         ),
         key="text",
     )
+
+
+def test_media_roundtrip_fixtures_invariant(spark):
+    """The audio/image fixture generators and their decode passes are
+    row-local mapInPandas chains — their output must be bit-identical
+    whatever the input layout (Arrow batch boundaries move with the
+    partitioning, so a batch-shape dependence would surface here)."""
+    from temporai_mivdp_spark.llmdata import multimodal
+    from temporai_mivdp_spark.queries_llm import _audio_fixture, _image_fixture
+
+    docs = _docs(spark)
+
+    # The fixtures read documents via _t(spark, sf_dir, "documents"), so
+    # the layout sweep writes each layout to parquet and points sf_dir
+    # at it — the partitioning carries into the parquet file layout.
+    import tempfile
+
+    for name, layout in _layouts(docs):
+        with tempfile.TemporaryDirectory() as d:
+            layout.select("doc_id", "text", "source").write.mode(
+                "overwrite"
+            ).parquet(f"{d}/documents.parquet")
+            audio = multimodal.audio_metadata(
+                _audio_fixture(spark, d)
+            ).drop("bitrate_kbps")
+            image = multimodal.decode_image(_image_fixture(spark, d))
+            got = (
+                sorted(tuple(r) for r in audio.collect()),
+                sorted(tuple(r) for r in image.collect()),
+            )
+            if name == "repartition(1)":
+                want = got
+            else:
+                assert got == want, f"{name} diverged"
