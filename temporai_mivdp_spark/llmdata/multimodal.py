@@ -21,10 +21,15 @@ split by what the stdlib can genuinely do:
   disposal — ``imagecodecs.gif_frames``; ``sample_frames`` below turns
   that into real timed frame sampling), and header-only dimension
   extraction for BMP/PNG/JPEG/GIF.
-* STUBBED: arithmetic-coded/12-bit/hierarchical JPEG and non-PCM audio
-  need PIL/opencv/librosa, absent in this container — those payloads
-  raise ``NotImplementedError`` unless the deterministic fake is
-  requested (used by tests and the oracle harness).
+* Audio samples decode for linear PCM (8/16/24/32-bit) and G.711
+  A-law/µ-law WAVs (ITU expansion tables, audioop-pinned); other
+  compressed-WAV tags (ADPCM, MP3-in-WAV) get byte-rate duration math
+  in the header tier.
+* STUBBED: arithmetic-coded/12-bit/hierarchical JPEG and
+  non-PCM-non-G.711 audio need PIL/opencv/librosa, absent in this
+  container — those payloads raise ``NotImplementedError`` unless the
+  deterministic fake is requested (used by tests and the oracle
+  harness).
 
 Scale notes for the real thing:
 * media bytes ride in the same rows as metadata only up to a few MB each;
@@ -103,31 +108,88 @@ def _sniff(payload: bytes | None) -> str | None:
 # ---------------------------------------------------------------------------
 
 
+def _riff_wav_info(b: bytes) -> tuple[int, int, int, int, int, bytes]:
+    """(fmt_tag, channels, sample_rate, byte_rate, bits, data) from a
+    RIFF/WAVE container — manual word-aligned chunk walk. The stdlib
+    ``wave`` module rejects every fmt tag except PCM at open, and the
+    G.711 (A-law/µ-law) sample tier plus the byte-rate duration math
+    for other compressed-WAV tags need the fmt fields regardless of
+    codec support. Raises ``NotImplementedError`` on anything that is
+    not a well-formed RIFF/WAVE with fmt + data chunks."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack_from("<I", b, i + 4)
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks are 16-bit word aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("RIFF/WAVE missing fmt or data chunk")
+    tag, ch, sr, br, _align, bits = fmt
+    if ch <= 0 or sr <= 0:
+        raise NotImplementedError("degenerate WAV fmt chunk")
+    return tag, ch, sr, br, bits, data
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(µ-law, A-law) code → 16-bit linear expansion tables per ITU-T
+    G.711 — differentially pinned against stdlib ``audioop`` in tests."""
+    ulaw = np.empty(256, np.int16)
+    alaw = np.empty(256, np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+        ulaw[code] = -mag if u & 0x80 else mag
+        a = code ^ 0x55
+        exp, mant = (a >> 4) & 0x07, a & 0x0F
+        mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+        # A-law's sign convention is inverted relative to µ-law: a SET
+        # sign bit means positive (pinned against audioop in tests)
+        alaw[code] = mag if a & 0x80 else -mag
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+#: WAV fmt tags the sample tier decodes: PCM, A-law, µ-law (G.711)
+_WAV_PCM, _WAV_ALAW, _WAV_ULAW = 1, 6, 7
+
+
 def _wav_samples(b: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, [-1, 1] float64 channel-averaged samples) of a
-    RIFF/PCM WAV payload. ``wave`` handles the RIFF chunk walk; numpy
-    vectorizes the sample math. Raises ``NotImplementedError`` for
-    non-PCM encodings (needs a real codec) — mirrors how unsupported
-    image formats behave."""
-    try:
-        with wave.open(io.BytesIO(b)) as w:
-            n, sr, sw, ch = (
-                w.getnframes(),
-                w.getframerate(),
-                w.getsampwidth(),
-                w.getnchannels(),
-            )
-            raw = w.readframes(n)
-    except wave.Error as e:
-        raise NotImplementedError(f"not a PCM WAV payload ({e})") from e
-    if sw == 1:  # unsigned 8-bit
-        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
-    elif sw == 2:
-        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
-    elif sw == 4:
-        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    RIFF WAV payload: linear PCM at 8/16/24/32 bits, or G.711
+    A-law/µ-law via the expansion tables (1 byte per sample). Raises
+    ``NotImplementedError`` for other encodings (ADPCM etc. need a real
+    codec) — mirrors how unsupported image formats behave."""
+    tag, ch, sr, _br, bits, data = _riff_wav_info(b)
+    if tag == _WAV_PCM:
+        sw = bits // 8
+        if sw not in (1, 2, 3, 4):
+            raise NotImplementedError(f"unsupported PCM sample width {sw}")
+        n = len(data) // (ch * sw)
+        raw = data[: n * ch * sw]
+        if sw == 1:  # unsigned 8-bit
+            x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif sw == 2:
+            x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+        elif sw == 3:  # 24-bit little-endian, sign-extended
+            u = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int64)
+            v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+            x = ((v ^ 0x800000) - 0x800000).astype(np.float64) / 8388608.0
+        else:
+            x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    elif tag in (_WAV_ALAW, _WAV_ULAW):
+        n = len(data) // ch
+        codes = np.frombuffer(data[: n * ch], np.uint8)
+        table = _ALAW_TABLE if tag == _WAV_ALAW else _ULAW_TABLE
+        x = table[codes].astype(np.float64) / 32768.0
     else:
-        raise NotImplementedError(f"unsupported PCM sample width {sw}")
+        raise NotImplementedError(f"WAV fmt tag {tag} needs a codec library")
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
     return sr, x
@@ -507,12 +569,16 @@ def audio_metadata(media: DataFrame) -> DataFrame:
     the fraction the PCM tier skips, and duration / rate / channels /
     bitrate from HEADERS alone:
 
-    - ``pcm_wav`` → status ``full`` (``audio_features``/``audio_spectral``
-      can decode samples),
-    - ``mp3`` / ``vorbis`` / ``opus`` / ``flac`` (bare or in-Ogg) →
-      status ``header_only`` (frame/page-header walk, or 16 bytes of
-      STREAMINFO math for FLAC — no entropy decode, so metadata is
-      exact but samples are unavailable without a codec library),
+    - ``pcm_wav`` / ``g711_alaw`` / ``g711_ulaw`` → status ``full``
+      (``audio_features``/``audio_spectral`` can decode samples —
+      linear PCM at 8/16/24/32 bits, G.711 via the ITU expansion
+      tables),
+    - ``mp3`` / ``vorbis`` / ``opus`` / ``flac`` (bare or in-Ogg) /
+      ``wav_fmt_<tag>`` (compressed WAV codecs — ADPCM, MP3-in-WAV) →
+      status ``header_only`` (frame/page-header walk, 16 bytes of
+      STREAMINFO math for FLAC, or the WAV fmt chunk's byte-rate
+      duration — no entropy decode, so metadata is exact but samples
+      are unavailable without a codec library),
     - anything else (or a null payload) → status ``unsupported`` with
       null fields, NOT an exception — this operator is the accounting
       tier, so it must survive a mixed crawl batch.
@@ -529,13 +595,32 @@ def audio_metadata(media: DataFrame) -> DataFrame:
         b = bytes(payload)
         try:
             if b[:4] == b"RIFF":
-                with wave.open(io.BytesIO(b)) as w:
-                    n, sr, ch = w.getnframes(), w.getframerate(), w.getnchannels()
+                tag, ch, sr, br, bits, data = _riff_wav_info(b)
+                if tag == _WAV_PCM and bits in (8, 16, 24, 32):
+                    n = len(data) // max(ch * (bits // 8), 1)
+                    codec, status = "pcm_wav", "full"
+                elif tag in (_WAV_ALAW, _WAV_ULAW):
+                    n = len(data) // ch  # G.711 is 1 byte/sample
+                    codec = "g711_alaw" if tag == _WAV_ALAW else "g711_ulaw"
+                    status = "full"
+                else:
+                    # compressed WAV codec (ADPCM, MP3-in-WAV, ...):
+                    # duration from the fmt chunk's byte rate — header
+                    # math, same tier as the MP3/Ogg walkers
+                    n = None
+                    codec, status = f"wav_fmt_{tag}", "header_only"
+                if n is not None:
+                    dur = n * 1000 // max(sr, 1)
+                elif br > 0:
+                    dur = len(data) * 1000 // br
+                else:
+                    dur = None
                 row.update(
-                    codec="pcm_wav", decode_status="full",
-                    duration_ms=n * 1000 // max(sr, 1), sample_rate=sr,
-                    channels=ch,
-                    bitrate_kbps=round(len(b) * 8 / max(n * 1000 // max(sr, 1), 1)),
+                    codec=codec, decode_status=status,
+                    duration_ms=dur, sample_rate=sr, channels=ch,
+                    bitrate_kbps=(
+                        round(len(b) * 8 / max(dur, 1)) if dur is not None else None
+                    ),
                 )
             elif b[:4] == b"OggS":
                 codec, dur, sr, ch, kbps = _ogg_stats(b)
@@ -578,13 +663,16 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
     accounting of what the decode tiers can do, no pixel/sample decode:
 
     - ``full``: the in-repo stdlib decoders produce samples/pixels
-      (PCM WAV; PNG; GIF; 8-bit Huffman JPEG SOF0/1/2; BMP 24/32-bit
-      uncompressed or 1/4/8-bit RLE8/uncompressed),
+      (linear-PCM WAV at 8/16/24/32 bits; G.711 A-law/µ-law WAV; PNG;
+      GIF; 8-bit Huffman JPEG SOF0/1/2; BMP 24/32-bit uncompressed or
+      1/4/8-bit RLE8/uncompressed),
     - ``header_only``: exact metadata from container headers, payload
-      decode needs a codec library (MP3, Ogg Vorbis/Opus; JPEG variants
+      decode needs a codec library (MP3, Ogg Vorbis/Opus; compressed
+      WAV fmt tags like ADPCM — byte-rate duration; JPEG variants
       the decoder rejects — 12/16-bit precision, arithmetic SOF9-11,
       hierarchical SOF13-15 — still carry dimensions in their SOF),
-    - ``unsupported``: unrecognized or null payloads.
+    - ``unsupported``: unrecognized or null payloads (including RIFF
+      containers that are not walkable WAVE, e.g. AVI).
 
     The classification MUST track the decoders' real capabilities —
     tests/test_llmdata.py pins status=='full' ⇔ the pixel/sample tier
@@ -593,7 +681,18 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
     if b is None or len(b) < 4:
         return ("unknown", None, "unsupported")
     if b[:4] == b"RIFF":
-        return ("audio", "pcm_wav", "full")
+        try:
+            tag, _ch, _sr, _br, bits, _data = _riff_wav_info(b)
+        except NotImplementedError:
+            # RIFF but not a walkable WAVE (e.g. AVI container)
+            return ("audio", "wav", "unsupported")
+        if tag == _WAV_PCM and bits in (8, 16, 24, 32):
+            return ("audio", "pcm_wav", "full")
+        if tag == _WAV_ALAW:
+            return ("audio", "g711_alaw", "full")
+        if tag == _WAV_ULAW:
+            return ("audio", "g711_ulaw", "full")
+        return ("audio", f"wav_fmt_{tag}", "header_only")
     if b[:4] == b"OggS":
         try:
             codec = _ogg_stats(b)[0]

@@ -3009,6 +3009,13 @@ def _media_fixtures():
     contract over one of each tier."""
     return [
         ("wav", _wav_bytes(), "audio", "full"),
+        ("wav_ulaw", _raw_wav(7, 1, 8000, 8, b"\x7f" * 800), "audio", "full"),
+        ("wav_alaw", _raw_wav(6, 1, 8000, 8, b"\x2a" * 800), "audio", "full"),
+        ("wav_24bit", _raw_wav(1, 1, 8000, 24, b"\x01\x02\x03" * 64), "audio", "full"),
+        ("wav_adpcm", _raw_wav(17, 1, 8000, 4, b"\x00" * 256, byte_rate=4000),
+         "audio", "header_only"),
+        ("riff_not_wave", b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16,
+         "audio", "unsupported"),
         ("mp3", _mp3_bytes(n_frames=6), "audio", "header_only"),
         ("vorbis", _vorbis_stream(), "audio", "header_only"),
         ("ogg_unknown", _ogg_pages([(b"\x7fFLAC\x00\x00", 0)]), "audio", "unsupported"),
@@ -3069,11 +3076,12 @@ def test_media_decode_rollup_fractions(spark):
     ).repartition(3)
     rows = {(r.modality, r.decode_status): r for r in curation_media_report(media).collect()}
 
-    # audio: 1 full (wav), 2 header_only (mp3+vorbis), 1 unsupported
-    assert rows[("audio", "full")].n_items == 1
-    assert rows[("audio", "header_only")].n_items == 2
-    assert rows[("audio", "unsupported")].n_items == 1
-    assert rows[("audio", "header_only")].frac_items == pytest.approx(0.5)
+    # audio: 4 full (pcm wav + ulaw + alaw + 24-bit), 3 header_only
+    # (mp3 + vorbis + adpcm), 2 unsupported (ogg_unknown + riff_not_wave)
+    assert rows[("audio", "full")].n_items == 4
+    assert rows[("audio", "header_only")].n_items == 3
+    assert rows[("audio", "unsupported")].n_items == 2
+    assert rows[("audio", "header_only")].frac_items == pytest.approx(3 / 9)
     # image: 1 full (png), 1 header_only (arithmetic jpeg)
     assert rows[("image", "full")].n_items == 1
     assert rows[("image", "header_only")].frac_items == pytest.approx(0.5)
@@ -3345,3 +3353,95 @@ def test_semantic_dedup_kept_set_is_eps_separated(spark):
         (i, [x + rng.gauss(0, 0.001) for x in base]) for i in range(40)
     ]
     check(rows, n_cent=1, eps=0.999)
+
+
+def _raw_wav(fmt_tag, ch, sr, bits, data, byte_rate=None):
+    """Hand-assembled RIFF/WAVE (the stdlib wave module refuses to WRITE
+    anything but PCM, so G.711/ADPCM fixtures need manual chunks)."""
+    import struct as _struct
+
+    sw = bits // 8 or 1
+    br = byte_rate if byte_rate is not None else sr * ch * sw
+    fmt = _struct.pack("<HHIIHH", fmt_tag, ch, sr, br, ch * sw, bits)
+    chunks = (
+        b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_g711_tables_match_audioop():
+    """The ITU G.711 expansion tables must agree with the stdlib
+    reference implementation for all 256 codes, both laws (audioop is
+    deprecated-but-present in this interpreter — an independent
+    implementation of the same spec)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from temporai_mivdp_spark.llmdata.multimodal import _ALAW_TABLE, _ULAW_TABLE
+
+    for code in range(256):
+        want_u = int.from_bytes(audioop.ulaw2lin(bytes([code]), 2), "little", signed=True)
+        want_a = int.from_bytes(audioop.alaw2lin(bytes([code]), 2), "little", signed=True)
+        assert int(_ULAW_TABLE[code]) == want_u, ("ulaw", code)
+        assert int(_ALAW_TABLE[code]) == want_a, ("alaw", code)
+
+
+def test_wav_g711_and_24bit_sample_decode():
+    """_wav_samples over a µ-law-companded sine must recover the PCM
+    waveform (audioop lin2ulaw ENCODES test-side — independent of the
+    decode tables' derivation), and 24-bit PCM must round-trip known
+    sample values exactly."""
+    import struct as _struct
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from temporai_mivdp_spark.llmdata.multimodal import _wav_samples
+
+    sr, n = 8000, 800
+    t = np.arange(n)
+    pcm = (10000.0 * np.sin(2 * np.pi * 440.0 * t / sr)).astype("<i2")
+    ulaw = audioop.lin2ulaw(pcm.tobytes(), 2)
+    got_sr, x = _wav_samples(_raw_wav(7, 1, sr, 8, ulaw))
+    assert got_sr == sr and len(x) == n
+    # companding is lossy but bounded: worst-case µ-law step at this
+    # amplitude is ~1/32 of full scale in the top segment
+    assert np.max(np.abs(x - pcm.astype(np.float64) / 32768.0)) < 0.04
+    alaw = audioop.lin2alaw(pcm.tobytes(), 2)
+    got_sr, xa = _wav_samples(_raw_wav(6, 1, sr, 8, alaw))
+    assert got_sr == sr and np.max(np.abs(xa - pcm / 32768.0)) < 0.04
+
+    # 24-bit PCM: exact positive, negative, and extreme values
+    vals = [0, 1, -1, 8388607, -8388608, 123456, -654321]
+    raw = b"".join(_struct.pack("<i", v)[:3] for v in vals)
+    got_sr, x24 = _wav_samples(_raw_wav(1, 1, sr, 24, raw))
+    assert got_sr == sr
+    assert np.array_equal(x24 * 8388608.0, np.array(vals, dtype=np.float64))
+
+
+def test_audio_metadata_g711_and_compressed_wav(spark):
+    """audio_metadata must report G.711 WAVs as 'full' with exact
+    sample math, and unknown compressed tags (ADPCM) as 'header_only'
+    with the byte-rate duration."""
+    ulaw = _raw_wav(7, 2, 8000, 8, b"\x55" * 1600)  # 800 frames stereo
+    adpcm = _raw_wav(17, 1, 8000, 4, b"\x00" * 2000, byte_rate=4000)
+    rows = [
+        (1, ulaw, None, None, None, None),
+        (2, adpcm, None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.audio_metadata(media).collect()}
+    assert (got[1].codec, got[1].decode_status, got[1].duration_ms,
+            got[1].sample_rate, got[1].channels) == ("g711_ulaw", "full", 100, 8000, 2)
+    # 2000 bytes at 4000 B/s -> 500 ms, no sample decode claimed
+    assert (got[2].codec, got[2].decode_status, got[2].duration_ms,
+            got[2].sample_rate) == ("wav_fmt_17", "header_only", 500, 8000)

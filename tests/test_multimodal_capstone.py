@@ -258,7 +258,7 @@ def test_audio_spectral_silence_and_nonpcm(spark):
         [(2, bytearray(b"not audio at all"), "audio/wav", None, None, None)],
         multimodal.MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="PCM WAV"):
+    with pytest.raises(Exception, match="RIFF/WAVE"):
         multimodal.audio_spectral(bad).collect()
 
 
@@ -281,3 +281,40 @@ def test_audio_spectral_zero_frames(spark):
     assert r.sample_rate == 16000
     assert float(r.centroid_hz) == 0.0
     assert all(float(v) == 0.0 for v in r.band_energy.split(","))
+
+
+def test_audio_spectral_g711_sine(spark):
+    """The spectral feature tier must work through the G.711 decode
+    path end-to-end: a 440 Hz sine companded to µ-law (audioop encodes
+    test-side — independent of the in-repo expansion tables) still
+    lands its dominant/centroid on the tone; companding noise stays far
+    below the tone's band energy."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    pcm = (0.5 * np.sin(2 * np.pi * 440.0 * t) * 30000).astype("<i2")
+    ulaw = audioop.lin2ulaw(pcm.tobytes(), 2)
+    fmt = struct.pack("<HHIIHH", 7, 1, sr, sr, 1, 8)
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(ulaw)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(ulaw)) + ulaw
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "audio/wav", None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.audio_spectral(media, n_bands=8).collect()[0]
+    assert r.sample_rate == sr
+    assert abs(float(r.dominant_hz) - 440.0) <= 1.0
+    assert abs(float(r.centroid_hz) - 440.0) < 100.0  # companding noise floor
+    bands = [float(v) for v in r.band_energy.split(",")]
+    assert bands[0] > 0.95
