@@ -1,15 +1,21 @@
-"""Pure stdlib+numpy decoders for baseline AND progressive JPEG, and GIF.
+"""Pure stdlib+numpy decoders for baseline, progressive, AND
+sequential-arithmetic JPEG, and GIF.
 
 Closes the last stubbed pixel paths in ``multimodal``: this container has
 no PIL/opencv, but both formats are decodable from the public specs with
-nothing beyond ``struct``/``numpy`` — sequential-DCT (SOF0/SOF1) and
+nothing beyond ``struct``/``numpy`` — sequential-DCT (SOF0/SOF1),
 progressive-DCT (SOF2: spectral selection + successive approximation,
-per ITU-T T.81 G.1.2) JPEG, and GIF87a/89a per the GIF spec (LZW with
+per ITU-T T.81 G.1.2), and sequential ARITHMETIC-coded DCT (SOF9: the
+T.81 Annex F QM coder — Table D.3 estimator, bit-fed renormalization,
+DAC conditioning, restart resync — validated bit-identically against
+libjpeg-encoded fixtures in tests/test_jpeg_arithmetic.py) JPEG, and
+GIF87a/89a per the GIF spec (LZW with
 variable code width), including full animation decode (``gif_frames``:
 Graphic Control Extension delays, transparency, disposal methods 0-3,
-local color tables, sub-rectangle frames). Arithmetic-coded/12-bit/
+local color tables, sub-rectangle frames). Progressive-arithmetic
+(SOF10)/12-bit/
 hierarchical JPEG still raises ``NotImplementedError`` — honestly;
-Huffman baseline + progressive + GIF covers the overwhelming share of
+Huffman + arithmetic sequential + progressive + GIF covers the overwhelming share of
 web-corpus images, and animated GIF doubles as the one video-like
 format decodable from scratch (timed frame sequence), making frame
 sampling a REAL tested path rather than plan-only plumbing.
@@ -149,19 +155,286 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (SOF9 sequential): ITU-T T.81 Annex F QM decoder
+# ---------------------------------------------------------------------------
+
+#: T.81 Table D.3 probability-estimation state machine:
+#: (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS) per state. State 113
+#: (0x5A1D with self-loops) is the spec's non-adapting "fixed" context
+#: used for AC sign decisions.
+_ARITH_TABLE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0), (0x080B, 18, 4, 0),
+    (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0), (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0),
+    (0x0036, 30, 9, 0), (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1), (0x3F25, 36, 16, 0),
+    (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0), (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0),
+    (0x0CEF, 43, 21, 0), (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0), (0x01B1, 54, 28, 0),
+    (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0), (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0),
+    (0x0068, 62, 33, 0), (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0), (0x2EF1, 67, 40, 0),
+    (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0), (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0),
+    (0x1177, 73, 45, 0), (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0), (0x04DE, 50, 52, 0),
+    (0x040F, 50, 53, 0), (0x0363, 51, 54, 0), (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0),
+    (0x01F8, 54, 57, 0), (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0), (0x008F, 61, 32, 0),
+    (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0), (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0),
+    (0x2FE8, 83, 69, 0), (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0), (0x119C, 74, 76, 0),
+    (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0), (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0),
+    (0x5832, 80, 81, 1), (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0), (0x2516, 86, 71, 0),
+    (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0), (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0),
+    (0x3824, 99, 93, 0), (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0), (0x3C3D, 104, 100, 0),
+    (0x375E, 99, 93, 0), (0x5231, 105, 102, 0), (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0),
+    (0x415E, 103, 99, 0), (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1), (0x5522, 112, 109, 0),
+    (0x59EB, 112, 111, 1),
+)
+_ARITH_FIXED_STATE = 113
+_ARITH_TABLE = _ARITH_TABLE + ((0x5A1D, _ARITH_FIXED_STATE, _ARITH_FIXED_STATE, 0),)
+
+
+class _ArithDecoder:
+    """T.81 Annex F QM-coder decoder over one entropy-coded segment.
+
+    Bit-fed formulation: the encoder (see libjpeg's jcarith renorm —
+    every interval doubling shifts the code register once and each 8
+    shifts emit one byte from a fixed tap, carries folded into already-
+    buffered bytes) produces exactly the MSB-first binary expansion of
+    the final code fraction. The decoder therefore keeps a 16-bit code
+    window R against the interval register A (INITENC starts A at
+    0x10000 and the decoder tracks the identical interval arithmetic),
+    consuming ONE bit per renormalization — no byte-alignment registers
+    needed. ``_next_byte`` implements the 0xFF00 byte-stuffing rule; an
+    unstuffed 0xFF-marker stops consumption and feeds zero bytes from
+    then on (T.81 F.2.2.5 — hitting a marker mid-decode is legal in
+    arithmetic JPEG, unlike Huffman).
+    """
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.b, self.pos, self.marker_hit = data, pos, False
+        self.byte = 0
+        self.nbits = 0
+        self.a = 0x10000
+        self.r = (self._next_byte() << 8) | self._next_byte()
+
+    def _next_byte(self) -> int:
+        if self.marker_hit or self.pos >= len(self.b):
+            return 0
+        d = self.b[self.pos]
+        if d == 0xFF:
+            nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2  # stuffed zero: the data byte is 0xFF
+                return 0xFF
+            self.marker_hit = True  # leave pos AT the marker for the caller
+            return 0
+        self.pos += 1
+        return d
+
+    def _next_bit(self) -> int:
+        if self.nbits == 0:
+            self.byte = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.byte >> self.nbits) & 1
+
+    def decode(self, stats: bytearray, idx: int) -> int:
+        """Decode one binary decision in context ``stats[idx]`` (bit 7 =
+        current MPS sense, bits 0-6 = estimation state index). The MPS
+        subinterval sits at the bottom [0, A-Qe), LPS on top, with the
+        conditional exchange of T.81 F.2.2.2 when A-Qe < Qe; estimation
+        state advances only on renormalization."""
+        sv = stats[idx]
+        qe, nlps, nmps, sw = _ARITH_TABLE[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if self.r < self.a:
+            if self.a & 0x8000:
+                return mps  # MPS without renormalization: no state change
+            if self.a < qe:  # conditional exchange: the bottom is the LPS
+                d = mps ^ 1
+                if sw:
+                    mps ^= 1
+                nxt = nlps
+            else:
+                d = mps
+                nxt = nmps
+        else:
+            self.r -= self.a
+            if self.a < qe:  # conditional exchange: the top is the MPS
+                d = mps
+                nxt = nmps
+            else:
+                d = mps ^ 1
+                if sw:
+                    mps ^= 1
+                nxt = nlps
+            self.a = qe
+        while self.a < 0x8000:  # RENORMD: one code bit per doubling
+            self.a <<= 1
+            self.r = (self.r << 1) | self._next_bit()
+        stats[idx] = (mps << 7) | nxt
+        return d
+
+    def skip_to_restart(self) -> int:
+        """Position just past the next RSTn marker (T.81 restart resync:
+        the decoder discards buffered state and the marker)."""
+        p = self.pos
+        while p + 1 < len(self.b):
+            if self.b[p] == 0xFF and 0xD0 <= self.b[p + 1] <= 0xD7:
+                return p + 2
+            p += 1
+        raise NotImplementedError("expected JPEG restart marker in arith scan")
+
+
+def _arith_decode_dc(dec, stats, dc_ctx, ci, cond) -> int:
+    """One DC difference per T.81 F.2.4.1 (decision tree: zero?, sign,
+    magnitude category via the X1.. contexts at offset 20, magnitude
+    bits at +14; conditioning category for the NEXT block from the
+    (L, U) bounds)."""
+    low, up = cond
+    st = dc_ctx[ci]
+    if dec.decode(stats, st) == 0:
+        dc_ctx[ci] = 0
+        return 0
+    sign = dec.decode(stats, st + 1)
+    stm = st + 2 + sign
+    m = dec.decode(stats, stm)
+    if m:
+        stm = 20
+        while dec.decode(stats, stm):
+            m <<= 1
+            if m == 0x8000:
+                raise NotImplementedError("corrupt arithmetic DC magnitude")
+            stm += 1
+    if m < (1 << low) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << up) >> 1:
+        dc_ctx[ci] = 12 + 4 * sign
+    else:
+        dc_ctx[ci] = 4 + 4 * sign
+    v = m
+    stm += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(stats, stm):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _arith_decode_ac_block(dec, stats, fixed, coef, kx) -> None:
+    """AC coefficients of one block per T.81 F.2.4.2: per-index triads
+    (EOB decision, significance, first magnitude), uniform fixed
+    context for signs, shared magnitude-category banks at 189/217
+    split by the Kx conditioning bound, magnitude bits at +14."""
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):
+            return  # EOB
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise NotImplementedError("corrupt arithmetic AC run")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(stats, st)
+        if m:
+            if dec.decode(stats, st):
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise NotImplementedError("corrupt arithmetic AC magnitude")
+                    st += 1
+        v = m
+        st += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(stats, st):
+                v |= m
+        v += 1
+        coef[_ZIGZAG[k]] = -v if sign else v
+        k += 1
+
+
+def _decode_scan_arith(
+    b, pos, frame, qt, scan_sel, restart_interval, arith_cond
+) -> np.ndarray:
+    """Sequential arithmetic-coded scan (SOF9): the MCU walk and the
+    dequant/IDCT/plane stages are identical to the Huffman path
+    (``_decode_scan``); only the entropy decoder differs. Conditioning
+    bounds come from the DAC marker (T.81 defaults: DC L=0/U=1,
+    AC Kx=5). Restart markers reinit the QM coder, every statistics
+    area, the DC predictors, and the conditioning contexts."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8)) for c in comps]
+
+    def fresh_state():
+        dc_stats = {dct: bytearray(64) for _, (dct, _) in scan_sel.items()}
+        ac_stats = {act: bytearray(256) for _, (_, act) in scan_sel.items()}
+        fixed = bytearray([_ARITH_FIXED_STATE])
+        return dc_stats, ac_stats, fixed, [0] * len(comps), [0] * len(comps)
+
+    dec = _ArithDecoder(b, pos)
+    dc_stats, ac_stats, fixed, dc_ctx, pred = fresh_state()
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                dec = _ArithDecoder(b, dec.skip_to_restart())
+                dc_stats, ac_stats, fixed, dc_ctx, pred = fresh_state()
+            for ci, c in enumerate(comps):
+                dct, act = scan_sel[c["id"]]
+                dcond = arith_cond.get(("dc", dct), (0, 1))
+                kx = arith_cond.get(("ac", act), 5)
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        coef = np.zeros(64)
+                        pred[ci] += _arith_decode_dc(
+                            dec, dc_stats[dct], dc_ctx, ci, dcond
+                        )
+                        coef[0] = pred[ci]
+                        _arith_decode_ac_block(
+                            dec, ac_stats[act], fixed, coef, kx
+                        )
+                        block = _idct2(coef.reshape(8, 8) * qt[c["tq"]]) + 128.0
+                        y0 = (my * c["vs"] + by) * 8
+                        x0 = (mx * c["hs"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    return _assemble_rgb(planes, comps, h, w, hmax, vmax)
+
+
 def jpeg_pixels(b: bytes) -> np.ndarray:
     """Decode a JFIF/JPEG payload to an (h, w, 3) RGB uint8 array.
-    Supports 8-bit sequential DCT (SOF0/SOF1) and 8-bit progressive DCT
+    Supports 8-bit sequential DCT (SOF0/SOF1), 8-bit progressive DCT
     (SOF2 — spectral selection + successive approximation per ITU-T
-    T.81 G.1.2, any scan script), 1 or 3 components, any sampling
-    factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart intervals. Arithmetic
-    coding, 12-bit precision, and hierarchical modes raise
-    ``NotImplementedError``."""
+    T.81 G.1.2, any scan script), and 8-bit sequential ARITHMETIC-coded
+    DCT (SOF9 — T.81 Annex F QM coder with DAC conditioning, validated
+    against libjpeg-encoded fixtures), 1 or 3 components, any sampling
+    factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart intervals.
+    Progressive-arithmetic (SOF10), 12-bit precision, and hierarchical
+    modes raise ``NotImplementedError``."""
     if b[:3] != b"\xff\xd8\xff":
         raise NotImplementedError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
+    arith_cond: dict = {}
     frame = None
     coefs = None
     restart_interval = 0
@@ -199,7 +472,8 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
                 table = _HuffTable(counts, seg[p + 17 : p + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 sequential, SOF2 progressive, SOF9 sequential-arithmetic
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG decodes here")
@@ -209,9 +483,21 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "hs": sampling >> 4, "vs": sampling & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2, "arith": marker == 0xC9,
+            }
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} not supported")
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
+            p2 = 0
+            while p2 + 1 < len(seg):
+                tc, tb, val = seg[p2] >> 4, seg[p2] & 0xF, seg[p2 + 1]
+                if tc == 0:
+                    arith_cond[("dc", tb)] = (val & 0x0F, val >> 4)  # (L, U)
+                else:
+                    arith_cond[("ac", tb)] = val  # Kx
+                p2 += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy-coded data follows
@@ -227,6 +513,11 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
             data_start = i + 2 + seg_len
             if not frame["progressive"]:
                 scan_sel = {cs: (dct, act) for cs, dct, act in scan_comps}
+                if frame.get("arith"):
+                    return _decode_scan_arith(
+                        b, data_start, frame, qt, scan_sel, restart_interval,
+                        arith_cond,
+                    )
                 return _decode_scan(
                     b, data_start, frame, qt, huff_dc, huff_ac, scan_sel,
                     restart_interval,

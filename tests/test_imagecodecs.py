@@ -615,12 +615,15 @@ def test_jpeg_roundtrip_420_subsampled():
     assert err.mean() < 8.0
 
 
-def test_jpeg_rejects_arithmetic_and_truncated():
+def test_jpeg_rejects_progressive_arithmetic_and_truncated():
+    """SOF9 sequential-arithmetic decodes for real since round 8
+    (tests/test_jpeg_arithmetic.py); SOF10 progressive-arithmetic is
+    the remaining honest rejection."""
     img = _smooth_rgb(16, 16)
     payload = bytearray(jpeg_bytes(img))
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
-    with pytest.raises(NotImplementedError, match="SOF9"):
+    payload[sof + 1] = 0xCA  # rewrite SOF0 -> SOF10 (arithmetic progressive)
+    with pytest.raises(NotImplementedError, match="SOF10"):
         jpeg_pixels(bytes(payload))
     with pytest.raises(NotImplementedError):
         jpeg_pixels(b"\xff\xd8\xff\xe0only-a-header")

@@ -2994,13 +2994,25 @@ def _wav_bytes(sr=8000, n=800, ch=1):
 
 
 def _arithmetic_jpeg_bytes():
-    """SOI + SOF9 (arithmetic sequential) header — dims present, decode
-    unsupported by imagecodecs.jpeg_pixels."""
+    """A REAL libjpeg-encoded sequential-arithmetic (SOF9) JPEG — since
+    round 8 the pixel tier decodes these (tests/test_jpeg_arithmetic.py
+    carries the full fixture battery), so the classifier must say
+    'full'."""
+    from test_jpeg_arithmetic import _jpg
+
+    return _jpg("rgb444", "arith")
+
+
+def _prog_arith_jpeg_bytes():
+    """SOI + SOF10 (arithmetic PROGRESSIVE) header — dims present,
+    decode still unsupported by imagecodecs.jpeg_pixels (the
+    sequential-arithmetic decoder landed in round 8; progressive
+    arithmetic remains an honest header_only tier)."""
     import struct as s
 
     sof = s.pack(">BBHHB", 8, 0, 4, 4, 1) + bytes([1, 0x11, 0])
     return (
-        b"\xff\xd8\xff\xc9" + s.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
+        b"\xff\xd8\xff\xca" + s.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
     )
 
 
@@ -3020,7 +3032,8 @@ def _media_fixtures():
         ("vorbis", _vorbis_stream(), "audio", "header_only"),
         ("ogg_unknown", _ogg_pages([(b"\x7fFLAC\x00\x00", 0)]), "audio", "unsupported"),
         ("png", _png_bytes([[(10, 20, 30), (40, 50, 60)]] * 2, color_type=2), "image", "full"),
-        ("jpeg_arith", _arithmetic_jpeg_bytes(), "image", "header_only"),
+        ("jpeg_arith", _arithmetic_jpeg_bytes(), "image", "full"),
+        ("jpeg_prog_arith", _prog_arith_jpeg_bytes(), "image", "header_only"),
         ("garbage", b"\x00\x01\x02\x03garbage-bytes", "unknown", "unsupported"),
         ("null", None, "unknown", "unsupported"),
     ]
@@ -3082,9 +3095,10 @@ def test_media_decode_rollup_fractions(spark):
     assert rows[("audio", "header_only")].n_items == 3
     assert rows[("audio", "unsupported")].n_items == 2
     assert rows[("audio", "header_only")].frac_items == pytest.approx(3 / 9)
-    # image: 1 full (png), 1 header_only (arithmetic jpeg)
-    assert rows[("image", "full")].n_items == 1
-    assert rows[("image", "header_only")].frac_items == pytest.approx(0.5)
+    # image: 2 full (png + sequential-arithmetic jpeg), 1 header_only
+    # (progressive-arithmetic jpeg)
+    assert rows[("image", "full")].n_items == 2
+    assert rows[("image", "header_only")].frac_items == pytest.approx(1 / 3)
     # unknown: garbage + null, all unsupported
     assert rows[("unknown", "unsupported")].n_items == 2
     assert rows[("unknown", "unsupported")].frac_items == pytest.approx(1.0)
