@@ -13,9 +13,10 @@ GIF87a/89a per the GIF spec (LZW with
 variable code width), including full animation decode (``gif_frames``:
 Graphic Control Extension delays, transparency, disposal methods 0-3,
 local color tables, sub-rectangle frames). Progressive-arithmetic
-(SOF10)/12-bit/
-hierarchical JPEG still raises ``NotImplementedError`` — honestly;
-Huffman + arithmetic sequential + progressive + GIF covers the overwhelming share of
+(SOF10) decodes too — ``_progressive_scan_arith``, same fixture
+validation. 12-bit and hierarchical JPEG still raise
+``NotImplementedError`` — honestly;
+Huffman + arithmetic + progressive + GIF covers the overwhelming share of
 web-corpus images, and animated GIF doubles as the one video-like
 format decodable from scratch (timed frame sequence), making frame
 sampling a REAL tested path rather than plan-only plumbing.
@@ -366,6 +367,147 @@ def _arith_decode_ac_block(dec, stats, fixed, coef, kx) -> None:
         k += 1
 
 
+
+
+def _progressive_scan_arith(
+    b, pos, frame, coefs, scan_comps, ss, se, ah, al, restart_interval,
+    arith_cond,
+) -> int:
+    """Arithmetic twin of ``_progressive_scan`` (T.81 G.2): same MCU/
+    block-slot geometry, QM-coded decisions instead of Huffman bits.
+    DC-first reuses the sequential DC tree (shifted by Al); DC-refine is
+    one fixed-context decision per block; AC-first is the sequential AC
+    band decode over [Ss, Se] (no EOB runs — arithmetic codes an EOB
+    decision per block); AC-refine follows G.2.2 (correction decision on
+    previously-nonzero coefficients, newly-significant insertion with
+    fixed-context sign, EOB decision only beyond the previous scan's
+    EOB position). Statistics areas are per-scan and reset at restarts,
+    like the sequential decoder."""
+    comps = frame["comps"]
+    idx_of = {c["id"]: k for k, c in enumerate(comps)}
+    members = [(idx_of[cs], dct, act) for cs, dct, act in scan_comps]
+
+    if len(members) > 1:
+        n_mcu = frame["mcuy"] * frame["mcux"]
+
+        def slots(m):
+            my, mx = divmod(m, frame["mcux"])
+            for ci, dct, act in members:
+                c = comps[ci]
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        yield ci, dct, act, my * c["vs"] + by, mx * c["hs"] + bx
+    else:
+        ci0, dct0, act0 = members[0]
+        nby, nbx = _nonint_grid(frame, comps[ci0])
+        n_mcu = nby * nbx
+
+        def slots(m):
+            yield ci0, dct0, act0, m // nbx, m % nbx
+
+    def fresh_state():
+        dc_stats = {dct: bytearray(64) for _, dct, _ in members}
+        ac_stats = {act: bytearray(256) for _, _, act in members}
+        return dc_stats, ac_stats, bytearray([_ARITH_FIXED_STATE]), \
+            [0] * len(comps), [0] * len(comps)
+
+    dec = _ArithDecoder(b, pos)
+    dc_stats, ac_stats, fixed, dc_ctx, pred = fresh_state()
+    p1, m1 = 1 << al, -1 << al
+
+    def ac_first(blk, astats, kx):
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if dec.decode(astats, st):
+                return  # EOB
+            while dec.decode(astats, st + 1) == 0:
+                st += 3
+                k += 1
+                if k > se:
+                    raise NotImplementedError("corrupt arith AC-first run")
+            sign = dec.decode(fixed, 0)
+            st += 2
+            m = dec.decode(astats, st)
+            if m:
+                if dec.decode(astats, st):
+                    m <<= 1
+                    st = 189 if k <= kx else 217
+                    while dec.decode(astats, st):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise NotImplementedError(
+                                "corrupt arith AC-first magnitude"
+                            )
+                        st += 1
+            v = m
+            st += 14
+            while m > 1:
+                m >>= 1
+                if dec.decode(astats, st):
+                    v |= m
+            v += 1
+            blk[_ZIGZAG[k]] = (-v if sign else v) << al
+            k += 1
+
+    def ac_refine(blk, astats):
+        # previous scan's EOB position: highest index with a nonzero coef
+        kex = se
+        while kex > 0 and blk[_ZIGZAG[kex]] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex:
+                if dec.decode(astats, st):
+                    return  # EOB
+            while True:
+                z = _ZIGZAG[k]
+                if blk[z] != 0:  # history: correction decision
+                    if dec.decode(astats, st + 2):
+                        blk[z] += m1 if blk[z] < 0 else p1
+                    break
+                if dec.decode(astats, st + 1):  # newly significant
+                    blk[z] = m1 if dec.decode(fixed, 0) else p1
+                    break
+                st += 3
+                k += 1
+                if k > se:
+                    raise NotImplementedError("corrupt arith AC-refine run")
+            k += 1
+
+    mcu_count = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            dec = _ArithDecoder(b, dec.skip_to_restart())
+            dc_stats, ac_stats, fixed, dc_ctx, pred = fresh_state()
+        for ci, dct, act, by, bx in slots(m):
+            blk = coefs[ci][by, bx]
+            if ss == 0:
+                if se != 0:
+                    raise NotImplementedError("DC scan with Se != 0")
+                if ah == 0:
+                    dcond = arith_cond.get(("dc", dct), (0, 1))
+                    pred[ci] += _arith_decode_dc(
+                        dec, dc_stats[dct], dc_ctx, ci, dcond
+                    )
+                    blk[0] = pred[ci] << al
+                elif dec.decode(fixed, 0):
+                    blk[0] |= p1
+            elif ah == 0:
+                ac_first(blk, ac_stats[act], arith_cond.get(("ac", act), 5))
+            else:
+                ac_refine(blk, ac_stats[act])
+        mcu_count += 1
+
+    # past the entropy data: step to the next marker byte
+    end = dec.pos
+    while end + 1 < len(b) and not (
+        b[end] == 0xFF and b[end + 1] != 0x00 and not 0xD0 <= b[end + 1] <= 0xD7
+    ):
+        end += 1
+    return end
+
 def _decode_scan_arith(
     b, pos, frame, qt, scan_sel, restart_interval, arith_cond
 ) -> np.ndarray:
@@ -426,9 +568,9 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
     T.81 G.1.2, any scan script), and 8-bit sequential ARITHMETIC-coded
     DCT (SOF9 — T.81 Annex F QM coder with DAC conditioning, validated
     against libjpeg-encoded fixtures), 1 or 3 components, any sampling
-    factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart intervals.
-    Progressive-arithmetic (SOF10), 12-bit precision, and hierarchical
-    modes raise ``NotImplementedError``."""
+    factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart intervals;
+    progressive ARITHMETIC (SOF10) likewise decodes. 12-bit precision
+    and hierarchical modes raise ``NotImplementedError``."""
     if b[:3] != b"\xff\xd8\xff":
         raise NotImplementedError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -472,8 +614,8 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
                 table = _HuffTable(counts, seg[p + 17 : p + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 sequential, SOF2 progressive, SOF9 sequential-arithmetic
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF9/10 arithmetic
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG decodes here")
@@ -485,7 +627,8 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
                 )
             frame = {
                 "h": h, "w": w, "comps": comps,
-                "progressive": marker == 0xC2, "arith": marker == 0xC9,
+                "progressive": marker in (0xC2, 0xCA),
+                "arith": marker in (0xC9, 0xCA),
             }
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} not supported")
@@ -524,10 +667,17 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
                 )
             if coefs is None:
                 coefs = _alloc_coefs(frame)
-            i = _progressive_scan(
-                b, data_start, frame, coefs, huff_dc, huff_ac, scan_comps,
-                ss, se, ahal >> 4, ahal & 0xF, restart_interval,
-            )
+            if frame.get("arith"):
+                i = _progressive_scan_arith(
+                    b, data_start, frame, coefs, scan_comps,
+                    ss, se, ahal >> 4, ahal & 0xF, restart_interval,
+                    arith_cond,
+                )
+            else:
+                i = _progressive_scan(
+                    b, data_start, frame, coefs, huff_dc, huff_ac, scan_comps,
+                    ss, se, ahal >> 4, ahal & 0xF, restart_interval,
+                )
             continue
         i += 2 + seg_len
     if frame is not None and frame["progressive"] and coefs is not None:

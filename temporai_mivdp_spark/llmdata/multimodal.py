@@ -25,12 +25,12 @@ split by what the stdlib can genuinely do:
   A-law/µ-law WAVs (ITU expansion tables, audioop-pinned); other
   compressed-WAV tags (ADPCM, MP3-in-WAV) get byte-rate duration math
   in the header tier.
-* STUBBED: progressive-arithmetic (SOF10)/12-bit/hierarchical JPEG
-  and non-PCM-non-G.711 audio need PIL/opencv/librosa, absent in this
-  container — those payloads raise ``NotImplementedError`` unless the
-  deterministic fake is requested (used by tests and the oracle
-  harness). Sequential-arithmetic JPEG (SOF9) decodes for real since
-  round 8 (imagecodecs' QM coder).
+* STUBBED: 12-bit/hierarchical JPEG and non-PCM-non-G.711 audio need
+  PIL/opencv/librosa, absent in this container — those payloads raise
+  ``NotImplementedError`` unless the deterministic fake is requested
+  (used by tests and the oracle harness). ARITHMETIC-coded JPEG —
+  sequential SOF9 and progressive SOF10 — decodes for real since
+  round 8 (imagecodecs' T.81 QM coder, libjpeg-fixture-validated).
 
 Scale notes for the real thing:
 * media bytes ride in the same rows as metadata only up to a few MB each;
@@ -665,14 +665,14 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
 
     - ``full``: the in-repo stdlib decoders produce samples/pixels
       (linear-PCM WAV at 8/16/24/32 bits; G.711 A-law/µ-law WAV; PNG;
-      GIF; 8-bit JPEG SOF0/1/2 Huffman and SOF9 sequential-arithmetic;
+      GIF; 8-bit JPEG — SOF0/1/2 Huffman and SOF9/10 arithmetic;
       BMP 24/32-bit uncompressed or 1/4/8-bit RLE8/uncompressed),
     - ``header_only``: exact metadata from container headers, payload
       decode needs a codec library (MP3, Ogg Vorbis/Opus; compressed
       WAV fmt tags like ADPCM — byte-rate duration; JPEG variants
-      the decoder rejects — 12/16-bit precision, progressive/lossless
-      arithmetic SOF10-11, hierarchical SOF13-15 — still carry
-      dimensions in their SOF),
+      the decoder rejects — 12/16-bit precision, lossless-arithmetic
+      SOF11, hierarchical SOF13-15 — still carry dimensions in their
+      SOF),
     - ``unsupported``: unrecognized or null payloads (including RIFF
       containers that are not walkable WAVE, e.g. AVI).
 
@@ -724,7 +724,7 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
     if fmt == "jpeg":
         # dims came from the first SOFn segment; decodability depends on
         # WHICH one and the sample precision (imagecodecs.jpeg_pixels
-        # accepts 8-bit SOF0/1/2 Huffman and SOF9 sequential-arithmetic)
+        # accepts 8-bit SOF0/1/2 Huffman and SOF9/10 arithmetic)
         i = 2
         while i + 9 < len(b):
             if b[i] != 0xFF:
@@ -732,7 +732,7 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
                 continue
             marker = b[i + 1]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                ok = marker in (0xC0, 0xC1, 0xC2, 0xC9) and b[i + 4] == 8
+                ok = marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA) and b[i + 4] == 8
                 return ("image", "jpeg", "full" if ok else "header_only")
             i += 2 + struct.unpack_from(">H", b, i + 2)[0]
         return ("image", "jpeg", "header_only")

@@ -615,15 +615,19 @@ def test_jpeg_roundtrip_420_subsampled():
     assert err.mean() < 8.0
 
 
-def test_jpeg_rejects_progressive_arithmetic_and_truncated():
-    """SOF9 sequential-arithmetic decodes for real since round 8
-    (tests/test_jpeg_arithmetic.py); SOF10 progressive-arithmetic is
-    the remaining honest rejection."""
+def test_jpeg_rejects_lossless_12bit_and_truncated():
+    """Both arithmetic DCT modes (SOF9/SOF10) decode for real since
+    round 8 (tests/test_jpeg_arithmetic.py); lossless-arithmetic
+    (SOF11) and 12-bit precision are the remaining honest rejections."""
     img = _smooth_rgb(16, 16)
     payload = bytearray(jpeg_bytes(img))
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xCA  # rewrite SOF0 -> SOF10 (arithmetic progressive)
-    with pytest.raises(NotImplementedError, match="SOF10"):
+    payload[sof + 1] = 0xCB  # rewrite SOF0 -> SOF11 (arithmetic lossless)
+    with pytest.raises(NotImplementedError, match="SOF11"):
+        jpeg_pixels(bytes(payload))
+    payload[sof + 1] = 0xC0
+    payload[sof + 4] = 12  # 12-bit sample precision
+    with pytest.raises(NotImplementedError, match="8-bit"):
         jpeg_pixels(bytes(payload))
     with pytest.raises(NotImplementedError):
         jpeg_pixels(b"\xff\xd8\xff\xe0only-a-header")

@@ -3003,16 +3003,16 @@ def _arithmetic_jpeg_bytes():
     return _jpg("rgb444", "arith")
 
 
-def _prog_arith_jpeg_bytes():
-    """SOI + SOF10 (arithmetic PROGRESSIVE) header — dims present,
-    decode still unsupported by imagecodecs.jpeg_pixels (the
-    sequential-arithmetic decoder landed in round 8; progressive
-    arithmetic remains an honest header_only tier)."""
+def _deep_precision_jpeg_bytes():
+    """SOI + 12-bit SOF0 header — dims present, decode unsupported by
+    imagecodecs.jpeg_pixels (12-bit precision and hierarchical are the
+    honest remaining JPEG stubs after round 8 landed both arithmetic
+    modes)."""
     import struct as s
 
-    sof = s.pack(">BBHHB", 8, 0, 4, 4, 1) + bytes([1, 0x11, 0])
+    sof = s.pack(">BBHHB", 12, 0, 4, 4, 1) + bytes([1, 0x11, 0])
     return (
-        b"\xff\xd8\xff\xca" + s.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
+        b"\xff\xd8\xff\xc0" + s.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
     )
 
 
@@ -3033,7 +3033,7 @@ def _media_fixtures():
         ("ogg_unknown", _ogg_pages([(b"\x7fFLAC\x00\x00", 0)]), "audio", "unsupported"),
         ("png", _png_bytes([[(10, 20, 30), (40, 50, 60)]] * 2, color_type=2), "image", "full"),
         ("jpeg_arith", _arithmetic_jpeg_bytes(), "image", "full"),
-        ("jpeg_prog_arith", _prog_arith_jpeg_bytes(), "image", "header_only"),
+        ("jpeg_12bit", _deep_precision_jpeg_bytes(), "image", "header_only"),
         ("garbage", b"\x00\x01\x02\x03garbage-bytes", "unknown", "unsupported"),
         ("null", None, "unknown", "unsupported"),
     ]
@@ -3096,7 +3096,7 @@ def test_media_decode_rollup_fractions(spark):
     assert rows[("audio", "unsupported")].n_items == 2
     assert rows[("audio", "header_only")].frac_items == pytest.approx(3 / 9)
     # image: 2 full (png + sequential-arithmetic jpeg), 1 header_only
-    # (progressive-arithmetic jpeg)
+    # (12-bit jpeg)
     assert rows[("image", "full")].n_items == 2
     assert rows[("image", "header_only")].frac_items == pytest.approx(1 / 3)
     # unknown: garbage + null, all unsupported
