@@ -21,10 +21,11 @@ split by what the stdlib can genuinely do:
   disposal — ``imagecodecs.gif_frames``; ``sample_frames`` below turns
   that into real timed frame sampling), and header-only dimension
   extraction for BMP/PNG/JPEG/GIF.
-* Audio samples decode for linear PCM (8/16/24/32-bit) and G.711
-  A-law/µ-law WAVs (ITU expansion tables, audioop-pinned); other
-  compressed-WAV tags (ADPCM, MP3-in-WAV) get byte-rate duration math
-  in the header tier.
+* Audio samples decode for linear PCM (8/16/24/32-bit), G.711
+  A-law/µ-law (ITU expansion tables, audioop-pinned), and IMA ADPCM
+  WAVs (block decoder, step function audioop-pinned across every
+  state/nibble pair); other compressed-WAV tags (MS-ADPCM, MP3-in-WAV)
+  get byte-rate duration math in the header tier.
 * STUBBED: 12-bit/hierarchical JPEG and non-PCM-non-G.711 audio need
   PIL/opencv/librosa, absent in this container — those payloads raise
   ``NotImplementedError`` unless the deterministic fake is requested
@@ -109,8 +110,9 @@ def _sniff(payload: bytes | None) -> str | None:
 # ---------------------------------------------------------------------------
 
 
-def _riff_wav_info(b: bytes) -> tuple[int, int, int, int, int, bytes]:
-    """(fmt_tag, channels, sample_rate, byte_rate, bits, data) from a
+def _riff_wav_info(b: bytes) -> tuple[int, int, int, int, int, int, bytes]:
+    """(fmt_tag, channels, sample_rate, byte_rate, block_align, bits,
+    data) from a
     RIFF/WAVE container — manual word-aligned chunk walk. The stdlib
     ``wave`` module rejects every fmt tag except PCM at open, and the
     G.711 (A-law/µ-law) sample tier plus the byte-rate duration math
@@ -131,10 +133,10 @@ def _riff_wav_info(b: bytes) -> tuple[int, int, int, int, int, bytes]:
         i += 8 + clen + (clen & 1)  # chunks are 16-bit word aligned
     if fmt is None or data is None:
         raise NotImplementedError("RIFF/WAVE missing fmt or data chunk")
-    tag, ch, sr, br, _align, bits = fmt
+    tag, ch, sr, br, align, bits = fmt
     if ch <= 0 or sr <= 0:
         raise NotImplementedError("degenerate WAV fmt chunk")
-    return tag, ch, sr, br, bits, data
+    return tag, ch, sr, br, align, bits, data
 
 
 def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
@@ -157,17 +159,91 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _ULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
-#: WAV fmt tags the sample tier decodes: PCM, A-law, µ-law (G.711)
-_WAV_PCM, _WAV_ALAW, _WAV_ULAW = 1, 6, 7
+#: WAV fmt tags the sample tier decodes: PCM, A-law/µ-law (G.711),
+#: IMA ADPCM (DVI4)
+_WAV_PCM, _WAV_ALAW, _WAV_ULAW, _WAV_IMA_ADPCM = 1, 6, 7, 0x11
+
+#: IMA/DVI ADPCM step machinery — differentially pinned against stdlib
+#: audioop's C implementation across every (state, nibble) pair in tests
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (predictor', index')."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    if nib & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nib & 7]))
+    return pred, index
+
+
+def _ima_samples_per_block(align: int, ch: int) -> int:
+    """WAV IMA-ADPCM samples per channel per block: the 4-byte/channel
+    block header carries the first sample, the rest is 2 nibbles/byte
+    split across channels."""
+    return (align - 4 * ch) * 2 // ch + 1
+
+
+def _ima_adpcm_samples(data: bytes, ch: int, align: int) -> np.ndarray:
+    """Decode WAV IMA-ADPCM (fmt tag 0x11) blocks to float samples in
+    [-1, 1], channel-averaged. Block layout per the WAV spec: per
+    channel a 4-byte header (int16 predictor = first sample, uint8 step
+    index, reserved), then the nibble data interleaved in 4-byte groups
+    per channel, LOW nibble first within each byte."""
+    if align < 4 * ch + 4:
+        raise NotImplementedError(f"IMA ADPCM block align {align} too small")
+    out = []
+    for boff in range(0, len(data) - 4 * ch + 1, align):
+        block = data[boff : boff + align]
+        preds, idxs, chans = [], [], []
+        for c in range(ch):
+            pred = int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+            index = min(block[4 * c + 2], 88)
+            preds.append(pred)
+            idxs.append(index)
+            chans.append([pred])
+        body = block[4 * ch :]
+        # 4-byte groups rotate across channels
+        for g in range(len(body) // 4):
+            c = g % ch
+            for byte in body[4 * g : 4 * g + 4]:
+                for nib in (byte & 0x0F, byte >> 4):  # low nibble first
+                    preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                    chans[c].append(preds[c])
+        n = min(len(x) for x in chans)
+        frame = np.array([x[:n] for x in chans], dtype=np.float64)
+        out.append(frame.mean(axis=0) / 32768.0)
+    if not out:
+        return np.zeros(0)
+    return np.concatenate(out)
+
 
 
 def _wav_samples(b: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, [-1, 1] float64 channel-averaged samples) of a
-    RIFF WAV payload: linear PCM at 8/16/24/32 bits, or G.711
-    A-law/µ-law via the expansion tables (1 byte per sample). Raises
-    ``NotImplementedError`` for other encodings (ADPCM etc. need a real
-    codec) — mirrors how unsupported image formats behave."""
-    tag, ch, sr, _br, bits, data = _riff_wav_info(b)
+    RIFF WAV payload: linear PCM at 8/16/24/32 bits, G.711 A-law/µ-law
+    via the expansion tables (1 byte per sample), or IMA ADPCM (fmt tag
+    0x11) via the block decoder. Raises ``NotImplementedError`` for
+    other encodings (MS-ADPCM, MP3-in-WAV, ...) — mirrors how
+    unsupported image formats behave."""
+    tag, ch, sr, _br, align, bits, data = _riff_wav_info(b)
     if tag == _WAV_PCM:
         sw = bits // 8
         if sw not in (1, 2, 3, 4):
@@ -189,6 +265,8 @@ def _wav_samples(b: bytes) -> tuple[int, np.ndarray]:
         codes = np.frombuffer(data[: n * ch], np.uint8)
         table = _ALAW_TABLE if tag == _WAV_ALAW else _ULAW_TABLE
         x = table[codes].astype(np.float64) / 32768.0
+    elif tag == _WAV_IMA_ADPCM:
+        return sr, _ima_adpcm_samples(data, ch, align)  # already averaged
     else:
         raise NotImplementedError(f"WAV fmt tag {tag} needs a codec library")
     if ch > 1:
@@ -570,10 +648,10 @@ def audio_metadata(media: DataFrame) -> DataFrame:
     the fraction the PCM tier skips, and duration / rate / channels /
     bitrate from HEADERS alone:
 
-    - ``pcm_wav`` / ``g711_alaw`` / ``g711_ulaw`` → status ``full``
-      (``audio_features``/``audio_spectral`` can decode samples —
-      linear PCM at 8/16/24/32 bits, G.711 via the ITU expansion
-      tables),
+    - ``pcm_wav`` / ``g711_alaw`` / ``g711_ulaw`` / ``ima_adpcm`` →
+      status ``full`` (``audio_features``/``audio_spectral`` can decode
+      samples — linear PCM at 8/16/24/32 bits, G.711 via the ITU
+      expansion tables, IMA ADPCM via the block decoder),
     - ``mp3`` / ``vorbis`` / ``opus`` / ``flac`` (bare or in-Ogg) /
       ``wav_fmt_<tag>`` (compressed WAV codecs — ADPCM, MP3-in-WAV) →
       status ``header_only`` (frame/page-header walk, 16 bytes of
@@ -596,7 +674,7 @@ def audio_metadata(media: DataFrame) -> DataFrame:
         b = bytes(payload)
         try:
             if b[:4] == b"RIFF":
-                tag, ch, sr, br, bits, data = _riff_wav_info(b)
+                tag, ch, sr, br, align, bits, data = _riff_wav_info(b)
                 if tag == _WAV_PCM and bits in (8, 16, 24, 32):
                     n = len(data) // max(ch * (bits // 8), 1)
                     codec, status = "pcm_wav", "full"
@@ -604,6 +682,10 @@ def audio_metadata(media: DataFrame) -> DataFrame:
                     n = len(data) // ch  # G.711 is 1 byte/sample
                     codec = "g711_alaw" if tag == _WAV_ALAW else "g711_ulaw"
                     status = "full"
+                elif tag == _WAV_IMA_ADPCM and align >= 4 * ch + 4:
+                    spb = _ima_samples_per_block(align, ch)
+                    n = (len(data) // align) * spb
+                    codec, status = "ima_adpcm", "full"
                 else:
                     # compressed WAV codec (ADPCM, MP3-in-WAV, ...):
                     # duration from the fmt chunk's byte rate — header
@@ -664,9 +746,10 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
     accounting of what the decode tiers can do, no pixel/sample decode:
 
     - ``full``: the in-repo stdlib decoders produce samples/pixels
-      (linear-PCM WAV at 8/16/24/32 bits; G.711 A-law/µ-law WAV; PNG;
-      GIF; 8-bit JPEG — SOF0/1/2 Huffman and SOF9/10 arithmetic;
-      BMP 24/32-bit uncompressed or 1/4/8-bit RLE8/uncompressed),
+      (linear-PCM WAV at 8/16/24/32 bits; G.711 A-law/µ-law and IMA
+      ADPCM WAV; PNG; GIF; 8-bit JPEG — SOF0/1/2 Huffman and SOF9/10
+      arithmetic; BMP 24/32-bit uncompressed or 1/4/8-bit
+      RLE8/uncompressed),
     - ``header_only``: exact metadata from container headers, payload
       decode needs a codec library (MP3, Ogg Vorbis/Opus; compressed
       WAV fmt tags like ADPCM — byte-rate duration; JPEG variants
@@ -684,7 +767,7 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
         return ("unknown", None, "unsupported")
     if b[:4] == b"RIFF":
         try:
-            tag, _ch, _sr, _br, bits, _data = _riff_wav_info(b)
+            tag, ch, _sr, _br, align, bits, _data = _riff_wav_info(b)
         except NotImplementedError:
             # RIFF but not a walkable WAVE (e.g. AVI container)
             return ("audio", "wav", "unsupported")
@@ -694,6 +777,8 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             return ("audio", "g711_alaw", "full")
         if tag == _WAV_ULAW:
             return ("audio", "g711_ulaw", "full")
+        if tag == _WAV_IMA_ADPCM and align >= 4 * ch + 4:
+            return ("audio", "ima_adpcm", "full")
         return ("audio", f"wav_fmt_{tag}", "header_only")
     if b[:4] == b"OggS":
         try:

@@ -3016,6 +3016,15 @@ def _deep_precision_jpeg_bytes():
     )
 
 
+def _ima_wav_fixture():
+    """One valid mono IMA-ADPCM block (silence) with align=256."""
+    import struct as s
+
+    block = s.pack("<hBB", 0, 0, 0) + b"\x00" * 252
+    payload = _raw_wav(0x11, 1, 8000, 4, block, byte_rate=4055)
+    return payload[:32] + (256).to_bytes(2, "little") + payload[34:]
+
+
 def _media_fixtures():
     """(name, payload, want_modality, want_status) — the classifier's
     contract over one of each tier."""
@@ -3024,6 +3033,9 @@ def _media_fixtures():
         ("wav_ulaw", _raw_wav(7, 1, 8000, 8, b"\x7f" * 800), "audio", "full"),
         ("wav_alaw", _raw_wav(6, 1, 8000, 8, b"\x2a" * 800), "audio", "full"),
         ("wav_24bit", _raw_wav(1, 1, 8000, 24, b"\x01\x02\x03" * 64), "audio", "full"),
+        ("wav_ima", _ima_wav_fixture(), "audio", "full"),
+        # block_align 1 is structurally invalid for IMA (the guard keeps
+        # it header_only — metadata from byte rate, no decode claim)
         ("wav_adpcm", _raw_wav(17, 1, 8000, 4, b"\x00" * 256, byte_rate=4000),
          "audio", "header_only"),
         ("riff_not_wave", b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16,
@@ -3089,12 +3101,13 @@ def test_media_decode_rollup_fractions(spark):
     ).repartition(3)
     rows = {(r.modality, r.decode_status): r for r in curation_media_report(media).collect()}
 
-    # audio: 4 full (pcm wav + ulaw + alaw + 24-bit), 3 header_only
-    # (mp3 + vorbis + adpcm), 2 unsupported (ogg_unknown + riff_not_wave)
-    assert rows[("audio", "full")].n_items == 4
+    # audio: 5 full (pcm wav + ulaw + alaw + 24-bit + ima), 3 header_only
+    # (mp3 + vorbis + degenerate-align adpcm), 2 unsupported
+    # (ogg_unknown + riff_not_wave)
+    assert rows[("audio", "full")].n_items == 5
     assert rows[("audio", "header_only")].n_items == 3
     assert rows[("audio", "unsupported")].n_items == 2
-    assert rows[("audio", "header_only")].frac_items == pytest.approx(3 / 9)
+    assert rows[("audio", "header_only")].frac_items == pytest.approx(3 / 10)
     # image: 2 full (png + sequential-arithmetic jpeg), 1 header_only
     # (12-bit jpeg)
     assert rows[("image", "full")].n_items == 2
@@ -3459,3 +3472,124 @@ def test_audio_metadata_g711_and_compressed_wav(spark):
     # 2000 bytes at 4000 B/s -> 500 ms, no sample decode claimed
     assert (got[2].codec, got[2].decode_status, got[2].duration_ms,
             got[2].sample_rate) == ("wav_fmt_17", "header_only", 500, 8000)
+
+
+def _ima_encode_block(samples, ch, align, state=None):
+    """Test-side WAV IMA-ADPCM block encoder (the standard IMA encode
+    loop over the same step table — decode correctness is independently
+    pinned against audioop's C step function, not against this)."""
+    import struct as _struct
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+        _ima_samples_per_block,
+        _ima_step,
+    )
+
+    spb = _ima_samples_per_block(align, ch)
+    assert ch == 1, "test encoder: mono fixtures"
+    index = 0 if state is None else state
+    pred = int(samples[0])
+    out = _struct.pack("<hBB", pred, index, 0)
+    recon = [pred]
+    nibs = []
+    for s_val in samples[1:spb]:
+        step = _IMA_STEP_TABLE[index]
+        diff = s_val - pred
+        nib = 8 if diff < 0 else 0
+        if diff < 0:
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        pred, index = _ima_step(pred, index, nib)
+        recon.append(pred)
+        nibs.append(nib)
+    while len(nibs) < (align - 4) * 2:
+        pred, index = _ima_step(pred, index, 0)
+        recon.append(pred)
+        nibs.append(0)
+    body = bytes(
+        (nibs[i] & 0x0F) | (nibs[i + 1] << 4) for i in range(0, len(nibs), 2)
+    )
+    return out + body, index, recon
+
+
+def test_ima_step_matches_audioop_exhaustively():
+    """The IMA step function must agree with stdlib audioop's C
+    implementation for every (state index, nibble) pair and across
+    predictor values — the decode table/arithmetic pin."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from temporai_mivdp_spark.llmdata.multimodal import _ima_step
+
+    for index in range(89):
+        for nib in range(16):
+            for pred in (-32768, -1234, 0, 999, 32767):
+                # audioop consumes the HIGH nibble of each byte first
+                out, _ = audioop.adpcm2lin(bytes([nib << 4]), 2, (pred, index))
+                want = int.from_bytes(out[:2], "little", signed=True)
+                got, _ = _ima_step(pred, index, nib)
+                assert got == want, (index, nib, pred)
+
+
+def test_ima_adpcm_wav_decode_and_metadata(spark):
+    """A mono 440 Hz sine encoded to WAV IMA-ADPCM blocks (test-side
+    encoder) must decode to the waveform within ADPCM's tracking error,
+    audio_metadata must report exact block-math duration as 'full', and
+    the spectral tier must recover the tone through the new path."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _ima_samples_per_block,
+        _wav_samples,
+    )
+
+    sr, align = 8000, 256
+    spb = _ima_samples_per_block(align, 1)  # 505
+    n_blocks = 4
+    t = np.arange(n_blocks * spb)
+    pcm = (9000.0 * np.sin(2 * np.pi * 440.0 * t / sr)).astype(int)
+    data, state, recon_all = b"", None, []
+    for i in range(n_blocks):
+        seg = pcm[i * spb : (i + 1) * spb]
+        block, state, recon = _ima_encode_block(list(seg), 1, align, state)
+        data += block
+        recon_all.extend(recon)
+    payload = _raw_wav(0x11, 1, sr, 4, data, byte_rate=4055)
+    # hand-patch block align into the fmt chunk (offset 32 in canonical
+    # RIFF: 12 header + 8 chunk hdr + tag2 ch2 sr4 br4 = 32)
+    payload = payload[:32] + align.to_bytes(2, "little") + payload[34:]
+
+    got_sr, x = _wav_samples(payload)
+    assert got_sr == sr and len(x) == n_blocks * spb
+    # the decoder must reproduce the encoder-side reconstruction EXACTLY
+    # (the step function is the shared spec; its correctness is pinned
+    # against audioop above)
+    assert np.array_equal(x * 32768.0, np.array(recon_all, dtype=np.float64))
+    # and once the step size has adapted past the initial attack, the
+    # waveform itself tracks within ADPCM error
+    assert np.max(np.abs(x[64:] - pcm[64:] / 32768.0)) < 0.08
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "audio/wav", None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    meta = multimodal.audio_metadata(media).collect()[0]
+    assert (meta.codec, meta.decode_status, meta.sample_rate, meta.channels) == (
+        "ima_adpcm", "full", sr, 1
+    )
+    assert meta.duration_ms == n_blocks * spb * 1000 // sr
+
+    spec = multimodal.audio_spectral(media, n_bands=8).collect()[0]
+    assert abs(float(spec.dominant_hz) - 440.0) <= 2.0
