@@ -476,7 +476,6 @@ def _progressive_scan_arith(
                     raise NotImplementedError("corrupt arith AC-refine run")
             k += 1
 
-    mcu_count = 0
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             dec = _ArithDecoder(b, dec.skip_to_restart())
@@ -498,7 +497,6 @@ def _progressive_scan_arith(
                 ac_first(blk, ac_stats[act], arith_cond.get(("ac", act), 5))
             else:
                 ac_refine(blk, ac_stats[act])
-        mcu_count += 1
 
     # past the entropy data: step to the next marker byte
     end = dec.pos

@@ -201,6 +201,22 @@ def _ima_samples_per_block(align: int, ch: int) -> int:
     return (align - 4 * ch) * 2 // ch + 1
 
 
+def _ima_data_samples(n_bytes: int, ch: int, align: int) -> int:
+    """Samples per channel that ``_ima_adpcm_samples`` produces for
+    ``n_bytes`` of block data — the SAME block walk (a trailing partial
+    block with at least the 4*ch-byte header decodes its truncated
+    body), so the metadata tier can never disagree with the sample tier
+    on truncated payloads. Per block the decoder consumes the body in
+    4-byte groups rotated across channels and takes the channel-min
+    length: header sample + 8 nibbles per full group landing on the
+    last channel ⇒ 1 + 8 * (groups // ch)."""
+    total = 0
+    for boff in range(0, n_bytes - 4 * ch + 1, align):
+        body = min(align, n_bytes - boff) - 4 * ch
+        total += 1 + 8 * ((body // 4) // ch)
+    return total
+
+
 def _ima_adpcm_samples(data: bytes, ch: int, align: int) -> np.ndarray:
     """Decode WAV IMA-ADPCM (fmt tag 0x11) blocks to float samples in
     [-1, 1], channel-averaged. Block layout per the WAV spec: per
@@ -683,8 +699,7 @@ def audio_metadata(media: DataFrame) -> DataFrame:
                     codec = "g711_alaw" if tag == _WAV_ALAW else "g711_ulaw"
                     status = "full"
                 elif tag == _WAV_IMA_ADPCM and align >= 4 * ch + 4:
-                    spb = _ima_samples_per_block(align, ch)
-                    n = (len(data) // align) * spb
+                    n = _ima_data_samples(len(data), ch, align)
                     codec, status = "ima_adpcm", "full"
                 else:
                     # compressed WAV codec (ADPCM, MP3-in-WAV, ...):

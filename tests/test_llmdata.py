@@ -3593,3 +3593,36 @@ def test_ima_adpcm_wav_decode_and_metadata(spark):
 
     spec = multimodal.audio_spectral(media, n_bands=8).collect()[0]
     assert abs(float(spec.dominant_hz) - 440.0) <= 2.0
+
+
+def test_ima_adpcm_truncated_metadata_matches_sample_tier():
+    """On a TRUNCATED IMA-ADPCM payload (trailing partial block) the
+    metadata tier's sample count must equal what the sample tier
+    actually decodes — both walk the same block bound
+    (`_ima_data_samples` mirrors `_ima_adpcm_samples`), so duration_ms
+    can never disagree with audio_features/audio_spectral."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _ima_adpcm_samples,
+        _ima_data_samples,
+        _ima_samples_per_block,
+    )
+
+    sr, align, ch = 8000, 256, 1
+    spb = _ima_samples_per_block(align, ch)
+    t = np.arange(3 * spb)
+    pcm = (9000.0 * np.sin(2 * np.pi * 440.0 * t / sr)).astype(int)
+    data, state = b"", None
+    for i in range(3):
+        block, state, _ = _ima_encode_block(
+            list(pcm[i * spb : (i + 1) * spb]), ch, align, state
+        )
+        data += block
+    # lop off part of the last block at assorted cut points: mid-body
+    # (partial block decodes), inside the header (partial block skipped),
+    # and exactly at a block boundary (agreement on the easy case too)
+    for cut in (0, 1, 3, align - 5, align - 37, align // 2, align - 4 * ch):
+        trunc = data[: len(data) - cut]
+        decoded = _ima_adpcm_samples(trunc, ch, align)
+        assert len(decoded) == _ima_data_samples(len(trunc), ch, align), cut

@@ -280,6 +280,7 @@ def test_media_roundtrip_fixtures_invariant(spark):
     # at it — the partitioning carries into the parquet file layout.
     import tempfile
 
+    want = None
     for name, layout in _layouts(docs):
         with tempfile.TemporaryDirectory() as d:
             layout.select("doc_id", "text", "source").write.mode(
@@ -293,7 +294,7 @@ def test_media_roundtrip_fixtures_invariant(spark):
                 sorted(tuple(r) for r in audio.collect()),
                 sorted(tuple(r) for r in image.collect()),
             )
-            if name == "repartition(1)":
+            if want is None:
                 want = got
             else:
                 assert got == want, f"{name} diverged"
