@@ -22,9 +22,11 @@ split by what the stdlib can genuinely do:
   that into real timed frame sampling), and header-only dimension
   extraction for BMP/PNG/JPEG/GIF.
 * Audio samples decode for linear PCM (8/16/24/32-bit), G.711
-  A-law/µ-law (ITU expansion tables, audioop-pinned), and IMA ADPCM
-  WAVs (block decoder, step function audioop-pinned across every
-  state/nibble pair); other compressed-WAV tags (MS-ADPCM, MP3-in-WAV)
+  A-law/µ-law (ITU expansion tables, audioop-pinned), IMA ADPCM WAVs
+  (block decoder, step function audioop-pinned across every
+  state/nibble pair), and MS ADPCM WAVs (fmt 0x02 — spec predictor
+  pairs + delta adaptation, pinned by exact round-trip against a
+  test-side spec encoder); other compressed-WAV tags (MP3-in-WAV, ...)
   get byte-rate duration math in the header tier.
 * STUBBED: 12-bit/hierarchical JPEG and non-PCM-non-G.711 audio need
   PIL/opencv/librosa, absent in this container — those payloads raise
@@ -159,9 +161,9 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _ULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
-#: WAV fmt tags the sample tier decodes: PCM, A-law/µ-law (G.711),
-#: IMA ADPCM (DVI4)
-_WAV_PCM, _WAV_ALAW, _WAV_ULAW, _WAV_IMA_ADPCM = 1, 6, 7, 0x11
+#: WAV fmt tags the sample tier decodes: PCM, MS ADPCM, A-law/µ-law
+#: (G.711), IMA ADPCM (DVI4)
+_WAV_PCM, _WAV_MS_ADPCM, _WAV_ALAW, _WAV_ULAW, _WAV_IMA_ADPCM = 1, 2, 6, 7, 0x11
 
 #: IMA/DVI ADPCM step machinery — differentially pinned against stdlib
 #: audioop's C implementation across every (state, nibble) pair in tests
@@ -199,6 +201,96 @@ def _ima_samples_per_block(align: int, ch: int) -> int:
     block header carries the first sample, the rest is 2 nibbles/byte
     split across channels."""
     return (align - 4 * ch) * 2 // ch + 1
+
+
+#: MS-ADPCM (WAV fmt tag 0x02) machinery per the public Microsoft ADPCM
+#: spec (the multimedia DDK msadpcm reference): 7 fixed predictor
+#: coefficient pairs, a 16-entry delta adaptation table, and arithmetic
+#: >>8 shifts (floor) for both the prediction and the delta update.
+#: There is no independent decoder in this container (audioop's adpcm is
+#: the Intel/DVI variant), so correctness is pinned the same way the IMA
+#: tier's block LAYOUT is: a hand-written test-side encoder using the
+#: same spec primitives must round-trip bit-exactly through this decoder
+#: (tests/test_llmdata.py::test_ms_adpcm_wav_decode_and_metadata).
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+_MS_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+
+
+def _ms_step(nib: int, s1: int, s2: int, delta: int, c1: int, c2: int):
+    """One MS-ADPCM nibble: (new_sample, new_delta). Shared by the
+    decoder below and the test-side encoder's reconstruction loop."""
+    signed = nib - 16 if nib & 8 else nib
+    pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+    pred = max(-32768, min(32767, pred))
+    delta = (_MS_ADAPT[nib] * delta) >> 8
+    return pred, max(16, delta)
+
+
+def _ms_adpcm_samples(data: bytes, ch: int, align: int) -> np.ndarray:
+    """Decode WAV MS-ADPCM (fmt tag 0x02) blocks to float samples in
+    [-1, 1], channel-averaged. Block layout per the spec: per channel a
+    predictor index byte, then per channel int16 initial delta, int16
+    sample1 (most recent), int16 sample2; the two header samples are
+    emitted (sample2 first), then the body nibbles — HIGH nibble first
+    within each byte — rotate across channels one nibble at a time."""
+    hdr = 7 * ch
+    if align < hdr + 1:
+        raise NotImplementedError(f"MS ADPCM block align {align} too small")
+    out = []
+    for boff in range(0, len(data) - hdr + 1, align):
+        block = data[boff : boff + align]
+        c1s, c2s, deltas, s1s, s2s, chans = [], [], [], [], [], []
+        for c in range(ch):
+            idx = min(block[c], 6)
+            c1s.append(_MS_COEF1[idx])
+            c2s.append(_MS_COEF2[idx])
+            deltas.append(
+                int.from_bytes(block[ch + 2 * c : ch + 2 * c + 2], "little", signed=True)
+            )
+            s1s.append(
+                int.from_bytes(
+                    block[3 * ch + 2 * c : 3 * ch + 2 * c + 2], "little", signed=True
+                )
+            )
+            s2s.append(
+                int.from_bytes(
+                    block[5 * ch + 2 * c : 5 * ch + 2 * c + 2], "little", signed=True
+                )
+            )
+            chans.append([s2s[c], s1s[c]])
+        k = 0
+        for byte in block[hdr:]:
+            for nib in (byte >> 4, byte & 0x0F):  # high nibble first
+                c = k % ch
+                k += 1
+                s, deltas[c] = _ms_step(
+                    nib, s1s[c], s2s[c], deltas[c], c1s[c], c2s[c]
+                )
+                s2s[c], s1s[c] = s1s[c], s
+                chans[c].append(s)
+        n = min(len(x) for x in chans)
+        frame = np.array([x[:n] for x in chans], dtype=np.float64)
+        out.append(frame.mean(axis=0) / 32768.0)
+    if not out:
+        return np.zeros(0)
+    return np.concatenate(out)
+
+
+def _ms_data_samples(n_bytes: int, ch: int, align: int) -> int:
+    """Samples per channel that ``_ms_adpcm_samples`` produces for
+    ``n_bytes`` of block data — the same block walk (partial trailing
+    blocks with at least the 7*ch header decode their truncated body):
+    2 header samples + the channel-min share of the body nibbles."""
+    hdr = 7 * ch
+    total = 0
+    for boff in range(0, n_bytes - hdr + 1, align):
+        body = min(align, n_bytes - boff) - hdr
+        total += 2 + (2 * body) // ch
+    return total
 
 
 def _ima_data_samples(n_bytes: int, ch: int, align: int) -> int:
@@ -255,10 +347,10 @@ def _ima_adpcm_samples(data: bytes, ch: int, align: int) -> np.ndarray:
 def _wav_samples(b: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, [-1, 1] float64 channel-averaged samples) of a
     RIFF WAV payload: linear PCM at 8/16/24/32 bits, G.711 A-law/µ-law
-    via the expansion tables (1 byte per sample), or IMA ADPCM (fmt tag
-    0x11) via the block decoder. Raises ``NotImplementedError`` for
-    other encodings (MS-ADPCM, MP3-in-WAV, ...) — mirrors how
-    unsupported image formats behave."""
+    via the expansion tables (1 byte per sample), or IMA / MS ADPCM
+    (fmt tags 0x11 / 0x02) via the block decoders. Raises
+    ``NotImplementedError`` for other encodings (MP3-in-WAV, ...) —
+    mirrors how unsupported image formats behave."""
     tag, ch, sr, _br, align, bits, data = _riff_wav_info(b)
     if tag == _WAV_PCM:
         sw = bits // 8
@@ -283,6 +375,8 @@ def _wav_samples(b: bytes) -> tuple[int, np.ndarray]:
         x = table[codes].astype(np.float64) / 32768.0
     elif tag == _WAV_IMA_ADPCM:
         return sr, _ima_adpcm_samples(data, ch, align)  # already averaged
+    elif tag == _WAV_MS_ADPCM:
+        return sr, _ms_adpcm_samples(data, ch, align)  # already averaged
     else:
         raise NotImplementedError(f"WAV fmt tag {tag} needs a codec library")
     if ch > 1:
@@ -701,6 +795,9 @@ def audio_metadata(media: DataFrame) -> DataFrame:
                 elif tag == _WAV_IMA_ADPCM and align >= 4 * ch + 4:
                     n = _ima_data_samples(len(data), ch, align)
                     codec, status = "ima_adpcm", "full"
+                elif tag == _WAV_MS_ADPCM and align >= 7 * ch + 1:
+                    n = _ms_data_samples(len(data), ch, align)
+                    codec, status = "ms_adpcm", "full"
                 else:
                     # compressed WAV codec (ADPCM, MP3-in-WAV, ...):
                     # duration from the fmt chunk's byte rate — header
@@ -794,6 +891,8 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             return ("audio", "g711_ulaw", "full")
         if tag == _WAV_IMA_ADPCM and align >= 4 * ch + 4:
             return ("audio", "ima_adpcm", "full")
+        if tag == _WAV_MS_ADPCM and align >= 7 * ch + 1:
+            return ("audio", "ms_adpcm", "full")
         return ("audio", f"wav_fmt_{tag}", "header_only")
     if b[:4] == b"OggS":
         try:

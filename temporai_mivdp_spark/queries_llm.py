@@ -3487,8 +3487,12 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Four classes, round-robin by doc_id % 4: a real PCM WAV (stdlib
     `wave` writer), a real bare-FLAC STREAMINFO (bit-packed per the FLAC
     spec — 20-bit rate, 3-bit channels-1, 5-bit bps-1, 36-bit total
-    samples), a junk payload no codec tier claims, and a NULL payload.
-    Arrow-batched generation; payloads stay under ~4 KB/row."""
+    samples), a junk payload no codec tier claims, a NULL payload, and
+    (round 9) a real MS-ADPCM WAV (fmt 0x02, silence blocks: predictor
+    0 / delta 16 / zero header samples, align 256 — the sample-count
+    algebra 2 + 2*(align-7*ch)//ch per block is the decoder's own block
+    math, so the oracle replays duration exactly). Arrow-batched
+    generation; payloads stay under ~4 KB/row."""
 
     def gen(it):
         import io
@@ -3501,7 +3505,7 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                kind = did % 4
+                kind = did % 5
                 n = 100 + (did % 900)
                 sr = (8000, 16000, 44100)[(did // 4) % 3]
                 ch = 1 + (did % 2)
@@ -3526,6 +3530,23 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 elif kind == 2:
                     payload = b"JUNK" + did.to_bytes(8, "big")
+                elif kind == 4:
+                    align = 256
+                    block = (
+                        bytes(ch)                 # predictor idx 0 per ch
+                        + b"\x10\x00" * ch        # delta 16 per ch
+                        + bytes(align - 3 * ch)   # s1/s2 + body zeros
+                    )
+                    data = block * (1 + did % 7)
+                    fmt = struct.pack("<HHIIHH", 2, ch, sr, sr, align, 4)
+                    chunks = (
+                        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(data)) + data
+                    )
+                    payload = (
+                        b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                        + b"WAVE" + chunks
+                    )
                 else:
                     payload = None
                 rows.append((did, payload))
@@ -3539,20 +3560,27 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_roundtrip",
     """
     SELECT doc_id AS media_id,
-           CASE doc_id % 4 WHEN 0 THEN 'pcm_wav' WHEN 1 THEN 'flac' END
-             AS codec,
-           CASE doc_id % 4 WHEN 0 THEN 'full' WHEN 1 THEN 'header_only'
-                ELSE 'unsupported' END AS decode_status,
-           CASE WHEN doc_id % 4 IN (0, 1)
+           CASE doc_id % 5 WHEN 0 THEN 'pcm_wav' WHEN 1 THEN 'flac'
+                WHEN 4 THEN 'ms_adpcm' END AS codec,
+           CASE doc_id % 5 WHEN 0 THEN 'full' WHEN 1 THEN 'header_only'
+                WHEN 4 THEN 'full' ELSE 'unsupported' END AS decode_status,
+           CASE WHEN doc_id % 5 IN (0, 1)
                 THEN CAST(((100 + doc_id % 900) * 1000)
                           // ([8000, 16000, 44100][((doc_id // 4) % 3) + 1])
                      AS BIGINT)
+                WHEN doc_id % 5 = 4
+                THEN CAST(((1 + doc_id % 7)
+                           * (2 + (2 * (256 - 7 * (1 + doc_id % 2)))
+                                  // (1 + doc_id % 2))
+                           * 1000)
+                          // ([8000, 16000, 44100][((doc_id // 4) % 3) + 1])
+                     AS BIGINT)
            END AS duration_ms,
-           CASE WHEN doc_id % 4 IN (0, 1)
+           CASE WHEN doc_id % 5 IN (0, 1, 4)
                 THEN CAST([8000, 16000, 44100][((doc_id // 4) % 3) + 1]
                      AS INTEGER)
            END AS sample_rate,
-           CASE WHEN doc_id % 4 IN (0, 1)
+           CASE WHEN doc_id % 5 IN (0, 1, 4)
                 THEN CAST(1 + doc_id % 2 AS INTEGER)
            END AS channels
     FROM documents
@@ -3561,8 +3589,10 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio header decoding under the hash check (llmdata/
     multimodal.py::audio_metadata): a mixed media corpus — PCM WAV,
-    bare-FLAC STREAMINFO, junk, NULL — is synthesized per row as a pure
-    function of doc_id (`_audio_fixture`), pushed through the actual
+    bare-FLAC STREAMINFO, junk, NULL, MS-ADPCM WAV (round 9: the fmt
+    0x02 sample tier under the oracle's block-math duration replay) —
+    is synthesized per row as a pure function of doc_id
+    (`_audio_fixture`), pushed through the actual
     Arrow-batched codec walkers, and the checked output is the decoded
     metadata (codec tier, decode_status, duration_ms, sample_rate,
     channels). The oracle replays the GENERATOR's algebra — duration =

@@ -3025,6 +3025,16 @@ def _ima_wav_fixture():
     return payload[:32] + (256).to_bytes(2, "little") + payload[34:]
 
 
+def _ms_wav_fixture():
+    """One valid mono MS-ADPCM block (silence) with align=256: header =
+    predictor idx byte + int16 delta + int16 sample1 + int16 sample2."""
+    import struct as s
+
+    block = s.pack("<Bhhh", 0, 16, 0, 0) + b"\x00" * 249
+    payload = _raw_wav(0x02, 1, 8000, 4, block, byte_rate=4000)
+    return payload[:32] + (256).to_bytes(2, "little") + payload[34:]
+
+
 def _media_fixtures():
     """(name, payload, want_modality, want_status) — the classifier's
     contract over one of each tier."""
@@ -3034,6 +3044,7 @@ def _media_fixtures():
         ("wav_alaw", _raw_wav(6, 1, 8000, 8, b"\x2a" * 800), "audio", "full"),
         ("wav_24bit", _raw_wav(1, 1, 8000, 24, b"\x01\x02\x03" * 64), "audio", "full"),
         ("wav_ima", _ima_wav_fixture(), "audio", "full"),
+        ("wav_ms", _ms_wav_fixture(), "audio", "full"),
         # block_align 1 is structurally invalid for IMA (the guard keeps
         # it header_only — metadata from byte rate, no decode claim)
         ("wav_adpcm", _raw_wav(17, 1, 8000, 4, b"\x00" * 256, byte_rate=4000),
@@ -3101,13 +3112,13 @@ def test_media_decode_rollup_fractions(spark):
     ).repartition(3)
     rows = {(r.modality, r.decode_status): r for r in curation_media_report(media).collect()}
 
-    # audio: 5 full (pcm wav + ulaw + alaw + 24-bit + ima), 3 header_only
-    # (mp3 + vorbis + degenerate-align adpcm), 2 unsupported
+    # audio: 6 full (pcm wav + ulaw + alaw + 24-bit + ima + ms), 3
+    # header_only (mp3 + vorbis + degenerate-align adpcm), 2 unsupported
     # (ogg_unknown + riff_not_wave)
-    assert rows[("audio", "full")].n_items == 5
+    assert rows[("audio", "full")].n_items == 6
     assert rows[("audio", "header_only")].n_items == 3
     assert rows[("audio", "unsupported")].n_items == 2
-    assert rows[("audio", "header_only")].frac_items == pytest.approx(3 / 10)
+    assert rows[("audio", "header_only")].frac_items == pytest.approx(3 / 11)
     # image: 2 full (png + sequential-arithmetic jpeg), 1 header_only
     # (12-bit jpeg)
     assert rows[("image", "full")].n_items == 2
@@ -3626,3 +3637,162 @@ def test_ima_adpcm_truncated_metadata_matches_sample_tier():
         trunc = data[: len(data) - cut]
         decoded = _ima_adpcm_samples(trunc, ch, align)
         assert len(decoded) == _ima_data_samples(len(trunc), ch, align), cut
+
+
+def _ms_encode_block(chan_samples, ch, align, idx=0, delta0=64):
+    """Test-side WAV MS-ADPCM block encoder built on the SAME spec
+    primitives the decoder uses (_ms_step) — there is no independent
+    MS-ADPCM decoder in this container (audioop's adpcm is the
+    Intel/DVI variant), so the decode pin is exact bit-round-trip of
+    this encoder's reconstruction, the same contract the IMA tier uses
+    for its block LAYOUT. Returns (block_bytes, per-channel recon)."""
+    import struct as _struct
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _MS_COEF1,
+        _MS_COEF2,
+        _ms_step,
+    )
+
+    c1, c2 = _MS_COEF1[idx], _MS_COEF2[idx]
+    s2s = [int(chan_samples[c][0]) for c in range(ch)]
+    s1s = [int(chan_samples[c][1]) for c in range(ch)]
+    deltas = [delta0] * ch
+    recon = [[s2s[c], s1s[c]] for c in range(ch)]
+    block = bytes([idx] * ch)
+    block += b"".join(_struct.pack("<h", deltas[c]) for c in range(ch))
+    block += b"".join(_struct.pack("<h", s1s[c]) for c in range(ch))
+    block += b"".join(_struct.pack("<h", s2s[c]) for c in range(ch))
+    nibs = []
+    for k in range(2 * (align - 7 * ch)):
+        c = k % ch
+        target = int(chan_samples[c][2 + k // ch])
+        pred = (s1s[c] * c1 + s2s[c] * c2) >> 8
+        want = max(-8, min(7, int((target - pred) / deltas[c])))
+        nib = want & 0x0F
+        s, deltas[c] = _ms_step(nib, s1s[c], s2s[c], deltas[c], c1, c2)
+        s2s[c], s1s[c] = s1s[c], s
+        recon[c].append(s)
+        nibs.append(nib)
+    block += bytes((nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2))
+    assert len(block) == align
+    return block, recon
+
+
+def _ms_spb(align, ch):
+    return 2 + 2 * (align - 7 * ch) // ch
+
+
+def test_ms_adpcm_wav_decode_and_metadata(spark):
+    """A mono 440 Hz sine encoded to WAV MS-ADPCM blocks (test-side
+    spec encoder) must decode to the encoder's reconstruction EXACTLY,
+    audio_metadata must report exact block-math duration as 'full', and
+    the spectral tier must recover the tone through the new path."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _wav_samples
+
+    sr, align, ch = 8000, 256, 1
+    spb = _ms_spb(align, ch)  # 500
+    n_blocks = 4
+    t = np.arange(n_blocks * spb)
+    pcm = (9000.0 * np.sin(2 * np.pi * 440.0 * t / sr)).astype(int)
+    data, recon_all = b"", []
+    for i in range(n_blocks):
+        seg = pcm[i * spb : (i + 1) * spb]
+        block, recon = _ms_encode_block([list(seg)], ch, align, idx=1)
+        data += block
+        recon_all.extend(recon[0])
+    payload = _raw_wav(0x02, ch, sr, 4, data, byte_rate=4000)
+    payload = payload[:32] + align.to_bytes(2, "little") + payload[34:]
+
+    got_sr, x = _wav_samples(payload)
+    assert got_sr == sr and len(x) == n_blocks * spb
+    assert np.array_equal(x * 32768.0, np.array(recon_all, dtype=np.float64))
+    # past the initial delta adaptation the waveform tracks within
+    # ADPCM error
+    assert np.max(np.abs(x[64:] - pcm[64:] / 32768.0)) < 0.08
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "audio/wav", None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    meta = multimodal.audio_metadata(media).collect()[0]
+    assert (meta.codec, meta.decode_status, meta.sample_rate, meta.channels) == (
+        "ms_adpcm", "full", sr, ch
+    )
+    assert meta.duration_ms == n_blocks * spb * 1000 // sr
+
+    spec = multimodal.audio_spectral(media, n_bands=8).collect()[0]
+    assert abs(float(spec.dominant_hz) - 440.0) <= 2.0
+
+
+def test_ms_adpcm_all_predictor_pairs_roundtrip():
+    """Every one of the 7 spec coefficient pairs must round-trip the
+    encoder reconstruction exactly (the pairs hit different prediction
+    weights, so an >>8-vs-/256 or clamp bug surfaces per-index)."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _ms_adpcm_samples
+
+    align, ch = 72, 1
+    spb = _ms_spb(align, ch)
+    t = np.arange(spb)
+    pcm = (
+        7000.0 * np.sin(2 * np.pi * 700.0 * t / 8000.0)
+        + 2500.0 * np.sin(2 * np.pi * 150.0 * t / 8000.0)
+    ).astype(int)
+    for idx in range(7):
+        block, recon = _ms_encode_block([list(pcm)], ch, align, idx=idx)
+        x = _ms_adpcm_samples(block, ch, align)
+        assert np.array_equal(
+            x * 32768.0, np.array(recon[0], dtype=np.float64)
+        ), idx
+
+
+def test_ms_adpcm_stereo_nibble_rotation():
+    """Stereo blocks interleave one nibble per channel, HIGH nibble
+    first — a swapped rotation or nibble order decodes to the wrong
+    channel and breaks the exact channel-mean equality here."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _ms_adpcm_samples
+
+    align, ch = 142, 2
+    spb = _ms_spb(align, ch)
+    t = np.arange(spb)
+    left = (8000.0 * np.sin(2 * np.pi * 300.0 * t / 8000.0)).astype(int)
+    right = (6000.0 * np.sin(2 * np.pi * 1100.0 * t / 8000.0)).astype(int)
+    block, recon = _ms_encode_block([list(left), list(right)], ch, align, idx=0)
+    x = _ms_adpcm_samples(block, ch, align)
+    want = (
+        np.array(recon[0], dtype=np.float64) + np.array(recon[1], dtype=np.float64)
+    ) / 2.0
+    assert np.array_equal(x * 32768.0, want)
+
+
+def test_ms_adpcm_truncated_metadata_matches_sample_tier():
+    """Same contract as the IMA tier: on truncated payloads the
+    metadata sample count (_ms_data_samples) must equal what the sample
+    tier actually decodes — both walk the same block bound."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _ms_adpcm_samples,
+        _ms_data_samples,
+    )
+
+    align, ch = 128, 1
+    spb = _ms_spb(align, ch)
+    t = np.arange(3 * spb)
+    pcm = (9000.0 * np.sin(2 * np.pi * 440.0 * t / 8000.0)).astype(int)
+    data = b""
+    for i in range(3):
+        block, _ = _ms_encode_block(
+            [list(pcm[i * spb : (i + 1) * spb])], ch, align
+        )
+        data += block
+    for cut in (0, 1, 3, align - 8, align - 37, align // 2, align - 7 * ch):
+        trunc = data[: len(data) - cut]
+        decoded = _ms_adpcm_samples(trunc, ch, align)
+        assert len(decoded) == _ms_data_samples(len(trunc), ch, align), cut
