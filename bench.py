@@ -132,6 +132,7 @@ PINNED_EXTRAS = [
     # exchange creeping into the fixture) raises a PLANS.json diff
     "multimodal_audio_roundtrip",  # round-8 addition
     "multimodal_image_roundtrip",  # round-8 addition (same shuffle-free shape)
+    "multimodal_video_roundtrip",  # round-9 addition (same shuffle-free shape)
     # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
     # deliberately NOT fingerprinted here: building their DataFrames
     # EXECUTES the streaming query (memory sink), and the returned
@@ -186,42 +187,70 @@ def main() -> None:
     for name in names:
         dfs[name].write.format("noop").mode("overwrite").save()
 
-    # Host-speed calibration: a fixed, DATA-INDEPENDENT workload (hash +
-    # sum over a generated range, no I/O, no shuffle) timed with the same
-    # best-of-N discipline. Round 6 showed every query drifting +8–36%
-    # with byte-identical plan fingerprints — provably not the plans —
-    # and a round-7 re-measure reproduced the drift on an
-    # apparently-quiet host (load ~2.6/32 with no user). This number
-    # lets any cross-round comparison separate host-speed drift from
-    # plan regressions: queries/calibration is the host-normalized
-    # signal. ~0.4 s at 32 cpus on the r7 host.
+    # Host-speed calibration, TWO data-independent probes (round-9 fix —
+    # the r8 verdict showed the headline swinging 14.3→18.5s across runs
+    # at near-constant scalar calibration with byte-identical plan
+    # fingerprints, i.e. the CPU-scalar probe is blind to what actually
+    # moves Spark wall time):
+    #
+    # * cal (scalar): hash+sum over a generated range — no I/O, no
+    #   shuffle. Tracks raw CPU speed only; kept for round-over-round
+    #   continuity with BENCH_r0{5..8}.
+    # * cal_shuffle (Spark-shaped): a fixed groupBy over a generated
+    #   range — a real exchange (shuffle write + fetch + partial/final
+    #   agg), the machinery whose JVM/GC/IO state the scalar probe
+    #   misses. queries/cal_shuffle is the better host-invariant signal.
+    #
+    # Both are sampled ONCE PER TIMING ROUND, interleaved with the
+    # queries (not in a burst before them), so the min is taken over the
+    # same temporally independent windows the query samples come from.
     from pyspark.sql import functions as _F
 
     cal_df = (
         spark.range(0, 1_000_000_000, 1, int(cpus))
         .select(_F.sum(_F.xxhash64("id")).alias("s"))
     )
-    cal = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cal_df.write.format("noop").mode("overwrite").save()
-        cal = min(cal, time.perf_counter() - t0)
+    cal_shuffle_df = (
+        spark.range(0, 50_000_000, 1, int(cpus))
+        .groupBy((_F.col("id") % 100_000).alias("k"))
+        .agg(_F.sum("id").alias("s"))
+        .select(_F.sum(_F.xxhash64("k", "s")).alias("h"))
+    )
+    # untimed warm-up (first-touch shuffle-file allocation, codegen)
+    cal_df.write.format("noop").mode("overwrite").save()
+    cal_shuffle_df.write.format("noop").mode("overwrite").save()
 
-    timings = {name: float("inf") for name in names}
+    cal = cal_shuffle = float("inf")
+    samples: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(ROUNDS):
         for name in names:
             t0 = time.perf_counter()
             dfs[name].write.format("noop").mode("overwrite").save()
-            timings[name] = min(timings[name], time.perf_counter() - t0)
-    timings = {name: round(t, 3) for name, t in timings.items()}
+            samples[name].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        cal_df.write.format("noop").mode("overwrite").save()
+        cal = min(cal, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        cal_shuffle_df.write.format("noop").mode("overwrite").save()
+        cal_shuffle = min(cal_shuffle, time.perf_counter() - t0)
+
+    # min = the stable cost (transient stalls spoil at most one sample);
+    # median = the drift-window indicator. A large median/min gap flags a
+    # noisy run — exactly the signal r7/r8 cross-run comparisons lacked.
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
+    medians = {
+        name: round(sorted(s)[len(s) // 2], 3) for name, s in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     cal = round(cal, 3)
+    cal_shuffle = round(cal_shuffle, 3)
     payload = {
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "calibration_sec": cal,
+        "calibration_shuffle_sec": cal_shuffle,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(payload)
@@ -234,14 +263,21 @@ def main() -> None:
         raise RuntimeError(f"bench stdout line too long ({len(line)} chars)")
     print(line)
 
-    # Full artifact (fingerprints + host-normalized ratios) to a sidecar —
-    # everything the stdout line used to carry, without the size cap.
+    # Full artifact (fingerprints + medians + host-normalized ratios) to a
+    # sidecar — everything the stdout line used to carry, without the cap.
     normalized = {n: round(t / cal, 2) for n, t in timings.items()} if cal else {}
+    norm_shuffle = (
+        {n: round(t / cal_shuffle, 2) for n, t in timings.items()}
+        if cal_shuffle else {}
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
-        json.dump({**payload, "plans": plans, "queries_per_calibration": normalized},
+        json.dump({**payload, "plans": plans,
+                   "queries_median": medians,
+                   "queries_per_calibration": normalized,
+                   "queries_per_shuffle_calibration": norm_shuffle},
                   f, indent=1, sort_keys=True)
-    _update_plans_md_normalized_table(timings, cal, sf)
+    _update_plans_md_normalized_table(timings, medians, cal, cal_shuffle, sf)
     spark.stop()
 
 
@@ -249,7 +285,7 @@ NORM_BEGIN = "<!-- bench-normalized:begin (maintained by bench.py) -->"
 NORM_END = "<!-- bench-normalized:end -->"
 
 
-def _update_plans_md_normalized_table(timings, cal, sf) -> None:
+def _update_plans_md_normalized_table(timings, medians, cal, cal_shuffle, sf) -> None:
     """Maintain the host-normalized timings table in PLANS.md.
 
     Rounds 5→7 burned two verdict cycles on uniform host-speed drift
@@ -267,17 +303,28 @@ def _update_plans_md_normalized_table(timings, cal, sf) -> None:
     except FileNotFoundError:
         text = "# PLANS\n"
     rows = "\n".join(
-        f"| {n} | {t:.3f} | {round(t / cal, 2) if cal else '—'} |"
+        f"| {n} | {t:.3f} | {medians.get(n, t):.3f} "
+        f"| {round(t / cal, 2) if cal else '—'} "
+        f"| {round(t / cal_shuffle, 2) if cal_shuffle else '—'} |"
         for n, t in timings.items()
     )
     section = (
         f"{NORM_BEGIN}\n\n"
         "## Host-normalized headline timings (latest bench run)\n\n"
-        f"Calibration workload (1e9-row range→xxhash64→sum, best-of-3): "
-        f"**{cal}s** at sf={sf}. `t/cal` is the host-invariant signal — "
-        "compare IT round-over-round, not raw seconds (rounds 5→7 showed "
-        "±35% uniform host drift with byte-identical plan fingerprints).\n\n"
-        "| query | sec | t/cal |\n|---|---|---|\n"
+        f"Calibrations, interleaved with the timing rounds: scalar "
+        f"(1e9-row range→xxhash64→sum, no shuffle) **{cal}s**; "
+        f"Spark-shaped (5e7-row groupBy — real exchange + partial/final "
+        f"agg) **{cal_shuffle}s**, at sf={sf}. `t/cal_shuf` is the "
+        "primary host-invariant signal (the r8 verdict measured a ±13% "
+        "headline swing at CONSTANT scalar calibration with "
+        "byte-identical fingerprints — the scalar probe tracks CPU "
+        "speed, not the JVM/GC/shuffle state that moves Spark wall "
+        "time); `t/cal` is kept for continuity with BENCH_r0{5..8}. "
+        "`median` vs `min` flags drift windows inside THIS run: a wide "
+        "gap means the host was noisy and cross-round deltas below the "
+        "gap are not actionable.\n\n"
+        "| query | sec (min) | median | t/cal | t/cal_shuf |\n"
+        "|---|---|---|---|---|\n"
         f"{rows}\n\n{NORM_END}"
     )
     if NORM_BEGIN in text and NORM_END in text:

@@ -1329,7 +1329,9 @@ def extract_metadata(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, METADATA_SCHEMA)
 
 
-def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
+def decode_image(
+    media: DataFrame, fake: bool = False, strict: bool = True
+) -> DataFrame:
     """Decode images to fixed-size float features.
 
     The real path decodes BMP (uncompressed 24/32-bit, paletted
@@ -1339,11 +1341,18 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     first-frame payloads (``_raster_pixels``, dispatching to
     ``imagecodecs`` for PNG/JPEG/GIF — all stdlib+numpy, no codec
     libs) into 8 features —
-    width, height, mean R/G/B, luminance std/min/max. Remaining exotic
-    variants raise ``NotImplementedError``. The ``fake=True`` path
-    produces deterministic pseudo-features (md5-seeded) with the same
-    plumbing — schema, batching, output shape — so mixed-format
-    pipelines are testable end-to-end.
+    width, height, mean R/G/B, luminance std/min/max.
+
+    ``strict=True`` (default): unsupported variants and malformed
+    payloads raise — the fail-loudly contract unit tests pin capability
+    against. ``strict=False``: they yield NULL features instead — the
+    crawl-scale mode, where one truncated IDAT or zero-dim BMP in a
+    100 TB corpus must degrade that ROW, not kill the task; route
+    status accounting through ``media_decode_status``/
+    ``curation_media_report``, which classify rather than crash.
+    The ``fake=True`` path produces deterministic pseudo-features
+    (md5-seeded) with the same plumbing — schema, batching, output
+    shape — so mixed-format pipelines are testable end-to-end.
     """
     out_schema = StructType(
         [
@@ -1360,7 +1369,16 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
                 if fake:
                     d = hashlib.md5(b).digest()
                     return ",".join(str(round(x / 255.0, 6)) for x in d[:8])
-                px = _raster_pixels(b).astype(np.float64)
+                try:
+                    px = _raster_pixels(b).astype(np.float64)
+                    if px.size == 0:  # zero-dim raster (e.g. 0-width BMP)
+                        raise NotImplementedError("empty raster")
+                except Exception:
+                    # zlib.error on truncated IDAT, struct.error on short
+                    # headers, NotImplementedError on unsupported variants
+                    if strict:
+                        raise
+                    return None
                 lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
                 vals = [
                     float(px.shape[1]),

@@ -72,13 +72,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # policy" for the audit trail.
 # ---------------------------------------------------------------------------
 WINDOW_TAIL: tuple[str, ...] = (
-    "p2_derived_projection",
-    "p3_p4_null_comparison_filter",
-    "p6_string_match_filter",
-    "a1_a6_group_counts",
-    "a3_conditional_count",
-    "o_sort_topk_first",
-    "f_scalar_suite",
+    # round 9 rotation: the seven r1-evidence granular rows
+    # (p2_derived_projection, p3_p4_null_comparison_filter,
+    # p6_string_match_filter, a1_a6_group_counts, a3_conditional_count,
+    # o_sort_topk_first, f_scalar_suite) LEFT this tail and re-entered
+    # the driver window — their last driver-green rows were r1–r5, the
+    # window's oldest hard evidence, and the r8 verdict's rotation rule
+    # is that every §2 row periodically refreshes its driver signal.
+    # Their slots are taken by the eight r7/r8 promotions that earned
+    # the round-8 policy's promotion-out currency (driver-green row in
+    # CORRECTNESS_r08.json) — appended at the end of this tuple.
     # round 6: displaced for dsir_select — union+anti stay window-covered
     # by the augmented-corpus unionByName fixtures and (since the
     # dedup_incremental promotion) its left-anti exact stage; the
@@ -100,9 +103,10 @@ WINDOW_TAIL: tuple[str, ...] = (
     "r3_multilabel_onehot",
     # round 7: displaced for sample_stratified — the string→array parse
     # (F13) stays window-exercised by the split/filter/transform array
-    # chains inside text_encode_vocab and every tokenizing text entry
-    # (text_chunk_overlap, cited here originally, joined the tail in
-    # round 8 — the in-window coverage stands without it)
+    # chains inside the tokenizing text entries (pipeline_docs_curation,
+    # text_bpe_train, text_bm25, text_pmi; text_chunk_overlap and — in
+    # round 9 — text_encode_vocab, cited here originally, joined the
+    # tail, and the in-window coverage stands without them)
     "f13_json_extract",
     # round 7: displaced for text_encode_vocab — the join family stays
     # the window's most-covered (flagship broadcast dims, j7 first-match,
@@ -292,10 +296,12 @@ WINDOW_TAIL: tuple[str, ...] = (
     # round 8: displaced for layout_compaction — two rounds of
     # driver-green exposure (r6, r7; driver-green is the round-8
     # policy's promotion-out currency). Row-local chunk/window
-    # arithmetic stays window-exercised by text_encode_vocab's
-    # tokenize→array chains and pipeline_docs_curation's packing stage
-    # (the chunker's counting currency); the chunk entry keeps its
-    # oracle here and its coverage/overlap property test
+    # arithmetic stays window-exercised by pipeline_docs_curation's
+    # packing stage (the chunker's counting currency) and the
+    # tokenize→array chains in text_bpe_train (text_encode_vocab,
+    # cited here originally, joined the tail in round 9); the chunk
+    # entry keeps its oracle here and its coverage/overlap property
+    # test
     "text_chunk_overlap",
     # round 8: displaced for multimodal_audio_roundtrip — two rounds of
     # driver-green exposure (r6, r7). The DSIR fit→score→select chain
@@ -313,6 +319,54 @@ WINDOW_TAIL: tuple[str, ...] = (
     # its bit-identical literal-dot-product oracle here plus the
     # logreg_fit distributed-trainer differential in tests
     "text_quality_model",
+    # ----- round 9 promotions-out: all eight earned the round-8
+    # policy's currency (driver-green row in CORRECTNESS_r08.json),
+    # making room for the seven rotated-in r1-evidence rows and the new
+    # multimodal_video_roundtrip. multimodal_audio_roundtrip also has
+    # its green row but STAYS in-window: its lattice gained the
+    # MS-ADPCM class this round, which resets its proven-ness.
+    # round 9: promoted out (driver-green r8) — the tokenize→array
+    # vocab-encode chain stays window-exercised by text_bpe_train (the
+    # merge tables it encodes with) and pipeline_docs_curation's
+    # tokenizing gate; keeps its token_ids_csv oracle here
+    "text_encode_vocab",
+    # round 9: promoted out (driver-green r8) — the exploded-vector
+    # map-side-combined aggregation stays window-exercised by
+    # dedup_semantic's cluster-bucketed centroid math and the
+    # sim_topk_lsh / stream_serve_topk index chains; keeps its
+    # (pos, value) exploded oracle here
+    "sim_mean_vectors",
+    # round 9: promoted out (driver-green r8) — the assign/update E–M
+    # pair stays window-exercised by dedup_semantic (cluster assignment
+    # + centroid distance) and stream_serve_topk's IVF centroid-probe
+    # replay; keeps its fixed-point two-round mirror oracle here
+    "embed_kmeans",
+    # round 9: promoted out (driver-green r8) — mergeable-sketch state
+    # stays window-exercised by sketch_distinct (same bounded-state
+    # merge discipline) and the per-group quantile machinery by
+    # text_quantile_norm; keeps its oracle here
+    "sketch_quantile",
+    # round 9: promoted out (driver-green r8) — same coverage argument
+    # as sketch_quantile (sketch_distinct in-window carries the
+    # merge-two-states shape); keeps its oracle here
+    "sketch_quantile_merge",
+    # round 9: promoted out (driver-green r8) — event-time range/window
+    # join semantics stay window-exercised by j_interval_overlap and
+    # j_asof_event_value (same events epoch, same bucketed-join
+    # design); keeps its de-vacuated 5,075-row oracle here
+    "j_range_bucketed",
+    # round 9: promoted out (driver-green r8) — content-accounting
+    # invariance under rewrite stays window-exercised by shard_assign
+    # (deterministic placement) and ingest_jsonl (write→read-back
+    # accounting); keeps its oracle here and the file-count math pin in
+    # tests/test_sources_and_differential.py
+    "layout_compaction",
+    # round 9: promoted out (driver-green r8) — real-decode-under-hash
+    # for media stays window-exercised by multimodal_audio_roundtrip
+    # (in-window with the new MS-ADPCM class) and the new
+    # multimodal_video_roundtrip; keeps its PNG/BMP pixel-algebra
+    # oracle here and the imagecodecs unit battery
+    "multimodal_image_roundtrip",
 )
 
 

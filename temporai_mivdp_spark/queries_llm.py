@@ -3501,10 +3501,48 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
+        def degenerate(did):
+            # hostile-media lattice for the adversarial id range (the
+            # edgecase corpus, doc_id >= 9e6): the VERDICT-listed
+            # classes — undersized ADPCM align, 0-sample WAV, a LYING
+            # data-chunk size, truncated fmt — each with oracle-
+            # replayable accounting
+            kind = did % 4
+            if kind == 0:  # MS-ADPCM align too small -> header_only
+                fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 4, 4)
+                data = b"\x00" * 800  # 800 B at 4000 B/s -> 200 ms
+            elif kind == 1:  # 0-sample PCM WAV -> full, duration 0
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                data = b""
+            elif kind == 2:  # data chunk CLAIMS 4096 bytes, carries 100
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", 4096) + b"\x00" * 100
+                )
+                return (
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                    + b"WAVE" + chunks
+                )
+            else:  # truncated fmt chunk -> unsupported
+                chunks = b"fmt " + struct.pack("<I", 8) + b"\x00" * 8
+                return (
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                    + b"WAVE" + chunks
+                )
+            chunks = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
         for pdf in it:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
+                if did >= 9_000_000:
+                    rows.append((did, degenerate(did)))
+                    continue
                 kind = did % 5
                 n = 100 + (did % 900)
                 sr = (8000, 16000, 44100)[(did // 4) % 3]
@@ -3560,11 +3598,25 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_roundtrip",
     """
     SELECT doc_id AS media_id,
-           CASE doc_id % 5 WHEN 0 THEN 'pcm_wav' WHEN 1 THEN 'flac'
-                WHEN 4 THEN 'ms_adpcm' END AS codec,
-           CASE doc_id % 5 WHEN 0 THEN 'full' WHEN 1 THEN 'header_only'
-                WHEN 4 THEN 'full' ELSE 'unsupported' END AS decode_status,
-           CASE WHEN doc_id % 5 IN (0, 1)
+           CASE WHEN doc_id >= 9000000
+                THEN CASE doc_id % 4 WHEN 0 THEN 'wav_fmt_2'
+                          WHEN 1 THEN 'pcm_wav' WHEN 2 THEN 'pcm_wav' END
+                ELSE CASE doc_id % 5 WHEN 0 THEN 'pcm_wav'
+                          WHEN 1 THEN 'flac' WHEN 4 THEN 'ms_adpcm' END
+           END AS codec,
+           CASE WHEN doc_id >= 9000000
+                THEN CASE doc_id % 4 WHEN 0 THEN 'header_only'
+                          WHEN 1 THEN 'full' WHEN 2 THEN 'full'
+                          ELSE 'unsupported' END
+                ELSE CASE doc_id % 5 WHEN 0 THEN 'full'
+                          WHEN 1 THEN 'header_only' WHEN 4 THEN 'full'
+                          ELSE 'unsupported' END
+           END AS decode_status,
+           CASE WHEN doc_id >= 9000000
+                THEN CASE doc_id % 4 WHEN 0 THEN CAST(200 AS BIGINT)
+                          WHEN 1 THEN CAST(0 AS BIGINT)
+                          WHEN 2 THEN CAST(6 AS BIGINT) END
+                WHEN doc_id % 5 IN (0, 1)
                 THEN CAST(((100 + doc_id % 900) * 1000)
                           // ([8000, 16000, 44100][((doc_id // 4) % 3) + 1])
                      AS BIGINT)
@@ -3576,11 +3628,17 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                           // ([8000, 16000, 44100][((doc_id // 4) % 3) + 1])
                      AS BIGINT)
            END AS duration_ms,
-           CASE WHEN doc_id % 5 IN (0, 1, 4)
+           CASE WHEN doc_id >= 9000000
+                THEN CASE WHEN doc_id % 4 IN (0, 1, 2)
+                          THEN CAST(8000 AS INTEGER) END
+                WHEN doc_id % 5 IN (0, 1, 4)
                 THEN CAST([8000, 16000, 44100][((doc_id // 4) % 3) + 1]
                      AS INTEGER)
            END AS sample_rate,
-           CASE WHEN doc_id % 5 IN (0, 1, 4)
+           CASE WHEN doc_id >= 9000000
+                THEN CASE WHEN doc_id % 4 IN (0, 1, 2)
+                          THEN CAST(1 AS INTEGER) END
+                WHEN doc_id % 5 IN (0, 1, 4)
                 THEN CAST(1 + doc_id % 2 AS INTEGER)
            END AS channels
     FROM documents
@@ -3666,10 +3724,37 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             return hdr + dib + px
 
+        def degenerate(did):
+            # hostile-media lattice for the adversarial id range:
+            # truncated IDAT (valid chunk CRCs, deflate stream cut) and
+            # zero-width BMP — both must degrade to NULL features under
+            # decode_image(strict=False), never kill the batch
+            kind = did % 3
+            if kind == 0:
+                good = png_gray(4, 4, did % 256)
+                # cut the IDAT payload in half: re-chunk by hand so the
+                # lengths stay consistent but the zlib stream is torn
+                ihdr_end = 8 + 25
+                idat_len = int.from_bytes(good[ihdr_end : ihdr_end + 4], "big")
+                body = good[ihdr_end + 8 : ihdr_end + 8 + idat_len]
+                cut = body[: max(2, idat_len // 2)]
+                return (
+                    good[:ihdr_end]
+                    + struct.pack(">I", len(cut)) + b"IDAT" + cut
+                    + struct.pack(">I", zlib.crc32(b"IDAT" + cut) & 0xFFFFFFFF)
+                    + good[-12:]  # IEND chunk
+                )
+            if kind == 1:
+                return bmp24(0, 4, 1, 2, 3)  # zero-width BMP
+            return None
+
         for pdf in it:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
+                if did >= 9_000_000:
+                    rows.append((did, degenerate(did)))
+                    continue
                 w, h = 1 + did % 31, 1 + did % 17
                 kind = did % 3
                 if kind == 0:
@@ -3691,23 +3776,31 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_image_roundtrip",
     """
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(1 + doc_id % 31 AS DOUBLE)
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 3 IN (0, 1) THEN CAST(1 + doc_id % 31 AS DOUBLE)
            END AS width,
-           CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(1 + doc_id % 17 AS DOUBLE)
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 3 IN (0, 1) THEN CAST(1 + doc_id % 17 AS DOUBLE)
            END AS height,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
                 WHEN doc_id % 3 = 1 THEN CAST(doc_id % 256 AS DOUBLE)
            END AS mean_r,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
                 WHEN doc_id % 3 = 1 THEN CAST((doc_id // 3) % 256 AS DOUBLE)
            END AS mean_g,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
                 WHEN doc_id % 3 = 1 THEN CAST((doc_id // 7) % 256 AS DOUBLE)
            END AS mean_b,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(0.0 AS DOUBLE) END AS lum_std,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 3 = 0 THEN CAST(0.0 AS DOUBLE) END AS lum_std,
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
            END AS lum_min,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
            END AS lum_max
     FROM documents
     """,
@@ -3737,7 +3830,10 @@ def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporai_mivdp_spark.llmdata import multimodal
 
     media = _image_fixture(spark, sf_dir)
-    feats = multimodal.decode_image(media)
+    # strict=False: the fixture's adversarial range (edgecase corpus,
+    # doc_id >= 9e6) carries truncated-IDAT PNGs and zero-width BMPs —
+    # those rows must yield NULL features, not kill the batch
+    feats = multimodal.decode_image(media, strict=False)
     f = F.split(F.col("features"), ",")
 
     def fld(i: int):
@@ -3755,3 +3851,213 @@ def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~is_bmp, fld(7)).alias("lum_min"),
         F.when(~is_bmp, fld(8)).alias("lum_max"),
     )
+
+
+def _video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a video-tier media frame (media_id, payload)
+    deterministically from doc_id — the video twin of `_audio_fixture`.
+    Four classes, round-robin by doc_id % 4: a REAL animated GIF
+    (per-frame GCE delays, valid LZW frames via the clear-per-literal
+    encoding, so `imagecodecs.gif_frames` genuinely decodes what the
+    block walk accounts), a REAL Ogg Theora ident packet + closing
+    granule page (the header_only tier — dims / exact-rational fps /
+    granule frame math), a junk payload, and NULL. Every header field
+    is a pure function of doc_id so the DuckDB oracle replays the
+    expected metadata algebra without seeing the bytes."""
+
+    def gen(it):
+        import struct
+
+        import pandas as pd
+
+        def lzw_clear_per_literal(indices, min_code):
+            # CLEAR before every literal: table never grows, code width
+            # stays min_code+1 — the classic "uncompressed GIF" trick,
+            # decodable by any conforming LZW decoder
+            clear, eoi = 1 << min_code, (1 << min_code) + 1
+            width = min_code + 1
+            codes = [clear]
+            for px in indices:
+                codes.append(px)
+                codes.append(clear)
+            codes[-1] = eoi  # replace the trailing clear
+            buf, acc, n = bytearray(), 0, 0
+            for code in codes:
+                acc |= code << n
+                n += width
+                while n >= 8:
+                    buf.append(acc & 0xFF)
+                    acc >>= 8
+                    n -= 8
+            if n:
+                buf.append(acc & 0xFF)
+            return bytes(buf)
+
+        def gif_anim(w, h, n_frames, delay_cs):
+            out = bytearray(b"GIF89a")
+            out += struct.pack("<HHBBB", w, h, 0x81, 0, 0)  # 4-color GCT
+            out += bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+            for f in range(n_frames):
+                out += struct.pack(
+                    "<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0
+                )
+                out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+                out.append(2)  # LZW min code size
+                data = lzw_clear_per_literal([f % 4] * (w * h), 2)
+                for i in range(0, len(data), 255):
+                    chunk = data[i : i + 255]
+                    out.append(len(chunk))
+                    out += chunk
+                out += b"\x00"
+            out += b"\x3b"
+            return bytes(out)
+
+        def ogg_page(granule, body, seq, btype):
+            return (
+                b"OggS" + b"\x00" + bytes([btype])
+                + struct.pack("<q", granule)
+                + struct.pack("<I", 7) + struct.pack("<I", seq)
+                + b"\x00" * 4  # CRC unchecked by header walkers
+                + bytes([1, len(body)]) + body
+            )
+
+        def theora(picw, pich, frn, frd, n_frames, kfg=6):
+            mbw, mbh = (picw + 15) // 16, (pich + 15) // 16
+            two = (40 << 10) | (kfg << 5)  # QUAL=40, PF=0, RES=0
+            ident = (
+                b"\x80theora" + bytes([3, 2, 1])
+                + struct.pack(">HH", mbw, mbh)
+                + picw.to_bytes(3, "big") + pich.to_bytes(3, "big")
+                + bytes([0, 0])
+                + struct.pack(">II", frn, frd)
+                + b"\x00" * 6 + bytes([0]) + b"\x00" * 3
+                + struct.pack(">H", two)
+            )
+            return (
+                ogg_page(0, ident, 0, 0x02)
+                + ogg_page((n_frames - 1) << kfg, b"\x00", 1, 0x04)
+            )
+
+        def degenerate(did):
+            # hostile-media lattice for the adversarial id range: a GIF
+            # with no image data, a truncated Ogg page (header claims a
+            # longer body than present), and a GIF whose image
+            # descriptor is cut mid-header — all must classify as
+            # 'unsupported' with null fields, never throw
+            kind = did % 4
+            if kind == 0:  # GIF header + trailer, zero frames
+                return b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + b"\x3b"
+            if kind == 1:  # Ogg page whose segment table lies
+                return (
+                    b"OggS" + b"\x00\x02" + struct.pack("<q", 0)
+                    + struct.pack("<II", 7, 0) + b"\x00" * 4
+                    + bytes([1, 200]) + b"\x80theora"  # 200-byte claim, 8 present
+                )
+            if kind == 2:  # image descriptor cut mid-header
+                return (
+                    b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0)
+                    + b"\x2c" + b"\x00\x00\x00"
+                )
+            return None
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did >= 9_000_000:
+                    rows.append((did, degenerate(did)))
+                    continue
+                kind = did % 4
+                if kind == 0:
+                    payload = gif_anim(
+                        2 + did % 9, 1 + did % 7, 1 + did % 5, 3 + did % 11
+                    )
+                elif kind == 1:
+                    frn, frd = ((24000, 1001), (25000, 1000), (30000, 1001))[
+                        did % 3
+                    ]
+                    payload = theora(
+                        16 * (1 + did % 20), 16 * (1 + did % 11),
+                        frn, frd, 2 + did % 49,
+                    )
+                elif kind == 2:
+                    payload = b"JUNK" + did.to_bytes(8, "big")
+                else:
+                    payload = None
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen, "media_id long, payload binary")
+
+
+@_register(
+    "multimodal_video_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 4 = 0 THEN 'gif'
+                WHEN doc_id % 4 = 1 THEN 'theora' END
+             AS codec,
+           CASE WHEN doc_id >= 9000000 THEN 'unsupported'
+                WHEN doc_id % 4 = 0 THEN 'full'
+                WHEN doc_id % 4 = 1 THEN 'header_only'
+                ELSE 'unsupported' END AS decode_status,
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 4 = 0 THEN CAST(2 + doc_id % 9 AS INTEGER)
+                WHEN doc_id % 4 = 1
+                THEN CAST(16 * (1 + doc_id % 20) AS INTEGER)
+           END AS width,
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 4 = 0 THEN CAST(1 + doc_id % 7 AS INTEGER)
+                WHEN doc_id % 4 = 1
+                THEN CAST(16 * (1 + doc_id % 11) AS INTEGER)
+           END AS height,
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 4 = 0 THEN CAST(1 + doc_id % 5 AS BIGINT)
+                WHEN doc_id % 4 = 1 THEN CAST(2 + doc_id % 49 AS BIGINT)
+           END AS n_frames,
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 4 = 0
+                THEN CAST(((1 + doc_id % 5) * 1000000)
+                          // ((1 + doc_id % 5) * (3 + doc_id % 11) * 10)
+                     AS BIGINT)
+                WHEN doc_id % 4 = 1
+                THEN CAST(([24000, 25000, 30000][doc_id % 3 + 1] * 1000)
+                          // [1001, 1000, 1001][doc_id % 3 + 1] AS BIGINT)
+           END AS fps_milli,
+           CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN doc_id % 4 = 0
+                THEN CAST((1 + doc_id % 5) * (3 + doc_id % 11) * 10
+                     AS BIGINT)
+                WHEN doc_id % 4 = 1
+                THEN CAST(((2 + doc_id % 49) * 1000
+                           * [1001, 1000, 1001][doc_id % 3 + 1])
+                          // [24000, 25000, 30000][doc_id % 3 + 1]
+                     AS BIGINT)
+           END AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-tier header decoding under the hash check (llmdata/
+    multimodal.py::video_metadata): animated GIFs (full LZW frames —
+    the pixel tier `imagecodecs.gif_frames` decodes the same payloads
+    in the unit suite), Ogg Theora ident packets with a closing granule
+    page, junk, and NULL are synthesized per row from doc_id
+    (`_video_fixture`) and pushed through the production Arrow-batched
+    walker. The oracle replays the GENERATOR's algebra — GIF frame
+    count and summed centisecond GCE delays, Theora 24-bit picture
+    dims, exact-rational fps (frn*1000 // frd, incl. the 24000/1001
+    NTSC rational), and the KFGSHIFT granule split's frame count — so a
+    miscounted image descriptor, an unsummed delay, a misread bit
+    field, or a granule-math bug all hash-mismatch. This is the video
+    twin of the audio/image roundtrips from round 8, closing the last
+    media tier whose real decoder had no oracle-checked entry. Scale
+    shape: one row-local mapInPandas generation + one row-local decode
+    pass, zero shuffles. All checked columns are integers — no float
+    or rounding hazard on either side."""
+    from temporai_mivdp_spark.llmdata import multimodal
+
+    media = _video_fixture(spark, sf_dir)
+    return multimodal.video_metadata(media)

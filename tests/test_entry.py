@@ -57,29 +57,25 @@ def test_driver_window_prioritizes_least_proven_entries():
     assert len(keys) == len(QUERIES), "reorder must not drop entries"
     window = set(keys[:50])
     promotions = {
-        "text_quantile_norm",
-        # text_gopher / text_perplexity / text_tfidf / text_boilerplate /
-        # text_repeated_spans left this set in
-        # round 7, and text_chunk_overlap in round 8: after two rounds
-        # of driver-green exposure (r6, r7)
-        # they became longest-stable rows and were displaced into
-        # WINDOW_TAIL for the newer promotions (rationales in
-        # queries.py / COVERAGE.md) — the policy is "newest entries
-        # face the driver", not a permanent roster
-        # round-8 policy addition: driver-green rows are the ONLY
-        # promotion-out currency, so the five round-7 driver-red
-        # entries (fixed in round 8) must stay in the window until a
-        # driver CORRECTNESS file shows them green
-        "text_encode_vocab",
-        "sim_mean_vectors",
-        "embed_kmeans",
-        "sketch_quantile",
-        "sketch_quantile_merge",
-        "j_range_bucketed",
-        # the round-8 promotions themselves
-        "layout_compaction",
+        # round-9 roster (the policy is "newest / least-proven entries
+        # face the driver", not a permanent list — earlier members
+        # rotate into WINDOW_TAIL once a driver CORRECTNESS file shows
+        # them green; rationales in queries.py / COVERAGE.md):
+        # the new entry this round
+        "multimodal_video_roundtrip",
+        # its lattice gained the MS-ADPCM class in round 9, which
+        # resets its proven-ness despite the r8 green row
         "multimodal_audio_roundtrip",
-        "multimodal_image_roundtrip",
+        # the seven r1-evidence rows rotated BACK into the window in
+        # round 9 (their last driver-green rows were r1–r5; the r8
+        # verdict's rotation rule refreshes the oldest hard signal)
+        "p2_derived_projection",
+        "p3_p4_null_comparison_filter",
+        "p6_string_match_filter",
+        "a1_a6_group_counts",
+        "a3_conditional_count",
+        "o_sort_topk_first",
+        "f_scalar_suite",
     }
     assert promotions <= window, promotions - window
     assert tuple(keys[len(keys) - len(WINDOW_TAIL):]) == WINDOW_TAIL

@@ -3639,6 +3639,72 @@ def test_ima_adpcm_truncated_metadata_matches_sample_tier():
         assert len(decoded) == _ima_data_samples(len(trunc), ch, align), cut
 
 
+def test_decode_image_strict_flag_on_hostile_media(spark):
+    """decode_image(strict=False) must degrade truncated-IDAT PNGs and
+    zero-width BMPs to NULL features (one corrupt image in a 100 TB
+    crawl must not kill the task); strict=True (the default the
+    capability unit tests pin against) must still raise. The fixtures
+    come from the roundtrip generators' adversarial id range."""
+    import tempfile
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from temporai_mivdp_spark.queries_llm import _image_fixture
+
+    # build the two hostile payload classes through the same code path
+    # the entry uses: run the fixture generator over adversarial ids
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9_000_000, 9_000_001]})
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        media = _image_fixture(spark, d)
+        got = {
+            r.media_id: r.features
+            for r in multimodal.decode_image(media, strict=False).collect()
+        }
+        assert got == {9_000_000: None, 9_000_001: None}
+        with _pytest.raises(Exception):
+            multimodal.decode_image(media, strict=True).collect()
+
+
+def test_video_fixture_gif_frames_decode_exactly(spark):
+    """The video roundtrip entry claims decode_status='full' for its
+    GIF class via the block-walk accounting — this pins the claim to
+    the PIXEL tier: imagecodecs.gif_frames must decode every sampled
+    fixture to the exact constructed palette color, frame count, and
+    GCE delay, and the Theora class must parse through _theora_stats
+    with the generator's exact granule/rational algebra."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.imagecodecs import gif_frames
+    from temporai_mivdp_spark.llmdata.multimodal import _theora_stats
+    from temporai_mivdp_spark.queries_llm import _video_fixture
+
+    fixture = _video_fixture(spark, "/root/testdata/sf0.001")
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    for r in fixture.filter("media_id % 4 = 0").limit(8).collect():
+        did = r.media_id
+        w, h, n, d = 2 + did % 9, 1 + did % 7, 1 + did % 5, 3 + did % 11
+        frames = gif_frames(bytes(r.payload))
+        assert len(frames) == n
+        for f, (delay, px) in enumerate(frames):
+            assert delay == d * 10
+            assert px.shape == (h, w, 3)
+            assert (px == np.array(pal[f % 4])).all()
+    for r in fixture.filter("media_id % 4 = 1").limit(8).collect():
+        did = r.media_id
+        frn, frd = ((24000, 1001), (25000, 1000), (30000, 1001))[did % 3]
+        m = 2 + did % 49
+        got = _theora_stats(bytes(r.payload))
+        assert got == (
+            16 * (1 + did % 20), 16 * (1 + did % 11), frn, frd, m,
+            m * 1000 * frd // frn,
+        )
+
+
 def _ms_encode_block(chan_samples, ch, align, idx=0, delta0=64):
     """Test-side WAV MS-ADPCM block encoder built on the SAME spec
     primitives the decoder uses (_ms_step) — there is no independent

@@ -271,7 +271,11 @@ def test_media_roundtrip_fixtures_invariant(spark):
     whatever the input layout (Arrow batch boundaries move with the
     partitioning, so a batch-shape dependence would surface here)."""
     from temporai_mivdp_spark.llmdata import multimodal
-    from temporai_mivdp_spark.queries_llm import _audio_fixture, _image_fixture
+    from temporai_mivdp_spark.queries_llm import (
+        _audio_fixture,
+        _image_fixture,
+        _video_fixture,
+    )
 
     docs = _docs(spark)
 
@@ -290,9 +294,11 @@ def test_media_roundtrip_fixtures_invariant(spark):
                 _audio_fixture(spark, d)
             ).drop("bitrate_kbps")
             image = multimodal.decode_image(_image_fixture(spark, d))
+            video = multimodal.video_metadata(_video_fixture(spark, d))
             got = (
                 sorted(tuple(r) for r in audio.collect()),
                 sorted(tuple(r) for r in image.collect()),
+                sorted(tuple(r) for r in video.collect()),
             )
             if want is None:
                 want = got
