@@ -112,33 +112,43 @@ def _sniff(payload: bytes | None) -> str | None:
 # ---------------------------------------------------------------------------
 
 
-def _riff_wav_info(b: bytes) -> tuple[int, int, int, int, int, int, bytes]:
+def _riff_wav_info(
+    b: bytes,
+) -> tuple[int, int, int, int, int, int, bytes, bytes, int | None]:
     """(fmt_tag, channels, sample_rate, byte_rate, block_align, bits,
-    data) from a
+    data, fmt_extra, fact_samples) from a
     RIFF/WAVE container — manual word-aligned chunk walk. The stdlib
     ``wave`` module rejects every fmt tag except PCM at open, and the
     G.711 (A-law/µ-law) sample tier plus the byte-rate duration math
     for other compressed-WAV tags need the fmt fields regardless of
-    codec support. Raises ``NotImplementedError`` on anything that is
-    not a well-formed RIFF/WAVE with fmt + data chunks."""
+    codec support. ``fmt_extra`` is the fmt body past the 16 standard
+    bytes (the cbSize extension — MS-ADPCM coefficient pairs,
+    wSamplesPerBlock); ``fact_samples`` is the fact chunk's uint32
+    total-sample count (the spec's truth for compressed formats whose
+    final block is padded), or None. Raises ``NotImplementedError`` on
+    anything that is not a well-formed RIFF/WAVE with fmt + data
+    chunks."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
-    i, fmt, data = 12, None, None
+    i, fmt, data, extra, fact = 12, None, None, b"", None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         (clen,) = struct.unpack_from("<I", b, i + 4)
         body = b[i + 8 : i + 8 + clen]
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            extra = body[16:]
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and len(body) >= 4:
+            (fact,) = struct.unpack_from("<I", body, 0)
         i += 8 + clen + (clen & 1)  # chunks are 16-bit word aligned
     if fmt is None or data is None:
         raise NotImplementedError("RIFF/WAVE missing fmt or data chunk")
     tag, ch, sr, br, align, bits = fmt
     if ch <= 0 or sr <= 0:
         raise NotImplementedError("degenerate WAV fmt chunk")
-    return tag, ch, sr, br, align, bits, data
+    return tag, ch, sr, br, align, bits, data, extra, fact
 
 
 def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
@@ -230,24 +240,59 @@ def _ms_step(nib: int, s1: int, s2: int, delta: int, c1: int, c2: int):
     return pred, max(16, delta)
 
 
-def _ms_adpcm_samples(data: bytes, ch: int, align: int) -> np.ndarray:
+def _ms_coef_table(extra: bytes):
+    """(coef1[], coef2[], samples_per_block|None) from the MS-ADPCM fmt
+    extension — cbSize(2) wSamplesPerBlock(2) wNumCoef(2) then wNumCoef
+    int16 pairs. Encoders that use predictor indices past the standard
+    7 MUST publish their pairs here (the spec requires the first 7 to
+    be the standard set); a missing/short extension falls back to the
+    standard table with no per-block cap."""
+    if len(extra) >= 6:
+        _cb, wspb, ncoef = struct.unpack_from("<HHH", extra, 0)
+        if ncoef >= 1 and len(extra) >= 6 + 4 * ncoef:
+            c1 = [
+                int.from_bytes(extra[6 + 4 * i : 8 + 4 * i], "little", signed=True)
+                for i in range(ncoef)
+            ]
+            c2 = [
+                int.from_bytes(extra[8 + 4 * i : 10 + 4 * i], "little", signed=True)
+                for i in range(ncoef)
+            ]
+            return c1, c2, (wspb if wspb > 0 else None)
+    return list(_MS_COEF1), list(_MS_COEF2), None
+
+
+def _ms_adpcm_samples(
+    data: bytes,
+    ch: int,
+    align: int,
+    extra: bytes = b"",
+    fact: int | None = None,
+) -> np.ndarray:
     """Decode WAV MS-ADPCM (fmt tag 0x02) blocks to float samples in
     [-1, 1], channel-averaged. Block layout per the spec: per channel a
     predictor index byte, then per channel int16 initial delta, int16
     sample1 (most recent), int16 sample2; the two header samples are
     emitted (sample2 first), then the body nibbles — HIGH nibble first
-    within each byte — rotate across channels one nibble at a time."""
+    within each byte — rotate across channels one nibble at a time.
+    ``extra`` (the fmt cbSize extension) supplies custom coefficient
+    pairs and the per-block sample cap; ``fact`` (the fact chunk)
+    trims the padded final block to the encoder's true total. A
+    predictor index past the table clamps to its last pair (corrupt
+    mid-stream bytes degrade, never throw — the accounting tier has
+    already classified the payload)."""
     hdr = 7 * ch
     if align < hdr + 1:
         raise NotImplementedError(f"MS ADPCM block align {align} too small")
+    coef1, coef2, wspb = _ms_coef_table(extra)
     out = []
     for boff in range(0, len(data) - hdr + 1, align):
         block = data[boff : boff + align]
         c1s, c2s, deltas, s1s, s2s, chans = [], [], [], [], [], []
         for c in range(ch):
-            idx = min(block[c], 6)
-            c1s.append(_MS_COEF1[idx])
-            c2s.append(_MS_COEF2[idx])
+            idx = min(block[c], len(coef1) - 1)
+            c1s.append(coef1[idx])
+            c2s.append(coef2[idx])
             deltas.append(
                 int.from_bytes(block[ch + 2 * c : ch + 2 * c + 2], "little", signed=True)
             )
@@ -273,27 +318,51 @@ def _ms_adpcm_samples(data: bytes, ch: int, align: int) -> np.ndarray:
                 s2s[c], s1s[c] = s1s[c], s
                 chans[c].append(s)
         n = min(len(x) for x in chans)
+        if wspb is not None:
+            n = min(n, wspb)
         frame = np.array([x[:n] for x in chans], dtype=np.float64)
         out.append(frame.mean(axis=0) / 32768.0)
     if not out:
         return np.zeros(0)
-    return np.concatenate(out)
+    x = np.concatenate(out)
+    return x[:fact] if fact is not None else x
 
 
-def _ms_data_samples(n_bytes: int, ch: int, align: int) -> int:
+def _ms_data_samples(
+    n_bytes: int,
+    ch: int,
+    align: int,
+    wspb: int | None = None,
+    fact: int | None = None,
+) -> int:
     """Samples per channel that ``_ms_adpcm_samples`` produces for
-    ``n_bytes`` of block data — the same block walk (partial trailing
-    blocks with at least the 7*ch header decode their truncated body):
-    2 header samples + the channel-min share of the body nibbles."""
+    ``n_bytes`` of block data — the same block walk (a partial trailing
+    block with at least the 7*ch header decodes its truncated body):
+    2 header samples + the channel-min share of the body nibbles,
+    capped per block by ``wspb`` and in total by ``fact`` exactly like
+    the decoder. Closed form, O(1): every block except the last is
+    full, so the accounting tier stays header-math cheap on multi-MB
+    payloads (randomized equivalence with the decoder pinned in
+    tests)."""
     hdr = 7 * ch
-    total = 0
-    for boff in range(0, n_bytes - hdr + 1, align):
-        body = min(align, n_bytes - boff) - hdr
-        total += 2 + (2 * body) // ch
-    return total
+    if n_bytes < hdr:
+        return 0
+    k = (n_bytes - hdr) // align + 1  # blocks the decoder walks
+    full = 2 + (2 * (align - hdr)) // ch
+    last = 2 + (2 * (min(align, n_bytes - (k - 1) * align) - hdr)) // ch
+    if wspb is not None:
+        full, last = min(full, wspb), min(last, wspb)
+    total = (k - 1) * full + last
+    return min(total, fact) if fact is not None else total
 
 
-def _ima_data_samples(n_bytes: int, ch: int, align: int) -> int:
+def _ima_data_samples(
+    n_bytes: int,
+    ch: int,
+    align: int,
+    wspb: int | None = None,
+    fact: int | None = None,
+) -> int:
     """Samples per channel that ``_ima_adpcm_samples`` produces for
     ``n_bytes`` of block data — the SAME block walk (a trailing partial
     block with at least the 4*ch-byte header decodes its truncated
@@ -301,20 +370,38 @@ def _ima_data_samples(n_bytes: int, ch: int, align: int) -> int:
     on truncated payloads. Per block the decoder consumes the body in
     4-byte groups rotated across channels and takes the channel-min
     length: header sample + 8 nibbles per full group landing on the
-    last channel ⇒ 1 + 8 * (groups // ch)."""
-    total = 0
-    for boff in range(0, n_bytes - 4 * ch + 1, align):
-        body = min(align, n_bytes - boff) - 4 * ch
-        total += 1 + 8 * ((body // 4) // ch)
-    return total
+    last channel ⇒ 1 + 8 * (groups // ch). Closed form, O(1): every
+    block except the last is full (randomized equivalence with the
+    decoder pinned in tests)."""
+    hdr = 4 * ch
+    if n_bytes < hdr:
+        return 0
+    k = (n_bytes - hdr) // align + 1  # blocks the decoder walks
+    full = 1 + 8 * (((align - hdr) // 4) // ch)
+    last_body = min(align, n_bytes - (k - 1) * align) - hdr
+    last = 1 + 8 * ((last_body // 4) // ch)
+    if wspb is not None:
+        full, last = min(full, wspb), min(last, wspb)
+    total = (k - 1) * full + last
+    return min(total, fact) if fact is not None else total
 
 
-def _ima_adpcm_samples(data: bytes, ch: int, align: int) -> np.ndarray:
+def _ima_adpcm_samples(
+    data: bytes,
+    ch: int,
+    align: int,
+    extra: bytes = b"",
+    fact: int | None = None,
+) -> np.ndarray:
     """Decode WAV IMA-ADPCM (fmt tag 0x11) blocks to float samples in
     [-1, 1], channel-averaged. Block layout per the WAV spec: per
     channel a 4-byte header (int16 predictor = first sample, uint8 step
     index, reserved), then the nibble data interleaved in 4-byte groups
-    per channel, LOW nibble first within each byte."""
+    per channel, LOW nibble first within each byte. ``extra`` (the fmt
+    cbSize extension: cbSize + wSamplesPerBlock) caps samples per
+    block; ``fact`` trims the padded final block to the encoder's true
+    total — both mirrored exactly by ``_ima_data_samples``."""
+    wspb = _ima_ext_wspb(extra)
     if align < 4 * ch + 4:
         raise NotImplementedError(f"IMA ADPCM block align {align} too small")
     out = []
@@ -336,12 +423,24 @@ def _ima_adpcm_samples(data: bytes, ch: int, align: int) -> np.ndarray:
                     preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
                     chans[c].append(preds[c])
         n = min(len(x) for x in chans)
+        if wspb is not None:
+            n = min(n, wspb)
         frame = np.array([x[:n] for x in chans], dtype=np.float64)
         out.append(frame.mean(axis=0) / 32768.0)
     if not out:
         return np.zeros(0)
-    return np.concatenate(out)
+    x = np.concatenate(out)
+    return x[:fact] if fact is not None else x
 
+
+def _ima_ext_wspb(extra: bytes) -> int | None:
+    """wSamplesPerBlock from the IMA-ADPCM fmt extension (cbSize(2) +
+    wSamplesPerBlock(2)), or None when absent/zero."""
+    if len(extra) >= 4:
+        (wspb,) = struct.unpack_from("<H", extra, 2)
+        if wspb > 0:
+            return wspb
+    return None
 
 
 def _wav_samples(b: bytes) -> tuple[int, np.ndarray]:
@@ -351,7 +450,7 @@ def _wav_samples(b: bytes) -> tuple[int, np.ndarray]:
     (fmt tags 0x11 / 0x02) via the block decoders. Raises
     ``NotImplementedError`` for other encodings (MP3-in-WAV, ...) —
     mirrors how unsupported image formats behave."""
-    tag, ch, sr, _br, align, bits, data = _riff_wav_info(b)
+    tag, ch, sr, _br, align, bits, data, extra, fact = _riff_wav_info(b)
     if tag == _WAV_PCM:
         sw = bits // 8
         if sw not in (1, 2, 3, 4):
@@ -374,9 +473,10 @@ def _wav_samples(b: bytes) -> tuple[int, np.ndarray]:
         table = _ALAW_TABLE if tag == _WAV_ALAW else _ULAW_TABLE
         x = table[codes].astype(np.float64) / 32768.0
     elif tag == _WAV_IMA_ADPCM:
-        return sr, _ima_adpcm_samples(data, ch, align)  # already averaged
+        # already channel-averaged; extension caps + fact trim applied
+        return sr, _ima_adpcm_samples(data, ch, align, extra, fact)
     elif tag == _WAV_MS_ADPCM:
-        return sr, _ms_adpcm_samples(data, ch, align)  # already averaged
+        return sr, _ms_adpcm_samples(data, ch, align, extra, fact)
     else:
         raise NotImplementedError(f"WAV fmt tag {tag} needs a codec library")
     if ch > 1:
@@ -784,7 +884,7 @@ def audio_metadata(media: DataFrame) -> DataFrame:
         b = bytes(payload)
         try:
             if b[:4] == b"RIFF":
-                tag, ch, sr, br, align, bits, data = _riff_wav_info(b)
+                tag, ch, sr, br, align, bits, data, extra, fact = _riff_wav_info(b)
                 if tag == _WAV_PCM and bits in (8, 16, 24, 32):
                     n = len(data) // max(ch * (bits // 8), 1)
                     codec, status = "pcm_wav", "full"
@@ -793,10 +893,13 @@ def audio_metadata(media: DataFrame) -> DataFrame:
                     codec = "g711_alaw" if tag == _WAV_ALAW else "g711_ulaw"
                     status = "full"
                 elif tag == _WAV_IMA_ADPCM and align >= 4 * ch + 4:
-                    n = _ima_data_samples(len(data), ch, align)
+                    n = _ima_data_samples(
+                        len(data), ch, align, _ima_ext_wspb(extra), fact
+                    )
                     codec, status = "ima_adpcm", "full"
                 elif tag == _WAV_MS_ADPCM and align >= 7 * ch + 1:
-                    n = _ms_data_samples(len(data), ch, align)
+                    _c1, _c2, _wspb = _ms_coef_table(extra)
+                    n = _ms_data_samples(len(data), ch, align, _wspb, fact)
                     codec, status = "ms_adpcm", "full"
                 else:
                     # compressed WAV codec (ADPCM, MP3-in-WAV, ...):
@@ -879,7 +982,7 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
         return ("unknown", None, "unsupported")
     if b[:4] == b"RIFF":
         try:
-            tag, ch, _sr, _br, align, bits, _data = _riff_wav_info(b)
+            tag, ch, _sr, _br, align, bits, _data, _extra, _fact = _riff_wav_info(b)
         except NotImplementedError:
             # RIFF but not a walkable WAVE (e.g. AVI container)
             return ("audio", "wav", "unsupported")
@@ -1373,9 +1476,17 @@ def decode_image(
                     px = _raster_pixels(b).astype(np.float64)
                     if px.size == 0:  # zero-dim raster (e.g. 0-width BMP)
                         raise NotImplementedError("empty raster")
-                except Exception:
-                    # zlib.error on truncated IDAT, struct.error on short
-                    # headers, NotImplementedError on unsupported variants
+                except (
+                    NotImplementedError,  # unsupported variant
+                    zlib.error,           # truncated/torn IDAT stream
+                    struct.error,         # header shorter than its fields
+                    ValueError,           # bad reshape/geometry from lying dims
+                    IndexError,           # offsets past a truncated buffer
+                ):
+                    # ONLY malformed-payload classes — a genuine decoder
+                    # defect (TypeError/AttributeError/...) must stay
+                    # loud even in crawl mode, or a regression turns
+                    # into silent NULL rows
                     if strict:
                         raise
                     return None

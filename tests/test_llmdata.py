@@ -3705,7 +3705,7 @@ def test_video_fixture_gif_frames_decode_exactly(spark):
         )
 
 
-def _ms_encode_block(chan_samples, ch, align, idx=0, delta0=64):
+def _ms_encode_block(chan_samples, ch, align, idx=0, delta0=64, table=None):
     """Test-side WAV MS-ADPCM block encoder built on the SAME spec
     primitives the decoder uses (_ms_step) — there is no independent
     MS-ADPCM decoder in this container (audioop's adpcm is the
@@ -3720,7 +3720,10 @@ def _ms_encode_block(chan_samples, ch, align, idx=0, delta0=64):
         _ms_step,
     )
 
-    c1, c2 = _MS_COEF1[idx], _MS_COEF2[idx]
+    if table is not None:
+        c1, c2 = table[0][idx], table[1][idx]
+    else:
+        c1, c2 = _MS_COEF1[idx], _MS_COEF2[idx]
     s2s = [int(chan_samples[c][0]) for c in range(ch)]
     s1s = [int(chan_samples[c][1]) for c in range(ch)]
     deltas = [delta0] * ch
@@ -3835,6 +3838,171 @@ def test_ms_adpcm_stereo_nibble_rotation():
         np.array(recon[0], dtype=np.float64) + np.array(recon[1], dtype=np.float64)
     ) / 2.0
     assert np.array_equal(x * 32768.0, want)
+
+
+def test_ms_adpcm_fmt_extension_coef_table_and_caps():
+    """Real-encoder fidelity (round-9 review finding): a fmt extension
+    with CUSTOM coefficient pairs (predictor idx past the standard 7)
+    must decode with those pairs; wSamplesPerBlock must cap per-block
+    output; a fact chunk must trim the padded final block — and the
+    metadata math (_ms_data_samples) must agree with the decoder on
+    every path."""
+    import struct as _struct
+
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _MS_COEF1,
+        _MS_COEF2,
+        _ms_adpcm_samples,
+        _ms_coef_table,
+        _ms_data_samples,
+    )
+
+    # 9-pair table: the standard 7 (the spec requires them first) plus
+    # two custom pairs; encode with idx=8 so the standard-table path
+    # would produce different samples
+    c1 = list(_MS_COEF1) + [300, 212]
+    c2 = list(_MS_COEF2) + [-100, 44]
+    align, ch = 72, 1
+    spb = _ms_spb(align, ch)
+    t = np.arange(3 * spb)
+    pcm = (8000.0 * np.sin(2 * np.pi * 500.0 * t / 8000.0)).astype(int)
+
+    def ext(wspb, ncoef=9):
+        body = _struct.pack("<HHH", 4 + 4 * ncoef, wspb, ncoef)
+        for i in range(ncoef):
+            body += _struct.pack("<hh", c1[i], c2[i])
+        return body
+
+    data = b""
+    for i in range(3):
+        block, _ = _ms_encode_block(
+            [list(pcm[i * spb : (i + 1) * spb])], ch, align,
+            idx=8, table=(c1, c2),
+        )
+        data += block
+    # extension parse
+    got_c1, got_c2, got_wspb = _ms_coef_table(ext(spb))
+    assert (got_c1, got_c2, got_wspb) == (c1, c2, spb)
+    # custom pairs honored: re-encode reconstruction must round-trip
+    _, recon = _ms_encode_block(
+        [list(pcm[:spb])], ch, align, idx=8, table=(c1, c2)
+    )
+    x = _ms_adpcm_samples(data[:align], ch, align, extra=ext(spb))
+    assert np.array_equal(x * 32768.0, np.array(recon[0], dtype=np.float64))
+    # ...and the standard table would NOT (idx clamps to pair 6)
+    x_std = _ms_adpcm_samples(data[:align], ch, align)
+    assert not np.array_equal(x_std, x)
+
+    # wSamplesPerBlock cap + fact trim, decoder vs metadata math
+    for wspb, fact in ((spb, None), (spb - 17, None), (spb, 3 * spb - 40),
+                       (spb - 5, 2 * spb)):
+        dec = _ms_adpcm_samples(data, ch, align, extra=ext(wspb), fact=fact)
+        assert len(dec) == _ms_data_samples(
+            len(data), ch, align, wspb, fact
+        ), (wspb, fact)
+
+
+def test_ms_adpcm_fact_chunk_trims_metadata_duration(spark):
+    """A WAV carrying a fact chunk whose sample count is smaller than
+    the block math (padded final block — what real encoders emit) must
+    report the fact-trimmed duration in audio_metadata, and the sample
+    tier must decode exactly that many samples."""
+    import struct as _struct
+
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _wav_samples
+
+    sr, align, ch = 8000, 256, 1
+    spb = _ms_spb(align, ch)
+    t = np.arange(2 * spb)
+    pcm = (9000.0 * np.sin(2 * np.pi * 440.0 * t / sr)).astype(int)
+    data = b""
+    for i in range(2):
+        block, _ = _ms_encode_block(
+            [list(pcm[i * spb : (i + 1) * spb])], ch, align, idx=1
+        )
+        data += block
+    fact = 2 * spb - 123  # final block padded by 123 samples
+    fmt = _struct.pack("<HHIIHH", 2, ch, sr, 4000, align, 4)
+    chunks = (
+        b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + _struct.pack("<I", 4) + _struct.pack("<I", fact)
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    got_sr, x = _wav_samples(payload)
+    assert (got_sr, len(x)) == (sr, fact)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "audio/wav", None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    meta = multimodal.audio_metadata(media).collect()[0]
+    assert (meta.codec, meta.decode_status) == ("ms_adpcm", "full")
+    assert meta.duration_ms == fact * 1000 // sr
+
+
+def test_ima_adpcm_extension_wspb_and_fact_match():
+    """IMA's fmt extension (cbSize + wSamplesPerBlock) and a fact chunk
+    must cap/trim the decoder and the metadata math identically."""
+    import struct as _struct
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _ima_adpcm_samples,
+        _ima_data_samples,
+        _ima_ext_wspb,
+        _ima_samples_per_block,
+    )
+
+    align, ch = 256, 1
+    spb = _ima_samples_per_block(align, ch)
+    data = (_struct.pack("<hBB", 0, 0, 0) + bytes(align - 4)) * 3
+    assert _ima_ext_wspb(_struct.pack("<HH", 2, spb - 9)) == spb - 9
+    assert _ima_ext_wspb(b"") is None
+    for wspb, fact in ((None, None), (spb - 9, None), (None, 3 * spb - 50),
+                       (spb - 9, 2 * spb)):
+        extra = _struct.pack("<HH", 2, wspb) if wspb else b""
+        dec = _ima_adpcm_samples(data, ch, align, extra=extra, fact=fact)
+        assert len(dec) == _ima_data_samples(
+            len(data), ch, align, wspb, fact
+        ), (wspb, fact)
+
+
+def test_adpcm_closed_form_sample_counts_match_decoders():
+    """The O(1) closed forms (_ms_data_samples / _ima_data_samples)
+    must equal the decoders' actual output length for randomized
+    (channels, align, byte-length) lattices including partial trailing
+    blocks and sub-header tails — the accounting tier's block math is
+    derived, so pin it against the walk it replaces."""
+    import random
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _ima_adpcm_samples,
+        _ima_data_samples,
+        _ms_adpcm_samples,
+        _ms_data_samples,
+    )
+
+    rng = random.Random(42)
+    for _ in range(150):
+        ch = rng.choice([1, 2])
+        align = rng.choice([8, 12, 64, 128, 256, 1024]) + 7 * ch
+        n_blocks = rng.randint(0, 4)
+        cut = rng.randint(0, align + 7 * ch)
+        data = bytes(align) * n_blocks
+        data = data[: max(0, len(data) - cut)]
+        assert len(_ms_adpcm_samples(data, ch, align)) == _ms_data_samples(
+            len(data), ch, align
+        ), ("ms", ch, align, len(data))
+        ima_align = max(align, 4 * ch + 4)
+        assert len(
+            _ima_adpcm_samples(data, ch, ima_align)
+        ) == _ima_data_samples(len(data), ch, ima_align), (
+            "ima", ch, ima_align, len(data)
+        )
 
 
 def test_ms_adpcm_truncated_metadata_matches_sample_tier():
