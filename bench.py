@@ -314,15 +314,18 @@ def _update_plans_md_normalized_table(timings, medians, cal, cal_shuffle, sf) ->
         f"Calibrations, interleaved with the timing rounds: scalar "
         f"(1e9-row range→xxhash64→sum, no shuffle) **{cal}s**; "
         f"Spark-shaped (5e7-row groupBy — real exchange + partial/final "
-        f"agg) **{cal_shuffle}s**, at sf={sf}. `t/cal_shuf` is the "
-        "primary host-invariant signal (the r8 verdict measured a ±13% "
-        "headline swing at CONSTANT scalar calibration with "
-        "byte-identical fingerprints — the scalar probe tracks CPU "
-        "speed, not the JVM/GC/shuffle state that moves Spark wall "
-        "time); `t/cal` is kept for continuity with BENCH_r0{5..8}. "
-        "`median` vs `min` flags drift windows inside THIS run: a wide "
-        "gap means the host was noisy and cross-round deltas below the "
-        "gap are not actionable.\n\n"
+        f"agg) **{cal_shuffle}s**, at sf={sf}. Roles, as MEASURED over "
+        "three back-to-back r9 runs (SCALING.md 'Round-9 calibration "
+        "validation'): `t/cal` is the per-query normalized signal "
+        "(median cross-run spread 6.5% vs 13% raw); the shuffle probe "
+        "is a RUN-STATE INDICATOR, not a divisor — its own cost can "
+        "decouple from query cost (0.69→0.93s across runs at "
+        "near-constant scalar cal), so normalizing by it is NOISIER "
+        "(23%), but a swing in it flags the JVM/shuffle-path state "
+        "drift the scalar probe is blind to (the r8 driver-vs-local "
+        "class). `median` vs `min` bounds noise inside THIS run. A "
+        "plan-regression claim requires a PLANS.json fingerprint diff; "
+        "timings alone never qualify.\n\n"
         "| query | sec (min) | median | t/cal | t/cal_shuf |\n"
         "|---|---|---|---|---|\n"
         f"{rows}\n\n{NORM_END}"
