@@ -858,12 +858,14 @@ def audio_metadata(media: DataFrame) -> DataFrame:
     the fraction the PCM tier skips, and duration / rate / channels /
     bitrate from HEADERS alone:
 
-    - ``pcm_wav`` / ``g711_alaw`` / ``g711_ulaw`` / ``ima_adpcm`` →
+    - ``pcm_wav`` / ``g711_alaw`` / ``g711_ulaw`` / ``ima_adpcm`` /
+      ``ms_adpcm`` →
       status ``full`` (``audio_features``/``audio_spectral`` can decode
       samples — linear PCM at 8/16/24/32 bits, G.711 via the ITU
-      expansion tables, IMA ADPCM via the block decoder),
+      expansion tables, IMA / MS ADPCM via the block decoders with
+      fmt-extension caps and fact-chunk trims),
     - ``mp3`` / ``vorbis`` / ``opus`` / ``flac`` (bare or in-Ogg) /
-      ``wav_fmt_<tag>`` (compressed WAV codecs — ADPCM, MP3-in-WAV) →
+      ``wav_fmt_<tag>`` (compressed WAV codecs — MP3-in-WAV, ...) →
       status ``header_only`` (frame/page-header walk, 16 bytes of
       STREAMINFO math for FLAC, or the WAV fmt chunk's byte-rate
       duration — no entropy decode, so metadata is exact but samples
