@@ -1601,16 +1601,21 @@ def resize_image(
     return media.select("media_id", "payload").mapInPandas(batches, out_schema)
 
 
-def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def audio_features(
+    media: DataFrame, fake: bool = False, strict: bool = True
+) -> DataFrame:
     """Audio feature extraction (duration, RMS level, zero crossings).
 
-    The real path decodes RIFF/PCM WAV payloads with stdlib ``wave`` +
-    numpy (``_wav_stats``): duration from frames/rate, RMS over
-    [-1, 1]-normalized channel-averaged samples, sign-change count.
-    Compressed audio (mp3/ogg/non-PCM) raises here — SAMPLE decode needs
-    librosa/soundfile; use ``audio_metadata`` for the header tier
-    (duration/rate/channels/bitrate without decoding) and its
-    ``decode_status`` column to quantify the skipped fraction.
+    The real path decodes RIFF WAV payloads (``_wav_stats`` →
+    ``_wav_samples``: linear PCM, G.711, IMA/MS ADPCM): duration from
+    samples/rate, RMS over [-1, 1]-normalized channel-averaged samples,
+    sign-change count. Unsupported compressed audio (mp3/ogg/...)
+    raises under ``strict=True`` (the default the capability tests pin
+    — SAMPLE decode needs librosa/soundfile); ``strict=False`` is the
+    crawl mode: malformed/unsupported payloads yield NULL stats
+    instead of killing the batch, the ``decode_image`` contract. Use
+    ``audio_metadata`` for the header tier and its ``decode_status``
+    column to quantify the skipped fraction.
     The ``fake=True`` stub derives deterministic values from the content
     hash through the same mapInPandas plumbing."""
     out_schema = StructType(
@@ -1630,7 +1635,15 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 if fake:
                     d = hashlib.md5(b).digest()
                     return None, str(round(d[0] / 255.0, 6)), int.from_bytes(d[1:3], "big")
-                dur, rms, zc = _wav_stats(b)
+                try:
+                    dur, rms, zc = _wav_stats(b)
+                except (
+                    NotImplementedError, wave.Error, EOFError,
+                    struct.error, ValueError, IndexError,
+                ):
+                    if strict:
+                        raise
+                    return None, None, None
                 return dur, str(round(rms, 6)), zc
 
             triples = pdf["payload"].map(stats)
@@ -1770,7 +1783,9 @@ SPECTRAL_SCHEMA = StructType(
 )
 
 
-def audio_spectral(media: DataFrame, n_bands: int = 8) -> DataFrame:
+def audio_spectral(
+    media: DataFrame, n_bands: int = 8, strict: bool = True
+) -> DataFrame:
     """Spectral audio features from raw PCM WAV payloads — the DSP tier
     above ``audio_features``'s time-domain stats, numpy-only (rFFT):
 
@@ -1783,8 +1798,10 @@ def audio_spectral(media: DataFrame, n_bands: int = 8) -> DataFrame:
     Enough to route speech/music/tone/noise in a curation pipeline and
     fully testable against synthesized ground truth (a 440 Hz sine's
     dominant bin IS 440 Hz). Same codec boundary discipline as the
-    image path: PCM decodes for real, compressed formats raise inside
-    the Arrow batch. Floats ship as strings (same reason as
+    image path: supported WAVs decode for real, unsupported compressed
+    formats raise inside the Arrow batch under ``strict=True``;
+    ``strict=False`` (crawl mode) yields NULL rows for them instead.
+    Floats ship as strings (same reason as
     ``audio_features.rms``: byte-stable across engines/archs)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1797,7 +1814,18 @@ def audio_spectral(media: DataFrame, n_bands: int = 8) -> DataFrame:
                               "dominant_hz", "band_energy"):
                         out[k].append(None)
                     continue
-                sr, x = _wav_samples(bytes(payload))
+                try:
+                    sr, x = _wav_samples(bytes(payload))
+                except (
+                    NotImplementedError, wave.Error, EOFError,
+                    struct.error, ValueError, IndexError,
+                ):
+                    if strict:
+                        raise
+                    for k in ("sample_rate", "centroid_hz", "rolloff_hz",
+                              "dominant_hz", "band_energy"):
+                        out[k].append(None)
+                    continue
                 if sr <= 0 or x.size == 0:
                     # zero-frame / malformed-rate PCM: emit zeros rather
                     # than dividing by sr or FFT-ing nothing

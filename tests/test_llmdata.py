@@ -3945,6 +3945,36 @@ def test_ms_adpcm_fact_chunk_trims_metadata_duration(spark):
     assert meta.duration_ms == fact * 1000 // sr
 
 
+def test_audio_tiers_strict_flag_on_unsupported_payloads(spark):
+    """audio_features/audio_spectral(strict=False) must degrade
+    unsupported/malformed payloads to NULL rows — the decode_image
+    crawl contract — while the strict default still raises (pinned by
+    the capability tests)."""
+    import pytest as _pytest
+
+    mp3ish = _raw_wav(0x55, 1, 8000, 0, b"\x00" * 64, byte_rate=4000)
+    good = _wav_bytes()
+    rows = [
+        (1, bytearray(good), "audio/wav", None, None, None),
+        (2, bytearray(mp3ish), "audio/wav", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with _pytest.raises(Exception):
+        multimodal.audio_features(media).collect()
+    with _pytest.raises(Exception):
+        multimodal.audio_spectral(media).collect()
+    feats = {
+        r.media_id: r
+        for r in multimodal.audio_features(media, strict=False).collect()
+    }
+    assert feats[1].rms is not None and feats[2].rms is None
+    spec = {
+        r.media_id: r
+        for r in multimodal.audio_spectral(media, strict=False).collect()
+    }
+    assert spec[1].dominant_hz is not None and spec[2].dominant_hz is None
+
+
 def test_ima_adpcm_extension_wspb_and_fact_match():
     """IMA's fmt extension (cbSize + wSamplesPerBlock) and a fact chunk
     must cap/trim the decoder and the metadata math identically."""
