@@ -1705,7 +1705,10 @@ FRAME_SAMPLE_SCHEMA = StructType(
 
 
 def sample_frames(
-    media: DataFrame, every_ms: int = 100, min_delay_ms: int = 10
+    media: DataFrame,
+    every_ms: int = 100,
+    min_delay_ms: int = 10,
+    strict: bool = True,
 ) -> DataFrame:
     """REAL timed frame sampling — the decode stage ``frame_sample_plan``
     only plans. Animated GIF is the one video-like format decodable
@@ -1720,7 +1723,10 @@ def sample_frames(
     per stored frame — exactly what a vision-model ingest wants
     (uniform temporal sampling regardless of variable frame delays).
     Non-GIF payloads raise inside the batch like every real codec
-    boundary; route mixed corpora by sniffed mime first. Decode runs
+    boundary under ``strict=True``; ``strict=False`` (crawl mode, the
+    ``decode_image`` contract) skips them — they contribute no sample
+    ticks instead of killing the batch. Route mixed corpora by sniffed
+    mime first either way. Decode runs
     inside Arrow ``mapInPandas`` batches; parallelism comes from Spark
     partitions (see ``spread_for_decode``)."""
     from temporai_mivdp_spark.llmdata.imagecodecs import gif_frames
@@ -1731,7 +1737,15 @@ def sample_frames(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                frames = gif_frames(bytes(payload))
+                try:
+                    frames = gif_frames(bytes(payload))
+                except (
+                    NotImplementedError, zlib.error, struct.error,
+                    ValueError, IndexError,
+                ):
+                    if strict:
+                        raise
+                    continue
                 delays = [max(d, min_delay_ms) for d, _ in frames]
                 total = sum(delays)
                 # frame k shows during [start_k, start_k + delay_k)

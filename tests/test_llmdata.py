@@ -3975,6 +3975,30 @@ def test_audio_tiers_strict_flag_on_unsupported_payloads(spark):
     assert spec[1].dominant_hz is not None and spec[2].dominant_hz is None
 
 
+def test_sample_frames_strict_flag_skips_non_gif(spark):
+    """sample_frames(strict=False) must skip undecodable payloads (no
+    ticks emitted) while the default raises — the third member of the
+    crawl-mode contract family."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tests.test_imagecodecs import gif_anim_bytes
+
+    gct = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    gif = gif_anim_bytes(
+        (3, 2), gct, [{"indices": np.zeros((2, 3), int), "delay_cs": 10}]
+    )
+    rows = [
+        (1, bytearray(gif), "image/gif", None, None, None),
+        (2, bytearray(b"JUNK-not-a-gif-payload"), "video/mp4", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with _pytest.raises(Exception):
+        multimodal.sample_frames(media, every_ms=50).collect()
+    got = multimodal.sample_frames(media, every_ms=50, strict=False).collect()
+    assert got and all(r.media_id == 1 for r in got)
+
+
 def test_ima_adpcm_extension_wspb_and_fact_match():
     """IMA's fmt extension (cbSize + wSamplesPerBlock) and a fact chunk
     must cap/trim the decoder and the metadata math identically."""
