@@ -91,6 +91,48 @@ def main() -> None:
     measure("WAV stats (10 s)", wav, _wav_stats)
     measure("WAV samples (10 s)", wav, _wav_samples)
 
+    # compressed-audio sample tiers: same 10 s sine through the G.711
+    # table expansion and the IMA / MS ADPCM block decoders (test-side
+    # encoders from tests/test_llmdata.py — the same fixtures the
+    # differential pins use)
+    import struct as _struct
+
+    from tests.test_llmdata import (
+        _ima_encode_block,
+        _ms_encode_block,
+        _raw_wav,
+    )
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _ima_samples_per_block,
+    )
+
+    pcm16 = (np.sin(2 * np.pi * 440 * t) * 20000).astype(int)
+    ulaw_payload = _raw_wav(7, 1, sr, 8, b"\x55" * (sr * 10))
+    measure("WAV G.711 u-law (10 s)", ulaw_payload, _wav_samples)
+
+    align = 1024
+    spb = _ima_samples_per_block(align, 1)
+    data, state = b"", None
+    for i in range(len(pcm16) // spb):
+        block, state, _ = _ima_encode_block(
+            list(pcm16[i * spb : (i + 1) * spb]), 1, align, state
+        )
+        data += block
+    ima_payload = _raw_wav(0x11, 1, sr, 4, data, byte_rate=sr // 2)
+    ima_payload = ima_payload[:32] + align.to_bytes(2, "little") + ima_payload[34:]
+    measure("WAV IMA ADPCM (10 s)", ima_payload, _wav_samples)
+
+    spb_ms = 2 + 2 * (align - 7)
+    data = b""
+    for i in range(len(pcm16) // spb_ms):
+        block, _ = _ms_encode_block(
+            [list(pcm16[i * spb_ms : (i + 1) * spb_ms])], 1, align, idx=1
+        )
+        data += block
+    ms_payload = _raw_wav(0x02, 1, sr, 4, data, byte_rate=sr // 2)
+    ms_payload = ms_payload[:32] + align.to_bytes(2, "little") + ms_payload[34:]
+    measure("WAV MS ADPCM (10 s)", ms_payload, _wav_samples)
+
 
 if __name__ == "__main__":
     main()
