@@ -190,6 +190,64 @@ def test_sample_frames_real_gif_timeline(spark):
         assert got[t] == feats(frames[want_frame][1]), t
 
 
+def test_multimodal_capstone_video_modality(spark, tmp_path):
+    """The video tier composes into the same embedding->index->serve
+    chain as images/audio: animated GIFs -> sample_frames ticks -> a
+    temporal-mean 8-dim embedding (pure Catalyst after the decode) ->
+    persisted IVF -> exact pruned serving. A color-ramp GIF's nearest
+    neighbor must be the adjacent ramp step, proving the embedding
+    carries the decoded pixel signal, not just plumbing."""
+    import numpy as np
+
+    from tests.test_imagecodecs import gif_anim_bytes
+
+    def ramp_gif(base):
+        # 4 frames of single colors stepping from `base` — temporal mean
+        # tracks base, so ids sort by color distance
+        gct = np.clip(
+            np.array([[base + 10 * k, 60, 200 - base] for k in range(4)]),
+            0, 255,
+        ).astype(np.uint8)
+        return gif_anim_bytes(
+            (3, 2), gct,
+            [{"indices": np.full((2, 3), k, int), "delay_cs": 5}
+             for k in range(4)],
+        )
+
+    rows = [
+        (mid, bytearray(ramp_gif(base)), "video/gif", None, None, None)
+        for mid, base in [(1, 0), (2, 40), (3, 80), (4, 160), (5, 200)]
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    f = F.transform(F.split("features", ","), lambda s: s.cast("double"))
+    ticks = multimodal.sample_frames(media, every_ms=50).select(
+        "media_id", f.alias("v")
+    )
+    emb = (
+        ticks.groupBy("media_id")
+        .agg(*[F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
+               for i in range(DIM)])
+        .select(
+            F.col("media_id").alias("vec_id"),
+            F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("embedding"),
+        )
+    )
+    path = str(tmp_path / "video_ivf")
+    cents = similarity.deterministic_centroids(emb, n=2)
+    similarity.persist_ivf_index(emb, cents, path)
+    probes = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    served = similarity.ivf_topk_from_index(spark, path, probes, k=2, nprobe=2)
+    brute = similarity.brute_force_topk(emb, probes, k=2)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+    ranked = sorted((r.rank, r.neighbor_id) for r in served.collect())
+    assert [nid for _, nid in ranked] == [2, 3]  # adjacent ramp steps
+
+
 def _wav_payload(freqs, sr=16000, seconds=1.0, amps=None):
     import io
     import wave
