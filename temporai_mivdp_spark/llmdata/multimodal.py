@@ -766,6 +766,130 @@ def _gif_animation_stats(b: bytes) -> tuple[int, int, int, int]:
     return w, h, n_frames, duration_ms
 
 
+def _avi_stats(b: bytes) -> tuple[str, int, int, int, int, int, int]:
+    """(codec, width, height, rate, scale, n_frames, duration_ms) for a
+    RIFF/AVI payload from HEADERS alone — the video sibling of
+    ``_riff_wav_info``'s chunk walk: the ``hdrl`` LIST's ``avih`` chunk
+    carries dims and total frames, the first ``vids`` stream header
+    carries the exact rational frame rate (dwRate/dwScale) and stream
+    length. ``codec`` is the stream's fccHandler lowered ("mjpg" →
+    "mjpeg", "dib " → "dib"). Raises ``NotImplementedError`` on
+    non-AVI or malformed input."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI payload")
+    avih = None
+    vids = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal avih, vids
+        i = lo
+        while i + 8 <= hi:
+            cid = b[i : i + 4]
+            (clen,) = struct.unpack_from("<I", b, i + 4)
+            body_lo = i + 8
+            body_hi = min(body_lo + clen, hi)
+            if cid == b"LIST" and clen >= 4:
+                walk(body_lo + 4, body_hi)
+            elif cid == b"avih" and clen >= 40:
+                avih = struct.unpack_from("<10I", b, body_lo)
+            elif (
+                cid == b"strh"
+                and clen >= 36
+                and b[body_lo : body_lo + 4] == b"vids"
+                and vids is None
+            ):
+                handler = b[body_lo + 4 : body_lo + 8]
+                scale, rate, _start, length = struct.unpack_from(
+                    "<IIII", b, body_lo + 20
+                )
+                vids = (handler, scale, rate, length)
+            i = body_lo + clen + (clen & 1)
+
+    walk(12, len(b))
+    if avih is None:
+        raise NotImplementedError("AVI missing avih header")
+    w, h = avih[8], avih[9]
+    if vids is not None:
+        handler, scale, rate, length = vids
+        n = length if length > 0 else avih[4]
+    else:
+        handler, scale, rate, n = b"", 1, 0, avih[4]
+    if rate <= 0 or scale <= 0:
+        # fall back to avih's microseconds-per-frame as the rational
+        usec = avih[0]
+        if usec <= 0:
+            raise NotImplementedError("AVI missing frame rate")
+        rate, scale = 1_000_000, usec
+    codec = handler.decode("ascii", "replace").strip().lower() or "avi"
+    if codec == "mjpg":
+        codec = "mjpeg"
+    duration_ms = n * 1000 * scale // rate
+    return codec, w, h, rate, scale, n, duration_ms
+
+
+def avi_frames(b: bytes) -> list[tuple[int, np.ndarray]]:
+    """Decode an AVI's video frames to ``[(delay_ms, (h, w, 3) RGB)]``
+    — the AVI twin of ``imagecodecs.gif_frames``. Supported stream
+    payloads (``00dc``/``00db`` chunks in the ``movi`` LIST): MJPEG
+    (each frame is a complete JFIF image → ``jpeg_pixels``) and
+    uncompressed DIB (BITMAPINFOHEADER-less bottom-up BGR rows →
+    rewrapped through the BMP decoder with a synthesized file header).
+    Delays are granule-exact from the stream's dwRate/dwScale rational
+    (cumulative-difference, so a 30000/1001 rate loses nothing). Other
+    handlers raise ``NotImplementedError``."""
+    codec, w, h, rate, scale, n, _dur = _avi_stats(b)
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int, in_movi: bool) -> None:
+        i = lo
+        while i + 8 <= hi:
+            cid = b[i : i + 4]
+            (clen,) = struct.unpack_from("<I", b, i + 4)
+            body_lo = i + 8
+            body_hi = min(body_lo + clen, hi)
+            if cid == b"LIST" and clen >= 4:
+                ltype = b[body_lo : body_lo + 4]
+                walk(body_lo + 4, body_hi, in_movi or ltype == b"movi")
+            elif in_movi and cid in (b"00dc", b"00db"):
+                frames.append(b[body_lo:body_hi])
+            i = body_lo + clen + (clen & 1)
+
+    walk(12, len(b), False)
+    if not frames:
+        raise NotImplementedError("AVI with no video frames in movi")
+    out = []
+    for k, payload in enumerate(frames):
+        start = k * 1000 * scale // rate
+        end = (k + 1) * 1000 * scale // rate
+        if payload[:3] == b"\xff\xd8\xff":
+            from temporai_mivdp_spark.llmdata.imagecodecs import jpeg_pixels
+
+            px = jpeg_pixels(payload)
+        elif len(payload) >= 40 and payload[:4] == (40).to_bytes(4, "little"):
+            # bare DIB: synthesize the 14-byte BMPFILEHEADER the BMP
+            # decoder expects; pixel data follows the info header +
+            # color table directly
+            (hdr_size,) = struct.unpack_from("<I", payload, 0)
+            _pl, bpp = struct.unpack_from("<HH", payload, 12)
+            (clr_used,) = struct.unpack_from("<I", payload, 32)
+            pal = (
+                (clr_used or (1 << bpp if bpp <= 8 else 0)) * 4
+                if bpp <= 8
+                else 0
+            )
+            off = 14 + hdr_size + pal
+            bmp = (
+                b"BM"
+                + struct.pack("<IHHI", 14 + len(payload), 0, 0, off)
+                + payload
+            )
+            px = _bmp_pixels(bmp)
+        else:
+            raise NotImplementedError("AVI frame handler not MJPEG/DIB")
+        out.append((end - start, px))
+    return out
+
+
 VIDEO_METADATA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -787,6 +911,10 @@ def video_metadata(media: DataFrame) -> DataFrame:
     - animated/still GIF → status ``full`` (``imagecodecs.gif_frames``
       decodes the composited timed frames; stats here come from the
       header-only block walk — frame count, summed GCE delays),
+    - RIFF AVI → ``full`` for MJPEG/DIB streams (``avi_frames`` decodes
+      them), ``header_only`` for other handlers; dims/frames from
+      ``avih``, exact-rational fps from the vids stream's
+      dwRate/dwScale (``_avi_stats``),
     - Ogg Theora → status ``header_only`` (dims / exact-rational fps /
       frame count / duration from the ident packet + last granule, no
       entropy decode),
@@ -812,6 +940,16 @@ def video_metadata(media: DataFrame) -> DataFrame:
                     codec="gif", decode_status="full", width=w, height=h,
                     n_frames=n, duration_ms=dur,
                     fps_milli=(n * 1_000_000 // dur) if dur > 0 else None,
+                )
+            elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                codec, w, h, rate, scale, n, dur = _avi_stats(b)
+                row.update(
+                    codec=codec,
+                    decode_status=(
+                        "full" if codec in ("mjpeg", "dib") else "header_only"
+                    ),
+                    width=w, height=h, n_frames=n, duration_ms=dur,
+                    fps_milli=rate * 1000 // scale,
                 )
             elif b[:4] == b"OggS":
                 w, h, frn, frd, n, dur = _theora_stats(b)
@@ -983,10 +1121,19 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
     if b is None or len(b) < 4:
         return ("unknown", None, "unsupported")
     if b[:4] == b"RIFF":
+        if b[8:12] == b"AVI ":
+            try:
+                codec = _avi_stats(b)[0]
+                return (
+                    "video", codec,
+                    "full" if codec in ("mjpeg", "dib") else "header_only",
+                )
+            except NotImplementedError:
+                return ("video", "avi", "unsupported")
         try:
             tag, ch, _sr, _br, align, bits, _data, _extra, _fact = _riff_wav_info(b)
         except NotImplementedError:
-            # RIFF but not a walkable WAVE (e.g. AVI container)
+            # RIFF but neither a walkable WAVE nor an AVI
             return ("audio", "wav", "unsupported")
         if tag == _WAV_PCM and bits in (8, 16, 24, 32):
             return ("audio", "pcm_wav", "full")
@@ -1711,10 +1858,11 @@ def sample_frames(
     strict: bool = True,
 ) -> DataFrame:
     """REAL timed frame sampling — the decode stage ``frame_sample_plan``
-    only plans. Animated GIF is the one video-like format decodable
-    from scratch here (``imagecodecs.gif_frames``: a timed, composited
-    frame sequence), so this is the honest end-to-end path: payload ->
-    frame timeline (cumulative GCE delays; zero delays clamped to
+    only plans. Two video-like formats decode from scratch here:
+    animated GIF (``imagecodecs.gif_frames``: a timed, composited frame
+    sequence) and MJPEG/DIB AVI (``avi_frames``: granule-exact
+    dwRate/dwScale delays) — the honest end-to-end path: payload ->
+    frame timeline (cumulative delays; zero delays clamped to
     ``min_delay_ms`` so degenerate GIFs still have a timeline) ->
     the frame showing at each ``every_ms`` tick -> the same 8 features
     as ``decode_image`` per sampled tick.
@@ -1738,7 +1886,11 @@ def sample_frames(
                 if payload is None:
                     continue
                 try:
-                    frames = gif_frames(bytes(payload))
+                    pb = bytes(payload)
+                    if pb[:4] == b"RIFF" and pb[8:12] == b"AVI ":
+                        frames = avi_frames(pb)
+                    else:
+                        frames = gif_frames(pb)
                 except (
                     NotImplementedError, zlib.error, struct.error,
                     ValueError, IndexError,

@@ -3856,12 +3856,15 @@ def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a video-tier media frame (media_id, payload)
     deterministically from doc_id — the video twin of `_audio_fixture`.
-    Four classes, round-robin by doc_id % 4: a REAL animated GIF
+    Five classes, round-robin by doc_id % 5: a REAL animated GIF
     (per-frame GCE delays, valid LZW frames via the clear-per-literal
     encoding, so `imagecodecs.gif_frames` genuinely decodes what the
     block walk accounts), a REAL Ogg Theora ident packet + closing
     granule page (the header_only tier — dims / exact-rational fps /
-    granule frame math), a junk payload, and NULL. Every header field
+    granule frame math), a junk payload, NULL, and (round 9) a REAL
+    RIFF/AVI with a DIB video stream (`multimodal.avi_frames` decodes
+    the same payloads; fps is the exact dwRate/dwScale rational incl.
+    30000/1001 NTSC). Every header field
     is a pure function of doc_id so the DuckDB oracle replays the
     expected metadata algebra without seeing the bytes."""
 
@@ -3911,6 +3914,52 @@ def _video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out += b"\x00"
             out += b"\x3b"
             return bytes(out)
+
+        def avi_dib(did):
+            # real RIFF/AVI with a DIB video stream: n constant-color
+            # bottom-up BGR frames, exact-rational fps from
+            # dwRate/dwScale (incl. the 30000/1001 NTSC case) — every
+            # header field a pure function of doc_id
+            w, h, n = 2 + did % 7, 1 + did % 5, 1 + did % 6
+            rate, scale = ((30000, 1001), (25, 1), (30, 1))[did % 3]
+
+            def chunk(cid, body):
+                return (
+                    cid + struct.pack("<I", len(body)) + body
+                    + (b"\x00" if len(body) & 1 else b"")
+                )
+
+            def lst(t, body):
+                return chunk(b"LIST", t + body)
+
+            row = bytes(
+                [did % 256, (did // 3) % 256, (did // 7) % 256]
+            ) * w  # BGR
+            pad = (4 - (3 * w) % 4) % 4
+            px = (row + b"\x00" * pad) * h
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0
+            )
+            frame = info + px
+            avih = struct.pack(
+                "<10I", 1_000_000 * scale // rate, 0, 0, 0, n, 0, 1, 0, w, h
+            ) + bytes(16)
+            strh = (
+                b"vids" + b"DIB " + struct.pack("<IHH", 0, 0, 0)
+                + struct.pack("<IIII", 0, scale, rate, 0)
+                + struct.pack("<I", n)
+                + struct.pack("<IiI", 0, -1, 0)
+                + struct.pack("<hhhh", 0, 0, w, h)
+            )
+            strf = info
+            hdrl = lst(
+                b"hdrl",
+                chunk(b"avih", avih)
+                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+            )
+            movi = lst(b"movi", b"".join(chunk(b"00dc", frame) for _ in range(n)))
+            body = b"AVI " + hdrl + movi
+            return b"RIFF" + struct.pack("<I", len(body)) + body
 
         def ogg_page(granule, body, seq, btype):
             return (
@@ -3967,7 +4016,7 @@ def _video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if did >= 9_000_000:
                     rows.append((did, degenerate(did)))
                     continue
-                kind = did % 4
+                kind = did % 5
                 if kind == 0:
                     payload = gif_anim(
                         2 + did % 9, 1 + did % 7, 1 + did % 5, 3 + did % 11
@@ -3982,6 +4031,8 @@ def _video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 elif kind == 2:
                     payload = b"JUNK" + did.to_bytes(8, "big")
+                elif kind == 4:
+                    payload = avi_dib(did)
                 else:
                     payload = None
                 rows.append((did, payload))
@@ -3996,44 +4047,57 @@ def _video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 4 = 0 THEN 'gif'
-                WHEN doc_id % 4 = 1 THEN 'theora' END
+                WHEN doc_id % 5 = 0 THEN 'gif'
+                WHEN doc_id % 5 = 1 THEN 'theora'
+                WHEN doc_id % 5 = 4 THEN 'dib' END
              AS codec,
            CASE WHEN doc_id >= 9000000 THEN 'unsupported'
-                WHEN doc_id % 4 = 0 THEN 'full'
-                WHEN doc_id % 4 = 1 THEN 'header_only'
+                WHEN doc_id % 5 = 0 THEN 'full'
+                WHEN doc_id % 5 = 1 THEN 'header_only'
+                WHEN doc_id % 5 = 4 THEN 'full'
                 ELSE 'unsupported' END AS decode_status,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 4 = 0 THEN CAST(2 + doc_id % 9 AS INTEGER)
-                WHEN doc_id % 4 = 1
+                WHEN doc_id % 5 = 0 THEN CAST(2 + doc_id % 9 AS INTEGER)
+                WHEN doc_id % 5 = 1
                 THEN CAST(16 * (1 + doc_id % 20) AS INTEGER)
+                WHEN doc_id % 5 = 4 THEN CAST(2 + doc_id % 7 AS INTEGER)
            END AS width,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 4 = 0 THEN CAST(1 + doc_id % 7 AS INTEGER)
-                WHEN doc_id % 4 = 1
+                WHEN doc_id % 5 = 0 THEN CAST(1 + doc_id % 7 AS INTEGER)
+                WHEN doc_id % 5 = 1
                 THEN CAST(16 * (1 + doc_id % 11) AS INTEGER)
+                WHEN doc_id % 5 = 4 THEN CAST(1 + doc_id % 5 AS INTEGER)
            END AS height,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 4 = 0 THEN CAST(1 + doc_id % 5 AS BIGINT)
-                WHEN doc_id % 4 = 1 THEN CAST(2 + doc_id % 49 AS BIGINT)
+                WHEN doc_id % 5 = 0 THEN CAST(1 + doc_id % 5 AS BIGINT)
+                WHEN doc_id % 5 = 1 THEN CAST(2 + doc_id % 49 AS BIGINT)
+                WHEN doc_id % 5 = 4 THEN CAST(1 + doc_id % 6 AS BIGINT)
            END AS n_frames,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 4 = 0
+                WHEN doc_id % 5 = 0
                 THEN CAST(((1 + doc_id % 5) * 1000000)
                           // ((1 + doc_id % 5) * (3 + doc_id % 11) * 10)
                      AS BIGINT)
-                WHEN doc_id % 4 = 1
+                WHEN doc_id % 5 = 1
                 THEN CAST(([24000, 25000, 30000][doc_id % 3 + 1] * 1000)
                           // [1001, 1000, 1001][doc_id % 3 + 1] AS BIGINT)
+                WHEN doc_id % 5 = 4
+                THEN CAST(([30000, 25, 30][doc_id % 3 + 1] * 1000)
+                          // [1001, 1, 1][doc_id % 3 + 1] AS BIGINT)
            END AS fps_milli,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 4 = 0
+                WHEN doc_id % 5 = 0
                 THEN CAST((1 + doc_id % 5) * (3 + doc_id % 11) * 10
                      AS BIGINT)
-                WHEN doc_id % 4 = 1
+                WHEN doc_id % 5 = 1
                 THEN CAST(((2 + doc_id % 49) * 1000
                            * [1001, 1000, 1001][doc_id % 3 + 1])
                           // [24000, 25000, 30000][doc_id % 3 + 1]
+                     AS BIGINT)
+                WHEN doc_id % 5 = 4
+                THEN CAST(((1 + doc_id % 6) * 1000
+                           * [1001, 1, 1][doc_id % 3 + 1])
+                          // [30000, 25, 30][doc_id % 3 + 1]
                      AS BIGINT)
            END AS duration_ms
     FROM documents

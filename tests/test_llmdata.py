@@ -3025,6 +3025,31 @@ def _ima_wav_fixture():
     return payload[:32] + (256).to_bytes(2, "little") + payload[34:]
 
 
+def _avi_dib_fixture():
+    """A minimal valid RIFF/AVI: one 2x2 DIB frame at 25 fps."""
+    import struct as s
+
+    def chunk(cid, body):
+        return cid + s.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(t, body):
+        return chunk(b"LIST", t + body)
+
+    w = h = 2
+    px = (bytes([30, 20, 10]) * w + b"\x00" * 2) * h  # BGR rows, padded
+    info = s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0)
+    avih = s.pack("<10I", 40000, 0, 0, 0, 1, 0, 1, 0, w, h) + bytes(16)
+    strh = (
+        b"vids" + b"DIB " + s.pack("<IHH", 0, 0, 0)
+        + s.pack("<IIII", 0, 1, 25, 0) + s.pack("<I", 1)
+        + s.pack("<IiI", 0, -1, 0) + s.pack("<hhhh", 0, 0, w, h)
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", info)))
+    movi = lst(b"movi", chunk(b"00dc", info + px))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + s.pack("<I", len(body)) + body
+
+
 def _ms_wav_fixture():
     """One valid mono MS-ADPCM block (silence) with align=256: header =
     predictor idx byte + int16 delta + int16 sample1 + int16 sample2."""
@@ -3049,7 +3074,13 @@ def _media_fixtures():
         # it header_only — metadata from byte rate, no decode claim)
         ("wav_adpcm", _raw_wav(17, 1, 8000, 4, b"\x00" * 256, byte_rate=4000),
          "audio", "header_only"),
-        ("riff_not_wave", b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16,
+        # round 9: RIFF/AVI routes to the VIDEO tier (it was previously
+        # misclassified as unsupported audio); a malformed AVI is
+        # video/unsupported, a well-formed DIB AVI is video/full
+        ("riff_avi_malformed", b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16,
+         "video", "unsupported"),
+        ("avi_dib", _avi_dib_fixture(), "video", "full"),
+        ("riff_not_wave_not_avi", b"RIFF\x10\x00\x00\x00JUNK" + b"\x00" * 16,
          "audio", "unsupported"),
         ("mp3", _mp3_bytes(n_frames=6), "audio", "header_only"),
         ("vorbis", _vorbis_stream(), "audio", "header_only"),
@@ -3081,6 +3112,8 @@ def test_media_decode_status_tracks_decoder_capability():
         media_decode_status,
     )
 
+    from temporai_mivdp_spark.llmdata.multimodal import avi_frames
+
     for name, payload, _modality, status in _media_fixtures():
         if payload is None:
             continue
@@ -3094,6 +3127,12 @@ def test_media_decode_status_tracks_decoder_capability():
         elif modality == "audio":
             try:
                 _wav_samples(payload)
+                decodes = True
+            except (NotImplementedError, Exception):
+                decodes = False
+        elif modality == "video":
+            try:
+                avi_frames(payload)
                 decodes = True
             except (NotImplementedError, Exception):
                 decodes = False
@@ -3114,11 +3153,15 @@ def test_media_decode_rollup_fractions(spark):
 
     # audio: 6 full (pcm wav + ulaw + alaw + 24-bit + ima + ms), 3
     # header_only (mp3 + vorbis + degenerate-align adpcm), 2 unsupported
-    # (ogg_unknown + riff_not_wave)
+    # (ogg_unknown + riff_not_wave_not_avi)
     assert rows[("audio", "full")].n_items == 6
     assert rows[("audio", "header_only")].n_items == 3
     assert rows[("audio", "unsupported")].n_items == 2
     assert rows[("audio", "header_only")].frac_items == pytest.approx(3 / 11)
+    # video (round 9): DIB AVI decodes, malformed AVI classifies
+    assert rows[("video", "full")].n_items == 1
+    assert rows[("video", "unsupported")].n_items == 1
+    assert rows[("video", "full")].frac_items == pytest.approx(1 / 2)
     # image: 2 full (png + sequential-arithmetic jpeg), 1 header_only
     # (12-bit jpeg)
     assert rows[("image", "full")].n_items == 2
@@ -3685,7 +3728,7 @@ def test_video_fixture_gif_frames_decode_exactly(spark):
 
     fixture = _video_fixture(spark, "/root/testdata/sf0.001")
     pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
-    for r in fixture.filter("media_id % 4 = 0").limit(8).collect():
+    for r in fixture.filter("media_id % 5 = 0 AND media_id < 9000000").limit(8).collect():
         did = r.media_id
         w, h, n, d = 2 + did % 9, 1 + did % 7, 1 + did % 5, 3 + did % 11
         frames = gif_frames(bytes(r.payload))
@@ -3694,7 +3737,7 @@ def test_video_fixture_gif_frames_decode_exactly(spark):
             assert delay == d * 10
             assert px.shape == (h, w, 3)
             assert (px == np.array(pal[f % 4])).all()
-    for r in fixture.filter("media_id % 4 = 1").limit(8).collect():
+    for r in fixture.filter("media_id % 5 = 1 AND media_id < 9000000").limit(8).collect():
         did = r.media_id
         frn, frd = ((24000, 1001), (25000, 1000), (30000, 1001))[did % 3]
         m = 2 + did % 49
@@ -3703,6 +3746,33 @@ def test_video_fixture_gif_frames_decode_exactly(spark):
             16 * (1 + did % 20), 16 * (1 + did % 11), frn, frd, m,
             m * 1000 * frd // frn,
         )
+
+
+def test_video_fixture_avi_frames_decode_exactly(spark):
+    """The AVI class (round 9) must pixel-decode through
+    multimodal.avi_frames to the exact constructed BGR-swapped color,
+    frame count, dims, and granule-exact dwRate/dwScale delays — the
+    'full' claim's honesty pin, like the GIF twin above."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import avi_frames
+    from temporai_mivdp_spark.queries_llm import _video_fixture
+
+    fixture = _video_fixture(spark, "/root/testdata/sf0.001")
+    rows = fixture.filter("media_id % 5 = 4 AND media_id < 9000000").limit(8).collect()
+    assert rows
+    for r in rows:
+        did = r.media_id
+        w, h, n = 2 + did % 7, 1 + did % 5, 1 + did % 6
+        rate, scale = ((30000, 1001), (25, 1), (30, 1))[did % 3]
+        frames = avi_frames(bytes(r.payload))
+        assert len(frames) == n
+        rgb = np.array([(did // 7) % 256, (did // 3) % 256, did % 256])
+        for k, (delay, px) in enumerate(frames):
+            want = (k + 1) * 1000 * scale // rate - k * 1000 * scale // rate
+            assert delay == want
+            assert px.shape == (h, w, 3)
+            assert (px == rgb).all(), (did, k)
 
 
 def _ms_encode_block(chan_samples, ch, align, idx=0, delta0=64, table=None):
@@ -3973,6 +4043,65 @@ def test_audio_tiers_strict_flag_on_unsupported_payloads(spark):
         for r in multimodal.audio_spectral(media, strict=False).collect()
     }
     assert spec[1].dominant_hz is not None and spec[2].dominant_hz is None
+
+
+def test_sample_frames_mjpeg_avi_timeline(spark):
+    """sample_frames routes RIFF/AVI payloads through avi_frames: an
+    MJPEG AVI at 10 fps yields one tick row per every_ms with features
+    exactly matching a driver-side jpeg_pixels decode of the frame each
+    tick lands on — the AVI twin of the GIF timeline test."""
+    import struct as s
+
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.imagecodecs import jpeg_pixels
+    from tests.test_imagecodecs import _smooth_rgb, jpeg_bytes
+
+    def chunk(cid, body):
+        return cid + s.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(t, body):
+        return chunk(b"LIST", t + body)
+
+    w = h = 16
+    jpegs = [jpeg_bytes(_smooth_rgb(h, w, seed=k)) for k in range(3)]
+    avih = s.pack("<10I", 100000, 0, 0, 0, 3, 0, 1, 0, w, h) + bytes(16)
+    strh = (
+        b"vids" + b"MJPG" + s.pack("<IHH", 0, 0, 0)
+        + s.pack("<IIII", 0, 1, 10, 0) + s.pack("<I", 3)
+        + s.pack("<IiI", 0, -1, 0) + s.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + s.pack("<I", len(body)) + body
+
+    media = spark.createDataFrame(
+        [(5, bytearray(payload), "video/avi", None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        r.frame_ms: r.features
+        for r in multimodal.sample_frames(media, every_ms=50).collect()
+    }
+    # 3 frames @ 10 fps = 300 ms -> ticks 0,50,...,250; frame k shows
+    # during [100k, 100k+100)
+    assert sorted(got) == [0, 50, 100, 150, 200, 250]
+
+    def feats(px):
+        px = px.astype(np.float64)
+        lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+        vals = [
+            float(px.shape[1]), float(px.shape[0]),
+            float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+            float(px[:, :, 2].mean()),
+            float(lum.std()), float(lum.min()), float(lum.max()),
+        ]
+        return ",".join(str(round(v, 6)) for v in vals)
+
+    for t in sorted(got):
+        assert got[t] == feats(jpeg_pixels(jpegs[t // 100])), t
 
 
 def test_sample_frames_strict_flag_skips_non_gif(spark):
