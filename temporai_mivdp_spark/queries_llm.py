@@ -3566,6 +3566,32 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = (
                         b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + body
                     )
+                    if (did // 5) % 2 == 1:
+                        # round 9: half the FLAC rows carry one REAL
+                        # frame (constant subframes, RFC 9639) so the
+                        # production frame decoder's 'full' routing sits
+                        # under the oracle hash check; the other half
+                        # stay STREAMINFO-only (header_only tier)
+                        from temporai_mivdp_spark.llmdata.multimodal import (
+                            _crc8, _crc16,
+                        )
+
+                        sr_code = {8000: 4, 16000: 5, 44100: 9}[sr]
+                        word = (
+                            (0x3FFE << 18) | (7 << 12) | (sr_code << 8)
+                            | ((ch - 1) << 4) | (4 << 1)
+                        )
+                        hdr = bytearray(word.to_bytes(4, "big"))
+                        hdr += b"\x00"  # UTF-8 frame number 0
+                        hdr += struct.pack(">H", n - 1)
+                        hdr.append(_crc8(bytes(hdr)))
+                        frame = bytearray(hdr)
+                        val = (did * 37) % 30000 - 15000
+                        for _ in range(ch):
+                            frame += b"\x00"  # pad0 + CONSTANT + no waste
+                            frame += struct.pack(">h", val)
+                        frame += struct.pack(">H", _crc16(bytes(frame)))
+                        payload += bytes(frame)
                 elif kind == 2:
                     payload = b"JUNK" + did.to_bytes(8, "big")
                 elif kind == 4:
@@ -3609,7 +3635,9 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHEN 1 THEN 'full' WHEN 2 THEN 'full'
                           ELSE 'unsupported' END
                 ELSE CASE doc_id % 5 WHEN 0 THEN 'full'
-                          WHEN 1 THEN 'header_only' WHEN 4 THEN 'full'
+                          WHEN 1 THEN CASE WHEN (doc_id // 5) % 2 = 1
+                                           THEN 'full' ELSE 'header_only' END
+                          WHEN 4 THEN 'full'
                           ELSE 'unsupported' END
            END AS decode_status,
            CASE WHEN doc_id >= 9000000
@@ -3647,8 +3675,11 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio header decoding under the hash check (llmdata/
     multimodal.py::audio_metadata): a mixed media corpus — PCM WAV,
-    bare-FLAC STREAMINFO, junk, NULL, MS-ADPCM WAV (round 9: the fmt
-    0x02 sample tier under the oracle's block-math duration replay) —
+    bare-FLAC STREAMINFO (half of which carry a REAL RFC 9639 constant-
+    subframe frame, so the round-9 FLAC frame decoder's 'full' routing
+    and CRC-validated first-frame probe sit under the driver check),
+    junk, NULL, MS-ADPCM WAV (the fmt 0x02 sample tier under the
+    oracle's block-math duration replay) —
     is synthesized per row as a pure function of doc_id
     (`_audio_fixture`), pushed through the actual
     Arrow-batched codec walkers, and the checked output is the decoded

@@ -3084,6 +3084,13 @@ def _media_fixtures():
          "audio", "unsupported"),
         ("mp3", _mp3_bytes(n_frames=6), "audio", "header_only"),
         ("vorbis", _vorbis_stream(), "audio", "header_only"),
+        # round 9: FLAC with real frames decodes (RFC 9639 sample tier);
+        # a STREAMINFO-only / junk-tail payload is header math only
+        ("flac_frames",
+         _flac_encode([_flac_test_signal(256, 16, 99)], 8000, 16, 256,
+                      [("fixed", 2, 0, 0)]),
+         "audio", "full"),
+        ("flac_headeronly", _flac_bytes(), "audio", "header_only"),
         ("ogg_unknown", _ogg_pages([(b"\x7fFLAC\x00\x00", 0)]), "audio", "unsupported"),
         ("png", _png_bytes([[(10, 20, 30), (40, 50, 60)]] * 2, color_type=2), "image", "full"),
         ("jpeg_arith", _arithmetic_jpeg_bytes(), "image", "full"),
@@ -3107,8 +3114,8 @@ def test_media_decode_status_tracks_decoder_capability():
     an accounting mirror of the decoders, pinned here so capability
     drift fails a test instead of lying in telemetry."""
     from temporai_mivdp_spark.llmdata.multimodal import (
+        _audio_samples,
         _raster_pixels,
-        _wav_samples,
         media_decode_status,
     )
 
@@ -3126,7 +3133,7 @@ def test_media_decode_status_tracks_decoder_capability():
                 decodes = False
         elif modality == "audio":
             try:
-                _wav_samples(payload)
+                _audio_samples(payload)
                 decodes = True
             except (NotImplementedError, Exception):
                 decodes = False
@@ -3151,13 +3158,14 @@ def test_media_decode_rollup_fractions(spark):
     ).repartition(3)
     rows = {(r.modality, r.decode_status): r for r in curation_media_report(media).collect()}
 
-    # audio: 6 full (pcm wav + ulaw + alaw + 24-bit + ima + ms), 3
-    # header_only (mp3 + vorbis + degenerate-align adpcm), 2 unsupported
-    # (ogg_unknown + riff_not_wave_not_avi)
-    assert rows[("audio", "full")].n_items == 6
-    assert rows[("audio", "header_only")].n_items == 3
+    # audio: 7 full (pcm wav + ulaw + alaw + 24-bit + ima + ms +
+    # flac-with-frames), 4 header_only (mp3 + vorbis + degenerate-align
+    # adpcm + streaminfo-only flac), 2 unsupported (ogg_unknown +
+    # riff_not_wave_not_avi)
+    assert rows[("audio", "full")].n_items == 7
+    assert rows[("audio", "header_only")].n_items == 4
     assert rows[("audio", "unsupported")].n_items == 2
-    assert rows[("audio", "header_only")].frac_items == pytest.approx(3 / 11)
+    assert rows[("audio", "header_only")].frac_items == pytest.approx(4 / 13)
     # video (round 9): DIB AVI decodes, malformed AVI classifies
     assert rows[("video", "full")].n_items == 1
     assert rows[("video", "unsupported")].n_items == 1
@@ -3223,6 +3231,445 @@ def test_flac_audio_metadata_rows(spark):
     assert rows[1].duration_ms == 3000 and rows[1].sample_rate == 44100
     assert rows[2].codec == "flac" and rows[2].decode_status == "header_only"
     assert rows[3].codec == "pcm_wav" and rows[3].decode_status == "full"
+
+
+# ---------------------------------------------------------------------------
+# FLAC frame-body decode (RFC 9639) — pinned by a hand-written test-side
+# encoder built from the spec's own primitives (bit writer, UTF-8 frame
+# numbers, Rice partitions, fixed/LPC residuals, stereo decorrelation,
+# table-driven CRCs — all independent of the decoder's implementation).
+# A round-trip must be BIT-EXACT: residual coding is lossless by
+# construction, so any reconstruction drift is a decoder bug.
+# ---------------------------------------------------------------------------
+
+_FLAC_CRC8_TAB = None
+_FLAC_CRC16_TAB = None
+
+
+def _tab_crc8(data: bytes) -> int:
+    """Table-driven CRC-8/0x07 (independent of the decoder's loop)."""
+    global _FLAC_CRC8_TAB
+    if _FLAC_CRC8_TAB is None:
+        tab = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+            tab.append(c)
+        _FLAC_CRC8_TAB = tab
+    crc = 0
+    for byte in data:
+        crc = _FLAC_CRC8_TAB[crc ^ byte]
+    return crc
+
+
+def _tab_crc16(data: bytes) -> int:
+    """Table-driven CRC-16/0x8005 (independent of the decoder's loop)."""
+    global _FLAC_CRC16_TAB
+    if _FLAC_CRC16_TAB is None:
+        tab = []
+        for i in range(256):
+            c = i << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+            tab.append(c)
+        _FLAC_CRC16_TAB = tab
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFF) ^ _FLAC_CRC16_TAB[(crc >> 8) ^ byte]
+    return crc
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        v &= (1 << n) - 1
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self) -> None:
+        while self.nbits:
+            self.write(0, 1)
+
+    def data(self) -> bytes:
+        assert self.nbits == 0, "writer not byte-aligned"
+        return bytes(self.buf)
+
+
+def _enc_utf8_num(w: _FlacBitWriter, val: int) -> None:
+    if val < 0x80:
+        w.write(val, 8)
+        return
+    for nbytes, cap in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31), (7, 36)):
+        if val < (1 << cap):
+            break
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    w.write(lead | (val >> shift), 8)
+    for i in range(nbytes - 1):
+        shift -= 6
+        w.write(0x80 | ((val >> shift) & 0x3F), 8)
+
+
+def _enc_rice_vals(w: _FlacBitWriter, vals, param: int) -> None:
+    for v in vals:
+        u = (v << 1) if v >= 0 else (-v << 1) - 1  # zigzag
+        for _ in range(u >> param):
+            w.write(0, 1)
+        w.write(1, 1)
+        if param:
+            w.write(u, param)
+
+
+def _best_rice_param(vals, pbits: int) -> int:
+    best, best_bits = 0, None
+    for p in range((1 << pbits) - 1):
+        bits = sum((((v << 1) if v >= 0 else (-v << 1) - 1) >> p) + 1 + p for v in vals)
+        if best_bits is None or bits < best_bits:
+            best, best_bits = p, bits
+        if bits > 1 << 20:
+            break
+    return best
+
+
+def _enc_residual(
+    w: _FlacBitWriter, res, porder: int, method: int, blocksize: int,
+    order: int, escape_bits: int | None = None,
+) -> None:
+    w.write(method, 2)
+    w.write(porder, 4)
+    pbits = 4 + method
+    esc = (1 << pbits) - 1
+    step = blocksize >> porder
+    pos = 0
+    for p in range(1 << porder):
+        cnt = step - (order if p == 0 else 0)
+        part = res[pos : pos + cnt]
+        pos += cnt
+        if escape_bits is not None:
+            w.write(esc, pbits)
+            w.write(escape_bits, 5)
+            for v in part:
+                w.write(v, escape_bits)
+        else:
+            param = _best_rice_param(part, pbits)
+            w.write(param, pbits)
+            _enc_rice_vals(w, part, param)
+    assert pos == len(res)
+
+
+_ENC_FIXED = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _enc_subframe(w: _FlacBitWriter, samples, bps: int, mode) -> None:
+    """mode: ('constant',) | ('verbatim',) | ('fixed', order, porder,
+    method[, escape_bits]) | ('lpc', coefs, shift, precision, porder,
+    method) | prefix ('wasted', k, inner_mode) shifts samples down."""
+    wasted = 0
+    if mode[0] == "wasted":
+        wasted, mode = mode[1], mode[2]
+        assert all(v % (1 << wasted) == 0 for v in samples)
+        samples = [v >> wasted for v in samples]
+    eff = bps - wasted
+    w.write(0, 1)  # padding
+    if mode[0] == "constant":
+        w.write(0, 6)
+    elif mode[0] == "verbatim":
+        w.write(1, 6)
+    elif mode[0] == "fixed":
+        w.write(8 + mode[1], 6)
+    else:
+        w.write(32 + len(mode[1]) - 1, 6)
+    if wasted:
+        w.write(1, 1)
+        for _ in range(wasted - 1):
+            w.write(0, 1)
+        w.write(1, 1)
+    else:
+        w.write(0, 1)
+    n = len(samples)
+    if mode[0] == "constant":
+        assert len(set(samples)) == 1
+        w.write(samples[0], eff)
+    elif mode[0] == "verbatim":
+        for v in samples:
+            w.write(v, eff)
+    elif mode[0] == "fixed":
+        order, porder, method = mode[1], mode[2], mode[3]
+        esc = mode[4] if len(mode) > 4 else None
+        coefs = _ENC_FIXED[order]
+        for v in samples[:order]:
+            w.write(v, eff)
+        res = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, n)
+        ]
+        _enc_residual(w, res, porder, method, n, order, esc)
+    else:
+        coefs, shift, prec, porder, method = mode[1:6]
+        order = len(coefs)
+        for v in samples[:order]:
+            w.write(v, eff)
+        w.write(prec - 1, 4)
+        w.write(shift, 5)
+        for c in coefs:
+            w.write(c, prec)
+        res = [
+            samples[i] - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, n)
+        ]
+        _enc_residual(w, res, porder, method, n, order)
+
+
+def _enc_frame(
+    frame_idx: int, chans, sr: int, bps: int, modes, ch_mode: str = "indep",
+    explicit_sr: bool = False, explicit_bps: bool = False,
+) -> bytes:
+    w = _FlacBitWriter()
+    bs = len(chans[0])
+    w.write(0x3FFE, 14)
+    w.write(0, 1)  # reserved
+    w.write(0, 1)  # fixed blocksize strategy (number = frame index)
+    bs_code = 6 if bs <= 256 else 7
+    w.write(bs_code, 4)
+    sr_code = 13 if explicit_sr else 0  # 13 = 16-bit Hz follow-up
+    w.write(sr_code, 4)
+    ch_code = {"indep": len(chans) - 1, "ls": 8, "rs": 9, "ms": 10}[ch_mode]
+    w.write(ch_code, 4)
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps] if explicit_bps else 0
+    w.write(ss_code, 3)
+    w.write(0, 1)  # reserved
+    _enc_utf8_num(w, frame_idx)
+    w.write(bs - 1, 8 if bs_code == 6 else 16)
+    if explicit_sr:
+        w.write(sr, 16)
+    w.write(_tab_crc8(w.data()), 8)
+    if ch_mode == "indep":
+        for c, samps in enumerate(chans):
+            _enc_subframe(w, samps, bps, modes[c % len(modes)])
+    else:
+        left, right = chans
+        side = [lv - rv for lv, rv in zip(left, right)]
+        if ch_mode == "ls":
+            _enc_subframe(w, left, bps, modes[0])
+            _enc_subframe(w, side, bps + 1, modes[1 % len(modes)])
+        elif ch_mode == "rs":
+            _enc_subframe(w, side, bps + 1, modes[0])
+            _enc_subframe(w, right, bps, modes[1 % len(modes)])
+        else:  # mid/side
+            mid = [(lv + rv) >> 1 for lv, rv in zip(left, right)]
+            _enc_subframe(w, mid, bps, modes[0])
+            _enc_subframe(w, side, bps + 1, modes[1 % len(modes)])
+    w.align()
+    body = w.data()
+    return body + _tab_crc16(body).to_bytes(2, "big")
+
+
+def _flac_encode(
+    chans, sr: int, bps: int, blocksize: int, modes, ch_mode: str = "indep",
+    **frame_kw,
+) -> bytes:
+    """Full test-side FLAC file: STREAMINFO + frames of ``blocksize``
+    (last frame shorter)."""
+    import struct as s
+
+    total = len(chans[0])
+    packed = (sr << 44) | ((len(chans) - 1) << 41) | ((bps - 1) << 36) | total
+    streaminfo = (
+        s.pack(">HH", 16, 65535)
+        + (0).to_bytes(3, "big") * 2
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16
+    )
+    out = bytearray(
+        b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    )
+    idx = 0
+    for lo in range(0, total, blocksize):
+        sub = [c[lo : lo + blocksize] for c in chans]
+        out += _enc_frame(idx, sub, sr, bps, modes, ch_mode, **frame_kw)
+        idx += 1
+    return bytes(out)
+
+
+def _flac_test_signal(n: int, bps: int, seed: int, smooth: bool = True):
+    """Deterministic int samples whose residuals stay small under the
+    fixed/LPC predictors (slow ramp + bounded noise), clamped to bps."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    lim = (1 << (bps - 1)) - 1
+    out, v = [], 0
+    for i in range(n):
+        v += rng.randint(-40, 40) if smooth else rng.randint(-lim // 2, lim // 2)
+        v = max(-lim, min(lim, v))
+        out.append(v)
+    return out
+
+
+def _flac_expected(chans, bps: int):
+    import numpy as _np
+
+    return _np.array(chans, dtype=_np.float64).mean(axis=0) / float(1 << (bps - 1))
+
+
+class TestFlacDecode:
+    def _roundtrip(self, chans, sr, bps, blocksize, modes, ch_mode="indep", **kw):
+        import numpy as _np
+
+        from temporai_mivdp_spark.llmdata.multimodal import _flac_samples
+
+        payload = _flac_encode(chans, sr, bps, blocksize, modes, ch_mode, **kw)
+        got_sr, got = _flac_samples(payload)
+        assert got_sr == sr
+        want = _flac_expected(chans, bps)
+        assert got.shape == want.shape
+        assert _np.array_equal(got, want), f"mode={modes} ch={ch_mode}"
+        return payload
+
+    def test_constant_and_verbatim_mono(self):
+        self._roundtrip([[123] * 400], 8000, 16, 256, [("constant",)])
+        sig = _flac_test_signal(400, 16, 1, smooth=False)
+        self._roundtrip([sig], 8000, 16, 256, [("verbatim",)])
+
+    def test_fixed_orders_all(self):
+        sig = _flac_test_signal(1024, 16, 2)
+        for order in range(5):
+            self._roundtrip(
+                [sig], 16000, 16, 512, [("fixed", order, 0, 0)]
+            )
+
+    def test_rice_partitions_and_methods(self):
+        sig = _flac_test_signal(1024, 16, 3)
+        for porder in (1, 2, 4):
+            for method in (0, 1):
+                self._roundtrip(
+                    [sig], 44100, 16, 512, [("fixed", 2, porder, method)]
+                )
+
+    def test_escape_partitions_raw_residual(self):
+        sig = _flac_test_signal(512, 16, 4)
+        self._roundtrip([sig], 8000, 16, 256, [("fixed", 1, 1, 0, 12)])
+
+    def test_lpc_orders(self):
+        sig = _flac_test_signal(768, 16, 5)
+        for coefs in ([3], [2, -1], [1, 1, -1, 0, 1], list(range(1, 13))):
+            self._roundtrip(
+                [sig], 22050, 16, 256,
+                [("lpc", coefs, 4, 12, 1, 0)],
+            )
+
+    def test_wasted_bits(self):
+        sig = [v << 3 for v in _flac_test_signal(300, 12, 6)]
+        self._roundtrip([sig], 8000, 16, 300, [("wasted", 3, ("fixed", 2, 0, 0))])
+
+    def test_stereo_modes_and_channel_counts(self):
+        left = _flac_test_signal(600, 16, 7)
+        right = _flac_test_signal(600, 16, 8)
+        for ch_mode in ("indep", "ls", "rs", "ms"):
+            self._roundtrip(
+                [left, right], 48000, 16, 300,
+                [("fixed", 2, 1, 0), ("fixed", 3, 0, 0)], ch_mode,
+            )
+        # 3 independent channels exercise the n-channel path
+        third = _flac_test_signal(600, 16, 9)
+        self._roundtrip(
+            [left, right, third], 8000, 16, 200,
+            [("fixed", 1, 0, 0), ("verbatim",), ("fixed", 4, 1, 0)],
+        )
+
+    def test_bit_depths_and_explicit_header_codes(self):
+        for bps in (8, 16, 24):
+            sig = _flac_test_signal(400, bps, 10 + bps)
+            self._roundtrip(
+                [sig], 32000, bps, 256, [("fixed", 2, 0, 0)],
+                explicit_sr=True, explicit_bps=True,
+            )
+
+    def test_multibyte_utf8_frame_numbers(self):
+        # 130 frames of 8 samples: frame numbers cross the 1-byte UTF-8
+        # boundary at 128
+        sig = _flac_test_signal(1040, 16, 11)
+        self._roundtrip([sig], 8000, 16, 8, [("fixed", 1, 0, 0)])
+
+    def test_crc_detects_corruption(self):
+        import pytest as _pytest
+
+        from temporai_mivdp_spark.llmdata.multimodal import _flac_samples
+
+        sig = _flac_test_signal(512, 16, 12)
+        payload = bytearray(
+            _flac_encode([sig], 8000, 16, 256, [("fixed", 2, 0, 0)])
+        )
+        payload[-10] ^= 0x40  # corrupt a frame-body byte
+        with _pytest.raises(NotImplementedError):
+            _flac_samples(bytes(payload))
+
+    def test_streaminfo_only_and_truncation_raise(self):
+        import pytest as _pytest
+
+        from temporai_mivdp_spark.llmdata.multimodal import _flac_samples
+
+        with _pytest.raises(NotImplementedError):
+            _flac_samples(_flac_bytes())  # junk tail is not a frame
+        sig = _flac_test_signal(512, 16, 13)
+        payload = _flac_encode([sig], 8000, 16, 256, [("verbatim",)])
+        with _pytest.raises(NotImplementedError):
+            _flac_samples(payload[: len(payload) - 40])  # truncated
+
+    def test_status_features_and_spectral_tiers(self, spark):
+        """The classifier says full ⇔ the sample tier decodes; duration
+        and spectral rows flow through the production mapInPandas paths."""
+        import numpy as _np
+
+        from temporai_mivdp_spark.llmdata import multimodal
+
+        sr, n = 8000, 4096
+        tone = [
+            int(20000 * _np.sin(2 * _np.pi * 440.0 * i / sr)) for i in range(n)
+        ]
+        payload = _flac_encode([tone], sr, 16, 512, [("verbatim",)])
+        assert multimodal.media_decode_status(payload) == ("audio", "flac", "full")
+        # STREAMINFO-only / junk-tail payloads stay header_only
+        assert multimodal.media_decode_status(_flac_bytes()) == (
+            "audio", "flac", "header_only",
+        )
+
+        media = spark.createDataFrame(
+            [(1, payload), (2, _flac_bytes()), (3, _wav_bytes())],
+            "media_id: long, payload: binary",
+        )
+        meta = {r.media_id: r for r in multimodal.audio_metadata(media).collect()}
+        assert meta[1].decode_status == "full" and meta[1].codec == "flac"
+        assert meta[1].duration_ms == n * 1000 // sr
+        assert meta[2].decode_status == "header_only"
+
+        feats = {
+            r.media_id: r
+            for r in multimodal.audio_features(
+                media.filter("media_id = 1").withColumns(
+                    {"mime": F.lit(None).cast("string"),
+                     "width": F.lit(None).cast("int"),
+                     "height": F.lit(None).cast("int"),
+                     "duration_ms": F.lit(None).cast("long")}
+                )
+            ).collect()
+        }
+        assert feats[1].duration_ms == n * 1000 // sr
+        assert float(feats[1].rms) == pytest.approx(20000 / 32768 / _np.sqrt(2), rel=1e-2)
+
+        spec = multimodal.audio_spectral(media.filter("media_id = 1")).collect()[0]
+        assert spec.sample_rate == sr
+        assert abs(float(spec.dominant_hz) - 440.0) < sr / 4096 + 1e-9
 
 
 # ---------------------------------------------------------------------------
