@@ -32,12 +32,15 @@ split by what the stdlib can genuinely do:
   assignments, CRC-8/16 verification; pinned bit-exactly against a
   hand-written test-side encoder). Other compressed-WAV tags
   (MP3-in-WAV, ...) get byte-rate duration math in the header tier.
-* STUBBED: 12-bit/hierarchical JPEG and non-PCM-non-G.711 audio need
-  PIL/opencv/librosa, absent in this container — those payloads raise
-  ``NotImplementedError`` unless the deterministic fake is requested
-  (used by tests and the oracle harness). ARITHMETIC-coded JPEG —
-  sequential SOF9 and progressive SOF10 — decodes for real since
-  round 8 (imagecodecs' T.81 QM coder, libjpeg-fixture-validated).
+* STUBBED: hierarchical / 12-bit-arithmetic / lossless JPEG, and
+  entropy-coded audio bodies beyond FLAC (MP3/Vorbis/Opus filterbanks)
+  need PIL/opencv/librosa, absent in this container — those payloads
+  raise ``NotImplementedError`` unless the deterministic fake is
+  requested (used by tests and the oracle harness). ARITHMETIC-coded
+  JPEG — sequential SOF9 and progressive SOF10 — decodes for real
+  since round 8 (imagecodecs' T.81 QM coder, libjpeg-fixture-
+  validated), and 12-bit EXTENDED Huffman JPEG since round 9 (Pq=1
+  quant tables, 2^11 level shift, x16-twin-pinned).
 
 Scale notes for the real thing:
 * media bytes ride in the same rows as metadata only up to a few MB each;
@@ -1516,7 +1519,13 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
                 continue
             marker = b[i + 1]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                ok = marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA) and b[i + 4] == 8
+                # 8-bit decodes on all supported SOFs; 12-bit (round 9)
+                # on the Huffman modes only — 12-bit arithmetic and
+                # hierarchical stay header_only
+                prec = b[i + 4]
+                ok = (marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA) and prec == 8) or (
+                    marker in (0xC0, 0xC1, 0xC2) and prec == 12
+                )
                 return ("image", "jpeg", "full" if ok else "header_only")
             i += 2 + struct.unpack_from(">H", b, i + 2)[0]
         return ("image", "jpeg", "header_only")
@@ -1839,11 +1848,12 @@ def _png_pixels(b: bytes) -> np.ndarray:
 
 
 def _raster_pixels(b: bytes) -> np.ndarray:
-    """Dispatch pixel decode by magic number: BMP, PNG, baseline or
-    progressive JPEG, or GIF first frame (all stdlib+numpy — see
-    ``imagecodecs`` for the JPEG/GIF implementations); remaining
-    variants (arithmetic/12-bit/hierarchical JPEG, spec-illegal
-    IHDR combinations) raise ``NotImplementedError``."""
+    """Dispatch pixel decode by magic number: BMP, PNG, baseline /
+    progressive / arithmetic / 12-bit JPEG, or GIF first frame (all
+    stdlib+numpy — see ``imagecodecs`` for the JPEG/GIF
+    implementations); remaining variants (hierarchical or
+    12-bit-arithmetic JPEG, spec-illegal IHDR combinations) raise
+    ``NotImplementedError``."""
     if b[:2] == b"BM":
         return _bmp_pixels(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":

@@ -112,7 +112,8 @@ def _mag(v: int) -> tuple[int, int]:
     return t, (v if v >= 0 else v + (1 << t) - 1)
 
 
-def _encode_blocks(plane: np.ndarray, q: np.ndarray, grid: tuple[int, int]):
+def _encode_blocks(plane: np.ndarray, q: np.ndarray, grid: tuple[int, int],
+                   center: float = 128.0):
     """-> list of zigzagged quantized coefficient arrays per 8x8 block,
     padded out to the (block_rows, block_cols) MCU-aligned grid."""
     h, w = plane.shape
@@ -121,20 +122,29 @@ def _encode_blocks(plane: np.ndarray, q: np.ndarray, grid: tuple[int, int]):
     blocks = []
     for y in range(0, ph, 8):
         for x in range(0, pw, 8):
-            coef = _DCT @ (padded[y : y + 8, x : x + 8] - 128.0) @ _DCT.T
+            coef = _DCT @ (padded[y : y + 8, x : x + 8] - center) @ _DCT.T
             # zigzag stream order: element k is natural index _ZZ[k]
             blocks.append(np.round(coef / q).astype(int).reshape(64)[_ZZ])
     return blocks, ph // 8, pw // 8
 
 
-def jpeg_bytes(rgb: np.ndarray, subsample: bool = False) -> bytes:
-    """Baseline JFIF encoder: 3-component YCbCr, 4:4:4 or (subsample)
-    4:2:0, per-image canonical Huffman tables."""
+def jpeg_bytes(rgb: np.ndarray, subsample: bool = False,
+               precision: int = 8, qtables=None) -> bytes:
+    """Baseline/extended JFIF encoder: 3-component YCbCr, 4:4:4 or
+    (subsample) 4:2:0, per-image canonical Huffman tables. precision=12
+    writes an EXTENDED (T.81 SOF0, P=12) stream: input samples span
+    [0, 4095], level shift 2048, Annex-K quant tables x16 emitted as
+    Pq=1 16-bit DQT entries."""
+    center = float(1 << (precision - 1))
+    qscale = 1 << (precision - 8)
     rgb = rgb.astype(np.float64)
+    # qtables: explicit (luma, chroma) override, used VERBATIM (no
+    # precision scaling) — the exact-battery hook
+
     h, w = rgb.shape[:2]
     y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-    cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128
-    cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128
+    cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + center
+    cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + center
     if subsample:
         ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
         cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -151,9 +161,14 @@ def jpeg_bytes(rgb: np.ndarray, subsample: bool = False) -> bytes:
     mcuy = -(-h // (8 * vs))
 
     planes = {}
+    if qtables is not None:
+        qs = {0: np.asarray(qtables[0], float), 1: np.asarray(qtables[1], float)}
+    else:
+        qs = {0: _QL * qscale, 1: _QC * qscale}
     for cid, chs, cvs, tq, plane in comps:
-        q = _QL if tq == 0 else _QC
-        blocks, by, bx = _encode_blocks(plane, q, (mcuy * cvs, mcux * chs))
+        blocks, by, bx = _encode_blocks(
+            plane, qs[tq], (mcuy * cvs, mcux * chs), center
+        )
         planes[cid] = (blocks, by, bx)
 
     def mcu_stream():
@@ -221,10 +236,15 @@ def jpeg_bytes(rgb: np.ndarray, subsample: bool = False) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
-    for tq, q in ((0, _QL), (1, _QC)):
-        # DQT stores the table in zigzag order
-        out += seg(0xDB, bytes([tq]) + bytes(int(q.reshape(64)[_ZZ[k]]) for k in range(64)))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
+    pq = 1 if max(int(q.max()) for q in qs.values()) > 255 else 0
+    for tq, q in sorted(qs.items()):
+        # DQT stores the table in zigzag order (Pq=1 -> 16-bit entries)
+        vals = [int(q.reshape(64)[_ZZ[k]]) for k in range(64)]
+        body = bytes([(pq << 4) | tq]) + (
+            b"".join(struct.pack(">H", v) for v in vals) if pq else bytes(vals)
+        )
+        out += seg(0xDB, body)
+    sof = struct.pack(">BHHB", precision, h, w, 3)
     for cid, chs, cvs, tq, _ in comps:
         sof += bytes([cid, (chs << 4) | cvs, tq])
     out += seg(0xC0, sof)
@@ -250,14 +270,19 @@ def jpeg_bytes(rgb: np.ndarray, subsample: bool = False) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _plan_planes(rgb: np.ndarray, subsample: bool):
+def _plan_planes(rgb: np.ndarray, subsample: bool, precision: int = 8):
     """Shared color/downsample/block stage -> per-component quantized
     zigzag blocks on the MCU-padded grid + geometry."""
+    center = float(1 << (precision - 1))
+    qscale = 1 << (precision - 8)
     rgb = rgb.astype(np.float64)
+    # qtables: explicit (luma, chroma) override, used VERBATIM (no
+    # precision scaling) — the exact-battery hook
+
     h, w = rgb.shape[:2]
     y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-    cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128
-    cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128
+    cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + center
+    cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + center
     if subsample:
         ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
         cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -272,8 +297,8 @@ def _plan_planes(rgb: np.ndarray, subsample: bool):
     mcuy = -(-h // (8 * vs))
     planes = {}
     for cid, chs, cvs, tq, plane in comps:
-        q = _QL if tq == 0 else _QC
-        blocks, by, bx = _encode_blocks(plane, q, (mcuy * cvs, mcux * chs))
+        q = (_QL if tq == 0 else _QC) * qscale
+        blocks, by, bx = _encode_blocks(plane, q, (mcuy * cvs, mcux * chs), center)
         planes[cid] = (blocks, by, bx)
     return comps, planes, mcux, mcuy, h, w
 
@@ -448,12 +473,13 @@ def _ac_refine_ops(blk_list, ss, se, al, tid=0):
     return ops
 
 
-def jpeg_progressive_bytes(rgb: np.ndarray, subsample: bool = False) -> bytes:
+def jpeg_progressive_bytes(rgb: np.ndarray, subsample: bool = False,
+                           precision: int = 8) -> bytes:
     """Progressive JFIF encoder with a full successive-approximation scan
     script: DC first (Al=1) -> AC first per component/band (Al=1) ->
     DC refine -> AC refine per component/band. Per-scan canonical
     Huffman tables, redefined before each scan."""
-    comps, planes, mcux, mcuy, h, w = _plan_planes(rgb, subsample)
+    comps, planes, mcux, mcuy, h, w = _plan_planes(rgb, subsample, precision)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     table_of = {1: 0, 2: 1, 3: 1}
@@ -462,9 +488,15 @@ def jpeg_progressive_bytes(rgb: np.ndarray, subsample: bool = False) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
-    for tq, q in ((0, _QL), (1, _QC)):
-        out += seg(0xDB, bytes([tq]) + bytes(int(q.reshape(64)[_ZZ[k]]) for k in range(64)))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
+    qscale = 1 << (precision - 8)
+    pq = 1 if qscale > 1 else 0
+    for tq, q in ((0, _QL * qscale), (1, _QC * qscale)):
+        vals = [int(q.reshape(64)[_ZZ[k]]) for k in range(64)]
+        body = bytes([(pq << 4) | tq]) + (
+            b"".join(struct.pack(">H", v) for v in vals) if pq else bytes(vals)
+        )
+        out += seg(0xDB, body)
+    sof = struct.pack(">BHHB", precision, h, w, 3)
     for cid, chs, cvs, tq, _ in comps:
         sof += bytes([cid, (chs << 4) | cvs, tq])
     out += seg(0xC2, sof)  # SOF2: progressive
@@ -615,22 +647,72 @@ def test_jpeg_roundtrip_420_subsampled():
     assert err.mean() < 8.0
 
 
-def test_jpeg_rejects_lossless_12bit_and_truncated():
+def test_jpeg_rejects_lossless_arith12_and_truncated():
     """Both arithmetic DCT modes (SOF9/SOF10) decode for real since
-    round 8 (tests/test_jpeg_arithmetic.py); lossless-arithmetic
-    (SOF11) and 12-bit precision are the remaining honest rejections."""
+    round 8 (tests/test_jpeg_arithmetic.py) and 12-bit Huffman since
+    round 9; lossless-arithmetic (SOF11), 12-bit ARITHMETIC, and odd
+    precisions are the remaining honest rejections."""
     img = _smooth_rgb(16, 16)
     payload = bytearray(jpeg_bytes(img))
     sof = payload.find(b"\xff\xc0")
     payload[sof + 1] = 0xCB  # rewrite SOF0 -> SOF11 (arithmetic lossless)
     with pytest.raises(NotImplementedError, match="SOF11"):
         jpeg_pixels(bytes(payload))
+    payload[sof + 1] = 0xC9  # SOF9 (sequential arithmetic) at 12-bit
+    payload[sof + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit arithmetic"):
+        jpeg_pixels(bytes(payload))
     payload[sof + 1] = 0xC0
-    payload[sof + 4] = 12  # 12-bit sample precision
+    payload[sof + 4] = 10  # precision neither 8 nor 12
     with pytest.raises(NotImplementedError, match="8-bit"):
         jpeg_pixels(bytes(payload))
     with pytest.raises(NotImplementedError):
         jpeg_pixels(b"\xff\xd8\xff\xe0only-a-header")
+
+
+# -- 12-bit extended precision (round 9) ------------------------------------
+#
+# The x16-TWIN differential is bit-exact BY CONSTRUCTION: scaling every
+# sample and quant entry by 2^4 is exact in binary floating point (pure
+# exponent shifts through the linear DCT/IDCT, the level shift, and the
+# final /16), so the 12-bit decode of (img * 16) must equal the 8-bit
+# decode of img on every pixel — any deviation is a 12-bit-path bug
+# (DQT Pq=1 parse, SOF precision routing, level shift, output scaling).
+
+
+def test_jpeg_12bit_twin_matches_8bit_exactly_444_and_420():
+    for seed, subsample in ((3, False), (4, True)):
+        img = _smooth_rgb(24, 21, seed=seed)
+        img12 = img.astype(np.uint16) * 16
+        got12 = jpeg_pixels(jpeg_bytes(img12, subsample=subsample, precision=12))
+        got8 = jpeg_pixels(jpeg_bytes(img, subsample=subsample))
+        assert got12.dtype == np.uint8 and got12.shape == got8.shape
+        assert np.array_equal(got12, got8), f"seed={seed} sub={subsample}"
+
+
+def test_jpeg_12bit_progressive_twin_matches_8bit_exactly():
+    img = _smooth_rgb(26, 19, seed=5)
+    img12 = img.astype(np.uint16) * 16
+    got12 = jpeg_pixels(jpeg_progressive_bytes(img12, precision=12))
+    got8 = jpeg_pixels(jpeg_progressive_bytes(img))
+    assert np.array_equal(got12, got8)
+
+
+def test_jpeg_12bit_constant_tiles_decode_exactly():
+    """True 12-bit dynamic range under unit quant tables: 8x8-constant
+    gray tiles at values ≡ 8 (mod 16) across [8, 4088] — DC-only blocks
+    whose coefficients quantize exactly, with inter-tile DC diffs up to
+    category 12+ (beyond baseline's 11), decoded to exactly v >> 4."""
+    vals = [8, 264, 1032, 2056, 3080, 4088, 8, 4088]  # extremes adjacent
+    tiles = np.zeros((8, 8 * len(vals), 3), np.uint16)
+    for i, v in enumerate(vals):
+        tiles[:, 8 * i : 8 * (i + 1), :] = v
+    ones = np.ones((8, 8))
+    got = jpeg_pixels(jpeg_bytes(tiles, precision=12, qtables=(ones, ones)))
+    want = np.zeros_like(got)
+    for i, v in enumerate(vals):
+        want[:, 8 * i : 8 * (i + 1), :] = v >> 4
+    assert np.array_equal(got, want)
 
 
 def test_jpeg_progressive_matches_baseline_exactly_444():

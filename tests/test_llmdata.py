@@ -3004,16 +3004,25 @@ def _arithmetic_jpeg_bytes():
 
 
 def _deep_precision_jpeg_bytes():
-    """SOI + 12-bit SOF0 header — dims present, decode unsupported by
-    imagecodecs.jpeg_pixels (12-bit precision and hierarchical are the
-    honest remaining JPEG stubs after round 8 landed both arithmetic
-    modes)."""
+    """SOI + 12-bit SOF9 (sequential ARITHMETIC) header — dims present,
+    decode unsupported by imagecodecs.jpeg_pixels (12-bit Huffman
+    decodes since round 9; 12-bit arithmetic and hierarchical are the
+    honest remaining JPEG stubs)."""
     import struct as s
 
     sof = s.pack(">BBHHB", 12, 0, 4, 4, 1) + bytes([1, 0x11, 0])
     return (
-        b"\xff\xd8\xff\xc0" + s.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
+        b"\xff\xd8\xff\xc9" + s.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
     )
+
+
+def _deep_precision_jpeg_real_bytes():
+    """A REAL decodable 12-bit Huffman JPEG (extended precision) from
+    the independent test-side encoder — the classifier must say
+    'full' since round 9."""
+    from test_imagecodecs import _smooth_rgb, jpeg_bytes
+
+    return jpeg_bytes(_smooth_rgb(8, 8).astype("uint16") * 16, precision=12)
 
 
 def _ima_wav_fixture():
@@ -3094,7 +3103,8 @@ def _media_fixtures():
         ("ogg_unknown", _ogg_pages([(b"\x7fFLAC\x00\x00", 0)]), "audio", "unsupported"),
         ("png", _png_bytes([[(10, 20, 30), (40, 50, 60)]] * 2, color_type=2), "image", "full"),
         ("jpeg_arith", _arithmetic_jpeg_bytes(), "image", "full"),
-        ("jpeg_12bit", _deep_precision_jpeg_bytes(), "image", "header_only"),
+        ("jpeg_12bit_huffman", _deep_precision_jpeg_real_bytes(), "image", "full"),
+        ("jpeg_12bit_arith", _deep_precision_jpeg_bytes(), "image", "header_only"),
         ("garbage", b"\x00\x01\x02\x03garbage-bytes", "unknown", "unsupported"),
         ("null", None, "unknown", "unsupported"),
     ]
@@ -3170,10 +3180,10 @@ def test_media_decode_rollup_fractions(spark):
     assert rows[("video", "full")].n_items == 1
     assert rows[("video", "unsupported")].n_items == 1
     assert rows[("video", "full")].frac_items == pytest.approx(1 / 2)
-    # image: 2 full (png + sequential-arithmetic jpeg), 1 header_only
-    # (12-bit jpeg)
-    assert rows[("image", "full")].n_items == 2
-    assert rows[("image", "header_only")].frac_items == pytest.approx(1 / 3)
+    # image: 3 full (png + sequential-arithmetic jpeg + 12-bit huffman
+    # jpeg), 1 header_only (12-bit ARITHMETIC jpeg)
+    assert rows[("image", "full")].n_items == 3
+    assert rows[("image", "header_only")].frac_items == pytest.approx(1 / 4)
     # unknown: garbage + null, all unsupported
     assert rows[("unknown", "unsupported")].n_items == 2
     assert rows[("unknown", "unsupported")].frac_items == pytest.approx(1.0)
