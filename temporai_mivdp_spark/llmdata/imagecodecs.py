@@ -18,8 +18,12 @@ validation. 12-bit EXTENDED precision decodes for the Huffman modes
 (SOF0/1/2) since round 9: 16-bit DQT entries (Pq=1), level shift at
 2^(P-1), output scaled into the 8-bit RGB contract — pinned by an
 exact constant-block battery plus a x16-twin differential against the
-8-bit decode. Hierarchical and 12-bit-arithmetic JPEG still raise
-``NotImplementedError`` — honestly;
+8-bit decode. LOSSLESS JPEG (SOF3, T.81 Annex H — the DICOM/medical
+shape) also decodes since round 9 for single-component frames at any
+precision 2-16: predictors 1-7, point transform, restart resync,
+pinned by EXACT round-trips against a test-side Annex-H encoder.
+Hierarchical, multi-component-lossless, and 12-bit-arithmetic JPEG
+still raise ``NotImplementedError`` — honestly;
 Huffman + arithmetic + progressive + GIF covers the overwhelming share of
 web-corpus images, and animated GIF doubles as the one video-like
 format decodable from scratch (timed frame sequence), making frame
@@ -575,11 +579,12 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
     DCT (SOF9 — T.81 Annex F QM coder with DAC conditioning, validated
     against libjpeg-encoded fixtures), 1 or 3 components, any sampling
     factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart intervals;
-    progressive ARITHMETIC (SOF10) likewise decodes, and the Huffman
+    progressive ARITHMETIC (SOF10) likewise decodes, the Huffman
     modes also decode 12-BIT extended precision (Pq=1 quant tables,
-    2^11 level shift, output scaled to the 8-bit RGB contract).
-    Hierarchical and 12-bit-arithmetic modes raise
-    ``NotImplementedError``."""
+    2^11 level shift, output scaled to the 8-bit RGB contract), and
+    single-component LOSSLESS (SOF3) decodes at any precision 2-16.
+    Hierarchical, multi-component-lossless, and 12-bit-arithmetic
+    modes raise ``NotImplementedError``."""
     if b[:3] != b"\xff\xd8\xff":
         raise NotImplementedError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -627,10 +632,15 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
                 table = _HuffTable(counts, seg[p + 17 : p + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0/1 sequential, SOF2 progressive, SOF9/10 arithmetic
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless,
+            # SOF9/10 arithmetic
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
-            if prec not in (8, 12):
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise NotImplementedError("invalid lossless JPEG precision")
+            elif prec not in (8, 12):
                 raise NotImplementedError("only 8-bit JPEG decodes here")
             if prec == 12 and marker in (0xC9, 0xCA):
                 # 12-bit ARITHMETIC would need its own conditioning
@@ -647,6 +657,7 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
                 "h": h, "w": w, "comps": comps, "prec": prec,
                 "progressive": marker in (0xC2, 0xCA),
                 "arith": marker in (0xC9, 0xCA),
+                "lossless": lossless,
             }
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} not supported")
@@ -672,6 +683,14 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             data_start = i + 2 + seg_len
+            if frame.get("lossless"):
+                # lossless scan header: Ss = predictor selector (1-7),
+                # Al = point transform
+                scan_sel = {cs: (dct, act) for cs, dct, act in scan_comps}
+                return _decode_lossless(
+                    b, data_start, frame, huff_dc, scan_sel,
+                    restart_interval, ss, ahal & 0xF,
+                )
             if not frame["progressive"]:
                 scan_sel = {cs: (dct, act) for cs, dct, act in scan_comps}
                 if frame.get("arith"):
@@ -777,6 +796,73 @@ def _assemble_rgb(planes, comps, h, w, hmax, vmax) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
     return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+
+
+def _decode_lossless(
+    b, pos, frame, huff_dc, scan_sel, restart_interval, pred_sel, pt
+) -> np.ndarray:
+    """Lossless JPEG (SOF3, T.81 Annex H): Huffman-coded prediction
+    differences, predictors 1-7, point transform, modulo-2^16
+    reconstruction, restart resync. Single-component (grayscale)
+    frames only — the DICOM/medical shape; the P-bit samples (2-16)
+    scale into the uint8 RGB contract at the end. Prediction rules per
+    H.2.1: start-of-scan and the sample after a restart use
+    2^(P-Pt-1); the rest of the first line uses the left neighbor; the
+    first column uses the sample above; SSSS=16 encodes a difference
+    of exactly 32768. Pinned by exact round-trip against a test-side
+    Annex-H encoder (lossless: any mismatch is a bug, no tolerance)."""
+    comps = frame["comps"]
+    if len(comps) != 1:
+        raise NotImplementedError("multi-component lossless JPEG not supported")
+    if not 1 <= pred_sel <= 7:
+        raise NotImplementedError(f"invalid lossless predictor {pred_sel}")
+    h, w, prec = frame["h"], frame["w"], frame["prec"]
+    sel = scan_sel.get(comps[0]["id"])
+    if sel is None or sel[0] not in huff_dc:
+        raise NotImplementedError("lossless scan references unknown component/table")
+    table = huff_dc[sel[0]]
+    plane = np.zeros((h, w), np.int64)
+    reader = _BitReader(b, pos)
+    default = 1 << (prec - pt - 1)
+    count = 0
+    fresh = True  # start of scan / just past a restart marker
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                reader.align_to_marker()
+                fresh = True
+            t = reader.decode_huff(table)
+            diff = 32768 if t == 16 else _extend(reader.read_bits(t), t)
+            if fresh:
+                px = default
+                fresh = False
+            elif y == 0:
+                px = int(plane[0, x - 1])
+            elif x == 0:
+                px = int(plane[y - 1, 0])
+            else:
+                a = int(plane[y, x - 1])
+                bb = int(plane[y - 1, x])
+                cc = int(plane[y - 1, x - 1])
+                if pred_sel == 1:
+                    px = a
+                elif pred_sel == 2:
+                    px = bb
+                elif pred_sel == 3:
+                    px = cc
+                elif pred_sel == 4:
+                    px = a + bb - cc
+                elif pred_sel == 5:
+                    px = a + ((bb - cc) >> 1)
+                elif pred_sel == 6:
+                    px = bb + ((a - cc) >> 1)
+                else:
+                    px = (a + bb) >> 1
+            plane[y, x] = (px + diff) & 0xFFFF
+            count += 1
+    out = plane << pt
+    out = out >> (prec - 8) if prec >= 8 else out << (8 - prec)
+    return _assemble_rgb([out.astype(np.float64)], comps, h, w, 1, 1)
 
 
 # ---------------------------------------------------------------------------

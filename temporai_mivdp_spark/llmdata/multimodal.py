@@ -32,15 +32,17 @@ split by what the stdlib can genuinely do:
   assignments, CRC-8/16 verification; pinned bit-exactly against a
   hand-written test-side encoder). Other compressed-WAV tags
   (MP3-in-WAV, ...) get byte-rate duration math in the header tier.
-* STUBBED: hierarchical / 12-bit-arithmetic / lossless JPEG, and
-  entropy-coded audio bodies beyond FLAC (MP3/Vorbis/Opus filterbanks)
-  need PIL/opencv/librosa, absent in this container — those payloads
-  raise ``NotImplementedError`` unless the deterministic fake is
-  requested (used by tests and the oracle harness). ARITHMETIC-coded
-  JPEG — sequential SOF9 and progressive SOF10 — decodes for real
-  since round 8 (imagecodecs' T.81 QM coder, libjpeg-fixture-
-  validated), and 12-bit EXTENDED Huffman JPEG since round 9 (Pq=1
-  quant tables, 2^11 level shift, x16-twin-pinned).
+* STUBBED: hierarchical / 12-bit-arithmetic / multi-component-lossless
+  JPEG, and entropy-coded audio bodies beyond FLAC (MP3/Vorbis/Opus
+  filterbanks) need PIL/opencv/librosa, absent in this container —
+  those payloads raise ``NotImplementedError`` unless the
+  deterministic fake is requested (used by tests and the oracle
+  harness). ARITHMETIC-coded JPEG — sequential SOF9 and progressive
+  SOF10 — decodes for real since round 8 (imagecodecs' T.81 QM coder,
+  libjpeg-fixture-validated); 12-bit EXTENDED Huffman JPEG (Pq=1
+  quant tables, 2^11 level shift, x16-twin-pinned) and
+  single-component LOSSLESS JPEG (SOF3 Annex H, the DICOM shape,
+  exact-round-trip-pinned) since round 9.
 
 Scale notes for the real thing:
 * media bytes ride in the same rows as metadata only up to a few MB each;
@@ -1520,11 +1522,14 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             marker = b[i + 1]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 # 8-bit decodes on all supported SOFs; 12-bit (round 9)
-                # on the Huffman modes only — 12-bit arithmetic and
-                # hierarchical stay header_only
+                # on the Huffman modes only; lossless SOF3 (round 9) on
+                # single-component frames at any legal precision —
+                # 12-bit arithmetic and hierarchical stay header_only
                 prec = b[i + 4]
-                ok = (marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA) and prec == 8) or (
-                    marker in (0xC0, 0xC1, 0xC2) and prec == 12
+                ok = (
+                    (marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA) and prec == 8)
+                    or (marker in (0xC0, 0xC1, 0xC2) and prec == 12)
+                    or (marker == 0xC3 and 2 <= prec <= 16 and b[i + 9] == 1)
                 )
                 return ("image", "jpeg", "full" if ok else "header_only")
             i += 2 + struct.unpack_from(">H", b, i + 2)[0]
@@ -1849,11 +1854,11 @@ def _png_pixels(b: bytes) -> np.ndarray:
 
 def _raster_pixels(b: bytes) -> np.ndarray:
     """Dispatch pixel decode by magic number: BMP, PNG, baseline /
-    progressive / arithmetic / 12-bit JPEG, or GIF first frame (all
-    stdlib+numpy — see ``imagecodecs`` for the JPEG/GIF
-    implementations); remaining variants (hierarchical or
-    12-bit-arithmetic JPEG, spec-illegal IHDR combinations) raise
-    ``NotImplementedError``."""
+    progressive / arithmetic / 12-bit / gray-lossless JPEG, or GIF
+    first frame (all stdlib+numpy — see ``imagecodecs`` for the
+    JPEG/GIF implementations); remaining variants (hierarchical,
+    multi-component-lossless, or 12-bit-arithmetic JPEG, spec-illegal
+    IHDR combinations) raise ``NotImplementedError``."""
     if b[:2] == b"BM":
         return _bmp_pixels(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":

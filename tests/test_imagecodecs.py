@@ -715,6 +715,142 @@ def test_jpeg_12bit_constant_tiles_decode_exactly():
     assert np.array_equal(got, want)
 
 
+# -- lossless JPEG (SOF3, T.81 Annex H) — round 9 ----------------------------
+#
+# Test-side encoder written independently from H.1-H.2: per-sample
+# prediction (same start-of-scan / first-line / first-column rules the
+# spec mandates for every predictor), differences mod 2^16 mapped to
+# DC-style magnitude categories (SSSS=16 <=> a difference of exactly
+# 32768), per-image canonical Huffman, restart markers between
+# row-aligned intervals. Lossless means round-trip assertions are
+# EXACT — no tolerance anywhere.
+
+
+def _lossless_predict(gray, y, x, pred_sel, default, fresh):
+    if fresh:
+        return default
+    if y == 0:
+        return int(gray[0, x - 1])
+    if x == 0:
+        return int(gray[y - 1, 0])
+    a, b, c = int(gray[y, x - 1]), int(gray[y - 1, x]), int(gray[y - 1, x - 1])
+    return (
+        a if pred_sel == 1 else
+        b if pred_sel == 2 else
+        c if pred_sel == 3 else
+        a + b - c if pred_sel == 4 else
+        a + ((b - c) >> 1) if pred_sel == 5 else
+        b + ((a - c) >> 1) if pred_sel == 6 else
+        (a + b) >> 1
+    )
+
+
+def jpeg_lossless_bytes(gray: np.ndarray, precision: int, predictor: int = 1,
+                        pt: int = 0, restart_rows: int = 0) -> bytes:
+    """Annex-H lossless encoder: ``gray`` holds the POST-point-transform
+    samples, each in [0, 2^(precision-pt))."""
+    h, w = gray.shape
+    default = 1 << (precision - pt - 1)
+    restart_interval = restart_rows * w if restart_rows else 0
+
+    segments: list[list[tuple[int, int, int]]] = [[]]  # (cat, nbits, bits)
+    fresh, count = True, 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                segments.append([])
+                fresh = True
+            v = int(gray[y, x])
+            px = _lossless_predict(gray, y, x, predictor, default, fresh)
+            fresh = False
+            d = (v - px) & 0xFFFF
+            s = d - 65536 if d >= 32768 else d
+            if s == -32768:
+                segments[-1].append((16, 0, 0))
+            else:
+                cat, bits = _mag(s)
+                segments[-1].append((cat, cat, bits))
+            count += 1
+
+    freqs: dict[int, int] = {}
+    for segm in segments:
+        for cat, _, _ in segm:
+            freqs[cat] = freqs.get(cat, 0) + 1
+    counts, syms, code_map = _canonical_huffman(freqs)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xC4, bytes([0x00]) + bytes(counts) + syms)
+    sof = struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])
+    out += seg(0xC3, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, predictor, 0, pt]))
+    for si, segm in enumerate(segments):
+        bw = _BitWriter()
+        for cat, nbits, bits in segm:
+            ln, code = code_map[cat]
+            bw.write(ln, code)
+            if nbits:
+                bw.write(nbits, bits)
+        out += bw.flush()
+        if si < len(segments) - 1:
+            out += bytes([0xFF, 0xD0 + (si % 8)])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _lossless_expected(gray: np.ndarray, precision: int, pt: int) -> np.ndarray:
+    full = (gray.astype(np.int64) << pt)
+    out = full >> (precision - 8) if precision >= 8 else full << (8 - precision)
+    return np.repeat(out.astype(np.uint8)[:, :, None], 3, axis=2)
+
+
+def test_jpeg_lossless_all_predictors_exact():
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 1 << 12, size=(9, 13), dtype=np.int64)
+    for predictor in range(1, 8):
+        got = jpeg_pixels(jpeg_lossless_bytes(gray, 12, predictor))
+        assert np.array_equal(got, _lossless_expected(gray, 12, 0)), predictor
+
+
+def test_jpeg_lossless_precisions_point_transform_and_restarts():
+    rng = np.random.default_rng(8)
+    for precision in (8, 12, 16):
+        gray = rng.integers(0, 1 << precision, size=(6, 11), dtype=np.int64)
+        got = jpeg_pixels(jpeg_lossless_bytes(gray, precision, 4))
+        assert np.array_equal(got, _lossless_expected(gray, precision, 0))
+    # point transform: samples span 2^(P-Pt); decoder shifts back up
+    gray = rng.integers(0, 1 << 10, size=(5, 7), dtype=np.int64)
+    got = jpeg_pixels(jpeg_lossless_bytes(gray, 12, 5, pt=2))
+    assert np.array_equal(got, _lossless_expected(gray, 12, 2))
+    # restart markers every 2 rows reset prediction on both sides
+    gray = rng.integers(0, 1 << 12, size=(8, 9), dtype=np.int64)
+    got = jpeg_pixels(jpeg_lossless_bytes(gray, 12, 7, restart_rows=2))
+    assert np.array_equal(got, _lossless_expected(gray, 12, 0))
+
+
+def test_jpeg_lossless_category16_and_rejections():
+    # first sample 0 at P=16: diff = (0 - 32768) mod 2^16 = 32768 -> SSSS=16
+    gray = np.zeros((2, 3), np.int64)
+    gray[1, 2] = 65535
+    got = jpeg_pixels(jpeg_lossless_bytes(gray, 16, 1))
+    assert np.array_equal(got, _lossless_expected(gray, 16, 0))
+
+    payload = bytearray(jpeg_lossless_bytes(gray, 16, 1))
+    sos = payload.find(b"\xff\xda")
+    # SOS layout: FF DA len(2) ns cs tables Ss Se AhAl
+    payload[sos + 7] = 0  # predictor selector (Ss) 0 is invalid
+    with pytest.raises(NotImplementedError, match="predictor"):
+        jpeg_pixels(bytes(payload))
+    payload[sos + 7] = 1
+    payload[sos + 5] = 9  # component selector matches nothing
+    with pytest.raises(NotImplementedError, match="unknown component"):
+        jpeg_pixels(bytes(payload))
+
+
 def test_jpeg_progressive_matches_baseline_exactly_444():
     """Progressive and baseline encode the SAME quantized coefficients;
     the full successive-approximation scan script is lossless, so both

@@ -3025,6 +3025,27 @@ def _deep_precision_jpeg_real_bytes():
     return jpeg_bytes(_smooth_rgb(8, 8).astype("uint16") * 16, precision=12)
 
 
+def _lossless_jpeg_bytes_fixture():
+    """A REAL decodable 12-bit single-component lossless JPEG (SOF3)."""
+    import numpy as _np
+
+    from test_imagecodecs import jpeg_lossless_bytes
+
+    gray = (_np.arange(48, dtype=_np.int64).reshape(6, 8) * 77) % 4096
+    return jpeg_lossless_bytes(gray, 12, predictor=4)
+
+
+def _lossless_rgb_header_bytes():
+    """SOI + 3-component SOF3 header — dims present, decode unsupported
+    (only the single-component/DICOM lossless shape decodes)."""
+    import struct as s
+
+    sof = s.pack(">BHHB", 12, 4, 4, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    return b"\xff\xd8\xff\xc3" + s.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
+
+
 def _ima_wav_fixture():
     """One valid mono IMA-ADPCM block (silence) with align=256."""
     import struct as s
@@ -3105,6 +3126,11 @@ def _media_fixtures():
         ("jpeg_arith", _arithmetic_jpeg_bytes(), "image", "full"),
         ("jpeg_12bit_huffman", _deep_precision_jpeg_real_bytes(), "image", "full"),
         ("jpeg_12bit_arith", _deep_precision_jpeg_bytes(), "image", "header_only"),
+        # round 9: single-component lossless (SOF3, the DICOM shape)
+        # decodes; a 3-component lossless frame stays header_only
+        ("jpeg_lossless_gray", _lossless_jpeg_bytes_fixture(), "image", "full"),
+        ("jpeg_lossless_rgb_header", _lossless_rgb_header_bytes(), "image",
+         "header_only"),
         ("garbage", b"\x00\x01\x02\x03garbage-bytes", "unknown", "unsupported"),
         ("null", None, "unknown", "unsupported"),
     ]
@@ -3180,10 +3206,11 @@ def test_media_decode_rollup_fractions(spark):
     assert rows[("video", "full")].n_items == 1
     assert rows[("video", "unsupported")].n_items == 1
     assert rows[("video", "full")].frac_items == pytest.approx(1 / 2)
-    # image: 3 full (png + sequential-arithmetic jpeg + 12-bit huffman
-    # jpeg), 1 header_only (12-bit ARITHMETIC jpeg)
-    assert rows[("image", "full")].n_items == 3
-    assert rows[("image", "header_only")].frac_items == pytest.approx(1 / 4)
+    # image: 4 full (png + sequential-arithmetic jpeg + 12-bit huffman
+    # jpeg + gray lossless jpeg), 2 header_only (12-bit ARITHMETIC
+    # jpeg + 3-component lossless header)
+    assert rows[("image", "full")].n_items == 4
+    assert rows[("image", "header_only")].frac_items == pytest.approx(2 / 6)
     # unknown: garbage + null, all unsupported
     assert rows[("unknown", "unsupported")].n_items == 2
     assert rows[("unknown", "unsupported")].frac_items == pytest.approx(1.0)
