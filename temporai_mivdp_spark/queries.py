@@ -361,12 +361,18 @@ WINDOW_TAIL: tuple[str, ...] = (
     # accounting); keeps its oracle here and the file-count math pin in
     # tests/test_sources_and_differential.py
     "layout_compaction",
-    # round 9: promoted out (driver-green r8) — real-decode-under-hash
-    # for media stays window-exercised by multimodal_audio_roundtrip
-    # (in-window with the new MS-ADPCM class) and the new
-    # multimodal_video_roundtrip; keeps its PNG/BMP pixel-algebra
-    # oracle here and the imagecodecs unit battery
-    "multimodal_image_roundtrip",
+    # round 9 (late): multimodal_image_roundtrip was promoted out here
+    # after its r8 green row, but its lattice then gained the
+    # lossless-JPEG ramp class (the first row-ORDER-sensitive
+    # oracle-checked raster), which resets its proven-ness — it
+    # re-entered the window per the same rule that kept
+    # multimodal_audio_roundtrip in. Its slot goes to sketch_overlap:
+    # two rounds of driver-green exposure (r7, r8); the KMV mergeable-
+    # sketch machinery stays window-exercised by sketch_distinct (same
+    # estimator and bounded-state merge), and the inclusion-exclusion
+    # overlap algebra keeps its bit-for-bit oracle here plus its tests
+    # in tests/test_sketches_and_bm25.py
+    "sketch_overlap",
 )
 
 

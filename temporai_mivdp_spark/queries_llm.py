@@ -3709,16 +3709,17 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize an image frame (media_id, payload) deterministically
     from doc_id — the image-tier twin of `_audio_fixture`. Three
     classes, round-robin by doc_id % 3: a real 8-bit grayscale PNG
-    (stdlib zlib deflate + CRC chunks, constant value doc_id % 256), a
+    (stdlib zlib deflate + CRC chunks, constant value doc_id % 256) —
+    of which half (doc_id // 3 odd, round 9) are instead real
+    single-component LOSSLESS JPEGs (SOF3, predictor 1) whose samples
+    RAMP in raster order, the first fixture class whose oracle-checked
+    features are row-ORDER sensitive — a
     real bottom-up 24-bit BMP (row padding + the format's BGR byte
     order, constant per-channel values derived from doc_id — DISTINCT
     per channel so a BGR/RGB swap in the decoder cannot cancel out),
     and a NULL payload. Dims vary per row (w = 1 + id % 31,
-    h = 1 + id % 17), so stride and padding bugs surface. (Row-ORDER
-    bugs do not — constant-color rasters are flip-invariant by
-    construction; bottom-up/top-down coverage lives in the imagecodecs
-    unit tests, which roundtrip non-constant images against independent
-    test-side encoders.)"""
+    h = 1 + id % 17; the JLS ramps use 1 + id % 13 × 1 + id % 9 so the
+    ramp peak stays under 256), so stride and padding bugs surface."""
 
     def gen(it):
         import struct
@@ -3755,6 +3756,49 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             return hdr + dib + px
 
+        def jls_ramp(w2, h2, base):
+            # round 9: a real single-component LOSSLESS JPEG (SOF3,
+            # predictor 1) whose samples RAMP base, base+1, ... in
+            # raster order — the one fixture class whose oracle-checked
+            # features are row-ORDER sensitive (constant PNG/BMP rasters
+            # are flip-invariant by construction). Fixed Huffman table:
+            # categories 0-8 as 4-bit canonical codes. Diff stream:
+            # first sample base-128 (vs the 2^(P-1) default), row starts
+            # +w2 (predicted from the sample above), everything else +1.
+            bits = []
+            for y in range(h2):
+                for x in range(w2):
+                    s = (base - 128) if (y == 0 and x == 0) else (
+                        w2 if x == 0 else 1
+                    )
+                    t = abs(s).bit_length()
+                    bits.append((4, t))
+                    if t:
+                        bits.append((t, s if s >= 0 else s + (1 << t) - 1))
+            acc, n, data = 0, 0, bytearray()
+            for nb, v in bits:
+                for k in range(nb - 1, -1, -1):
+                    acc = (acc << 1) | ((v >> k) & 1)
+                    n += 1
+                    if n == 8:
+                        data.append(acc)
+                        if acc == 0xFF:
+                            data.append(0)  # byte stuffing
+                        acc, n = 0, 0
+            if n:
+                acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+                data.append(acc)
+                if acc == 0xFF:
+                    data.append(0)
+
+            def seg(m, body):
+                return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
+
+            dht = seg(0xC4, bytes([0, 0, 0, 0, 9] + [0] * 12) + bytes(range(9)))
+            sof = seg(0xC3, struct.pack(">BHHB", 8, h2, w2, 1) + bytes([1, 0x11, 0]))
+            sos = seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0]))
+            return b"\xff\xd8" + dht + sof + sos + bytes(data) + b"\xff\xd9"
+
         def degenerate(did):
             # hostile-media lattice for the adversarial id range:
             # truncated IDAT (valid chunk CRCs, deflate stream cut) and
@@ -3789,7 +3833,10 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 1 + did % 31, 1 + did % 17
                 kind = did % 3
                 if kind == 0:
-                    payload = png_gray(w, h, did % 256)
+                    if (did // 3) % 2 == 1:
+                        payload = jls_ramp(1 + did % 13, 1 + did % 9, did % 100)
+                    else:
+                        payload = png_gray(w, h, did % 256)
                 elif kind == 1:
                     payload = bmp24(
                         w, h, did % 256, (did // 3) % 256, (did // 7) % 256
@@ -3806,49 +3853,71 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "multimodal_image_roundtrip",
     """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 3 AS kind,
+             (doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1) AS is_jls,
+             (1 + doc_id % 13) * (1 + doc_id % 9) AS jn,
+             doc_id % 100 AS jbase
+      FROM documents
+    )
     SELECT doc_id AS media_id,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 3 IN (0, 1) THEN CAST(1 + doc_id % 31 AS DOUBLE)
+                WHEN is_jls THEN CAST(1 + doc_id % 13 AS DOUBLE)
+                WHEN kind IN (0, 1) THEN CAST(1 + doc_id % 31 AS DOUBLE)
            END AS width,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 3 IN (0, 1) THEN CAST(1 + doc_id % 17 AS DOUBLE)
+                WHEN is_jls THEN CAST(1 + doc_id % 9 AS DOUBLE)
+                WHEN kind IN (0, 1) THEN CAST(1 + doc_id % 17 AS DOUBLE)
            END AS height,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
-                WHEN doc_id % 3 = 1 THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN is_jls THEN ROUND(jbase + (jn - 1) / 2.0, 6)
+                WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN kind = 1 THEN CAST(doc_id % 256 AS DOUBLE)
            END AS mean_r,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
-                WHEN doc_id % 3 = 1 THEN CAST((doc_id // 3) % 256 AS DOUBLE)
+                WHEN is_jls THEN ROUND(jbase + (jn - 1) / 2.0, 6)
+                WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN kind = 1 THEN CAST((doc_id // 3) % 256 AS DOUBLE)
            END AS mean_g,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
-                WHEN doc_id % 3 = 1 THEN CAST((doc_id // 7) % 256 AS DOUBLE)
+                WHEN is_jls THEN ROUND(jbase + (jn - 1) / 2.0, 6)
+                WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN kind = 1 THEN CAST((doc_id // 7) % 256 AS DOUBLE)
            END AS mean_b,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 3 = 0 THEN CAST(0.0 AS DOUBLE) END AS lum_std,
+                WHEN is_jls THEN ROUND(sqrt((jn * jn - 1) / 12.0), 6)
+                WHEN kind = 0 THEN CAST(0.0 AS DOUBLE) END AS lum_std,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN is_jls THEN CAST(jbase AS DOUBLE)
+                WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
            END AS lum_min,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN is_jls THEN CAST(jbase + jn - 1 AS DOUBLE)
+                WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
            END AS lum_max
-    FROM documents
+    FROM g
     """,
 )
 def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decoding under the hash check (llmdata/multimodal.py::
     decode_image → imagecodecs): constant-color PNGs (zlib inflate, PNG
-    scanline unfilter, grayscale→RGB expansion) and BMPs (bottom-up row
-    order, 4-byte padding, BGR→RGB) synthesized per row from doc_id
+    scanline unfilter, grayscale→RGB expansion), BMPs (bottom-up row
+    order, 4-byte padding, BGR→RGB), and — round 9 — RAMP-gray lossless
+    JPEGs (SOF3 Annex H: Huffman categories, predictor chain,
+    byte-unstuffing) synthesized per row from doc_id
     (`_image_fixture`), decoded by the actual production feature
     extractor, the 8-float csv parsed back into numeric columns, and
     every value checked against the generator algebra in DuckDB: a
     wrong stride, an unapplied scanline filter, a BGR/RGB swap (the
-    channel means are constructed distinct), or a dims mix-up all
-    hash-mismatch. (Row-order flips do NOT — constant-color rasters
-    are flip-invariant; that axis is pinned by the imagecodecs unit
-    tests' non-constant roundtrips against independent encoders.) Luminance stats are checked only for
+    channel means are constructed distinct), a dims mix-up, or a
+    broken predictor all hash-mismatch. The JLS ramp rows are the
+    row-ORDER-sensitive class the constant rasters can't be: their
+    mean is base+(n-1)/2, their lum_std is sqrt((n^2-1)/12), their
+    min/max pin the raster extremes — a flipped or re-ordered decode
+    changes none of the constant-class features but breaks the ramp's
+    predictor chain outright (every sample depends on its left/above
+    neighbor). Luminance stats are checked only for
     the GRAYSCALE rows, where lum == v exactly at 6 decimals for every
     v in 0..255 (verified exhaustively) — for arbitrary (r,g,b) the
     6dp-rounded lum sits one banker's-vs-half-away rounding tie away
