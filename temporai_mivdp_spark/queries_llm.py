@@ -3801,9 +3801,10 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def degenerate(did):
             # hostile-media lattice for the adversarial id range:
-            # truncated IDAT (valid chunk CRCs, deflate stream cut) and
-            # zero-width BMP — both must degrade to NULL features under
-            # decode_image(strict=False), never kill the batch
+            # truncated IDAT (valid chunk CRCs, deflate stream cut),
+            # zero-width BMP, and (round 9) a lossless JPEG whose scan
+            # is torn mid-stream — all must degrade to NULL features
+            # under decode_image(strict=False), never kill the batch
             kind = did % 3
             if kind == 0:
                 good = png_gray(4, 4, did % 256)
@@ -3821,7 +3822,13 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             if kind == 1:
                 return bmp24(0, 4, 1, 2, 3)  # zero-width BMP
-            return None
+            if did % 2:
+                return None
+            # torn lossless-JPEG scan: the decoder's predictor walk
+            # runs into the EOI marker mid-sample and must raise (not
+            # return garbage); crawl mode nulls the row
+            good = jls_ramp(6, 5, did % 100)
+            return good[: len(good) - 8] + b"\xff\xd9"
 
         for pdf in it:
             rows = []
