@@ -133,6 +133,31 @@ def main() -> None:
     ms_payload = ms_payload[:32] + align.to_bytes(2, "little") + ms_payload[34:]
     measure("WAV MS ADPCM (10 s)", ms_payload, _wav_samples)
 
+    # round 9: FLAC frame-body decode (RFC 9639) — 1 s at 16 kHz (the
+    # Rice/unary walk is pure-Python bit work, an order of magnitude
+    # slower per sample than the table/block codecs above; the number
+    # is the honest cost a mapInPandas batch pays per core) — and the
+    # new JPEG tiers (12-bit extended, SOF3 lossless)
+    from temporai_mivdp_spark.llmdata.multimodal import _flac_samples
+    from tests.test_llmdata import _flac_encode
+    from tests.test_imagecodecs import jpeg_lossless_bytes
+
+    flac_payload = _flac_encode(
+        [list(pcm16[:sr])], sr, 16, 4096, [("fixed", 2, 2, 0)]
+    )
+    measure("FLAC fixed-order-2 (1 s)", flac_payload, _flac_samples)
+    measure(
+        "JPEG 12-bit baseline",
+        jpeg_bytes(rgb.astype(np.uint16) * 16, precision=12),
+        jpeg_pixels,
+    )
+    gray12 = (rgb[:, :, 0].astype(np.int64) * 16) % 4096
+    measure(
+        "JPEG lossless (SOF3, 12-bit)",
+        jpeg_lossless_bytes(gray12, 12, predictor=4),
+        jpeg_pixels,
+    )
+
 
 if __name__ == "__main__":
     main()
