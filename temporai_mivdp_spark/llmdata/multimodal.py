@@ -19,8 +19,11 @@ split by what the stdlib can genuinely do:
   ``imagecodecs``), GIF decode including FULL animation (variable-width
   LZW, interlace, local/global palettes, GCE delays/transparency/
   disposal — ``imagecodecs.gif_frames``; ``sample_frames`` below turns
-  that into real timed frame sampling), and header-only dimension
-  extraction for BMP/PNG/JPEG/GIF.
+  that into real timed frame sampling), baseline TIFF (8-bit gray/RGB
+  strips, compression none/PackBits, both byte orders, WhiteIsZero —
+  the scanned-document shapes; round 9), binary Netpbm P5/P6
+  (round 9), and header-only dimension
+  extraction for BMP/PNG/JPEG/GIF/TIFF/PNM.
 * Audio samples decode for linear PCM (8/16/24/32-bit), G.711
   A-law/µ-law (ITU expansion tables, audioop-pinned), IMA ADPCM WAVs
   (block decoder, step function audioop-pinned across every
@@ -1539,6 +1542,33 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
         comp = struct.unpack_from("<I", b, 30)[0] if len(b) >= 34 else 99
         ok = (bpp in (24, 32) and comp == 0) or (bpp in (1, 4, 8) and comp in (0, 1))
         return ("image", "bmp", "full" if ok else "header_only")
+    if fmt == "tiff":
+        # IFD-param check only (round 9): 8-bit chunky gray/RGB strips
+        # with compression none/PackBits decode; LZW/CCITT/tiled/deep
+        # variants stay header_only — the jpeg-branch discipline
+        try:
+            _e, t = _tiff_ifd(b)
+            spp = t.get(277, [1])[0]
+            ok = (
+                322 not in t and 323 not in t
+                and t.get(284, [1])[0] == 1
+                and spp in (1, 3)
+                and all(v == 8 for v in t.get(258, [1] * spp))
+                and t.get(259, [1])[0] in (1, 32773)
+                and t.get(262, [1])[0] in (0, 1, 2)
+                and (t.get(262, [1])[0] == 2) == (spp == 3)
+                and bool(t.get(273)) and bool(t.get(279))
+            )
+        except NotImplementedError:
+            ok = False
+        return ("image", "tiff", "full" if ok else "header_only")
+    if fmt == "pnm":
+        try:
+            maxval = _pnm_header(b)[2]
+        except NotImplementedError:
+            maxval = 0
+        # 8-bit binary P5/P6 decodes; 16-bit (maxval 65535) stays header
+        return ("image", "pnm", "full" if maxval == 255 else "header_only")
     return ("image", fmt, "full")  # png, gif
 
 
@@ -1852,13 +1882,166 @@ def _png_pixels(b: bytes) -> np.ndarray:
     return np.ascontiguousarray(samples[:, :, :3])
 
 
+def _tiff_ifd(b: bytes) -> tuple[str, dict[int, list[int]]]:
+    """(endian, {tag: values}) from a TIFF header + first IFD. Values
+    resolve SHORT(3)/LONG(4)/BYTE(1) entries, inline or offset-stored.
+    Raises ``NotImplementedError`` on malformed/truncated input."""
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise NotImplementedError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    if ifd_off + 2 > len(b):
+        raise NotImplementedError("truncated TIFF IFD offset")
+    (n,) = struct.unpack_from(e + "H", b, ifd_off)
+    tags: dict[int, list[int]] = {}
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        if off + 12 > len(b):
+            raise NotImplementedError("truncated TIFF IFD entry")
+        tag, typ = struct.unpack_from(e + "HH", b, off)
+        (cnt,) = struct.unpack_from(e + "I", b, off + 4)
+        if typ not in sizes:
+            continue  # RATIONAL/etc. — not needed for the decode params
+        total = sizes[typ] * cnt
+        src = off + 8 if total <= 4 else struct.unpack_from(e + "I", b, off + 8)[0]
+        if src + total > len(b):
+            raise NotImplementedError("TIFF values past end of payload")
+        tags[tag] = list(struct.unpack_from(e + str(cnt) + fmts[typ], b, src))
+    return e, tags
+
+
+def _packbits(data: bytes, expect: int) -> bytes:
+    """Apple PackBits decompression (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        nv = data[i]
+        if nv < 128:  # literal run of n+1 bytes
+            out += data[i + 1 : i + 2 + nv]
+            i += 2 + nv
+        elif nv > 128:  # repeat next byte 257-n times
+            if i + 1 >= len(data):
+                raise NotImplementedError("truncated PackBits repeat")
+            out += bytes([data[i + 1]]) * (257 - nv)
+            i += 2
+        else:  # 128: no-op
+            i += 1
+    if len(out) < expect:
+        raise NotImplementedError("PackBits stream shorter than raster")
+    return bytes(out[:expect])
+
+
+def _tiff_pixels(b: bytes) -> np.ndarray:
+    """Decode a baseline TIFF to (h, w, 3) uint8 RGB: 8-bit grayscale
+    (photometric 0/1) or RGB (photometric 2), strip-organized, chunky
+    planar config, compression none (1) or PackBits (32773) — the
+    scanned-document / fax-archive shapes decodable from the TIFF 6.0
+    spec with struct alone. Tiled, paletted, LZW/CCITT/JPEG-compressed,
+    or deep-sample TIFFs raise ``NotImplementedError``."""
+    _e, t = _tiff_ifd(b)
+    w = t.get(256, [0])[0]
+    h = t.get(257, [0])[0]
+    if w <= 0 or h <= 0:
+        raise NotImplementedError("TIFF missing/degenerate dimensions")
+    spp = t.get(277, [1])[0]
+    bps = t.get(258, [1] * spp)
+    comp = t.get(259, [1])[0]
+    photo = t.get(262, [1])[0]
+    planar = t.get(284, [1])[0]
+    if 322 in t or 323 in t:
+        raise NotImplementedError("tiled TIFF not supported")
+    if planar != 1 or spp not in (1, 3) or any(v != 8 for v in bps):
+        raise NotImplementedError("only 8-bit chunky gray/RGB TIFF decodes")
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {comp} needs a codec lib")
+    if photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
+        raise NotImplementedError("unsupported TIFF photometric interpretation")
+    offsets = t.get(273)
+    counts = t.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise NotImplementedError("TIFF missing strip offsets/counts")
+    rps = t.get(278, [h])[0] or h
+    row_bytes = w * spp
+    raw = bytearray()
+    rows_left = h
+    for so, sc in zip(offsets, counts):
+        strip = b[so : so + sc]
+        if len(strip) < sc:
+            raise NotImplementedError("TIFF strip past end of payload")
+        nrows = min(rps, rows_left)
+        want = nrows * row_bytes
+        raw += _packbits(strip, want) if comp == 32773 else strip[:want]
+        if comp == 1 and sc < want:
+            raise NotImplementedError("TIFF strip shorter than its rows")
+        rows_left -= nrows
+    if len(raw) < h * row_bytes:
+        raise NotImplementedError("TIFF strips cover fewer rows than ImageLength")
+    px = np.frombuffer(bytes(raw[: h * row_bytes]), np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        g = px[:, :, 0]
+        if photo == 0:  # WhiteIsZero: invert to the usual sense
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return px.copy()
+
+
+def _pnm_header(b: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, maxval, samples_per_pixel, data_offset) of a
+    binary Netpbm header (P5 grayscale / P6 RGB), honoring whitespace
+    runs and '#' comments. Raises ``NotImplementedError`` otherwise."""
+    if b[:2] not in (b"P5", b"P6"):
+        raise NotImplementedError("not a binary PGM/PPM payload")
+    i, fields = 2, []
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if i < len(b) and b[i] == 0x23:  # '#' comment to end of line
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise NotImplementedError("truncated PGM/PPM header")
+        fields.append(int(b[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        raise NotImplementedError("degenerate PGM/PPM dimensions")
+    return w, h, maxval, (1 if b[:2] == b"P5" else 3), i
+
+
+def _netpbm_pixels(b: bytes) -> np.ndarray:
+    """Decode binary Netpbm: P5 (8-bit PGM grayscale) and P6 (8-bit PPM
+    RGB) — the scientific/medical interchange rasters. ASCII variants
+    (P2/P3), 16-bit maxval, and PBM bitmaps raise."""
+    w, h, maxval, spp, i = _pnm_header(b)
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit (maxval 255) PGM/PPM decodes")
+    need = w * h * spp
+    raster = b[i : i + need]
+    if len(raster) < need:
+        raise NotImplementedError("PGM/PPM raster shorter than dimensions")
+    px = np.frombuffer(raster, np.uint8).reshape(h, w, spp)
+    return np.repeat(px, 3, axis=2) if spp == 1 else px.copy()
+
+
 def _raster_pixels(b: bytes) -> np.ndarray:
     """Dispatch pixel decode by magic number: BMP, PNG, baseline /
-    progressive / arithmetic / 12-bit / gray-lossless JPEG, or GIF
+    progressive / arithmetic / 12-bit / gray-lossless JPEG, GIF
     first frame (all stdlib+numpy — see ``imagecodecs`` for the
-    JPEG/GIF implementations); remaining variants (hierarchical,
-    multi-component-lossless, or 12-bit-arithmetic JPEG, spec-illegal
-    IHDR combinations) raise ``NotImplementedError``."""
+    JPEG/GIF implementations), baseline TIFF (8-bit gray/RGB strips,
+    none/PackBits), or binary PGM/PPM; remaining variants
+    (hierarchical, multi-component-lossless, or 12-bit-arithmetic
+    JPEG, LZW/CCITT TIFF, spec-illegal IHDR combinations) raise
+    ``NotImplementedError``."""
     if b[:2] == b"BM":
         return _bmp_pixels(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -1871,16 +2054,34 @@ def _raster_pixels(b: bytes) -> np.ndarray:
         from temporai_mivdp_spark.llmdata.imagecodecs import gif_pixels
 
         return gif_pixels(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_pixels(b)
+    if b[:2] in (b"P5", b"P6"):
+        return _netpbm_pixels(b)
     raise NotImplementedError(
-        "pixel decode without codec libs: BMP/PNG/JPEG/GIF only"
+        "pixel decode without codec libs: BMP/PNG/JPEG/GIF/TIFF/PNM only"
     )
 
 
 def _image_dims(b: bytes) -> tuple[str, int, int] | None:
     """(format, width, height) from raster headers alone — BMP, PNG
-    (IHDR), JPEG (SOF segment scan), GIF. None when unrecognized.
-    Header-only: no decompression, so it works for formats whose pixel
-    decode is stubbed."""
+    (IHDR), JPEG (SOF segment scan), GIF, TIFF (first-IFD tag walk),
+    binary PGM/PPM. None when unrecognized. Header-only: no
+    decompression, so it works for formats whose pixel decode is
+    stubbed."""
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            _e, tags = _tiff_ifd(b)
+            w, h = tags.get(256, [0])[0], tags.get(257, [0])[0]
+        except NotImplementedError:
+            return None
+        return ("tiff", w, h) if w and h else None
+    if b[:2] in (b"P5", b"P6"):
+        try:
+            w, h, _mx, _spp, _off = _pnm_header(b)
+        except (NotImplementedError, ValueError):
+            return None
+        return "pnm", w, h
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack_from("<ii", b, 18)
         return "bmp", w, abs(h)
@@ -1937,9 +2138,10 @@ def decode_image(
     The real path decodes BMP (uncompressed 24/32-bit, paletted
     1/4/8-bit, RLE8, bottom-up and top-down), PNG (all five scanline
     filters, greyscale/palette/truecolor ± alpha, 1/2/4/8/16-bit
-    depths, Adam7 interlace), baseline/progressive JPEG, and GIF
-    first-frame payloads (``_raster_pixels``, dispatching to
-    ``imagecodecs`` for PNG/JPEG/GIF — all stdlib+numpy, no codec
+    depths, Adam7 interlace), baseline/progressive/arithmetic/12-bit/
+    gray-lossless JPEG, GIF first-frame, baseline TIFF, and binary
+    PGM/PPM payloads (``_raster_pixels``, dispatching to
+    ``imagecodecs`` for JPEG/GIF — all stdlib+numpy, no codec
     libs) into 8 features —
     width, height, mean R/G/B, luminance std/min/max.
 

@@ -2651,6 +2651,197 @@ def test_bmp_paletted_roundtrip():
     assert (got == pal[:2][idx1]).all()
 
 
+# -- TIFF (baseline 6.0: strips, none/PackBits) + binary Netpbm — round 9 ----
+
+
+def _tiff_bytes(px, photometric=None, endian="<", compression=1,
+                rows_per_strip=None, extra_tags=()):
+    """Independent test-side baseline-TIFF writer: 8-bit gray (2-D
+    array) or RGB (3-D), strip-organized, optional PackBits, either
+    byte order. Raster bytes follow the IFD; offsets are absolute."""
+    import struct as s
+
+    import numpy as np
+
+    px = np.asarray(px, np.uint8)
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    photometric = (2 if spp == 3 else 1) if photometric is None else photometric
+    rps = rows_per_strip or h
+    row_bytes = w * spp
+
+    def packbits(row_data: bytes) -> bytes:
+        # literal-only encoding (runs of <=128 literal bytes) — valid
+        # PackBits, keeps the encoder trivially independent
+        out = bytearray()
+        for k in range(0, len(row_data), 128):
+            chunk = row_data[k : k + 128]
+            out += bytes([len(chunk) - 1]) + chunk
+        return bytes(out)
+
+    raw = px.tobytes()
+    strips = []
+    for y0 in range(0, h, rps):
+        chunk = raw[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
+        strips.append(packbits(chunk) if compression == 32773 else chunk)
+
+    tags = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+        (259, 3, [compression]), (262, 3, [photometric]),
+        (277, 3, [spp]), (278, 4, [rps]), (284, 3, [1]),
+    ] + list(extra_tags)
+    n_strip_tags = 2  # 273 offsets + 279 counts appended below
+    n = len(tags) + n_strip_tags
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+    # value-area pointers: entries whose payload exceeds 4 bytes
+    fmts = {1: "B", 3: "H", 4: "I"}
+    sizes = {1: 1, 3: 2, 4: 4}
+    value_area = bytearray()
+    strip_offsets, pos = [], data_off  # strip bytes land after values
+    # reserve value-area space first (two passes)
+    entries = tags + [
+        (273, 4, None),  # placeholder, filled once strip offsets known
+        (279, 4, [len(st) for st in strips]),
+    ]
+    # pass 1: compute value-area length
+    va_len = 0
+    for tag, typ, vals in entries:
+        cnt = len(strips) if vals is None else len(vals)
+        total = sizes[typ] * cnt
+        if total > 4:
+            va_len += total
+    strips_start = data_off + va_len
+    pos = strips_start
+    for st in strips:
+        strip_offsets.append(pos)
+        pos += len(st)
+    entries[-2] = (273, 4, strip_offsets)
+    # pass 2: emit
+    out = bytearray()
+    out += (b"II*\x00" if endian == "<" else b"MM\x00*")
+    out += s.pack(endian + "I", ifd_off)
+    out += s.pack(endian + "H", n)
+    va_cursor = data_off
+    for tag, typ, vals in sorted(entries):
+        cnt = len(vals)
+        total = sizes[typ] * cnt
+        body = s.pack(endian + str(cnt) + fmts[typ], *vals)
+        out += s.pack(endian + "HHI", tag, typ, cnt)
+        if total <= 4:
+            out += body + b"\x00" * (4 - total)
+        else:
+            out += s.pack(endian + "I", va_cursor)
+            value_area += body
+            va_cursor += total
+    out += s.pack(endian + "I", 0)  # next-IFD pointer
+    out += value_area
+    for st in strips:
+        out += st
+    return bytes(out)
+
+
+def test_tiff_gray_rgb_both_endians_exact():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _tiff_pixels
+
+    rng = np.random.default_rng(20)
+    gray = rng.integers(0, 256, (7, 11), np.uint8)
+    rgb = rng.integers(0, 256, (5, 9, 3), np.uint8)
+    for endian in ("<", ">"):
+        got = _tiff_pixels(_tiff_bytes(gray, endian=endian))
+        assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+        got = _tiff_pixels(_tiff_bytes(rgb, endian=endian))
+        assert np.array_equal(got, rgb)
+
+
+def test_tiff_strips_packbits_and_whiteiszero():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import _tiff_pixels
+
+    rng = np.random.default_rng(21)
+    gray = rng.integers(0, 256, (10, 6), np.uint8)
+    # multi-strip + PackBits
+    got = _tiff_pixels(_tiff_bytes(gray, compression=32773, rows_per_strip=3))
+    assert np.array_equal(got[:, :, 0], gray)
+    # WhiteIsZero inverts
+    got = _tiff_pixels(_tiff_bytes(gray, photometric=0))
+    assert np.array_equal(got[:, :, 0], 255 - gray)
+
+
+def test_tiff_rejections_and_classify():
+    import numpy as np
+    import pytest as _pytest
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _image_dims,
+        _tiff_pixels,
+        media_decode_status,
+    )
+
+    gray = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    good = _tiff_bytes(gray)
+    assert _image_dims(good) == ("tiff", 6, 4)
+    assert media_decode_status(good) == ("image", "tiff", "full")
+
+    lzw = _tiff_bytes(gray, compression=5)
+    with _pytest.raises(NotImplementedError, match="compression 5"):
+        _tiff_pixels(lzw)
+    assert media_decode_status(lzw) == ("image", "tiff", "header_only")
+
+    tiled = _tiff_bytes(gray, extra_tags=[(322, 4, [16])])
+    with _pytest.raises(NotImplementedError, match="tiled"):
+        _tiff_pixels(tiled)
+    assert media_decode_status(tiled) == ("image", "tiff", "header_only")
+
+    torn = good[: len(good) - 5]
+    with _pytest.raises(NotImplementedError):
+        _tiff_pixels(torn)
+
+
+def _pnm_bytes(px, magic=None, maxval=255, comment=False):
+    import numpy as np
+
+    px = np.asarray(px, np.uint8)
+    h, w = px.shape[:2]
+    magic = magic or (b"P5" if px.ndim == 2 else b"P6")
+    hdr = magic + b"\n"
+    if comment:
+        hdr += b"# synthetic fixture\n"
+    hdr += f"{w} {h}\n{maxval}\n".encode()
+    return hdr + px.tobytes()
+
+
+def test_pnm_decode_exact_and_classify():
+    import numpy as np
+    import pytest as _pytest
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _image_dims,
+        _netpbm_pixels,
+        media_decode_status,
+    )
+
+    rng = np.random.default_rng(22)
+    gray = rng.integers(0, 256, (6, 8), np.uint8)
+    rgb = rng.integers(0, 256, (4, 5, 3), np.uint8)
+    got = _netpbm_pixels(_pnm_bytes(gray, comment=True))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    got = _netpbm_pixels(_pnm_bytes(rgb))
+    assert np.array_equal(got, rgb)
+    assert _image_dims(_pnm_bytes(gray)) == ("pnm", 8, 6)
+    assert media_decode_status(_pnm_bytes(rgb)) == ("image", "pnm", "full")
+    # 16-bit maxval: dims parse, decode honestly refuses
+    deep = _pnm_bytes(gray, maxval=65535)
+    assert media_decode_status(deep) == ("image", "pnm", "header_only")
+    with _pytest.raises(NotImplementedError, match="maxval"):
+        _netpbm_pixels(deep)
+    with _pytest.raises(NotImplementedError, match="shorter"):
+        _netpbm_pixels(_pnm_bytes(gray)[:-3])
+
+
 def test_bmp_rle8_runs_absolute_delta():
     import numpy as np
 
@@ -3131,6 +3322,11 @@ def _media_fixtures():
         ("jpeg_lossless_gray", _lossless_jpeg_bytes_fixture(), "image", "full"),
         ("jpeg_lossless_rgb_header", _lossless_rgb_header_bytes(), "image",
          "header_only"),
+        # round 9: baseline TIFF (gray strips) decodes; LZW stays header
+        ("tiff_gray", _tiff_bytes([[1, 2], [3, 4]]), "image", "full"),
+        ("tiff_lzw_header", _tiff_bytes([[1, 2], [3, 4]], compression=5),
+         "image", "header_only"),
+        ("pnm_rgb", _pnm_bytes([[[1, 2, 3], [4, 5, 6]]]), "image", "full"),
         ("garbage", b"\x00\x01\x02\x03garbage-bytes", "unknown", "unsupported"),
         ("null", None, "unknown", "unsupported"),
     ]
@@ -3206,11 +3402,11 @@ def test_media_decode_rollup_fractions(spark):
     assert rows[("video", "full")].n_items == 1
     assert rows[("video", "unsupported")].n_items == 1
     assert rows[("video", "full")].frac_items == pytest.approx(1 / 2)
-    # image: 4 full (png + sequential-arithmetic jpeg + 12-bit huffman
-    # jpeg + gray lossless jpeg), 2 header_only (12-bit ARITHMETIC
-    # jpeg + 3-component lossless header)
-    assert rows[("image", "full")].n_items == 4
-    assert rows[("image", "header_only")].frac_items == pytest.approx(2 / 6)
+    # image: 6 full (png + sequential-arithmetic jpeg + 12-bit huffman
+    # jpeg + gray lossless jpeg + gray tiff + rgb pnm), 3 header_only
+    # (12-bit ARITHMETIC jpeg + 3-component lossless header + LZW tiff)
+    assert rows[("image", "full")].n_items == 6
+    assert rows[("image", "header_only")].frac_items == pytest.approx(3 / 9)
     # unknown: garbage + null, all unsupported
     assert rows[("unknown", "unsupported")].n_items == 2
     assert rows[("unknown", "unsupported")].frac_items == pytest.approx(1.0)
