@@ -3716,7 +3716,11 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     features are row-ORDER sensitive — a
     real bottom-up 24-bit BMP (row padding + the format's BGR byte
     order, constant per-channel values derived from doc_id — DISTINCT
-    per channel so a BGR/RGB swap in the decoder cannot cancel out),
+    per channel so a BGR/RGB swap in the decoder cannot cancel out) —
+    of which half (doc_id // 3 odd, round 9) are instead baseline
+    TIFFs with the SAME constant colors (IFD walk + strip assembly
+    under the identical oracle algebra; TIFF rasters are RGB-ordered
+    where BMP is BGR, so each half pins its decoder's channel order) —
     and a NULL payload. Dims vary per row (w = 1 + id % 31,
     h = 1 + id % 17; the JLS ramps use 1 + id % 13 × 1 + id % 9 so the
     ramp peak stays under 256), so stride and padding bugs surface."""
@@ -3799,6 +3803,40 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             sos = seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0]))
             return b"\xff\xd8" + dht + sof + sos + bytes(data) + b"\xff\xd9"
 
+        def tiff_rgb(w2, h2, r, g, b):
+            # round 9: minimal baseline TIFF (little-endian, one strip,
+            # constant RGB) — the container twin of bmp24: SAME oracle
+            # algebra (dims + per-channel means), different byte layout,
+            # so the driver hash check exercises the TIFF IFD walk and
+            # strip assembly for free. TIFF rasters are RGB-ordered
+            # where BMP is BGR — a channel-order bug in either decoder
+            # breaks its half of the class.
+            px = bytes([r, g, b]) * (w2 * h2)
+            tags = [
+                (256, 4, w2), (257, 4, h2), (259, 3, 1), (262, 3, 2),
+                (273, 4, 0), (277, 3, 3), (278, 4, h2), (279, 4, len(px)),
+            ]
+            # 258 (BitsPerSample) needs 3 SHORTs -> value area
+            n = len(tags) + 1
+            ifd_off, hdr = 8, b"II*\x00" + struct.pack("<I", 8)
+            va_off = ifd_off + 2 + 12 * n + 4
+            strips_off = va_off + 6
+            out = bytearray(hdr) + struct.pack("<H", n)
+            entries = sorted(tags + [(258, 3, None)])
+            for tag, typ, val in entries:
+                if tag == 258:
+                    out += struct.pack("<HHII", 258, 3, 3, va_off)
+                elif tag == 273:
+                    out += struct.pack("<HHII", 273, 4, 1, strips_off)
+                elif typ == 3:
+                    out += struct.pack("<HHIHH", tag, 3, 1, val, 0)
+                else:
+                    out += struct.pack("<HHII", tag, 4, 1, val)
+            out += struct.pack("<I", 0)          # next-IFD pointer
+            out += struct.pack("<HHH", 8, 8, 8)  # BitsPerSample values
+            out += px
+            return bytes(out)
+
         def degenerate(did):
             # hostile-media lattice for the adversarial id range:
             # truncated IDAT (valid chunk CRCs, deflate stream cut),
@@ -3845,7 +3883,8 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else:
                         payload = png_gray(w, h, did % 256)
                 elif kind == 1:
-                    payload = bmp24(
+                    maker = tiff_rgb if (did // 3) % 2 == 1 else bmp24
+                    payload = maker(
                         w, h, did % 256, (did // 3) % 256, (did // 7) % 256
                     )
                 else:
