@@ -1567,8 +1567,11 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             maxval = _pnm_header(b)[2]
         except NotImplementedError:
             maxval = 0
-        # 8-bit binary P5/P6 decodes; 16-bit (maxval 65535) stays header
-        return ("image", "pnm", "full" if maxval == 255 else "header_only")
+        # binary P5/P6 decode at 8- and 16-bit; odd maxvals stay header
+        return (
+            "image", "pnm",
+            "full" if maxval in (255, 65535) else "header_only",
+        )
     return ("image", fmt, "full")  # png, gif
 
 
@@ -2019,17 +2022,23 @@ def _pnm_header(b: bytes) -> tuple[int, int, int, int, int]:
 
 
 def _netpbm_pixels(b: bytes) -> np.ndarray:
-    """Decode binary Netpbm: P5 (8-bit PGM grayscale) and P6 (8-bit PPM
-    RGB) — the scientific/medical interchange rasters. ASCII variants
-    (P2/P3), 16-bit maxval, and PBM bitmaps raise."""
+    """Decode binary Netpbm: P5 (PGM grayscale) and P6 (PPM RGB) at
+    8-bit (maxval 255) or 16-bit (maxval 65535, big-endian per the
+    spec, scaled >>8 into the uint8 contract) — the scientific/medical
+    interchange rasters. ASCII variants (P2/P3), odd maxvals, and PBM
+    bitmaps raise."""
     w, h, maxval, spp, i = _pnm_header(b)
-    if maxval != 255:
-        raise NotImplementedError("only 8-bit (maxval 255) PGM/PPM decodes")
-    need = w * h * spp
+    if maxval not in (255, 65535):
+        raise NotImplementedError("only maxval 255/65535 PGM/PPM decodes")
+    bpsamp = 1 if maxval == 255 else 2
+    need = w * h * spp * bpsamp
     raster = b[i : i + need]
     if len(raster) < need:
         raise NotImplementedError("PGM/PPM raster shorter than dimensions")
-    px = np.frombuffer(raster, np.uint8).reshape(h, w, spp)
+    if bpsamp == 1:
+        px = np.frombuffer(raster, np.uint8).reshape(h, w, spp)
+    else:
+        px = (np.frombuffer(raster, ">u2").reshape(h, w, spp) >> 8).astype(np.uint8)
     return np.repeat(px, 3, axis=2) if spp == 1 else px.copy()
 
 

@@ -2804,14 +2804,15 @@ def test_tiff_rejections_and_classify():
 def _pnm_bytes(px, magic=None, maxval=255, comment=False):
     import numpy as np
 
-    px = np.asarray(px, np.uint8)
+    px = np.asarray(px, np.uint16 if maxval > 255 else np.uint8)
     h, w = px.shape[:2]
     magic = magic or (b"P5" if px.ndim == 2 else b"P6")
     hdr = magic + b"\n"
     if comment:
         hdr += b"# synthetic fixture\n"
     hdr += f"{w} {h}\n{maxval}\n".encode()
-    return hdr + px.tobytes()
+    body = px.astype(">u2").tobytes() if maxval > 255 else px.tobytes()
+    return hdr + body
 
 
 def test_pnm_decode_exact_and_classify():
@@ -2833,11 +2834,18 @@ def test_pnm_decode_exact_and_classify():
     assert np.array_equal(got, rgb)
     assert _image_dims(_pnm_bytes(gray)) == ("pnm", 8, 6)
     assert media_decode_status(_pnm_bytes(rgb)) == ("image", "pnm", "full")
-    # 16-bit maxval: dims parse, decode honestly refuses
-    deep = _pnm_bytes(gray, maxval=65535)
-    assert media_decode_status(deep) == ("image", "pnm", "header_only")
+    # 16-bit maxval: big-endian samples scale >>8 into the contract
+    deep16 = (gray.astype(np.uint16) << 8) | 0x7F
+    got16 = _netpbm_pixels(_pnm_bytes(deep16, maxval=65535))
+    assert np.array_equal(got16[:, :, 0], gray)
+    assert media_decode_status(_pnm_bytes(deep16, maxval=65535)) == (
+        "image", "pnm", "full",
+    )
+    # odd maxval: dims parse, decode honestly refuses
+    odd = _pnm_bytes(gray, maxval=100)
+    assert media_decode_status(odd) == ("image", "pnm", "header_only")
     with _pytest.raises(NotImplementedError, match="maxval"):
-        _netpbm_pixels(deep)
+        _netpbm_pixels(odd)
     with _pytest.raises(NotImplementedError, match="shorter"):
         _netpbm_pixels(_pnm_bytes(gray)[:-3])
 
