@@ -1549,11 +1549,12 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
         try:
             _e, t = _tiff_ifd(b)
             spp = t.get(277, [1])[0]
+            bps = t.get(258, [1] * spp)
             ok = (
                 322 not in t and 323 not in t
                 and t.get(284, [1])[0] == 1
                 and spp in (1, 3)
-                and all(v == 8 for v in t.get(258, [1] * spp))
+                and (all(v == 8 for v in bps) or (spp == 1 and bps == [16]))
                 and t.get(259, [1])[0] in (1, 32773)
                 and t.get(262, [1])[0] in (0, 1, 2)
                 and (t.get(262, [1])[0] == 2) == (spp == 3)
@@ -1941,12 +1942,14 @@ def _packbits(data: bytes, expect: int) -> bytes:
 
 def _tiff_pixels(b: bytes) -> np.ndarray:
     """Decode a baseline TIFF to (h, w, 3) uint8 RGB: 8-bit grayscale
-    (photometric 0/1) or RGB (photometric 2), strip-organized, chunky
-    planar config, compression none (1) or PackBits (32773) — the
-    scanned-document / fax-archive shapes decodable from the TIFF 6.0
-    spec with struct alone. Tiled, paletted, LZW/CCITT/JPEG-compressed,
-    or deep-sample TIFFs raise ``NotImplementedError``."""
-    _e, t = _tiff_ifd(b)
+    (photometric 0/1), 16-bit grayscale (endian-honoring, scaled >>8 —
+    the medical/scientific deep-sample shape), or 8-bit RGB
+    (photometric 2), strip-organized, chunky planar config, compression
+    none (1) or PackBits (32773) — the scanned-document / fax-archive
+    shapes decodable from the TIFF 6.0 spec with struct alone. Tiled,
+    paletted, LZW/CCITT/JPEG-compressed, or 16-bit-RGB TIFFs raise
+    ``NotImplementedError``."""
+    e, t = _tiff_ifd(b)
     w = t.get(256, [0])[0]
     h = t.get(257, [0])[0]
     if w <= 0 or h <= 0:
@@ -1958,8 +1961,11 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
     planar = t.get(284, [1])[0]
     if 322 in t or 323 in t:
         raise NotImplementedError("tiled TIFF not supported")
-    if planar != 1 or spp not in (1, 3) or any(v != 8 for v in bps):
-        raise NotImplementedError("only 8-bit chunky gray/RGB TIFF decodes")
+    deep = spp == 1 and bps == [16]  # 16-bit gray: the medical shape
+    if planar != 1 or spp not in (1, 3) or not (
+        deep or all(v == 8 for v in bps)
+    ):
+        raise NotImplementedError("only 8/16-bit chunky gray/RGB TIFF decodes")
     if comp not in (1, 32773):
         raise NotImplementedError(f"TIFF compression {comp} needs a codec lib")
     if photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
@@ -1969,7 +1975,7 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
     if not offsets or not counts or len(offsets) != len(counts):
         raise NotImplementedError("TIFF missing strip offsets/counts")
     rps = t.get(278, [h])[0] or h
-    row_bytes = w * spp
+    row_bytes = w * spp * (2 if deep else 1)
     raw = bytearray()
     rows_left = h
     for so, sc in zip(offsets, counts):
@@ -1984,7 +1990,12 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
         rows_left -= nrows
     if len(raw) < h * row_bytes:
         raise NotImplementedError("TIFF strips cover fewer rows than ImageLength")
-    px = np.frombuffer(bytes(raw[: h * row_bytes]), np.uint8).reshape(h, w, spp)
+    raster = bytes(raw[: h * row_bytes])
+    if deep:
+        px16 = np.frombuffer(raster, e + "u2").reshape(h, w, 1)
+        px = (px16 >> 8).astype(np.uint8)
+    else:
+        px = np.frombuffer(raster, np.uint8).reshape(h, w, spp)
     if spp == 1:
         g = px[:, :, 0]
         if photo == 0:  # WhiteIsZero: invert to the usual sense

@@ -2663,12 +2663,14 @@ def _tiff_bytes(px, photometric=None, endian="<", compression=1,
 
     import numpy as np
 
-    px = np.asarray(px, np.uint8)
+    px = np.asarray(px)
+    deep = px.dtype == np.uint16
+    px = px.astype(np.uint16 if deep else np.uint8)
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
     photometric = (2 if spp == 3 else 1) if photometric is None else photometric
     rps = rows_per_strip or h
-    row_bytes = w * spp
+    row_bytes = w * spp * (2 if deep else 1)
 
     def packbits(row_data: bytes) -> bytes:
         # literal-only encoding (runs of <=128 literal bytes) — valid
@@ -2679,14 +2681,14 @@ def _tiff_bytes(px, photometric=None, endian="<", compression=1,
             out += bytes([len(chunk) - 1]) + chunk
         return bytes(out)
 
-    raw = px.tobytes()
+    raw = px.astype(endian + "u2").tobytes() if deep else px.tobytes()
     strips = []
     for y0 in range(0, h, rps):
         chunk = raw[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
         strips.append(packbits(chunk) if compression == 32773 else chunk)
 
     tags = [
-        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [16 if deep else 8] * spp),
         (259, 3, [compression]), (262, 3, [photometric]),
         (277, 3, [spp]), (278, 4, [rps]), (284, 3, [1]),
     ] + list(extra_tags)
@@ -2769,6 +2771,28 @@ def test_tiff_strips_packbits_and_whiteiszero():
     # WhiteIsZero inverts
     got = _tiff_pixels(_tiff_bytes(gray, photometric=0))
     assert np.array_equal(got[:, :, 0], 255 - gray)
+
+
+def test_tiff_16bit_gray_both_endians():
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _tiff_pixels,
+        media_decode_status,
+    )
+
+    rng = np.random.default_rng(23)
+    g16 = rng.integers(0, 1 << 16, (5, 7), np.uint16)
+    for endian in ("<", ">"):
+        payload = _tiff_bytes(g16, endian=endian)
+        got = _tiff_pixels(payload)
+        assert np.array_equal(got[:, :, 0], (g16 >> 8).astype(np.uint8)), endian
+        assert media_decode_status(payload) == ("image", "tiff", "full")
+    # 16-bit RGB stays an honest rejection (header_only)
+    rgb16 = rng.integers(0, 1 << 16, (3, 4, 3), np.uint16)
+    assert media_decode_status(_tiff_bytes(rgb16)) == (
+        "image", "tiff", "header_only",
+    )
 
 
 def test_tiff_rejections_and_classify():
