@@ -183,9 +183,34 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _ULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
-#: WAV fmt tags the sample tier decodes: PCM, MS ADPCM, A-law/µ-law
-#: (G.711), IMA ADPCM (DVI4)
+#: WAV fmt tags the sample tier decodes: PCM, MS ADPCM, IEEE float,
+#: A-law/µ-law (G.711), IMA ADPCM (DVI4); 0xFFFE (EXTENSIBLE) resolves
+#: to one of these via its SubFormat GUID
 _WAV_PCM, _WAV_MS_ADPCM, _WAV_ALAW, _WAV_ULAW, _WAV_IMA_ADPCM = 1, 2, 6, 7, 0x11
+_WAV_FLOAT, _WAV_EXTENSIBLE = 3, 0xFFFE
+
+#: WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs are the 16-bit base tag in
+#: little-endian followed by this fixed 14-byte suffix (KSDATAFORMAT)
+_WAV_GUID_SUFFIX = bytes(
+    [0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+     0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+)
+
+
+def _wav_resolve(tag: int, extra: bytes) -> int:
+    """Resolve WAVE_FORMAT_EXTENSIBLE (0xFFFE) to its effective fmt tag
+    via the SubFormat GUID (``extra`` is the fmt body past the 16
+    standard bytes: cbSize(2) + wValidBitsPerSample(2) +
+    dwChannelMask(4) + GUID(16)); other tags pass through. Raises on a
+    short or non-KSDATAFORMAT extension."""
+    if tag != _WAV_EXTENSIBLE:
+        return tag
+    if len(extra) < 24:
+        raise NotImplementedError("EXTENSIBLE WAV missing its fmt extension")
+    guid = extra[8:24]
+    if guid[2:] != _WAV_GUID_SUFFIX:
+        raise NotImplementedError("EXTENSIBLE WAV with a non-standard SubFormat")
+    return int.from_bytes(guid[:2], "little")
 
 #: IMA/DVI ADPCM step machinery — differentially pinned against stdlib
 #: audioop's C implementation across every (state, nibble) pair in tests
@@ -457,13 +482,24 @@ def _ima_ext_wspb(extra: bytes) -> int | None:
 
 def _wav_samples(b: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, [-1, 1] float64 channel-averaged samples) of a
-    RIFF WAV payload: linear PCM at 8/16/24/32 bits, G.711 A-law/µ-law
-    via the expansion tables (1 byte per sample), or IMA / MS ADPCM
-    (fmt tags 0x11 / 0x02) via the block decoders. Raises
-    ``NotImplementedError`` for other encodings (MP3-in-WAV, ...) —
-    mirrors how unsupported image formats behave."""
+    RIFF WAV payload: linear PCM at 8/16/24/32 bits, IEEE float
+    (fmt 3, 32/64-bit, clipped to the nominal [-1, 1]), G.711
+    A-law/µ-law via the expansion tables (1 byte per sample), or
+    IMA / MS ADPCM (fmt tags 0x11 / 0x02) via the block decoders;
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its SubFormat
+    GUID first. Raises ``NotImplementedError`` for other encodings
+    (MP3-in-WAV, ...) — mirrors how unsupported image formats behave."""
     tag, ch, sr, _br, align, bits, data, extra, fact = _riff_wav_info(b)
-    if tag == _WAV_PCM:
+    tag = _wav_resolve(tag, extra)
+    if tag == _WAV_FLOAT:
+        sw = bits // 8
+        if sw not in (4, 8):
+            raise NotImplementedError(f"unsupported float sample width {sw}")
+        n = len(data) // (ch * sw)
+        raw = data[: n * ch * sw]
+        x = np.frombuffer(raw, "<f4" if sw == 4 else "<f8").astype(np.float64)
+        x = np.clip(x, -1.0, 1.0)
+    elif tag == _WAV_PCM:
         sw = bits // 8
         if sw not in (1, 2, 3, 4):
             raise NotImplementedError(f"unsupported PCM sample width {sw}")
@@ -1356,9 +1392,16 @@ def audio_metadata(media: DataFrame) -> DataFrame:
         try:
             if b[:4] == b"RIFF":
                 tag, ch, sr, br, align, bits, data, extra, fact = _riff_wav_info(b)
+                try:
+                    tag = _wav_resolve(tag, extra)
+                except NotImplementedError:
+                    tag = -1  # malformed EXTENSIBLE: fall to header tier
                 if tag == _WAV_PCM and bits in (8, 16, 24, 32):
                     n = len(data) // max(ch * (bits // 8), 1)
                     codec, status = "pcm_wav", "full"
+                elif tag == _WAV_FLOAT and bits in (32, 64):
+                    n = len(data) // max(ch * (bits // 8), 1)
+                    codec, status = "pcm_float", "full"
                 elif tag in (_WAV_ALAW, _WAV_ULAW):
                     n = len(data) // ch  # G.711 is 1 byte/sample
                     codec = "g711_alaw" if tag == _WAV_ALAW else "g711_ulaw"
@@ -1471,12 +1514,18 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             except NotImplementedError:
                 return ("video", "avi", "unsupported")
         try:
-            tag, ch, _sr, _br, align, bits, _data, _extra, _fact = _riff_wav_info(b)
+            tag, ch, _sr, _br, align, bits, _data, extra, _fact = _riff_wav_info(b)
         except NotImplementedError:
             # RIFF but neither a walkable WAVE nor an AVI
             return ("audio", "wav", "unsupported")
+        try:
+            tag = _wav_resolve(tag, extra)
+        except NotImplementedError:
+            return ("audio", f"wav_fmt_{tag}", "header_only")
         if tag == _WAV_PCM and bits in (8, 16, 24, 32):
             return ("audio", "pcm_wav", "full")
+        if tag == _WAV_FLOAT and bits in (32, 64):
+            return ("audio", "pcm_float", "full")
         if tag == _WAV_ALAW:
             return ("audio", "g711_alaw", "full")
         if tag == _WAV_ULAW:

@@ -3323,6 +3323,12 @@ def _media_fixtures():
         ("wav_24bit", _raw_wav(1, 1, 8000, 24, b"\x01\x02\x03" * 64), "audio", "full"),
         ("wav_ima", _ima_wav_fixture(), "audio", "full"),
         ("wav_ms", _ms_wav_fixture(), "audio", "full"),
+        # round 9: IEEE-float WAV + EXTENSIBLE-resolved PCM decode
+        ("wav_float", _raw_wav(3, 1, 8000, 32, b"\x00" * 64), "audio", "full"),
+        ("wav_extensible_pcm",
+         _raw_wav(0xFFFE, 1, 8000, 16, b"\x00" * 64,
+                  extension=b"\x10\x00\x04\x00\x00\x00" + _ext_guid(1)),
+         "audio", "full"),
         # block_align 1 is structurally invalid for IMA (the guard keeps
         # it header_only — metadata from byte rate, no decode claim)
         ("wav_adpcm", _raw_wav(17, 1, 8000, 4, b"\x00" * 256, byte_rate=4000),
@@ -3422,14 +3428,15 @@ def test_media_decode_rollup_fractions(spark):
     ).repartition(3)
     rows = {(r.modality, r.decode_status): r for r in curation_media_report(media).collect()}
 
-    # audio: 7 full (pcm wav + ulaw + alaw + 24-bit + ima + ms +
-    # flac-with-frames), 4 header_only (mp3 + vorbis + degenerate-align
-    # adpcm + streaminfo-only flac), 2 unsupported (ogg_unknown +
-    # riff_not_wave_not_avi)
-    assert rows[("audio", "full")].n_items == 7
+    # audio: 9 full (pcm wav + ulaw + alaw + 24-bit + ima + ms +
+    # flac-with-frames + float + extensible-pcm), 4 header_only (mp3 +
+    # vorbis + degenerate-align adpcm + streaminfo-only flac), 2
+    # unsupported (ogg_unknown + riff_not_wave_not_avi)
+    assert rows[("audio", "full")].n_items == 9
     assert rows[("audio", "header_only")].n_items == 4
     assert rows[("audio", "unsupported")].n_items == 2
-    assert rows[("audio", "header_only")].frac_items == pytest.approx(4 / 13)
+    # frac_items is 6dp-rounded engine-side: compare at that precision
+    assert rows[("audio", "header_only")].frac_items == pytest.approx(4 / 15, abs=1e-6)
     # video (round 9): DIB AVI decodes, malformed AVI classifies
     assert rows[("video", "full")].n_items == 1
     assert rows[("video", "unsupported")].n_items == 1
@@ -4148,20 +4155,85 @@ def test_semantic_dedup_kept_set_is_eps_separated(spark):
     check(rows, n_cent=1, eps=0.999)
 
 
-def _raw_wav(fmt_tag, ch, sr, bits, data, byte_rate=None):
+def _raw_wav(fmt_tag, ch, sr, bits, data, byte_rate=None, extension=None):
     """Hand-assembled RIFF/WAVE (the stdlib wave module refuses to WRITE
-    anything but PCM, so G.711/ADPCM fixtures need manual chunks)."""
+    anything but PCM, so G.711/ADPCM/float/EXTENSIBLE fixtures need
+    manual chunks). ``extension``: fmt-extension body (appended after a
+    cbSize word, the WAVE_FORMAT_EXTENSIBLE layout)."""
     import struct as _struct
 
     sw = bits // 8 or 1
     br = byte_rate if byte_rate is not None else sr * ch * sw
     fmt = _struct.pack("<HHIIHH", fmt_tag, ch, sr, br, ch * sw, bits)
+    if extension is not None:
+        fmt += _struct.pack("<H", len(extension)) + extension
     chunks = (
         b"fmt " + _struct.pack("<I", len(fmt)) + fmt
         + b"data" + _struct.pack("<I", len(data)) + data
         + (b"\x00" if len(data) & 1 else b"")
     )
     return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ext_guid(base_tag):
+    return base_tag.to_bytes(2, "little") + bytes(
+        [0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+         0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+    )
+
+
+def test_float_wav_and_extensible_resolution():
+    """IEEE-float WAV (fmt 3, 32/64-bit) decodes exactly (clipped to
+    the nominal [-1, 1]); WAVE_FORMAT_EXTENSIBLE resolves through its
+    SubFormat GUID to PCM/float; a non-standard GUID stays header
+    tier on every surface."""
+    import numpy as np
+    import struct as s
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _wav_samples,
+        media_decode_status,
+    )
+
+    vals = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -3.0])
+    f32 = _raw_wav(3, 1, 8000, 32, vals.astype("<f4").tobytes())
+    sr, x = _wav_samples(f32)
+    assert sr == 8000
+    assert np.array_equal(x, np.clip(vals.astype(np.float32), -1, 1))
+    assert media_decode_status(f32) == ("audio", "pcm_float", "full")
+
+    f64 = _raw_wav(3, 2, 16000, 64, vals[:6].astype("<f8").tobytes())
+    _sr, x = _wav_samples(f64)
+    assert np.array_equal(x, np.clip(vals[:6], -1, 1).reshape(-1, 2).mean(axis=1))
+
+    # EXTENSIBLE -> PCM 16-bit: same samples as the plain-PCM twin
+    pcm = s.pack("<4h", 0, 1000, -1000, 32767)
+    ext = s.pack("<HI", 16, 0x4) + _ext_guid(1)
+    wav_ext = _raw_wav(0xFFFE, 1, 8000, 16, pcm, extension=ext)
+    _sr, x_ext = _wav_samples(wav_ext)
+    _sr, x_pcm = _wav_samples(_raw_wav(1, 1, 8000, 16, pcm))
+    assert np.array_equal(x_ext, x_pcm)
+    assert media_decode_status(wav_ext) == ("audio", "pcm_wav", "full")
+
+    # EXTENSIBLE -> float
+    wav_extf = _raw_wav(
+        0xFFFE, 1, 8000, 32, vals.astype("<f4").tobytes(),
+        extension=s.pack("<HI", 32, 0x4) + _ext_guid(3),
+    )
+    assert media_decode_status(wav_extf) == ("audio", "pcm_float", "full")
+    _sr, x = _wav_samples(wav_extf)
+    assert np.array_equal(x, np.clip(vals.astype(np.float32), -1, 1))
+
+    # non-standard SubFormat GUID: honest header tier, decode raises
+    import pytest as _pytest
+
+    bad = _raw_wav(
+        0xFFFE, 1, 8000, 16, pcm,
+        extension=s.pack("<HI", 16, 0x4) + b"\xde\xad" * 8,
+    )
+    assert media_decode_status(bad) == ("audio", "wav_fmt_65534", "header_only")
+    with _pytest.raises(NotImplementedError, match="SubFormat"):
+        _wav_samples(bad)
 
 
 def test_g711_tables_match_audioop():
