@@ -3484,10 +3484,14 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture (`_write_jsonl_fixture`): every row's payload class and
     header fields are a pure function of its id, so a DuckDB oracle can
     replay the expected METADATA algebra without ever seeing the bytes.
-    Four classes, round-robin by doc_id % 4: a real PCM WAV (stdlib
-    `wave` writer), a real bare-FLAC STREAMINFO (bit-packed per the FLAC
+    Five classes, round-robin by doc_id % 5: a real PCM WAV (stdlib
+    `wave` writer) — of which half (doc_id // 5 odd, round 9) are
+    instead IEEE-FLOAT WAVs (fmt 3, same duration algebra, exercising
+    the float sample branch under the oracle) — a real bare-FLAC
+    STREAMINFO (bit-packed per the FLAC
     spec — 20-bit rate, 3-bit channels-1, 5-bit bps-1, 36-bit total
-    samples), a junk payload no codec tier claims, a NULL payload, and
+    samples; half carry a real RFC 9639 constant-subframe frame), a
+    junk payload no codec tier claims, a NULL payload, and
     (round 9) a real MS-ADPCM WAV (fmt 0x02, silence blocks: predictor
     0 / delta 16 / zero header samples, align 256 — the sample-count
     algebra 2 + 2*(align-7*ch)//ch per block is the decoder's own block
@@ -3548,13 +3552,31 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sr = (8000, 16000, 44100)[(did // 4) % 3]
                 ch = 1 + (did % 2)
                 if kind == 0:
-                    buf = io.BytesIO()
-                    with wave.open(buf, "wb") as w:
-                        w.setnchannels(ch)
-                        w.setsampwidth(2)
-                        w.setframerate(sr)
-                        w.writeframes(b"\x00\x00" * (n * ch))
-                    payload = buf.getvalue()
+                    if (did // 5) % 2 == 1:
+                        # round 9: IEEE-float WAV (fmt 3) — same n/sr/ch
+                        # duration algebra, different sample container,
+                        # so the float branch of _wav_samples sits under
+                        # the driver hash check (codec 'pcm_float')
+                        fmt = struct.pack(
+                            "<HHIIHH", 3, ch, sr, sr * ch * 4, ch * 4, 32
+                        )
+                        data = b"\x00" * (4 * n * ch)
+                        chunks = (
+                            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                            + b"data" + struct.pack("<I", len(data)) + data
+                        )
+                        payload = (
+                            b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                            + b"WAVE" + chunks
+                        )
+                    else:
+                        buf = io.BytesIO()
+                        with wave.open(buf, "wb") as w:
+                            w.setnchannels(ch)
+                            w.setsampwidth(2)
+                            w.setframerate(sr)
+                            w.writeframes(b"\x00\x00" * (n * ch))
+                        payload = buf.getvalue()
                 elif kind == 1:
                     packed = (sr << 44) | ((ch - 1) << 41) | (15 << 36) | n
                     body = (
@@ -3627,7 +3649,9 @@ def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id >= 9000000
                 THEN CASE doc_id % 4 WHEN 0 THEN 'wav_fmt_2'
                           WHEN 1 THEN 'pcm_wav' WHEN 2 THEN 'pcm_wav' END
-                ELSE CASE doc_id % 5 WHEN 0 THEN 'pcm_wav'
+                ELSE CASE doc_id % 5
+                          WHEN 0 THEN CASE WHEN (doc_id // 5) % 2 = 1
+                                           THEN 'pcm_float' ELSE 'pcm_wav' END
                           WHEN 1 THEN 'flac' WHEN 4 THEN 'ms_adpcm' END
            END AS codec,
            CASE WHEN doc_id >= 9000000
