@@ -1599,12 +1599,15 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             _e, t = _tiff_ifd(b)
             spp = t.get(277, [1])[0]
             bps = t.get(258, [1] * spp)
+            deep = spp == 1 and bps == [16]
             ok = (
                 322 not in t and 323 not in t
                 and t.get(284, [1])[0] == 1
                 and spp in (1, 3)
-                and (all(v == 8 for v in bps) or (spp == 1 and bps == [16]))
-                and t.get(259, [1])[0] in (1, 32773)
+                and (all(v == 8 for v in bps) or deep)
+                and t.get(259, [1])[0] in (1, 32773, 5)
+                and t.get(317, [1])[0] in (1, 2)
+                and not (t.get(317, [1])[0] == 2 and deep)
                 and t.get(262, [1])[0] in (0, 1, 2)
                 and (t.get(262, [1])[0] == 2) == (spp == 3)
                 and bool(t.get(273)) and bool(t.get(279))
@@ -1968,6 +1971,65 @@ def _tiff_ifd(b: bytes) -> tuple[str, dict[int, list[int]]]:
     return e, tags
 
 
+def _tiff_lzw(data: bytes, expect: int) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first code packing,
+    ClearCode 256 / EOI 257, 9→12-bit codes with the spec's EARLY
+    code-width change (the width grows when the NEXT code to be added
+    is 2^w − 1, one code earlier than GIF's variant). Decodes until
+    ``expect`` bytes or EOI; raises on malformed streams."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    i = 0
+    while len(out) < expect:
+        while nbits < width:
+            if i >= len(data):
+                raise NotImplementedError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[i]
+            i += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            if code > 255:
+                raise NotImplementedError("TIFF LZW first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise NotImplementedError("TIFF LZW code past table end")
+        out += entry
+        prev = entry
+        # EARLY CHANGE, decoder side: the decoder's table lags the
+        # encoder's by ONE entry (it learns each entry's first byte
+        # from the NEXT code), so it widens at 2^w - 2 where the
+        # encoder widened at 2^w - 1
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expect:
+        raise NotImplementedError("TIFF LZW stream shorter than raster")
+    return bytes(out[:expect])
+
+
 def _packbits(data: bytes, expect: int) -> bytes:
     """Apple PackBits decompression (TIFF compression 32773)."""
     out = bytearray()
@@ -1994,9 +2056,11 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
     (photometric 0/1), 16-bit grayscale (endian-honoring, scaled >>8 —
     the medical/scientific deep-sample shape), or 8-bit RGB
     (photometric 2), strip-organized, chunky planar config, compression
-    none (1) or PackBits (32773) — the scanned-document / fax-archive
-    shapes decodable from the TIFF 6.0 spec with struct alone. Tiled,
-    paletted, LZW/CCITT/JPEG-compressed, or 16-bit-RGB TIFFs raise
+    none (1), PackBits (32773), or LZW (5 — the TIFF variant: MSB-first
+    codes, early width change) with optional horizontal-differencing
+    predictor (tag 317 = 2) — the scanned-document / fax-archive shapes
+    decodable from the TIFF 6.0 spec with struct alone. Tiled,
+    paletted, CCITT/JPEG-compressed, or 16-bit-RGB TIFFs raise
     ``NotImplementedError``."""
     e, t = _tiff_ifd(b)
     w = t.get(256, [0])[0]
@@ -2015,8 +2079,11 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
         deep or all(v == 8 for v in bps)
     ):
         raise NotImplementedError("only 8/16-bit chunky gray/RGB TIFF decodes")
-    if comp not in (1, 32773):
+    if comp not in (1, 32773, 5):
         raise NotImplementedError(f"TIFF compression {comp} needs a codec lib")
+    pred = t.get(317, [1])[0]
+    if pred not in (1, 2) or (pred == 2 and deep):
+        raise NotImplementedError("unsupported TIFF predictor")
     if photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
         raise NotImplementedError("unsupported TIFF photometric interpretation")
     offsets = t.get(273)
@@ -2033,9 +2100,14 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
             raise NotImplementedError("TIFF strip past end of payload")
         nrows = min(rps, rows_left)
         want = nrows * row_bytes
-        raw += _packbits(strip, want) if comp == 32773 else strip[:want]
-        if comp == 1 and sc < want:
-            raise NotImplementedError("TIFF strip shorter than its rows")
+        if comp == 32773:
+            raw += _packbits(strip, want)
+        elif comp == 5:
+            raw += _tiff_lzw(strip, want)
+        else:
+            if sc < want:
+                raise NotImplementedError("TIFF strip shorter than its rows")
+            raw += strip[:want]
         rows_left -= nrows
     if len(raw) < h * row_bytes:
         raise NotImplementedError("TIFF strips cover fewer rows than ImageLength")
@@ -2045,6 +2117,10 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
         px = (px16 >> 8).astype(np.uint8)
     else:
         px = np.frombuffer(raster, np.uint8).reshape(h, w, spp)
+        if pred == 2:
+            # horizontal differencing: each row stores per-channel byte
+            # deltas; reconstruct by modular cumulative sum along x
+            px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
     if spp == 1:
         g = px[:, :, 0]
         if photo == 0:  # WhiteIsZero: invert to the usual sense

@@ -2655,7 +2655,8 @@ def test_bmp_paletted_roundtrip():
 
 
 def _tiff_bytes(px, photometric=None, endian="<", compression=1,
-                rows_per_strip=None, extra_tags=()):
+                rows_per_strip=None, extra_tags=(), predictor=1,
+                lzw_encode=None):
     """Independent test-side baseline-TIFF writer: 8-bit gray (2-D
     array) or RGB (3-D), strip-organized, optional PackBits, either
     byte order. Raster bytes follow the IFD; offsets are absolute."""
@@ -2685,13 +2686,17 @@ def _tiff_bytes(px, photometric=None, endian="<", compression=1,
     strips = []
     for y0 in range(0, h, rps):
         chunk = raw[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
-        strips.append(packbits(chunk) if compression == 32773 else chunk)
+        if compression == 32773:
+            chunk = packbits(chunk)
+        elif compression == 5:
+            chunk = lzw_encode(chunk)
+        strips.append(chunk)
 
     tags = [
         (256, 4, [w]), (257, 4, [h]), (258, 3, [16 if deep else 8] * spp),
         (259, 3, [compression]), (262, 3, [photometric]),
         (277, 3, [spp]), (278, 4, [rps]), (284, 3, [1]),
-    ] + list(extra_tags)
+    ] + ([(317, 3, [predictor])] if predictor != 1 else []) + list(extra_tags)
     n_strip_tags = 2  # 273 offsets + 279 counts appended below
     n = len(tags) + n_strip_tags
     ifd_off = 8
@@ -2773,6 +2778,98 @@ def test_tiff_strips_packbits_and_whiteiszero():
     assert np.array_equal(got[:, :, 0], 255 - gray)
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Independent test-side TIFF-LZW compressor: real dictionary LZW,
+    MSB-first packing, 9->12-bit codes with the spec's EARLY width
+    change, ClearCode on start and near-full tables."""
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    codes = [(9, 256)]  # leading ClearCode
+    s = b""
+    for byte in data:
+        c = bytes([byte])
+        if s + c in table:
+            s += c
+            continue
+        codes.append((width, table[s]))
+        table[s + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:
+            codes.append((width, 256))
+            table, next_code, width = fresh()
+        s = c
+    if s:
+        codes.append((width, table[s]))
+    codes.append((width, 257))  # EOI
+    out, acc, nbits = bytearray(), 0, 0
+    for wdt, code in codes:
+        acc = (acc << wdt) | code
+        nbits += wdt
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_tiff_lzw_and_predictor_exact():
+    """LZW strips (incl. width growth to 11/12 bits and a mid-stream
+    table reset) and the horizontal-differencing predictor decode
+    byte-exactly; LZW+predictor composes."""
+    import numpy as np
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _tiff_pixels,
+        media_decode_status,
+    )
+
+    rng = np.random.default_rng(24)
+    # big enough to push past 4093 table entries (the reset path)
+    gray = rng.integers(0, 256, (80, 110), np.uint8)
+    payload = _tiff_bytes(gray, compression=5, lzw_encode=_tiff_lzw_encode)
+    assert media_decode_status(payload) == ("image", "tiff", "full")
+    got = _tiff_pixels(payload)
+    assert np.array_equal(got[:, :, 0], gray)
+
+    # predictor 2 alone (uncompressed deltas), gray and RGB
+    rgb = rng.integers(0, 256, (6, 9, 3), np.uint8)
+    for img in (gray[:8, :7], rgb):
+        deltas = np.diff(
+            img.reshape(img.shape[0], img.shape[1], -1).astype(np.int16),
+            axis=1, prepend=0,
+        ).astype(np.uint8)
+        payload = _tiff_bytes(
+            deltas if img.ndim == 3 else deltas[:, :, 0],
+            predictor=2,
+            photometric=2 if img.ndim == 3 else 1,
+        )
+        got = _tiff_pixels(payload)
+        want = img if img.ndim == 3 else img
+        if img.ndim == 2:
+            assert np.array_equal(got[:, :, 0], img)
+        else:
+            assert np.array_equal(got, img)
+
+    # LZW + predictor + multi-strip composes
+    deltas = np.diff(gray.astype(np.int16), axis=1, prepend=0).astype(np.uint8)
+    payload = _tiff_bytes(
+        deltas, compression=5, predictor=2, rows_per_strip=13,
+        lzw_encode=_tiff_lzw_encode,
+    )
+    got = _tiff_pixels(payload)
+    assert np.array_equal(got[:, :, 0], gray)
+    # predictor on 16-bit gray stays an honest rejection
+    g16 = rng.integers(0, 1 << 16, (4, 4), np.uint16)
+    assert media_decode_status(_tiff_bytes(g16, predictor=2)) == (
+        "image", "tiff", "header_only",
+    )
+
+
 def test_tiff_16bit_gray_both_endians():
     import numpy as np
 
@@ -2810,10 +2907,10 @@ def test_tiff_rejections_and_classify():
     assert _image_dims(good) == ("tiff", 6, 4)
     assert media_decode_status(good) == ("image", "tiff", "full")
 
-    lzw = _tiff_bytes(gray, compression=5)
-    with _pytest.raises(NotImplementedError, match="compression 5"):
-        _tiff_pixels(lzw)
-    assert media_decode_status(lzw) == ("image", "tiff", "header_only")
+    jpg_in_tiff = _tiff_bytes(gray, compression=7)
+    with _pytest.raises(NotImplementedError, match="compression 7"):
+        _tiff_pixels(jpg_in_tiff)
+    assert media_decode_status(jpg_in_tiff) == ("image", "tiff", "header_only")
 
     tiled = _tiff_bytes(gray, extra_tags=[(322, 4, [16])])
     with _pytest.raises(NotImplementedError, match="tiled"):
@@ -3360,9 +3457,14 @@ def _media_fixtures():
         ("jpeg_lossless_gray", _lossless_jpeg_bytes_fixture(), "image", "full"),
         ("jpeg_lossless_rgb_header", _lossless_rgb_header_bytes(), "image",
          "header_only"),
-        # round 9: baseline TIFF (gray strips) decodes; LZW stays header
+        # round 9: baseline TIFF (gray strips, LZW incl.) decodes;
+        # JPEG-in-TIFF stays header
         ("tiff_gray", _tiff_bytes([[1, 2], [3, 4]]), "image", "full"),
-        ("tiff_lzw_header", _tiff_bytes([[1, 2], [3, 4]], compression=5),
+        ("tiff_lzw",
+         _tiff_bytes([[1, 2], [3, 4]], compression=5,
+                     lzw_encode=_tiff_lzw_encode),
+         "image", "full"),
+        ("tiff_jpegcomp_header", _tiff_bytes([[1, 2], [3, 4]], compression=7),
          "image", "header_only"),
         ("pnm_rgb", _pnm_bytes([[[1, 2, 3], [4, 5, 6]]]), "image", "full"),
         ("garbage", b"\x00\x01\x02\x03garbage-bytes", "unknown", "unsupported"),
@@ -3441,11 +3543,12 @@ def test_media_decode_rollup_fractions(spark):
     assert rows[("video", "full")].n_items == 1
     assert rows[("video", "unsupported")].n_items == 1
     assert rows[("video", "full")].frac_items == pytest.approx(1 / 2)
-    # image: 6 full (png + sequential-arithmetic jpeg + 12-bit huffman
-    # jpeg + gray lossless jpeg + gray tiff + rgb pnm), 3 header_only
-    # (12-bit ARITHMETIC jpeg + 3-component lossless header + LZW tiff)
-    assert rows[("image", "full")].n_items == 6
-    assert rows[("image", "header_only")].frac_items == pytest.approx(3 / 9)
+    # image: 7 full (png + sequential-arithmetic jpeg + 12-bit huffman
+    # jpeg + gray lossless jpeg + gray tiff + LZW tiff + rgb pnm), 3
+    # header_only (12-bit ARITHMETIC jpeg + 3-component lossless header
+    # + JPEG-in-TIFF)
+    assert rows[("image", "full")].n_items == 7
+    assert rows[("image", "header_only")].frac_items == pytest.approx(3 / 10)
     # unknown: garbage + null, all unsupported
     assert rows[("unknown", "unsupported")].n_items == 2
     assert rows[("unknown", "unsupported")].frac_items == pytest.approx(1.0)
