@@ -1589,7 +1589,12 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
     if fmt == "bmp":
         bpp = struct.unpack_from("<HH", b, 26)[1] if len(b) >= 34 else 0
         comp = struct.unpack_from("<I", b, 30)[0] if len(b) >= 34 else 99
-        ok = (bpp in (24, 32) and comp == 0) or (bpp in (1, 4, 8) and comp in (0, 1))
+        ok = (
+            (bpp in (24, 32) and comp == 0)
+            or (bpp in (1, 4, 8) and comp == 0)
+            or (bpp == 8 and comp == 1)   # RLE8
+            or (bpp == 4 and comp == 2)   # RLE4
+        )
         return ("image", "bmp", "full" if ok else "header_only")
     if fmt == "tiff":
         # IFD-param check only (round 9): 8-bit chunky gray/RGB strips
@@ -1725,12 +1730,54 @@ def _bmp_rle8(b: bytes, off: int, w: int, h: int) -> np.ndarray:
     return out[::-1]  # expose top-down like the uncompressed path
 
 
+def _bmp_rle4(b: bytes, off: int, w: int, h: int) -> np.ndarray:
+    """Decode a BI_RLE4 pixel stream to (h, w) palette indices — the
+    4-bit sibling of ``_bmp_rle8``: a run of n pixels ALTERNATES the
+    byte's high and low nibbles; absolute chunks pack two pixels per
+    byte (high nibble first) padded to a word boundary; the (0,0) /
+    (0,1) / (0,2) escapes are identical."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = off
+    while i + 1 < len(b):
+        n, v = b[i], b[i + 1]
+        i += 2
+        if n > 0:  # n pixels alternating v's high/low nibbles
+            if y >= h or x + n > w:
+                raise NotImplementedError("malformed RLE4 stream (run past bitmap)")
+            pair = np.array([v >> 4, v & 0xF], np.uint8)
+            out[y, x : x + n] = np.tile(pair, (n + 1) // 2)[:n]
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta (bounds-checked at the next write)
+            x += b[i]
+            y += b[i + 1]
+            i += 2
+        else:  # absolute: v pixels, two per byte, word-aligned
+            if y >= h or x + v > w:
+                raise NotImplementedError("malformed RLE4 stream (run past bitmap)")
+            nbytes = (v + 1) // 2
+            packed = np.frombuffer(b, np.uint8, nbytes, i)
+            nibs = np.empty(nbytes * 2, np.uint8)
+            nibs[0::2] = packed >> 4
+            nibs[1::2] = packed & 0xF
+            out[y, x : x + v] = nibs[:v]
+            x += v
+            i += nbytes + (nbytes & 1)
+    return out[::-1]  # expose top-down like the uncompressed path
+
+
 def _bmp_pixels(b: bytes) -> np.ndarray:
     """Decode a BMP to an (h, w, 3) RGB uint8 array — pure struct +
     numpy: uncompressed 24/32-bit, paletted 1/4/8-bit (BGRX color
-    table), and RLE8-compressed 8-bit; bottom-up and top-down row
-    orders, 4-byte row padding. 16-bit bitfield and RLE4 variants
-    raise ``NotImplementedError``."""
+    table), and RLE8/RLE4-compressed 4/8-bit; bottom-up and top-down
+    row orders, 4-byte row padding. 16-bit bitfield variants raise
+    ``NotImplementedError``."""
     if len(b) < 54 or b[:2] != b"BM":
         raise NotImplementedError("not a BMP payload")
     (data_off,) = struct.unpack_from("<I", b, 10)
@@ -1752,16 +1799,17 @@ def _bmp_pixels(b: bytes) -> np.ndarray:
         if bottom_up:
             arr = arr[::-1]
         return np.ascontiguousarray(arr[:, :, 2::-1])  # BGR(X) -> RGB
-    if bpp in (1, 4, 8) and compression in (0, 1):
+    if bpp in (1, 4, 8) and compression in (0, 1, 2):
         n_colors = clr_used or (1 << bpp)
         pal_off = 14 + hdr_size
         pal = np.frombuffer(b, np.uint8, n_colors * 4, pal_off).reshape(
             n_colors, 4
         )[:, 2::-1]  # BGRX -> RGB
-        if compression == 1:  # BI_RLE8
-            if bpp != 8:
-                raise NotImplementedError("RLE is only defined for 8-bit BMP")
-            idx = _bmp_rle8(b, data_off, w, h)
+        if compression in (1, 2):  # BI_RLE8 / BI_RLE4
+            if (compression == 1) != (bpp == 8) or (compression == 2) != (bpp == 4):
+                raise NotImplementedError("BMP RLE type must match bit depth")
+            rle = _bmp_rle8 if compression == 1 else _bmp_rle4
+            idx = rle(b, data_off, w, h)
             if not bottom_up:
                 idx = idx[::-1]
             # same out-of-range-palette policy as the uncompressed

@@ -2608,7 +2608,7 @@ def _bmp_bytes(pixels=None, indices=None, palette=None, bpp=24,
                 rows.append(
                     bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
                 )
-    if compression == 1:
+    if compression in (1, 2):
         data = rle
     else:
         order = rows if top_down else rows[::-1]
@@ -2969,6 +2969,47 @@ def test_pnm_decode_exact_and_classify():
         _netpbm_pixels(odd)
     with _pytest.raises(NotImplementedError, match="shorter"):
         _netpbm_pixels(_pnm_bytes(gray)[:-3])
+
+
+def test_bmp_rle4_runs_absolute_delta():
+    """BI_RLE4: runs alternate the byte's high/low nibbles; absolute
+    chunks pack two pixels per byte (word-aligned); the escape codes
+    match RLE8. Exact against a hand-laid stream."""
+    import numpy as np
+    import pytest as _pytest
+
+    from temporai_mivdp_spark.llmdata.multimodal import (
+        _bmp_pixels,
+        media_decode_status,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    # 3x6 image, bottom-up stream:
+    # row0(bottom): run of 5 alternating 1/2, then run 1 of 3
+    # row1: absolute 4 pixels [0,3,1,2] (2 bytes + word pad), run 2 of 0
+    # row2: delta skip (3,0) then run 3 alternating 2/1; end of bitmap
+    stream = bytes([
+        5, (1 << 4) | 2, 1, (3 << 4), 0, 0,        # runs, EOL
+        0, 4, (0 << 4) | 3, (1 << 4) | 2, 2, 0, 0, 0,  # absolute+pad, run, EOL
+        0, 2, 3, 0, 3, (2 << 4) | 1, 0, 1,         # delta, run, EOB
+    ])
+    payload = _bmp_bytes(indices=np.zeros((3, 6)), palette=pal,
+                         bpp=4, compression=2, rle=stream)
+    got = _bmp_pixels(payload)
+    expect_idx = np.array([
+        [0, 0, 0, 2, 1, 2],      # top row: delta leaves 0s, then 2/1/2
+        [0, 3, 1, 2, 0, 0],
+        [1, 2, 1, 2, 1, 3],      # bottom row
+    ])
+    assert (got == pal[expect_idx]).all()
+    assert media_decode_status(payload) == ("image", "bmp", "full")
+
+    # RLE type must match bit depth: RLE4 on an 8-bit BMP rejects
+    bad = _bmp_bytes(indices=np.zeros((3, 6)), palette=pal,
+                     bpp=8, compression=2, rle=stream)
+    with _pytest.raises(NotImplementedError, match="match its bit depth|RLE type"):
+        _bmp_pixels(bad)
+    assert media_decode_status(bad) == ("image", "bmp", "header_only")
 
 
 def test_bmp_rle8_runs_absolute_delta():
