@@ -530,10 +530,9 @@ def _decode_scan_arith(
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8)) for c in comps]
-    # extended precision: level shift at 2^(P-1), then scale the
-    # plane into the 8-bit domain _assemble_rgb works in
-    prec = frame.get("prec", 8)
-    lvl, sampscale = float(1 << (prec - 1)), float(1 << (prec - 8))
+    # the arithmetic path is 8-bit by construction (jpeg_pixels rejects
+    # 12-bit SOF9/10 before any scan), so the level shift is literal
+    lvl, sampscale = 128.0, 1.0
 
     def fresh_state():
         dc_stats = {dct: bytearray(64) for _, (dct, _) in scan_sel.items()}
@@ -807,10 +806,12 @@ def _decode_lossless(
     frames only — the DICOM/medical shape; the P-bit samples (2-16)
     scale into the uint8 RGB contract at the end. Prediction rules per
     H.2.1: start-of-scan and the sample after a restart use
-    2^(P-Pt-1); the rest of the first line uses the left neighbor; the
-    first column uses the sample above; SSSS=16 encodes a difference
-    of exactly 32768. Pinned by exact round-trip against a test-side
-    Annex-H encoder (lossless: any mismatch is a bug, no tolerance)."""
+    2^(P-Pt-1); the REST of the line a restart lands on (like the rest
+    of the scan's first line) uses the one-dimensional left-neighbor
+    predictor regardless of the selected predictor; the first column
+    uses the sample above; SSSS=16 encodes a difference of exactly
+    32768. Pinned by exact round-trip against a test-side Annex-H
+    encoder (lossless: any mismatch is a bug, no tolerance)."""
     comps = frame["comps"]
     if len(comps) != 1:
         raise NotImplementedError("multi-component lossless JPEG not supported")
@@ -826,40 +827,48 @@ def _decode_lossless(
     default = 1 << (prec - pt - 1)
     count = 0
     fresh = True  # start of scan / just past a restart marker
-    for y in range(h):
-        for x in range(w):
-            if restart_interval and count and count % restart_interval == 0:
-                reader.align_to_marker()
-                fresh = True
-            t = reader.decode_huff(table)
-            diff = 32768 if t == 16 else _extend(reader.read_bits(t), t)
-            if fresh:
-                px = default
-                fresh = False
-            elif y == 0:
-                px = int(plane[0, x - 1])
-            elif x == 0:
-                px = int(plane[y - 1, 0])
-            else:
-                a = int(plane[y, x - 1])
-                bb = int(plane[y - 1, x])
-                cc = int(plane[y - 1, x - 1])
-                if pred_sel == 1:
-                    px = a
-                elif pred_sel == 2:
-                    px = bb
-                elif pred_sel == 3:
-                    px = cc
-                elif pred_sel == 4:
-                    px = a + bb - cc
-                elif pred_sel == 5:
-                    px = a + ((bb - cc) >> 1)
-                elif pred_sel == 6:
-                    px = bb + ((a - cc) >> 1)
+    one_d_row = 0  # the line a restart lands on uses the 1-D predictor
+    try:
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader.align_to_marker()
+                    fresh = True
+                t = reader.decode_huff(table)
+                diff = 32768 if t == 16 else _extend(reader.read_bits(t), t)
+                if fresh:
+                    px = default
+                    fresh = False
+                    one_d_row = y
+                elif y == one_d_row:
+                    px = int(plane[y, x - 1])
+                elif x == 0:
+                    px = int(plane[y - 1, 0])
                 else:
-                    px = (a + bb) >> 1
-            plane[y, x] = (px + diff) & 0xFFFF
-            count += 1
+                    a = int(plane[y, x - 1])
+                    bb = int(plane[y - 1, x])
+                    cc = int(plane[y - 1, x - 1])
+                    if pred_sel == 1:
+                        px = a
+                    elif pred_sel == 2:
+                        px = bb
+                    elif pred_sel == 3:
+                        px = cc
+                    elif pred_sel == 4:
+                        px = a + bb - cc
+                    elif pred_sel == 5:
+                        px = a + ((bb - cc) >> 1)
+                    elif pred_sel == 6:
+                        px = bb + ((a - cc) >> 1)
+                    else:
+                        px = (a + bb) >> 1
+                plane[y, x] = (px + diff) & 0xFFFF
+                count += 1
+    except _RestartMarker:
+        # a stray RSTn mid-sample must degrade like every other
+        # malformed-payload class (crawl mode nulls the row), not
+        # escape as an internal exception and kill the Arrow batch
+        raise NotImplementedError("restart marker landed mid-sample") from None
     out = plane << pt
     out = out >> (prec - 8) if prec >= 8 else out << (8 - prec)
     return _assemble_rgb([out.astype(np.float64)], comps, h, w, 1, 1)

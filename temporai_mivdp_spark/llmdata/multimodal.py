@@ -210,7 +210,15 @@ def _wav_resolve(tag: int, extra: bytes) -> int:
     guid = extra[8:24]
     if guid[2:] != _WAV_GUID_SUFFIX:
         raise NotImplementedError("EXTENSIBLE WAV with a non-standard SubFormat")
-    return int.from_bytes(guid[:2], "little")
+    sub = int.from_bytes(guid[:2], "little")
+    if sub in (_WAV_MS_ADPCM, _WAV_IMA_ADPCM):
+        # the ADPCM decoders read coefficient tables / wSamplesPerBlock
+        # from the fmt extension, which in an EXTENSIBLE container holds
+        # the wValidBits/channel-mask/GUID block instead — resolving
+        # would silently misparse GUID bytes as predictor coefficients,
+        # so this nonstandard wrapping is an honest rejection
+        raise NotImplementedError("EXTENSIBLE-wrapped ADPCM not supported")
+    return sub
 
 #: IMA/DVI ADPCM step machinery — differentially pinned against stdlib
 #: audioop's C implementation across every (state, nibble) pair in tests
@@ -1395,7 +1403,10 @@ def audio_metadata(media: DataFrame) -> DataFrame:
                 try:
                     tag = _wav_resolve(tag, extra)
                 except NotImplementedError:
-                    tag = -1  # malformed EXTENSIBLE: fall to header tier
+                    # unresolvable EXTENSIBLE: header tier, labeled by
+                    # the CONTAINER tag (wav_fmt_65534) so this surface
+                    # agrees with media_decode_status on the same bytes
+                    tag = _WAV_EXTENSIBLE
                 if tag == _WAV_PCM and bits in (8, 16, 24, 32):
                     n = len(data) // max(ch * (bits // 8), 1)
                     codec, status = "pcm_wav", "full"
@@ -1558,6 +1569,44 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             return ("audio", "flac", "full" if full else "header_only")
         except NotImplementedError:
             return ("audio", "flac", "unsupported")
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        # single IFD walk decides dims validity AND decodability (the
+        # generic _image_dims route would parse the same tags twice)
+        try:
+            _e, t = _tiff_ifd(b)
+        except NotImplementedError:
+            return ("unknown", None, "unsupported")
+        if not (t.get(256, [0])[0] and t.get(257, [0])[0]):
+            return ("unknown", None, "unsupported")
+        # 8-bit chunky gray/RGB strips (compression none/PackBits/LZW,
+        # predictor none/horizontal) and 16-bit gray decode;
+        # CCITT/JPEG-compressed/tiled variants stay header_only
+        spp = t.get(277, [1])[0]
+        bps = t.get(258, [1] * spp)
+        deep = spp == 1 and bps == [16]
+        ok = (
+            322 not in t and 323 not in t
+            and t.get(284, [1])[0] == 1
+            and spp in (1, 3)
+            and (all(v == 8 for v in bps) or deep)
+            and t.get(259, [1])[0] in (1, 32773, 5)
+            and t.get(317, [1])[0] in (1, 2)
+            and not (t.get(317, [1])[0] == 2 and deep)
+            and t.get(262, [1])[0] in (0, 1, 2)
+            and (t.get(262, [1])[0] == 2) == (spp == 3)
+            and bool(t.get(273)) and bool(t.get(279))
+        )
+        return ("image", "tiff", "full" if ok else "header_only")
+    if b[:2] in (b"P5", b"P6"):
+        try:
+            maxval = _pnm_header(b)[2]
+        except (NotImplementedError, ValueError):
+            return ("unknown", None, "unsupported")
+        # binary P5/P6 decode at 8- and 16-bit; odd maxvals stay header
+        return (
+            "image", "pnm",
+            "full" if maxval in (255, 65535) else "header_only",
+        )
     dims = _image_dims(b)
     if dims is None:
         return ("unknown", None, "unsupported")
@@ -1596,41 +1645,7 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             or (bpp == 4 and comp == 2)   # RLE4
         )
         return ("image", "bmp", "full" if ok else "header_only")
-    if fmt == "tiff":
-        # IFD-param check only (round 9): 8-bit chunky gray/RGB strips
-        # with compression none/PackBits decode; LZW/CCITT/tiled/deep
-        # variants stay header_only — the jpeg-branch discipline
-        try:
-            _e, t = _tiff_ifd(b)
-            spp = t.get(277, [1])[0]
-            bps = t.get(258, [1] * spp)
-            deep = spp == 1 and bps == [16]
-            ok = (
-                322 not in t and 323 not in t
-                and t.get(284, [1])[0] == 1
-                and spp in (1, 3)
-                and (all(v == 8 for v in bps) or deep)
-                and t.get(259, [1])[0] in (1, 32773, 5)
-                and t.get(317, [1])[0] in (1, 2)
-                and not (t.get(317, [1])[0] == 2 and deep)
-                and t.get(262, [1])[0] in (0, 1, 2)
-                and (t.get(262, [1])[0] == 2) == (spp == 3)
-                and bool(t.get(273)) and bool(t.get(279))
-            )
-        except NotImplementedError:
-            ok = False
-        return ("image", "tiff", "full" if ok else "header_only")
-    if fmt == "pnm":
-        try:
-            maxval = _pnm_header(b)[2]
-        except NotImplementedError:
-            maxval = 0
-        # binary P5/P6 decode at 8- and 16-bit; odd maxvals stay header
-        return (
-            "image", "pnm",
-            "full" if maxval in (255, 65535) else "header_only",
-        )
-    return ("image", fmt, "full")  # png, gif
+    return ("image", fmt, "full")  # png, gif (tiff/pnm handled above)
 
 
 DECODE_ROLLUP_SCHEMA = StructType(

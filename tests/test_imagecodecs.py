@@ -726,11 +726,11 @@ def test_jpeg_12bit_constant_tiles_decode_exactly():
 # EXACT — no tolerance anywhere.
 
 
-def _lossless_predict(gray, y, x, pred_sel, default, fresh):
+def _lossless_predict(gray, y, x, pred_sel, default, fresh, one_d_row):
     if fresh:
         return default
-    if y == 0:
-        return int(gray[0, x - 1])
+    if y == one_d_row:  # rest of a scan-start/restart line: 1-D (Ra)
+        return int(gray[y, x - 1])
     if x == 0:
         return int(gray[y - 1, 0])
     a, b, c = int(gray[y, x - 1]), int(gray[y - 1, x]), int(gray[y - 1, x - 1])
@@ -754,14 +754,18 @@ def jpeg_lossless_bytes(gray: np.ndarray, precision: int, predictor: int = 1,
     restart_interval = restart_rows * w if restart_rows else 0
 
     segments: list[list[tuple[int, int, int]]] = [[]]  # (cat, nbits, bits)
-    fresh, count = True, 0
+    fresh, count, one_d_row = True, 0, 0
     for y in range(h):
         for x in range(w):
             if restart_interval and count and count % restart_interval == 0:
                 segments.append([])
                 fresh = True
             v = int(gray[y, x])
-            px = _lossless_predict(gray, y, x, predictor, default, fresh)
+            px = _lossless_predict(
+                gray, y, x, predictor, default, fresh, one_d_row
+            )
+            if fresh:
+                one_d_row = y
             fresh = False
             d = (v - px) & 0xFFFF
             s = d - 65536 if d >= 32768 else d
@@ -830,6 +834,18 @@ def test_jpeg_lossless_precisions_point_transform_and_restarts():
     gray = rng.integers(0, 1 << 12, size=(8, 9), dtype=np.int64)
     got = jpeg_pixels(jpeg_lossless_bytes(gray, 12, 7, restart_rows=2))
     assert np.array_equal(got, _lossless_expected(gray, 12, 0))
+
+
+def test_jpeg_lossless_stray_restart_degrades_not_crashes():
+    """A stray RSTn byte pair inside a lossless scan must surface as
+    NotImplementedError (the malformed-payload class decode_image's
+    crawl mode catches), never escape as an internal exception."""
+    gray = np.arange(35, dtype=np.int64).reshape(5, 7) * 100
+    payload = bytearray(jpeg_lossless_bytes(gray, 12, 4))
+    sos = payload.find(b"\xff\xda")
+    payload[sos + 10 : sos + 10] = b"\xff\xd3"  # inject RST3 mid-scan
+    with pytest.raises(NotImplementedError):
+        jpeg_pixels(bytes(payload))
 
 
 def test_jpeg_lossless_category16_and_rejections():

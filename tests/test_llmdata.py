@@ -4326,7 +4326,7 @@ def _ext_guid(base_tag):
     )
 
 
-def test_float_wav_and_extensible_resolution():
+def test_float_wav_and_extensible_resolution(spark):
     """IEEE-float WAV (fmt 3, 32/64-bit) decodes exactly (clipped to
     the nominal [-1, 1]); WAVE_FORMAT_EXTENSIBLE resolves through its
     SubFormat GUID to PCM/float; a non-standard GUID stays header
@@ -4378,6 +4378,32 @@ def test_float_wav_and_extensible_resolution():
     assert media_decode_status(bad) == ("audio", "wav_fmt_65534", "header_only")
     with _pytest.raises(NotImplementedError, match="SubFormat"):
         _wav_samples(bad)
+
+    # EXTENSIBLE-wrapped ADPCM: the fmt extension holds the GUID block,
+    # not the coefficient tables the ADPCM decoders read — honest
+    # rejection on every surface, never a silent misparse
+    ext_adpcm = _raw_wav(
+        0xFFFE, 1, 8000, 4, b"\x00" * 256,
+        extension=s.pack("<HI", 256, 0x4) + _ext_guid(2),
+    )
+    assert media_decode_status(ext_adpcm) == (
+        "audio", "wav_fmt_65534", "header_only",
+    )
+    with _pytest.raises(NotImplementedError, match="ADPCM"):
+        _wav_samples(ext_adpcm)
+
+    # both accounting surfaces label unresolvable EXTENSIBLE payloads
+    # by the CONTAINER tag (the r9 review caught a 'wav_fmt_-1' leak)
+    from temporai_mivdp_spark.llmdata import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, bad), (2, ext_adpcm)], "media_id: long, payload: binary"
+    )
+    rows = {r.media_id: r for r in mm.audio_metadata(media).collect()}
+    assert rows[1].codec == "wav_fmt_65534"
+    assert rows[1].decode_status == "header_only"
+    assert rows[2].codec == "wav_fmt_65534"
+    assert rows[2].decode_status == "header_only"
 
 
 def test_g711_tables_match_audioop():
