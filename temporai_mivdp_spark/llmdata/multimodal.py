@@ -8,9 +8,11 @@ split by what the stdlib can genuinely do:
 * REAL (no external libs): WAV/PCM audio (RIFF parse via ``wave`` +
   numpy for duration/RMS/zero-crossings, plus the ``audio_spectral``
   DSP tier: rFFT centroid/rolloff/dominant-frequency/band energies,
-  tested against synthesized sine ground truth), BMP decode
-  (24/32-bit truecolor, paletted 1/4/8-bit, RLE8, bottom-up and
-  top-down) including nearest-neighbor resize, FULL PNG decode (chunk walk + stdlib ``zlib``
+  tested against synthesized sine ground truth; IEEE-float WAVs and
+  EXTENSIBLE-wrapped PCM/float/G.711 resolve via the SubFormat GUID),
+  BMP decode
+  (24/32-bit truecolor, paletted 1/4/8-bit, RLE8 AND RLE4, bottom-up
+  and top-down) including nearest-neighbor resize, FULL PNG decode (chunk walk + stdlib ``zlib``
   inflate + all five scanline unfilters; every legal IHDR combination —
   gray/RGB/palette/gray-alpha/RGBA at depths 1/2/4/8/16, Adam7
   interlace), BASELINE and
