@@ -133,6 +133,9 @@ PINNED_EXTRAS = [
     "multimodal_audio_roundtrip",  # round-8 addition
     "multimodal_image_roundtrip",  # round-8 addition (same shuffle-free shape)
     "multimodal_video_roundtrip",  # round-9 addition (same shuffle-free shape)
+    # frame sampling: full GIF/AVI frame decode + tick explode, still
+    # one row-local mapInPandas chain — pinned for the same reason
+    "multimodal_frame_sampling",  # round-9 addition
     # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
     # deliberately NOT fingerprinted here: building their DataFrames
     # EXECUTES the streaming query (memory sink), and the returned

@@ -361,6 +361,14 @@ WINDOW_TAIL: tuple[str, ...] = (
     # accounting); keeps its oracle here and the file-count math pin in
     # tests/test_sources_and_differential.py
     "layout_compaction",
+    # round 9 (late): displaced for multimodal_frame_sampling (the
+    # frame-DECODE tier above the video header walk) — two rounds of
+    # driver-green exposure (r7, r8); the sliding-window aggregation
+    # shape stays window-exercised by stream_tumbling_bucket (same
+    # window()+watermark machinery, tumbling degenerate case) and
+    # stream_session_agg (session windows); keeps its oracle here and
+    # its streaming tests in tests/test_streaming.py
+    "stream_sliding_bucket",
     # round 9 (late): multimodal_image_roundtrip was promoted out here
     # after its r8 green row, but its lattice then gained the
     # lossless-JPEG ramp class (the first row-ORDER-sensitive

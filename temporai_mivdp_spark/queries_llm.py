@@ -4188,8 +4188,12 @@ def _video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 kind = did % 5
                 if kind == 0:
+                    # n_frames keys off did // 5 (did % 5 is 0 on this
+                    # class, so a %5 modulus would pin n_frames to 1 and
+                    # never exercise the multi-frame animation walk)
                     payload = gif_anim(
-                        2 + did % 9, 1 + did % 7, 1 + did % 5, 3 + did % 11
+                        2 + did % 9, 1 + did % 7,
+                        1 + (did // 5) % 5, 3 + did % 11,
                     )
                 elif kind == 1:
                     frn, frd = ((24000, 1001), (25000, 1000), (30000, 1001))[
@@ -4239,14 +4243,15 @@ def _video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN doc_id % 5 = 4 THEN CAST(1 + doc_id % 5 AS INTEGER)
            END AS height,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN doc_id % 5 = 0 THEN CAST(1 + doc_id % 5 AS BIGINT)
+                WHEN doc_id % 5 = 0
+                THEN CAST(1 + (doc_id // 5) % 5 AS BIGINT)
                 WHEN doc_id % 5 = 1 THEN CAST(2 + doc_id % 49 AS BIGINT)
                 WHEN doc_id % 5 = 4 THEN CAST(1 + doc_id % 6 AS BIGINT)
            END AS n_frames,
            CASE WHEN doc_id >= 9000000 THEN NULL
                 WHEN doc_id % 5 = 0
-                THEN CAST(((1 + doc_id % 5) * 1000000)
-                          // ((1 + doc_id % 5) * (3 + doc_id % 11) * 10)
+                THEN CAST(((1 + (doc_id // 5) % 5) * 1000000)
+                          // ((1 + (doc_id // 5) % 5) * (3 + doc_id % 11) * 10)
                      AS BIGINT)
                 WHEN doc_id % 5 = 1
                 THEN CAST(([24000, 25000, 30000][doc_id % 3 + 1] * 1000)
@@ -4257,7 +4262,7 @@ def _video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS fps_milli,
            CASE WHEN doc_id >= 9000000 THEN NULL
                 WHEN doc_id % 5 = 0
-                THEN CAST((1 + doc_id % 5) * (3 + doc_id % 11) * 10
+                THEN CAST((1 + (doc_id // 5) % 5) * (3 + doc_id % 11) * 10
                      AS BIGINT)
                 WHEN doc_id % 5 = 1
                 THEN CAST(((2 + doc_id % 49) * 1000
@@ -4295,3 +4300,85 @@ def multimodal_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _video_fixture(spark, sf_dir)
     return multimodal.video_metadata(media)
+
+
+@_register(
+    "multimodal_frame_sampling",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 5 AS kind,
+             2 + doc_id % 9 AS gw, 1 + doc_id % 7 AS gh,
+             1 + (doc_id // 5) % 5 AS gn, (3 + doc_id % 11) * 10 AS gd,
+             2 + doc_id % 7 AS aw, 1 + doc_id % 5 AS ah,
+             1 + doc_id % 6 AS an,
+             [30000, 25, 30][doc_id % 3 + 1] AS arate,
+             [1001, 1, 1][doc_id % 3 + 1] AS ascale
+      FROM documents
+      WHERE doc_id < 9000000 AND doc_id % 5 IN (0, 4)
+    ),
+    ticks AS (
+      SELECT *,
+             unnest(generate_series(0,
+                CAST(CASE WHEN kind = 0 THEN gn * gd
+                     ELSE an * 1000 * ascale // arate END AS BIGINT) - 1,
+                100)) AS t
+      FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST(t AS BIGINT) AS frame_ms,
+           CAST(CASE WHEN kind = 0 THEN gw ELSE aw END AS DOUBLE) AS width,
+           CAST(CASE WHEN kind = 0 THEN gh ELSE ah END AS DOUBLE) AS height,
+           CAST(CASE WHEN kind = 0
+                     THEN CASE WHEN (t // gd) % 4 = 1 THEN 255 ELSE 0 END
+                     ELSE (doc_id // 7) % 256 END AS DOUBLE) AS mean_r,
+           CAST(CASE WHEN kind = 0
+                     THEN CASE WHEN (t // gd) % 4 = 2 THEN 255 ELSE 0 END
+                     ELSE (doc_id // 3) % 256 END AS DOUBLE) AS mean_g,
+           CAST(CASE WHEN kind = 0
+                     THEN CASE WHEN (t // gd) % 4 = 3 THEN 255 ELSE 0 END
+                     ELSE doc_id % 256 END AS DOUBLE) AS mean_b
+    FROM ticks
+    """,
+)
+def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame DECODE + timed sampling under the hash check — the
+    tier above `multimodal_video_roundtrip`'s header walk: the same
+    synthesized corpus flows through `multimodal.sample_frames`, which
+    fully decodes each animated GIF (LZW + compositing) and DIB AVI
+    (bottom-up BGR frames), builds the cumulative-delay timeline, and
+    emits one row per 100 ms tick with the decode_image feature vector
+    of the frame showing at that tick. The oracle replays the
+    generator's algebra end to end: tick COUNT pins the total duration
+    (GIF: n*delay; AVI: the granule-exact n*1000*scale//rate), the GIF
+    rows' per-tick palette cycling (frame k = t // delay, color =
+    palette[k % 4]) pins frame SELECTION, LZW decode, and compositing —
+    a mis-timed timeline, an off-by-one frame pick, a broken palette
+    or row order all hash-mismatch — and the AVI rows pin the BGR→RGB
+    channel order through distinct per-channel constants. Theora /
+    junk / NULL / degenerate payloads must contribute ZERO rows
+    (crawl-mode skip), so an unsupported format leaking rows fails the
+    row-count gate. Luminance columns are deliberately excluded: the
+    means/dims are integers as doubles — no float-tie hazard. Scale
+    shape: one row-local mapInPandas generation + one row-local
+    decode-and-explode pass, zero shuffles."""
+    from pyspark.sql.types import DoubleType
+
+    from temporai_mivdp_spark.llmdata import multimodal
+
+    media = _video_fixture(spark, sf_dir)
+    feats = multimodal.sample_frames(media, every_ms=100, strict=False)
+    f = F.split(F.col("features"), ",")
+
+    def fld(i: int):
+        return F.element_at(f, i).cast(DoubleType())
+
+    return feats.select(
+        "media_id",
+        "frame_ms",
+        fld(1).alias("width"),
+        fld(2).alias("height"),
+        fld(3).alias("mean_r"),
+        fld(4).alias("mean_g"),
+        fld(5).alias("mean_b"),
+    )

@@ -295,10 +295,14 @@ def test_media_roundtrip_fixtures_invariant(spark):
             ).drop("bitrate_kbps")
             image = multimodal.decode_image(_image_fixture(spark, d))
             video = multimodal.video_metadata(_video_fixture(spark, d))
+            frames = multimodal.sample_frames(
+                _video_fixture(spark, d), every_ms=100, strict=False
+            )
             got = (
                 sorted(tuple(r) for r in audio.collect()),
                 sorted(tuple(r) for r in image.collect()),
                 sorted(tuple(r) for r in video.collect()),
+                sorted(tuple(r) for r in frames.collect()),
             )
             if want is None:
                 want = got
