@@ -4684,7 +4684,9 @@ def test_video_fixture_gif_frames_decode_exactly(spark):
     pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
     for r in fixture.filter("media_id % 5 = 0 AND media_id < 9000000").limit(8).collect():
         did = r.media_id
-        w, h, n, d = 2 + did % 9, 1 + did % 7, 1 + did % 5, 3 + did % 11
+        # n keys off did // 5 since the frame-sampling entry landed
+        # (did % 5 is 0 on this class, which would pin n to 1)
+        w, h, n, d = 2 + did % 9, 1 + did % 7, 1 + (did // 5) % 5, 3 + did % 11
         frames = gif_frames(bytes(r.payload))
         assert len(frames) == n
         for f, (delay, px) in enumerate(frames):
