@@ -80,7 +80,12 @@ def quality_feature_vector(
     # degenerate doc on the documented all-zero feature row — matching
     # the DuckDB oracle (len(NULL) IS NULL) and quality_features_py
     n_tokens = F.array_size("__toks")
-    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    # explicit boundary class, not \b — Java's \b is Unicode-aware and
+    # RE2's is ASCII; lookarounds over [a-z0-9_] agree with the DuckDB
+    # oracle's doubled-boundary form on any Unicode text (text._BOUNDARY_L)
+    stop_pat = (
+        r"(?<![a-z0-9_])(" + "|".join(STOPWORDS) + r")(?![a-z0-9_])"
+    )
     feats = {
         # when() guard: least() SKIPS nulls (returns 512 for null
         # n_tokens, both in Spark and DuckDB), which would score a null
@@ -115,22 +120,22 @@ def quality_features_py(text: str | None) -> list[float]:
     n_tokens = 1 — identical on both sides).
 
     Regex semantics mirror the ENGINE OF RECORD (Spark's Java regex),
-    whose classes are split-brained — measured, not assumed
+    measured, not assumed
     (tests/test_llmdata.py::test_quality_features_py_mirrors_spark):
     ``\\s`` is ASCII by default (NBSP is NOT whitespace → ``re.ASCII``
-    on the normalize sub), while ``\\b`` is Unicode-aware ('aé' has no
-    boundary after the 'a' → Python's DEFAULT \\b, no ASCII flag). The
-    DuckDB oracle (RE2) has ASCII \\b and no lookarounds to emulate the
-    Unicode one, so oracle parity on the stopword feature holds on the
-    ASCII domain the test corpora exercise; this mirror follows Spark,
-    not RE2, off that domain."""
+    on the normalize sub). The stopword boundary is the EXPLICIT class
+    ``(?<![a-z0-9_])..(?![a-z0-9_])`` — not ``\\b``, whose Java flavor
+    is Unicode-aware while RE2's is ASCII. The explicit class means the
+    Spark exprs, this mirror, and the DuckDB oracle (doubled-boundary
+    RE2 form, queries_llm._occ_sql) agree on ANY Unicode text; on ASCII
+    text it equals the old ``\\b`` count exactly."""
     if text is None:
         return [0.0] * len(FEATURES)
     norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
     toks = norm.split(" ")
     n_chars = len(text)
     n_tokens = len(toks)
-    stop_pat = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+    stop_pat = r"(?<![a-z0-9_])(?:" + "|".join(STOPWORDS) + r")(?![a-z0-9_])"
 
     def safe(x, d):
         return x / d if d else 0.0

@@ -55,27 +55,47 @@ def bpe_token_estimate(col: Column) -> Column:
     return F.aggregate(per_word, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+#: Explicit word-boundary class for whole-token counting. NOT ``\b``:
+#: Java's ``\b`` is Unicode-aware while DuckDB/RE2's is ASCII, so the
+#: two engines disagree wherever a counted word abuts a non-ASCII
+#: letter ('café a' vs 'a'+combining-mark). Defining the boundary as
+#: "any char outside [a-z0-9_]" — lowercase suffices because every
+#: caller scans ``normalize_text`` output — makes both engines agree
+#: on ANY Unicode text: both match the class per UTF-8 codepoint. The
+#: Spark side says it with zero-width lookarounds (Java supports them);
+#: the DuckDB oracle (RE2: no lookarounds) says the identical thing by
+#: doubling every boundary char first so adjacent matches never share
+#: one — see queries_llm._occ_sql / _PAD. On pure-ASCII text both forms
+#: equal the old ``\b`` count exactly (retired UNICODE_EXEMPT, round 10).
+_BOUNDARY_L = r"(?<![a-z0-9_])"
+_BOUNDARY_R = r"(?![a-z0-9_])"
+
+
 def _count_occurrences(text: Column, word: str) -> Column:
-    """Occurrences of ``word`` as a whole token — word-boundary regex
-    count (portable: RE2 ``\\b`` matches Java's for ASCII words). A
-    replace-based count would miss consecutive occurrences ("the the the"
-    counts 2, not 3, because adjacent needles share the separating
-    space). ``regexp_count`` counts matches without materializing the
-    match array ``regexp_extract_all`` would build."""
-    return F.regexp_count(normalize_text(text), F.lit(rf"\b{word}\b")).cast("long")
+    """Occurrences of ``word`` as a whole token — explicit-boundary regex
+    count (see ``_BOUNDARY_L``; portable to RE2 via the doubled-boundary
+    oracle form). A replace-based count would miss consecutive
+    occurrences ("the the the" counts 2, not 3, because adjacent needles
+    share the separating space); zero-width lookarounds consume nothing,
+    so adjacency is free. ``regexp_count`` counts matches without
+    materializing the match array ``regexp_extract_all`` would build."""
+    return F.regexp_count(
+        normalize_text(text), F.lit(f"{_BOUNDARY_L}{word}{_BOUNDARY_R}")
+    ).cast("long")
 
 
 def _count_any_occurrence(text: Column, words: list[str]) -> Column:
     """Total whole-token occurrences of ANY word in ``words`` — ONE
     alternation regex scan instead of ``len(words)`` separate passes.
     Equivalent to summing per-word counts: matches are whole tokens
-    delimited by ``\\b``, so two distinct words can never match at the
-    same position and non-overlapping extraction counts each token once.
+    delimited by the explicit boundary class (``_BOUNDARY_L``), so two
+    distinct words can never match at the same position and
+    non-overlapping extraction counts each token once.
     Measured at sf0.1 this took the 10-stopword count from 10 regex
     scans of every document to 1 (~35% off the whole quality query);
     ``regexp_count`` instead of ``regexp_extract_all``+``size`` skips
     the match-array materialization (another ~40% off the projection)."""
-    pat = r"\b(" + "|".join(words) + r")\b"
+    pat = _BOUNDARY_L + "(" + "|".join(words) + ")" + _BOUNDARY_R
     return F.regexp_count(normalize_text(text), F.lit(pat)).cast("long")
 
 

@@ -458,9 +458,28 @@ def stream_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: ``pad`` column: normalized text with every boundary char (anything
+#: outside [a-z0-9_]) DOUBLED, then space-padded at both ends. RE2 has
+#: no lookarounds, so the only way to express the Spark side's
+#: zero-width ``(?<![a-z0-9_])word(?![a-z0-9_])`` count is to make the
+#: boundary chars consumable without sharing: after doubling, adjacent
+#: matches ('the,the' -> 'the,,the') each own a boundary char, so
+#: non-overlapping extraction of '[^a-z0-9_]word[^a-z0-9_]' counts
+#: exactly what the lookaround form counts — on ANY Unicode text (both
+#: engines match the class per UTF-8 codepoint). Replaces the old \b
+#: form, whose Java/RE2 semantics diverge off ASCII (UNICODE_EXEMPT,
+#: retired round 10); on ASCII text the count is unchanged.
+_PAD = (
+    "' ' || regexp_replace(" + _NORM + ", '([^a-z0-9_])', '\\1\\1', 'g') || ' '"
+)
+
+
 def _occ_sql(word: str) -> str:
-    # word-boundary regex count, mirroring text._count_occurrences
-    return f"CAST(len(regexp_extract_all(pad, '\\b{word}\\b')) AS BIGINT)"
+    # explicit-boundary regex count over the doubled-boundary pad,
+    # mirroring text._count_occurrences (lookaround form, Java side)
+    return (
+        f"CAST(len(regexp_extract_all(pad, '[^a-z0-9_]{word}[^a-z0-9_]')) AS BIGINT)"
+    )
 
 
 _STOP_SUM = " + ".join(_occ_sql(w) for w in text.STOPWORDS)
@@ -470,7 +489,7 @@ _STOP_SUM = " + ".join(_occ_sql(w) for w in text.STOPWORDS)
     "text_quality",
     f"""
     WITH t AS (
-      SELECT doc_id, text, ' ' || {_NORM} || ' ' AS pad,
+      SELECT doc_id, text, {_PAD} AS pad,
              length(text) AS n_chars,
              string_split({_NORM}, ' ') AS w,
              len(string_split({_NORM}, ' ')) AS n_tokens
@@ -1493,7 +1512,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d2
     ),
     base AS (
-      SELECT doc_id, text, ' ' || {_NORM} || ' ' AS pad,
+      SELECT doc_id, text, {_PAD} AS pad,
              length(text) AS n_chars,
              len(string_split({_NORM}, ' ')) AS n_tokens
       FROM keep WHERE doc_id = keep_id
@@ -2416,7 +2435,7 @@ def _langid_pred_ctes(src: str) -> str:
     "stream_ingest_curation",
     f"""
     WITH RECURSIVE base AS (
-      SELECT doc_id, text, ' ' || {_NORM} || ' ' AS pad,
+      SELECT doc_id, text, {_PAD} AS pad,
              length(text) AS n_chars,
              len(string_split({_NORM}, ' ')) AS n_tokens
       FROM documents
@@ -2747,7 +2766,7 @@ def text_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_gopher",
     f"""
     WITH t AS (
-      SELECT doc_id, text, ' ' || {_NORM} || ' ' AS pad,
+      SELECT doc_id, text, {_PAD} AS pad,
              length(text) AS n_chars,
              string_split({_NORM}, ' ') AS w,
              len(string_split({_NORM}, ' ')) AS n_tokens
@@ -2941,7 +2960,7 @@ def _quality_model_oracle_sql() -> str:
     )
     return f"""
     WITH t AS (
-      SELECT doc_id, text, ' ' || {_NORM} || ' ' AS pad,
+      SELECT doc_id, text, {_PAD} AS pad,
              length(text) AS n_chars,
              string_split({_NORM}, ' ') AS w,
              len(string_split({_NORM}, ' ')) AS n_tokens

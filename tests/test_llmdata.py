@@ -3281,11 +3281,12 @@ def test_dsir_selection_tiers(spark):
 
 def test_quality_features_py_mirrors_spark(spark):
     """quality_features_py is documented as the pure-Python mirror of the
-    Spark feature projection — pin row parity, including Java's
-    split-brained regex semantics off the ASCII domain: \\s is ASCII
-    (NBSP is a token character, not whitespace) while \\b is
-    Unicode-aware ('aé' has no boundary after the 'a'), plus the
-    null-text all-zero contract (array_size null propagation)."""
+    Spark feature projection — pin row parity off the ASCII domain: \\s
+    is ASCII (NBSP is a token character, not whitespace) and the
+    stopword boundary is the explicit [a-z0-9_] class (round 10 —
+    'café a' DOES count the trailing 'a', and 'a'+combining-mark counts
+    'a', identically in Spark, this mirror, and the RE2 oracle), plus
+    the null-text all-zero contract (array_size null propagation)."""
     from temporai_mivdp_spark.llmdata import quality_model as qm
 
     texts = [

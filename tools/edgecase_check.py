@@ -14,13 +14,12 @@ token, punctuation-only, digits-only, a single uppercase char,
 repeated stopwords, a 5000-token giant, CRLF lines, and an exact
 duplicate of a base-corpus document (cross-dup against real data).
 
-All adversarial text is ASCII ON PURPOSE: Java regex ``\\b`` is
-Unicode-aware while DuckDB/RE2's is ASCII (measured in
-tests/test_llmdata.py::test_quality_features_py_mirrors_spark), so
-non-ASCII stopword-boundary parity is structurally impossible — the
-engine-of-record behavior off the ASCII domain is pinned by the Python
-mirror tests instead. Here we verify the NULL/empty/shape semantics
-every entry must get right at any scale.
+This base tier's adversarial text is ASCII so it isolates NULL/empty/
+shape semantics; the ``--unicode`` tier carries the non-ASCII rows.
+(Historically the base tier was ASCII-only out of necessity — the
+counters used ``\\b``, whose Java/RE2 semantics diverge off ASCII;
+round 10 replaced ``\\b`` with an explicit [a-z0-9_] boundary both
+engines agree on, so the unicode tier now checks every entry.)
 
 Usage: python tools/edgecase_check.py [--unicode|--embeddings] [query ...]
 Exit 0 iff every checked entry matches its oracle on the augmented
@@ -36,12 +35,13 @@ through ranking, and null-vector exclusion are exactly where engine
 semantics fork.
 
 ``--unicode`` swaps in the UNICODE adversarial rows (accents, CJK,
-Cyrillic, emoji, NBSP, combining marks) and SKIPS the entries whose
-features count stopword/marker hits with ``\\b`` — Java's \\b is
-Unicode-aware, RE2's is ASCII, so their parity domain is ASCII by
-measurement, not by accident (see UNICODE_EXEMPT). Everything else —
-the md5/normalize/shingle/chunk/rank chains — must be byte-portable
-across engines on any UTF-8 text, and this tier proves it.
+Cyrillic, emoji, NBSP, combining marks). Since round 10 NO entry is
+skipped: the stopword/marker counters that used ``\\b`` (Java
+Unicode-aware vs RE2 ASCII — the old UNICODE_EXEMPT class) now use an
+explicit [a-z0-9_] boundary both engines evaluate identically, so the
+md5/normalize/shingle/chunk/rank chains AND the counting features must
+be byte-portable across engines on any UTF-8 text, and this tier
+proves it.
 """
 
 from __future__ import annotations
@@ -118,19 +118,15 @@ def adversarial_vectors(base_vec: list[float], base_label: int, dim: int):
     ]
 
 
-#: entries whose oracle parity is ASCII-only BY MEASUREMENT: they count
-#: stopword/marker occurrences with \b, and Java's \b is Unicode-aware
-#: while DuckDB/RE2's is ASCII (pinned in tests/test_llmdata.py::
-#: test_quality_features_py_mirrors_spark). Their engine-of-record
-#: behavior on non-ASCII text is covered by the Python mirror tests.
-UNICODE_EXEMPT = {
-    "text_quality",
-    "text_gopher",
-    "text_langid",
-    "text_quality_model",
-    "pipeline_docs_curation",
-    "pipeline_guard_corpus",
-}
+#: RETIRED (round 10): formerly the entries whose stopword/marker
+#: counters used \b — Java's \b is Unicode-aware, DuckDB/RE2's is
+#: ASCII, so their parity domain was ASCII-only by measurement. The
+#: counters now use an explicit [a-z0-9_] boundary (lookarounds on the
+#: Spark side, the doubled-boundary-char form on the RE2 side — see
+#: llmdata/text.py::_BOUNDARY_L and queries_llm._PAD), which both
+#: engines evaluate identically on any Unicode text, so the unicode
+#: tier checks every entry.
+UNICODE_EXEMPT: set[str] = set()
 
 
 def build_embeddings_corpus(out_dir: str) -> None:
