@@ -72,68 +72,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # policy" for the audit trail.
 # ---------------------------------------------------------------------------
 WINDOW_TAIL: tuple[str, ...] = (
+    # round 10 rotation (the r9 verdict's #1 task): the ten stalest
+    # driver-evidence rows — displaced to this tail in rounds 6-7 with
+    # last driver-green rows r5-r6 (p8_split_label_union,
+    # j4_dictionary_join, a4_group_max_nanmean, r3_multilabel_onehot,
+    # f13_json_extract, j6_right_merge_summary, p5_semi_join_filter,
+    # w1_w2_hours_window_trim, w3_tumbling_bucket,
+    # ts_rolling_interp_peak) — LEFT this tail and re-entered the
+    # driver window per the currency rule. Three more re-entered
+    # because round 10 CHANGED their expressions (the \b → explicit
+    # [a-z0-9_] boundary rewrite that retired UNICODE_EXEMPT resets
+    # proven-ness, the same rule that kept the media roundtrips
+    # in-window through lattice changes): text_gopher,
+    # text_quality_model, text_langid. Their 13 slots are taken by
+    # entries with THREE consecutive driver-green rows (r7+r8+r9) or —
+    # for the seven r1-era granular rows that re-entered in r9
+    # precisely to refresh — a fresh r9 green row; appended at the end
+    # of this tuple with per-entry coverage arguments.
     # round 9 rotation: the seven r1-evidence granular rows
     # (p2_derived_projection, p3_p4_null_comparison_filter,
     # p6_string_match_filter, a1_a6_group_counts, a3_conditional_count,
-    # o_sort_topk_first, f_scalar_suite) LEFT this tail and re-entered
-    # the driver window — their last driver-green rows were r1–r5, the
-    # window's oldest hard evidence, and the r8 verdict's rotation rule
-    # is that every §2 row periodically refreshes its driver signal.
-    # Their slots are taken by the eight r7/r8 promotions that earned
-    # the round-8 policy's promotion-out currency (driver-green row in
-    # CORRECTNESS_r08.json) — appended at the end of this tuple.
-    # round 6: displaced for dsir_select — union+anti stay window-covered
-    # by the augmented-corpus unionByName fixtures and (since the
-    # dedup_incremental promotion) its left-anti exact stage; the
-    # when()-split here is a projection
-    "p8_split_label_union",
-    # round 6: displaced for text_quality_model — broadcast dictionary
-    # joins stay window-covered by the flagship (plan-asserted),
-    # j7_lookup_first_match, and the langid weight dimension
-    "j4_dictionary_join",
-    # round 7: displaced for dsir_gumbel — group max/mean aggregation
-    # stays window-covered by a2_two_level_agg, a5_a10_summary_counts,
-    # a8_winsorize and a9_group_mean_impute (null-skipping mean
-    # semantics exercised directly by a9's mean-impute oracle)
-    "a4_group_max_nanmean",
-    # round 7: displaced for dedup_semantic — the reshape/one-hot family
-    # stays window-covered by r1_r2_pivot_onehot (same Expand-based
-    # pivot strategy; R3's explode+pivot composition remains oracle'd
-    # here in the tail and tested in tests/test_operators.py)
-    "r3_multilabel_onehot",
-    # round 7: displaced for sample_stratified — the string→array parse
-    # (F13) stays window-exercised by the split/filter/transform array
-    # chains inside the tokenizing text entries (pipeline_docs_curation,
-    # text_bpe_train, text_bm25, text_pmi; text_chunk_overlap and — in
-    # round 9 — text_encode_vocab, cited here originally, joined the
-    # tail, and the in-window coverage stands without them)
-    "f13_json_extract",
-    # round 7: displaced for text_encode_vocab — the join family stays
-    # the window's most-covered (flagship broadcast dims, j7 first-match,
-    # j8 interval-exists, every llm broadcast join); J6's right-merge
-    # shape keeps its oracle here and its test in tests/test_operators.py
-    "j6_right_merge_summary",
-    # round 7: displaced for sample_temperature — left-semi/IN filtering
-    # stays window-exercised by the equality-join guards inside
-    # pipeline_guard_corpus and dedup_incremental's left-anti exact
-    # stage; U4's id-intersection left-semi remains tested in
-    # tests/test_operators.py
-    "p5_semi_join_filter",
-    # round 7: displaced for split_leakage_safe — the observation-window
-    # trim stays window-covered by j_asof_event_value (as-of trim on the
-    # same event/time axis) and the w5_w6_w7 grid consumers
-    "w1_w2_hours_window_trim",
-    # round 7: displaced for sample_token_budget — tumbling-bucket
-    # aggregation stays window-covered by w4_w8_dense_grid_indicator
-    # (the same floor-bucket time grid) and the streaming twin
-    # (streaming/windows.py) is differentially tested against this
-    # exact batch query
-    "w3_tumbling_bucket",
-    # round 7: displaced for sim_mean_vectors — the rolling/ordered
-    # window family stays window-covered by w5_w6_w7_impute_active (the
-    # same partitioned ordered-window cascade) and
-    # window_ranking_family
-    "ts_rolling_interp_peak",
+    # o_sort_topk_first, f_scalar_suite) left this tail and re-entered
+    # the driver window; all seven earned fresh r9 green rows and
+    # return below in round 10.
     # round 7: displaced for embed_kmeans — exact md5-group dedup is the
     # window's most-redundantly exercised shape: pipeline_guard_corpus
     # and pipeline_docs_curation both run it inside their compositions,
@@ -239,25 +200,19 @@ WINDOW_TAIL: tuple[str, ...] = (
     # left-anti exact stage; the grid entry keeps its oracle here and
     # the operator unit tests
     "u1_u2_union_anti_grid",
-    # round 7: displaced for stream_ingest_dedup — trigram language-ID
-    # stays window-exercised by pipeline_docs_curation, whose curation
-    # gate runs the same trigram scorer + broadcast weight dimension on
-    # every doc; langid keeps its oracle here, its bench headline slot,
-    # and the 20-language unit tests
-    "text_langid",
+    # (text_langid re-entered the window in round 10: the marker-word
+    # boundary rewrite touched its family's expressions and its
+    # exemption class was retired, so its unicode-tier behavior is
+    # newly load-bearing)
     # round 7: displaced for stream_serve_topk, which shares the
     # IDENTICAL oracle (the full IVF plan replay) — the IVF chain stays
     # hash-checked in-window through the serving entry, and the batch
     # entry keeps its oracle here plus the recall and
     # partition-pruning plan tests
     "sim_topk_ivf",
-    # round 7: displaced for stream_ingest_curation — the round-5
-    # promotion has had two rounds of driver-green exposure (r6, r7),
-    # and the quality-rule family stays window-exercised by
-    # text_quality's feature suite and pipeline_docs_curation's gate
-    # (text_quality_model, cited here originally, joined the tail in
-    # round 8); gopher keeps its oracle here and its rule unit tests
-    "text_gopher",
+    # (text_gopher re-entered the window in round 10: its stop_ratio
+    # feature's boundary expression and oracle changed in the \b
+    # rewrite — proven-ness reset)
     # round 7: displaced for j_range_bucketed — same precedent as
     # text_gopher (round-5 promotion, two rounds of driver-green
     # exposure); the unigram-LM fit+score machinery stays
@@ -311,14 +266,9 @@ WINDOW_TAIL: tuple[str, ...] = (
     # dsir_select keeps its oracle here, its plan test
     # (TakeOrderedAndProject boundary), and its domain-tilt tests
     "dsir_select",
-    # round 8: displaced for multimodal_image_roundtrip — two rounds of
-    # driver-green exposure (r6, r7). Quality scoring stays
-    # window-exercised by text_quality (the feature suite the model's
-    # pinned weights consume) and pipeline_docs_curation's gate (which
-    # runs the quality projection on every doc); the model entry keeps
-    # its bit-identical literal-dot-product oracle here plus the
-    # logreg_fit distributed-trainer differential in tests
-    "text_quality_model",
+    # (text_quality_model re-entered the window in round 10: its
+    # stopword_ratio feature expression and oracle changed in the \b
+    # rewrite — proven-ness reset)
     # ----- round 9 promotions-out: all eight earned the round-8
     # policy's currency (driver-green row in CORRECTNESS_r08.json),
     # making room for the seven rotated-in r1-evidence rows and the new
@@ -351,14 +301,16 @@ WINDOW_TAIL: tuple[str, ...] = (
     # merge-two-states shape); keeps its oracle here
     "sketch_quantile_merge",
     # round 9: promoted out (driver-green r8) — event-time range/window
-    # join semantics stay window-exercised by j_interval_overlap and
-    # j_asof_event_value (same events epoch, same bucketed-join
-    # design); keeps its de-vacuated 5,075-row oracle here
+    # join semantics stay window-exercised by j_asof_event_value and
+    # stream_interval_join (same events epoch, same bucketed-join
+    # design; j_interval_overlap, cited here originally, joined the
+    # tail in round 10); keeps its de-vacuated 5,075-row oracle here
     "j_range_bucketed",
     # round 9: promoted out (driver-green r8) — content-accounting
     # invariance under rewrite stays window-exercised by shard_assign
-    # (deterministic placement) and ingest_jsonl (write→read-back
-    # accounting); keeps its oracle here and the file-count math pin in
+    # (deterministic placement) and stream_ingest_jsonl (write→read-back
+    # accounting; ingest_jsonl, cited here originally, joined the tail
+    # in round 10); keeps its oracle here and the file-count math pin in
     # tests/test_sources_and_differential.py
     "layout_compaction",
     # round 9 (late): displaced for multimodal_frame_sampling (the
@@ -381,6 +333,79 @@ WINDOW_TAIL: tuple[str, ...] = (
     # overlap algebra keeps its bit-for-bit oracle here plus its tests
     # in tests/test_sketches_and_bm25.py
     "sketch_overlap",
+    # ----- round 10 promotions-out: thirteen slots for the thirteen
+    # rotated-in rows above. The first seven are the r1-era granular
+    # rows that re-entered the window in round 9 PRECISELY to refresh
+    # their driver evidence and earned fresh r9 green rows; the other
+    # six each carry THREE consecutive driver-green rows (r7+r8+r9).
+    # round 10: promoted out (driver-green r9) — derived-column
+    # projections are exercised by every in-window entry (the flagship's
+    # revenue arithmetic, every text feature projection); keeps its
+    # substring+cast oracle here
+    "p2_derived_projection",
+    # round 10: promoted out (driver-green r9) — null-predicate and
+    # comparison filters stay window-exercised by the flagship's status
+    # filter, p5_semi_join_filter's guards, and every pushed-down scan
+    # predicate in the llm entries; keeps its oracle here
+    "p3_p4_null_comparison_filter",
+    # round 10: promoted out (driver-green r9) — string-match filtering
+    # stays window-exercised by text_quality's regex feature passes and
+    # pipeline_docs_curation's gate (contains() is the degenerate case
+    # of those regex scans); keeps its oracle here
+    "p6_string_match_filter",
+    # round 10: promoted out (driver-green r9) — group/distinct counts
+    # are the window's most-redundant shape (a2_two_level_agg,
+    # r1_r2_pivot_onehot, every dedup groupBy); keeps its oracle here
+    "a1_a6_group_counts",
+    # round 10: promoted out (driver-green r9) — conditional
+    # aggregation stays window-exercised by text_gopher's rule verdicts
+    # (rotated in this round) and the sample_* keep columns; keeps its
+    # oracle here
+    "a3_conditional_count",
+    # round 10: promoted out (driver-green r9) — multi-key sort / top-k
+    # / first-of-group stay window-exercised by window_ranking_family,
+    # sim_topk_lsh's TakeOrderedAndProject, and j7-style rank-1 picks
+    # inside w1_w2 (rotated in); keeps its oracle here
+    "o_sort_topk_first",
+    # round 10: promoted out (driver-green r9) — the scalar-function
+    # suite (F1-F14) is exercised inside every in-window projection
+    # (date math in w3_tumbling_bucket, string ops in every text entry,
+    # casts everywhere); keeps its 14-function oracle here
+    "f_scalar_suite",
+    # round 10: promoted out (r7+r8+r9 driver-green) — streaming
+    # dropDuplicates-within-watermark stays window-exercised by
+    # stream_ingest_dedup (the same state-store dedup inside a real
+    # ingest); keeps its oracle here and its tests in
+    # tests/test_streaming.py
+    "stream_dedup_keys",
+    # round 10: promoted out (r7+r8+r9 driver-green) — stream-side
+    # broadcast enrichment stays window-exercised by
+    # stream_ingest_curation (dimension join inside the curation
+    # stream) and the batch flagship's broadcast chain; keeps its
+    # oracle here
+    "stream_enrich",
+    # round 10: promoted out (r7+r8+r9 driver-green) — event-time
+    # interval-overlap join semantics stay window-exercised by
+    # j_asof_event_value (as-of probe on the same events epoch) and
+    # stream_interval_join (the watermarked twin of this exact batch
+    # query); keeps its oracle here
+    "j_interval_overlap",
+    # round 10: promoted out (r7+r8+r9 driver-green) — JSONL
+    # write→read-back accounting stays window-exercised by
+    # stream_ingest_jsonl (the same parse + accounting as a real
+    # stream); keeps its oracle here and the layout tests
+    "ingest_jsonl",
+    # round 10: promoted out (r7+r8+r9 driver-green) — deterministic
+    # weighted sampling stays window-exercised by sample_stratified,
+    # sample_temperature, and sample_token_budget (the same md5-keyed
+    # row-local decision machinery); keeps its oracle here
+    "sample_weighted",
+    # round 10: promoted out (r7+r8+r9 driver-green) — the two-phase
+    # salted aggregation's partial/final shape stays window-exercised
+    # by a2_two_level_agg (single-exchange two-level counts) and every
+    # map-side-combined llm aggregate; the salting demo keeps its
+    # oracle here and its skew stress test
+    "a_salted_skew",
 )
 
 

@@ -57,25 +57,31 @@ def test_driver_window_prioritizes_least_proven_entries():
     assert len(keys) == len(QUERIES), "reorder must not drop entries"
     window = set(keys[:50])
     promotions = {
-        # round-9 roster (the policy is "newest / least-proven entries
+        # round-10 roster (the policy is "newest / least-proven entries
         # face the driver", not a permanent list — earlier members
         # rotate into WINDOW_TAIL once a driver CORRECTNESS file shows
         # them green; rationales in queries.py / COVERAGE.md):
-        # the new entry this round
-        "multimodal_video_roundtrip",
-        # its lattice gained the MS-ADPCM class in round 9, which
-        # resets its proven-ness despite the r8 green row
-        "multimodal_audio_roundtrip",
-        # the seven r1-evidence rows rotated BACK into the window in
-        # round 9 (their last driver-green rows were r1–r5; the r8
-        # verdict's rotation rule refreshes the oldest hard signal)
-        "p2_derived_projection",
-        "p3_p4_null_comparison_filter",
-        "p6_string_match_filter",
-        "a1_a6_group_counts",
-        "a3_conditional_count",
-        "o_sort_topk_first",
-        "f_scalar_suite",
+        # the ten stalest driver-evidence rows (displaced rounds 6-7,
+        # last green r5-r6), rotated back in per the currency rule
+        "p8_split_label_union",
+        "j4_dictionary_join",
+        "a4_group_max_nanmean",
+        "r3_multilabel_onehot",
+        "f13_json_extract",
+        "j6_right_merge_summary",
+        "p5_semi_join_filter",
+        "w1_w2_hours_window_trim",
+        "w3_tumbling_bucket",
+        "ts_rolling_interp_peak",
+        # the three entries whose expressions changed in the round-10
+        # \b -> explicit-boundary rewrite (proven-ness reset)
+        "text_gopher",
+        "text_quality_model",
+        "text_langid",
+        # image lattice gains codec classes again in round 10 (CCITT /
+        # JPEG-in-TIFF / multi-component lossless), resetting its
+        # proven-ness despite the r9 green row
+        "multimodal_image_roundtrip",
     }
     assert promotions <= window, promotions - window
     assert tuple(keys[len(keys) - len(WINDOW_TAIL):]) == WINDOW_TAIL
