@@ -3452,6 +3452,25 @@ def _ms_wav_fixture():
     return payload[:32] + (256).to_bytes(2, "little") + payload[34:]
 
 
+def _ccitt_g4_fixture():
+    """Real T.6-compressed bilevel TIFF (round 10) — encoder from the
+    independent test-side battery in tests/test_tiff_ccitt.py."""
+    import numpy as _np
+
+    from tests.test_tiff_ccitt import tiff_bilevel
+
+    return tiff_bilevel(_np.eye(4, 6, dtype=_np.uint8), 4)
+
+
+def _jpeg_in_tiff_fixture():
+    """Real new-style JPEG-in-TIFF (compression 7, round 10): a baseline
+    JPEG strip inside the TIFF container."""
+    from tests.test_imagecodecs import _smooth_rgb, jpeg_bytes
+    from tests.test_tiff_ccitt import tiff_jpeg
+
+    return tiff_jpeg([jpeg_bytes(_smooth_rgb(4, 6, seed=3))], 6, 4, 4, 3, 2)
+
+
 def _media_fixtures():
     """(name, payload, want_modality, want_status) — the classifier's
     contract over one of each tier."""
@@ -3500,12 +3519,15 @@ def _media_fixtures():
         ("jpeg_lossless_rgb_header", _lossless_rgb_header_bytes(), "image",
          "header_only"),
         # round 9: baseline TIFF (gray strips, LZW incl.) decodes;
-        # JPEG-in-TIFF stays header
+        # round 10: CCITT G4 and REAL new-style JPEG-in-TIFF decode too,
+        # while a comp-7 claim wrapping a non-JPEG strip stays header
         ("tiff_gray", _tiff_bytes([[1, 2], [3, 4]]), "image", "full"),
         ("tiff_lzw",
          _tiff_bytes([[1, 2], [3, 4]], compression=5,
                      lzw_encode=_tiff_lzw_encode),
          "image", "full"),
+        ("tiff_ccitt_g4", _ccitt_g4_fixture(), "image", "full"),
+        ("tiff_jpeg_real", _jpeg_in_tiff_fixture(), "image", "full"),
         ("tiff_jpegcomp_header", _tiff_bytes([[1, 2], [3, 4]], compression=7),
          "image", "header_only"),
         ("pnm_rgb", _pnm_bytes([[[1, 2, 3], [4, 5, 6]]]), "image", "full"),
@@ -3585,12 +3607,13 @@ def test_media_decode_rollup_fractions(spark):
     assert rows[("video", "full")].n_items == 1
     assert rows[("video", "unsupported")].n_items == 1
     assert rows[("video", "full")].frac_items == pytest.approx(1 / 2)
-    # image: 7 full (png + sequential-arithmetic jpeg + 12-bit huffman
-    # jpeg + gray lossless jpeg + gray tiff + LZW tiff + rgb pnm), 3
-    # header_only (12-bit ARITHMETIC jpeg + 3-component lossless header
-    # + JPEG-in-TIFF)
-    assert rows[("image", "full")].n_items == 7
-    assert rows[("image", "header_only")].frac_items == pytest.approx(3 / 10)
+    # image: 9 full (png + sequential-arithmetic jpeg + 12-bit huffman
+    # jpeg + gray lossless jpeg + gray tiff + LZW tiff + CCITT-G4 tiff +
+    # real JPEG-in-TIFF + rgb pnm), 3 header_only (12-bit ARITHMETIC
+    # jpeg + 3-component lossless header + comp-7 claim over a non-JPEG
+    # strip)
+    assert rows[("image", "full")].n_items == 9
+    assert rows[("image", "header_only")].frac_items == pytest.approx(3 / 12)
     # unknown: garbage + null, all unsupported
     assert rows[("unknown", "unsupported")].n_items == 2
     assert rows[("unknown", "unsupported")].frac_items == pytest.approx(1.0)
