@@ -581,9 +581,11 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
     progressive ARITHMETIC (SOF10) likewise decodes, the Huffman
     modes also decode 12-BIT extended precision (Pq=1 quant tables,
     2^11 level shift, output scaled to the 8-bit RGB contract), and
-    single-component LOSSLESS (SOF3) decodes at any precision 2-16.
-    Hierarchical, multi-component-lossless, and 12-bit-arithmetic
-    modes raise ``NotImplementedError``."""
+    LOSSLESS (SOF3) decodes at any precision 2-16 for single-component
+    frames and (round 10) interleaved 3-component 1:1 frames — the
+    DICOM grayscale and RGB shapes, output taken as stored (no YCbCr
+    transform in lossless mode). Hierarchical, subsampled-lossless,
+    and 12-bit-arithmetic modes raise ``NotImplementedError``."""
     if b[:3] != b"\xff\xd8\xff":
         raise NotImplementedError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -802,30 +804,43 @@ def _decode_lossless(
 ) -> np.ndarray:
     """Lossless JPEG (SOF3, T.81 Annex H): Huffman-coded prediction
     differences, predictors 1-7, point transform, modulo-2^16
-    reconstruction, restart resync. Single-component (grayscale)
-    frames only — the DICOM/medical shape; the P-bit samples (2-16)
-    scale into the uint8 RGB contract at the end. Prediction rules per
-    H.2.1: start-of-scan and the sample after a restart use
-    2^(P-Pt-1); the REST of the line a restart lands on (like the rest
-    of the scan's first line) uses the one-dimensional left-neighbor
-    predictor regardless of the selected predictor; the first column
-    uses the sample above; SSSS=16 encodes a difference of exactly
-    32768. Pinned by exact round-trip against a test-side Annex-H
-    encoder (lossless: any mismatch is a bug, no tolerance)."""
+    reconstruction, restart resync. Single-component (the DICOM
+    grayscale/medical shape) and — round 10 — INTERLEAVED
+    multi-component frames at 1:1 sampling (the DICOM RGB shape: one
+    sample per component per MCU, components in frame order, each
+    plane predicted independently with its own DC table); the P-bit
+    samples (2-16) scale into the uint8 RGB contract at the end.
+    Three-component output is taken as stored (R,G,B planes — lossless
+    JPEG applies no YCbCr transform, per the DICOM/Adobe convention).
+    Prediction rules per H.2.1, applied per plane: start-of-scan and
+    the MCU after a restart use 2^(P-Pt-1); the REST of the line a
+    restart lands on (like the rest of the scan's first line) uses the
+    one-dimensional left-neighbor predictor regardless of the selected
+    predictor; the first column uses the sample above; SSSS=16 encodes
+    a difference of exactly 32768. Pinned by exact round-trip against
+    a test-side Annex-H encoder (lossless: any mismatch is a bug, no
+    tolerance)."""
     comps = frame["comps"]
-    if len(comps) != 1:
-        raise NotImplementedError("multi-component lossless JPEG not supported")
+    nc = len(comps)
+    if nc not in (1, 3):
+        raise NotImplementedError("lossless JPEG supports 1 or 3 components")
+    if nc > 1 and any(c["hs"] != 1 or c["vs"] != 1 for c in comps):
+        raise NotImplementedError("subsampled multi-component lossless JPEG")
     if not 1 <= pred_sel <= 7:
         raise NotImplementedError(f"invalid lossless predictor {pred_sel}")
     h, w, prec = frame["h"], frame["w"], frame["prec"]
-    sel = scan_sel.get(comps[0]["id"])
-    if sel is None or sel[0] not in huff_dc:
-        raise NotImplementedError("lossless scan references unknown component/table")
-    table = huff_dc[sel[0]]
-    plane = np.zeros((h, w), np.int64)
+    tables = []
+    for c in comps:
+        sel = scan_sel.get(c["id"])
+        if sel is None or sel[0] not in huff_dc:
+            raise NotImplementedError(
+                "lossless scan references unknown component/table"
+            )
+        tables.append(huff_dc[sel[0]])
+    planes = [np.zeros((h, w), np.int64) for _ in comps]
     reader = _BitReader(b, pos)
     default = 1 << (prec - pt - 1)
-    count = 0
+    count = 0  # MCUs (one sample per component at 1:1)
     fresh = True  # start of scan / just past a restart marker
     one_d_row = 0  # the line a restart lands on uses the 1-D predictor
     try:
@@ -834,44 +849,51 @@ def _decode_lossless(
                 if restart_interval and count and count % restart_interval == 0:
                     reader.align_to_marker()
                     fresh = True
-                t = reader.decode_huff(table)
-                diff = 32768 if t == 16 else _extend(reader.read_bits(t), t)
+                for plane, table in zip(planes, tables):
+                    t = reader.decode_huff(table)
+                    diff = 32768 if t == 16 else _extend(reader.read_bits(t), t)
+                    if fresh:
+                        px = default
+                    elif y == one_d_row:
+                        px = int(plane[y, x - 1])
+                    elif x == 0:
+                        px = int(plane[y - 1, 0])
+                    else:
+                        a = int(plane[y, x - 1])
+                        bb = int(plane[y - 1, x])
+                        cc = int(plane[y - 1, x - 1])
+                        if pred_sel == 1:
+                            px = a
+                        elif pred_sel == 2:
+                            px = bb
+                        elif pred_sel == 3:
+                            px = cc
+                        elif pred_sel == 4:
+                            px = a + bb - cc
+                        elif pred_sel == 5:
+                            px = a + ((bb - cc) >> 1)
+                        elif pred_sel == 6:
+                            px = bb + ((a - cc) >> 1)
+                        else:
+                            px = (a + bb) >> 1
+                    plane[y, x] = (px + diff) & 0xFFFF
                 if fresh:
-                    px = default
                     fresh = False
                     one_d_row = y
-                elif y == one_d_row:
-                    px = int(plane[y, x - 1])
-                elif x == 0:
-                    px = int(plane[y - 1, 0])
-                else:
-                    a = int(plane[y, x - 1])
-                    bb = int(plane[y - 1, x])
-                    cc = int(plane[y - 1, x - 1])
-                    if pred_sel == 1:
-                        px = a
-                    elif pred_sel == 2:
-                        px = bb
-                    elif pred_sel == 3:
-                        px = cc
-                    elif pred_sel == 4:
-                        px = a + bb - cc
-                    elif pred_sel == 5:
-                        px = a + ((bb - cc) >> 1)
-                    elif pred_sel == 6:
-                        px = bb + ((a - cc) >> 1)
-                    else:
-                        px = (a + bb) >> 1
-                plane[y, x] = (px + diff) & 0xFFFF
                 count += 1
     except _RestartMarker:
         # a stray RSTn mid-sample must degrade like every other
         # malformed-payload class (crawl mode nulls the row), not
         # escape as an internal exception and kill the Arrow batch
         raise NotImplementedError("restart marker landed mid-sample") from None
-    out = plane << pt
-    out = out >> (prec - 8) if prec >= 8 else out << (8 - prec)
-    return _assemble_rgb([out.astype(np.float64)], comps, h, w, 1, 1)
+    outs = []
+    for plane in planes:
+        out = plane << pt
+        out = out >> (prec - 8) if prec >= 8 else out << (8 - prec)
+        outs.append(out)
+    if nc == 1:
+        return _assemble_rgb([outs[0].astype(np.float64)], comps, h, w, 1, 1)
+    return np.clip(np.stack(outs, axis=2), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

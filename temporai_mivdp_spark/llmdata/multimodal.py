@@ -1647,14 +1647,25 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             marker = b[i + 1]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 # 8-bit decodes on all supported SOFs; 12-bit (round 9)
-                # on the Huffman modes only; lossless SOF3 (round 9) on
-                # single-component frames at any legal precision —
-                # 12-bit arithmetic and hierarchical stay header_only
+                # on the Huffman modes only; lossless SOF3 on
+                # single-component (round 9) and interleaved 1:1
+                # 3-component (round 10) frames at any legal precision —
+                # 12-bit arithmetic, hierarchical, and subsampled
+                # lossless stay header_only
                 prec = b[i + 4]
+                nc = b[i + 9]
+                lossless_ok = marker == 0xC3 and 2 <= prec <= 16 and (
+                    nc == 1
+                    or (
+                        nc == 3
+                        and i + 10 + 3 * nc <= len(b)
+                        and all(b[i + 11 + 3 * c] == 0x11 for c in range(nc))
+                    )
+                )
                 ok = (
                     (marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA) and prec == 8)
                     or (marker in (0xC0, 0xC1, 0xC2) and prec == 12)
-                    or (marker == 0xC3 and 2 <= prec <= 16 and b[i + 9] == 1)
+                    or lossless_ok
                 )
                 return ("image", "jpeg", "full" if ok else "header_only")
             i += 2 + struct.unpack_from(">H", b, i + 2)[0]

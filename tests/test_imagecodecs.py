@@ -806,6 +806,82 @@ def jpeg_lossless_bytes(gray: np.ndarray, precision: int, predictor: int = 1,
     return bytes(out)
 
 
+def jpeg_lossless_rgb_bytes(img: np.ndarray, precision: int, predictor: int = 1,
+                            pt: int = 0, restart_rows: int = 0) -> bytes:
+    """Annex-H INTERLEAVED 3-component lossless encoder (the DICOM RGB
+    shape): one sample per component per MCU at 1:1 sampling, each
+    plane predicted independently. Component 1 uses DC table 0 and
+    components 2/3 use DC table 1, so a table-routing bug in the
+    decoder can't hide. ``img`` is (h, w, 3) post-point-transform."""
+    h, w, _ = img.shape
+    default = 1 << (precision - pt - 1)
+    restart_interval = restart_rows * w if restart_rows else 0
+
+    # (comp_index, cat, nbits, bits) op stream, split at restarts
+    segments: list[list[tuple[int, int, int, int]]] = [[]]
+    fresh, count, one_d_row = True, 0, 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                segments.append([])
+                fresh = True
+            for ci in range(3):
+                plane = img[:, :, ci]
+                v = int(plane[y, x])
+                px = _lossless_predict(
+                    plane, y, x, predictor, default, fresh, one_d_row
+                )
+                d = (v - px) & 0xFFFF
+                s = d - 65536 if d >= 32768 else d
+                if s == -32768:
+                    segments[-1].append((ci, 16, 0, 0))
+                else:
+                    cat, bits = _mag(s)
+                    segments[-1].append((ci, cat, cat, bits))
+            if fresh:
+                one_d_row = y
+                fresh = False
+            count += 1
+
+    freqs: dict[int, dict[int, int]] = {0: {}, 1: {}}
+    for segm in segments:
+        for ci, cat, _, _ in segm:
+            tid = 0 if ci == 0 else 1
+            freqs[tid][cat] = freqs[tid].get(cat, 0) + 1
+    tables = {tid: _canonical_huffman(freqs[tid]) for tid in (0, 1)}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tid in (0, 1):
+        counts, syms, _ = tables[tid]
+        out += seg(0xC4, bytes([tid]) + bytes(counts) + syms)
+    sof = struct.pack(">BHHB", precision, h, w, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    out += seg(0xC3, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(
+        0xDA,
+        bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, predictor, 0, pt]),
+    )
+    for si, segm in enumerate(segments):
+        bw = _BitWriter()
+        for ci, cat, nbits, bits in segm:
+            _, _, code_map = tables[0 if ci == 0 else 1]
+            ln, code = code_map[cat]
+            bw.write(ln, code)
+            if nbits:
+                bw.write(nbits, bits)
+        out += bw.flush()
+        if si < len(segments) - 1:
+            out += bytes([0xFF, 0xD0 + (si % 8)])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _lossless_expected(gray: np.ndarray, precision: int, pt: int) -> np.ndarray:
     full = (gray.astype(np.int64) << pt)
     out = full >> (precision - 8) if precision >= 8 else full << (8 - precision)
@@ -864,6 +940,56 @@ def test_jpeg_lossless_category16_and_rejections():
     payload[sos + 7] = 1
     payload[sos + 5] = 9  # component selector matches nothing
     with pytest.raises(NotImplementedError, match="unknown component"):
+        jpeg_pixels(bytes(payload))
+
+
+# -- multi-component lossless (interleaved SOF3, round 10) --------------------
+
+
+def _rgb_ramp(h, w, seed=0):
+    """Distinct per-channel content so a plane-order or table-routing
+    bug cannot cancel out."""
+    rng = np.random.default_rng(seed)
+    base = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    return np.stack(
+        [(base * 7 + 13) % 256, (base * 3 + 101) % 256,
+         rng.integers(0, 256, (h, w), np.int64)],
+        axis=2,
+    )
+
+
+def test_jpeg_lossless_rgb_all_predictors_exact():
+    img = _rgb_ramp(6, 9, seed=11)
+    for predictor in range(1, 8):
+        got = jpeg_pixels(jpeg_lossless_rgb_bytes(img, 8, predictor))
+        assert got.shape == (6, 9, 3)
+        assert np.array_equal(got, img.astype(np.uint8)), predictor
+
+
+def test_jpeg_lossless_rgb_precision_pt_and_restarts():
+    img = _rgb_ramp(5, 8, seed=3) * 16  # 12-bit range
+    got = jpeg_pixels(jpeg_lossless_rgb_bytes(img, 12, 4))
+    assert np.array_equal(got, (img >> 4).astype(np.uint8))
+    # point transform: samples are post-Pt, reconstruction shifts back
+    img2 = _rgb_ramp(5, 8, seed=4) * 4  # 10-bit post-Pt at P=12, Pt=2
+    got = jpeg_pixels(jpeg_lossless_rgb_bytes(img2, 12, 5, pt=2))
+    assert np.array_equal(got, ((img2 << 2) >> 4).astype(np.uint8))
+    # restart interval mid-image: per-MCU resync, H.2.1 line rule
+    img3 = _rgb_ramp(7, 6, seed=5)
+    got = jpeg_pixels(jpeg_lossless_rgb_bytes(img3, 8, 7, restart_rows=2))
+    assert np.array_equal(got, img3.astype(np.uint8))
+
+
+def test_jpeg_lossless_rgb_rejections():
+    img = _rgb_ramp(4, 4, seed=1)
+    payload = bytearray(jpeg_lossless_rgb_bytes(img, 8, 1))
+    sof = payload.find(b"\xff\xc3")
+    payload[sof + 11] = 0x21  # subsample component 1 -> reject
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        jpeg_pixels(bytes(payload))
+    payload[sof + 11] = 0x11
+    payload[sof + 9] = 2  # 2-component lossless stays rejected
+    with pytest.raises(NotImplementedError, match="1 or 3 components"):
         jpeg_pixels(bytes(payload))
 
 

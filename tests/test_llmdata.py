@@ -3397,15 +3397,24 @@ def _lossless_jpeg_bytes_fixture():
     return jpeg_lossless_bytes(gray, 12, predictor=4)
 
 
-def _lossless_rgb_header_bytes():
-    """SOI + 3-component SOF3 header — dims present, decode unsupported
-    (only the single-component/DICOM lossless shape decodes)."""
+def _lossless_subsampled_header_bytes():
+    """SOI + SUBSAMPLED 3-component SOF3 header — dims present, decode
+    unsupported (round 10 decodes the interleaved 1:1 RGB shape, but
+    subsampled lossless stays an honest rejection)."""
     import struct as s
 
     sof = s.pack(">BHHB", 12, 4, 4, 3) + bytes(
-        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+        [1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]
     )
     return b"\xff\xd8\xff\xc3" + s.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
+
+
+def _lossless_rgb_real_bytes():
+    """A REAL decodable interleaved 3-component lossless JPEG (SOF3,
+    the DICOM RGB shape — round 10)."""
+    from tests.test_imagecodecs import _rgb_ramp, jpeg_lossless_rgb_bytes
+
+    return jpeg_lossless_rgb_bytes(_rgb_ramp(4, 5, seed=9), 8, predictor=4)
 
 
 def _ima_wav_fixture():
@@ -3514,10 +3523,12 @@ def _media_fixtures():
         ("jpeg_12bit_huffman", _deep_precision_jpeg_real_bytes(), "image", "full"),
         ("jpeg_12bit_arith", _deep_precision_jpeg_bytes(), "image", "header_only"),
         # round 9: single-component lossless (SOF3, the DICOM shape)
-        # decodes; a 3-component lossless frame stays header_only
+        # decodes; round 10: interleaved 1:1 RGB lossless decodes too,
+        # while SUBSAMPLED 3-component lossless stays header_only
         ("jpeg_lossless_gray", _lossless_jpeg_bytes_fixture(), "image", "full"),
-        ("jpeg_lossless_rgb_header", _lossless_rgb_header_bytes(), "image",
-         "header_only"),
+        ("jpeg_lossless_rgb", _lossless_rgb_real_bytes(), "image", "full"),
+        ("jpeg_lossless_subsampled_header", _lossless_subsampled_header_bytes(),
+         "image", "header_only"),
         # round 9: baseline TIFF (gray strips, LZW incl.) decodes;
         # round 10: CCITT G4 and REAL new-style JPEG-in-TIFF decode too,
         # while a comp-7 claim wrapping a non-JPEG strip stays header
@@ -3607,13 +3618,14 @@ def test_media_decode_rollup_fractions(spark):
     assert rows[("video", "full")].n_items == 1
     assert rows[("video", "unsupported")].n_items == 1
     assert rows[("video", "full")].frac_items == pytest.approx(1 / 2)
-    # image: 9 full (png + sequential-arithmetic jpeg + 12-bit huffman
-    # jpeg + gray lossless jpeg + gray tiff + LZW tiff + CCITT-G4 tiff +
-    # real JPEG-in-TIFF + rgb pnm), 3 header_only (12-bit ARITHMETIC
-    # jpeg + 3-component lossless header + comp-7 claim over a non-JPEG
-    # strip)
-    assert rows[("image", "full")].n_items == 9
-    assert rows[("image", "header_only")].frac_items == pytest.approx(3 / 12)
+    # image: 10 full (png + sequential-arithmetic jpeg + 12-bit huffman
+    # jpeg + gray lossless jpeg + RGB lossless jpeg + gray tiff +
+    # LZW tiff + CCITT-G4 tiff + real JPEG-in-TIFF + rgb pnm), 3
+    # header_only (12-bit ARITHMETIC jpeg + subsampled lossless header
+    # + comp-7 claim over a non-JPEG strip)
+    assert rows[("image", "full")].n_items == 10
+    # frac_items is 6dp-rounded engine-side (3/13 repeats)
+    assert rows[("image", "header_only")].frac_items == pytest.approx(3 / 13, abs=1e-6)
     # unknown: garbage + null, all unsupported
     assert rows[("unknown", "unsupported")].n_items == 2
     assert rows[("unknown", "unsupported")].frac_items == pytest.approx(1.0)
