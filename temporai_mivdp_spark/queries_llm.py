@@ -3880,12 +3880,156 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             out += px
             return bytes(out)
 
+        # ---- round 10: CCITT G3/G4 + JPEG-in-TIFF container twins ----
+        # The fixture ENCODER derives its run tables from the decoder's
+        # spec literals (multimodal._T4_*) — independence is carried by
+        # tests/test_tiff_ccitt.py's own transcription; what the driver
+        # hash check pins here is the geometry algebra (dims + the
+        # exact-rational stripe means) through the full container walk.
+        from temporai_mivdp_spark.llmdata import multimodal as _mm
+
+        def _tbl(spec):
+            return {
+                int(item.split(":")[0]): item.split(":")[1]
+                for item in spec.split()
+            }
+
+        _WT, _BT, _XT = _tbl(_mm._T4_WHITE), _tbl(_mm._T4_BLACK), _tbl(_mm._T4_EXT)
+        _MD = {"P": "0001", "H": "001", 0: "1", 1: "011", 2: "000011",
+               3: "0000011", -1: "010", -2: "000010", -3: "0000010"}
+        _EOL = "000000000001"
+
+        def enc_run(bits, run, white):
+            t = _WT if white else _BT
+            while run > 2623:
+                bits.append(_XT[2560])
+                run -= 2560
+            if run >= 64:
+                mk = (run // 64) * 64
+                bits.append(_XT[mk] if mk >= 1792 else t[mk])
+                run -= mk
+            bits.append(t[run])
+
+        def enc_1d(bits, trans, w2):
+            pos, white = 0, True
+            for tr in trans + [w2]:
+                enc_run(bits, tr - pos, white)
+                pos, white = tr, not white
+                if pos >= w2:
+                    break
+
+        def enc_2d(bits, cur, ref, w2):
+            a0, white, ci = -1, True, 0
+            while a0 < w2:
+                a1 = cur[ci] if ci < len(cur) else w2
+                a2 = cur[ci + 1] if ci + 1 < len(cur) else w2
+                ri = 0
+                while ri < len(ref) and (
+                    ref[ri] <= a0 or (ri & 1) != (0 if white else 1)
+                ):
+                    ri += 1
+                b1 = ref[ri] if ri < len(ref) else w2
+                b2 = ref[ri + 1] if ri + 1 < len(ref) else w2
+                if b2 < a1:
+                    bits.append(_MD["P"])
+                    a0 = b2
+                elif abs(a1 - b1) <= 3:
+                    bits.append(_MD[a1 - b1])
+                    a0, white, ci = a1, not white, ci + 1
+                else:
+                    bits.append(_MD["H"])
+                    start = a0 if a0 >= 0 else 0
+                    enc_run(bits, a1 - start, white)
+                    enc_run(bits, a2 - a1, not white)
+                    a0, ci = a2, ci + 2
+
+        def stripe_trans(w2, k, step, y):
+            # row y: one black run of length k sliding right by `step`
+            # per row — vertical/horizontal/pass 2D modes all realize
+            if k <= 0:
+                return []
+            if k >= w2:
+                return [0]
+            s = (y * step) % (w2 - k + 1)
+            return [s, s + k] if s + k < w2 else [s]
+
+        def ccitt_strip(w2, h2, k, step, comp, t4):
+            bits = []
+            ref = []
+            for y in range(h2):
+                cur = stripe_trans(w2, k, step, y)
+                if comp == 2:
+                    if y:
+                        n = len("".join(bits)) % 8
+                        if n:
+                            bits.append("0" * (8 - n))
+                    enc_1d(bits, cur, w2)
+                elif comp == 3:
+                    bits.append(_EOL)
+                    if t4 & 1:
+                        bits.append("1" if y == 0 else "0")
+                    if (t4 & 1) and y > 0:
+                        enc_2d(bits, cur, ref, w2)
+                    else:
+                        enc_1d(bits, cur, w2)
+                else:
+                    enc_2d(bits, cur, ref, w2)
+                ref = cur
+            s = "".join(bits)
+            s += "0" * (-len(s) % 8)
+            return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+        def tiff_wrap(w2, h2, strip, comp, photo, bps_v, extra=()):
+            # minimal little-endian single-strip TIFF: every value fits
+            # inline, so the IFD is self-contained and the strip follows
+            tags = sorted([
+                (256, 4, w2), (257, 4, h2), (258, 3, bps_v), (259, 3, comp),
+                (262, 3, photo), (277, 3, 1), (278, 4, h2),
+                (279, 4, len(strip)), *extra,
+            ])
+            n = len(tags) + 1
+            strips_off = 8 + 2 + 12 * n + 4
+            out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+            out += struct.pack("<H", n)
+            for tag, typ, val in sorted(tags + [(273, 4, strips_off)]):
+                if typ == 3:
+                    out += struct.pack("<HHIHH", tag, 3, 1, val, 0)
+                else:
+                    out += struct.pack("<HHII", tag, 4, 1, val)
+            out += struct.pack("<I", 0)
+            out += strip
+            return bytes(out)
+
+        _CW = [4, 5, 8, 10, 16, 20, 25, 32, 40, 50, 64, 80]
+
+        def ccitt_tiff(did, m):
+            # all widths divide 10^6, so the stripe mean 255*(cw-k)/cw
+            # is exact at <=6 decimals — round(·,6) is an identity on
+            # BOTH engines (the BMP-lum rounding hazard never arises)
+            cw = _CW[(did // 12) % 12]
+            ch = 1 + did % 17
+            k = did % (cw + 1)
+            step = 1 + (did // 6) % 3
+            comp, t4 = (4, 0) if m == 1 else (3, 0) if m == 2 else (3, 1)
+            strip = ccitt_strip(cw, ch, k, step, comp, t4)
+            extra = ((292, 4, t4),) if comp == 3 else ()
+            return tiff_wrap(cw, ch, strip, comp, 0, 1, extra)
+
+        def jpeg_tiff(w2, h2, base):
+            # compression 7: the round-9 lossless ramp as the strip —
+            # same oracle algebra as the bare-JLS class, now walked
+            # through the TIFF container
+            strip = jls_ramp(w2, h2, base)
+            return tiff_wrap(w2, h2, strip, 7, 1, 8)
+
         def degenerate(did):
             # hostile-media lattice for the adversarial id range:
             # truncated IDAT (valid chunk CRCs, deflate stream cut),
-            # zero-width BMP, and (round 9) a lossless JPEG whose scan
-            # is torn mid-stream — all must degrade to NULL features
-            # under decode_image(strict=False), never kill the batch
+            # zero-width BMP, a lossless JPEG whose scan is torn
+            # mid-stream (round 9), and — round 10 — a torn CCITT G4
+            # strip and a comp-7 TIFF wrapping a non-JPEG strip — all
+            # must degrade to NULL features under
+            # decode_image(strict=False), never kill the batch
             kind = did % 3
             if kind == 0:
                 good = png_gray(4, 4, did % 256)
@@ -3902,6 +4046,15 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + good[-12:]  # IEND chunk
                 )
             if kind == 1:
+                sub = (did // 3) % 3
+                if sub == 1:
+                    # torn CCITT G4 strip: IFD intact, bit stream cut —
+                    # the run decode walks off the end and must raise
+                    good = ccitt_strip(16, 6, 5, 1, 4, 0)
+                    return tiff_wrap(16, 6, good[: max(1, len(good) // 2)], 4, 0, 1)
+                if sub == 2:
+                    # comp-7 claim over a non-JPEG strip: SOI check fires
+                    return tiff_wrap(8, 4, b"\x00" * 32, 7, 1, 8)
                 return bmp24(0, 4, 1, 2, 3)  # zero-width BMP
             if did % 2:
                 return None
@@ -3926,10 +4079,24 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else:
                         payload = png_gray(w, h, did % 256)
                 elif kind == 1:
-                    maker = tiff_rgb if (did // 3) % 2 == 1 else bmp24
-                    payload = maker(
-                        w, h, did % 256, (did // 3) % 256, (did // 7) % 256
-                    )
+                    if (did // 3) % 2 == 1:
+                        # the TIFF half, subdivided round 10 (did = 6m+4
+                        # here, so m = did // 6 indexes uniformly):
+                        # baseline RGB / CCITT G4 / G3-1D / G3-2D /
+                        # JPEG-in-TIFF
+                        m = (did // 6) % 5
+                        if m == 0:
+                            payload = tiff_rgb(
+                                w, h, did % 256, (did // 3) % 256, (did // 7) % 256
+                            )
+                        elif m == 4:
+                            payload = jpeg_tiff(1 + did % 13, 1 + did % 9, did % 100)
+                        else:
+                            payload = ccitt_tiff(did, m)
+                    else:
+                        payload = bmp24(
+                            w, h, did % 256, (did // 3) % 256, (did // 7) % 256
+                        )
                 else:
                     payload = None
                 rows.append((did, payload))
@@ -3946,31 +4113,48 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              doc_id % 3 AS kind,
              (doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1) AS is_jls,
+             -- round 10: the kind-1 TIFF half subdivides by m=(id//6)%5
+             -- into baseline RGB (0) / CCITT G4, G3-1D, G3-2D (1-3) /
+             -- JPEG-in-TIFF (4, the JLS ramp algebra in a container)
+             (doc_id % 3 = 1 AND (doc_id // 3) % 2 = 1
+              AND (doc_id // 6) % 5 IN (1, 2, 3)) AS is_ccitt,
+             (doc_id % 3 = 1 AND (doc_id // 3) % 2 = 1
+              AND (doc_id // 6) % 5 = 4) AS is_tjpeg,
+             ([4, 5, 8, 10, 16, 20, 25, 32, 40, 50, 64, 80])
+               [1 + (doc_id // 12) % 12] AS cw,
              (1 + doc_id % 13) * (1 + doc_id % 9) AS jn,
              doc_id % 100 AS jbase
       FROM documents
-    )
+    ),
+    g2 AS (SELECT *, doc_id % (cw + 1) AS ck FROM g)
     SELECT doc_id AS media_id,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN is_jls THEN CAST(1 + doc_id % 13 AS DOUBLE)
+                WHEN is_jls OR is_tjpeg THEN CAST(1 + doc_id % 13 AS DOUBLE)
+                WHEN is_ccitt THEN CAST(cw AS DOUBLE)
                 WHEN kind IN (0, 1) THEN CAST(1 + doc_id % 31 AS DOUBLE)
            END AS width,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN is_jls THEN CAST(1 + doc_id % 9 AS DOUBLE)
+                WHEN is_jls OR is_tjpeg THEN CAST(1 + doc_id % 9 AS DOUBLE)
                 WHEN kind IN (0, 1) THEN CAST(1 + doc_id % 17 AS DOUBLE)
            END AS height,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN is_jls THEN ROUND(jbase + (jn - 1) / 2.0, 6)
+                WHEN is_jls OR is_tjpeg THEN ROUND(jbase + (jn - 1) / 2.0, 6)
+                -- the stripe mean: every cw divides 10^6, so this
+                -- single exact-integer division is bit-identical to the
+                -- engine's np.mean and needs NO round()
+                WHEN is_ccitt THEN CAST(255 * (cw - ck) AS DOUBLE) / cw
                 WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
                 WHEN kind = 1 THEN CAST(doc_id % 256 AS DOUBLE)
            END AS mean_r,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN is_jls THEN ROUND(jbase + (jn - 1) / 2.0, 6)
+                WHEN is_jls OR is_tjpeg THEN ROUND(jbase + (jn - 1) / 2.0, 6)
+                WHEN is_ccitt THEN CAST(255 * (cw - ck) AS DOUBLE) / cw
                 WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
                 WHEN kind = 1 THEN CAST((doc_id // 3) % 256 AS DOUBLE)
            END AS mean_g,
            CASE WHEN doc_id >= 9000000 THEN NULL
-                WHEN is_jls THEN ROUND(jbase + (jn - 1) / 2.0, 6)
+                WHEN is_jls OR is_tjpeg THEN ROUND(jbase + (jn - 1) / 2.0, 6)
+                WHEN is_ccitt THEN CAST(255 * (cw - ck) AS DOUBLE) / cw
                 WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
                 WHEN kind = 1 THEN CAST((doc_id // 7) % 256 AS DOUBLE)
            END AS mean_b,
@@ -3985,16 +4169,21 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN is_jls THEN CAST(jbase + jn - 1 AS DOUBLE)
                 WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
            END AS lum_max
-    FROM g
+    FROM g2
     """,
 )
 def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decoding under the hash check (llmdata/multimodal.py::
     decode_image → imagecodecs): constant-color PNGs (zlib inflate, PNG
     scanline unfilter, grayscale→RGB expansion), BMPs (bottom-up row
-    order, 4-byte padding, BGR→RGB), and — round 9 — RAMP-gray lossless
-    JPEGs (SOF3 Annex H: Huffman categories, predictor chain,
-    byte-unstuffing) synthesized per row from doc_id
+    order, 4-byte padding, BGR→RGB), RAMP-gray lossless JPEGs (round 9
+    — SOF3 Annex H: Huffman categories, predictor chain,
+    byte-unstuffing), and — round 10 — CCITT-compressed bilevel TIFFs
+    (G4 T.6, G3 T.4 1D and 2D: sliding-stripe rasters whose exact
+    rational means pin the full run-table + 2D-mode decode; widths
+    chosen to divide 10^6 so the mean is exact at 6 decimals on both
+    engines) plus JPEG-in-TIFF (compression 7: the JLS ramp walked
+    through the TIFF strip container) synthesized per row from doc_id
     (`_image_fixture`), decoded by the actual production feature
     extractor, the 8-float csv parsed back into numeric columns, and
     every value checked against the generator algebra in DuckDB: a
