@@ -21,9 +21,12 @@ split by what the stdlib can genuinely do:
   ``imagecodecs``), GIF decode including FULL animation (variable-width
   LZW, interlace, local/global palettes, GCE delays/transparency/
   disposal — ``imagecodecs.gif_frames``; ``sample_frames`` below turns
-  that into real timed frame sampling), baseline TIFF (8-bit gray/RGB
-  strips, compression none/PackBits, both byte orders, WhiteIsZero —
-  the scanned-document shapes; round 9), binary Netpbm P5/P6
+  that into real timed frame sampling), TIFF (8/16-bit gray and RGB
+  strips, compression none/PackBits/LZW, both byte orders, WhiteIsZero,
+  predictor — round 9; round 10 adds BILEVEL fax tiers: CCITT Modified
+  Huffman, Group 3 T.4 1D/2D, Group 4 T.6, packed uncompressed bits,
+  plus new-style JPEG-in-TIFF with shared JPEGTables — the
+  scanned-document-archive shapes), binary Netpbm P5/P6
   (round 9), and header-only dimension
   extraction for BMP/PNG/JPEG/GIF/TIFF/PNM.
 * Audio samples decode for linear PCM (8/16/24/32-bit), G.711
@@ -37,17 +40,19 @@ split by what the stdlib can genuinely do:
   assignments, CRC-8/16 verification; pinned bit-exactly against a
   hand-written test-side encoder). Other compressed-WAV tags
   (MP3-in-WAV, ...) get byte-rate duration math in the header tier.
-* STUBBED: hierarchical / 12-bit-arithmetic / multi-component-lossless
-  JPEG, and entropy-coded audio bodies beyond FLAC (MP3/Vorbis/Opus
-  filterbanks) need PIL/opencv/librosa, absent in this container —
-  those payloads raise ``NotImplementedError`` unless the
-  deterministic fake is requested (used by tests and the oracle
+* STUBBED: hierarchical / 12-bit-arithmetic / SUBSAMPLED-lossless
+  JPEG, old-style JPEG-in-TIFF (compression 6), CCITT uncompressed
+  mode, FillOrder 2, and entropy-coded audio bodies beyond FLAC
+  (MP3/Vorbis/Opus filterbanks) need PIL/opencv/librosa, absent in
+  this container — those payloads raise ``NotImplementedError`` unless
+  the deterministic fake is requested (used by tests and the oracle
   harness). ARITHMETIC-coded JPEG — sequential SOF9 and progressive
   SOF10 — decodes for real since round 8 (imagecodecs' T.81 QM coder,
   libjpeg-fixture-validated); 12-bit EXTENDED Huffman JPEG (Pq=1
   quant tables, 2^11 level shift, x16-twin-pinned) and
-  single-component LOSSLESS JPEG (SOF3 Annex H, the DICOM shape,
-  exact-round-trip-pinned) since round 9.
+  single-component LOSSLESS JPEG (SOF3 Annex H, the DICOM gray shape,
+  exact-round-trip-pinned) since round 9; INTERLEAVED 1:1
+  multi-component lossless (the DICOM RGB shape) since round 10.
 
 Scale notes for the real thing:
 * media bytes ride in the same rows as metadata only up to a few MB each;

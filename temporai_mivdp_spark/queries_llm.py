@@ -3753,17 +3753,22 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_id — the image-tier twin of `_audio_fixture`. Three
     classes, round-robin by doc_id % 3: a real 8-bit grayscale PNG
     (stdlib zlib deflate + CRC chunks, constant value doc_id % 256) —
-    of which half (doc_id // 3 odd, round 9) are instead real
-    single-component LOSSLESS JPEGs (SOF3, predictor 1) whose samples
-    RAMP in raster order, the first fixture class whose oracle-checked
-    features are row-ORDER sensitive — a
+    of which half (doc_id // 3 odd, round 9) are instead real LOSSLESS
+    JPEGs (SOF3, predictor 1) whose samples RAMP in raster order, the
+    first fixture class whose oracle-checked features are row-ORDER
+    sensitive; round 10 splits the ramp half again: doc_id // 6 odd
+    rows are INTERLEAVED 3-component RGB lossless with DISTINCT
+    per-channel bases (a plane-order or interleave bug breaks the
+    channel means) — a
     real bottom-up 24-bit BMP (row padding + the format's BGR byte
     order, constant per-channel values derived from doc_id — DISTINCT
     per channel so a BGR/RGB swap in the decoder cannot cancel out) —
-    of which half (doc_id // 3 odd, round 9) are instead baseline
-    TIFFs with the SAME constant colors (IFD walk + strip assembly
-    under the identical oracle algebra; TIFF rasters are RGB-ordered
-    where BMP is BGR, so each half pins its decoder's channel order) —
+    of which half (doc_id // 3 odd) are instead a TIFF family,
+    subdivided round 10 by (doc_id // 6) % 5 into baseline RGB
+    (constant colors, RGB-ordered where BMP is BGR, pinning channel
+    order), CCITT G4 / G3-1D / G3-2D bilevel sliding stripes (exact
+    rational means over 10^6-divisor widths), and JPEG-in-TIFF
+    (compression 7 wrapping the lossless ramp) —
     and a NULL payload. Dims vary per row (w = 1 + id % 31,
     h = 1 + id % 17; the JLS ramps use 1 + id % 13 × 1 + id % 9 so the
     ramp peak stays under 256), so stride and padding bugs surface."""
@@ -3803,7 +3808,7 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             return hdr + dib + px
 
-        def jls_ramp(w2, h2, base):
+        def jls_ramp(w2, h2, base, bases=None):
             # round 9: a real single-component LOSSLESS JPEG (SOF3,
             # predictor 1) whose samples RAMP base, base+1, ... in
             # raster order — the one fixture class whose oracle-checked
@@ -3812,16 +3817,24 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             # categories 0-8 as 4-bit canonical codes. Diff stream:
             # first sample base-128 (vs the 2^(P-1) default), row starts
             # +w2 (predicted from the sample above), everything else +1.
+            # round 10: ``bases=(r,g,b)`` emits the INTERLEAVED
+            # 3-component form instead (the DICOM RGB shape) — each
+            # plane ramps from its own base, and since every plane's
+            # diff stream is identical except the first sample, the MCU
+            # interleave is the same three streams woven per sample.
+            comps = [base] if bases is None else list(bases)
+            nc = len(comps)
             bits = []
             for y in range(h2):
                 for x in range(w2):
-                    s = (base - 128) if (y == 0 and x == 0) else (
-                        w2 if x == 0 else 1
-                    )
-                    t = abs(s).bit_length()
-                    bits.append((4, t))
-                    if t:
-                        bits.append((t, s if s >= 0 else s + (1 << t) - 1))
+                    for cb in comps:
+                        s = (cb - 128) if (y == 0 and x == 0) else (
+                            w2 if x == 0 else 1
+                        )
+                        t = abs(s).bit_length()
+                        bits.append((4, t))
+                        if t:
+                            bits.append((t, s if s >= 0 else s + (1 << t) - 1))
             acc, n, data = 0, 0, bytearray()
             for nb, v in bits:
                 for k in range(nb - 1, -1, -1):
@@ -3842,8 +3855,17 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
 
             dht = seg(0xC4, bytes([0, 0, 0, 0, 9] + [0] * 12) + bytes(range(9)))
-            sof = seg(0xC3, struct.pack(">BHHB", 8, h2, w2, 1) + bytes([1, 0x11, 0]))
-            sos = seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0]))
+            sof = seg(
+                0xC3,
+                struct.pack(">BHHB", 8, h2, w2, nc)
+                + b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(nc)),
+            )
+            sos = seg(
+                0xDA,
+                bytes([nc])
+                + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+                + bytes([1, 0, 0]),
+            )
             return b"\xff\xd8" + dht + sof + sos + bytes(data) + b"\xff\xd9"
 
         def tiff_rgb(w2, h2, r, g, b):
@@ -4075,7 +4097,19 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 kind = did % 3
                 if kind == 0:
                     if (did // 3) % 2 == 1:
-                        payload = jls_ramp(1 + did % 13, 1 + did % 9, did % 100)
+                        # round 10: half the ramp rows (did = 6m+3, m
+                        # odd) are INTERLEAVED RGB lossless — three
+                        # planes ramping from DISTINCT bases, so a
+                        # plane-order or interleave bug in the decoder
+                        # breaks its channel means
+                        jw, jh = 1 + did % 13, 1 + did % 9
+                        if (did // 6) % 2 == 1:
+                            payload = jls_ramp(
+                                jw, jh, 0,
+                                bases=(did % 100, (did // 3) % 100, (did // 7) % 100),
+                            )
+                        else:
+                            payload = jls_ramp(jw, jh, did % 100)
                     else:
                         payload = png_gray(w, h, did % 256)
                 elif kind == 1:
@@ -4113,6 +4147,12 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              doc_id % 3 AS kind,
              (doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1) AS is_jls,
+             -- round 10: half the ramp rows are INTERLEAVED RGB
+             -- lossless (distinct per-channel bases; lum NULLed on
+             -- both sides — the weighted-ramp lum stats would sit on
+             -- the documented 6dp rounding-tie hazard)
+             (doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1
+              AND (doc_id // 6) % 2 = 1) AS is_jls_rgb,
              -- round 10: the kind-1 TIFF half subdivides by m=(id//6)%5
              -- into baseline RGB (0) / CCITT G4, G3-1D, G3-2D (1-3) /
              -- JPEG-in-TIFF (4, the JLS ramp algebra in a container)
@@ -4138,6 +4178,7 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN kind IN (0, 1) THEN CAST(1 + doc_id % 17 AS DOUBLE)
            END AS height,
            CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN is_jls_rgb THEN ROUND(doc_id % 100 + (jn - 1) / 2.0, 6)
                 WHEN is_jls OR is_tjpeg THEN ROUND(jbase + (jn - 1) / 2.0, 6)
                 -- the stripe mean: every cw divides 10^6, so this
                 -- single exact-integer division is bit-identical to the
@@ -4147,25 +4188,30 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN kind = 1 THEN CAST(doc_id % 256 AS DOUBLE)
            END AS mean_r,
            CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN is_jls_rgb THEN ROUND((doc_id // 3) % 100 + (jn - 1) / 2.0, 6)
                 WHEN is_jls OR is_tjpeg THEN ROUND(jbase + (jn - 1) / 2.0, 6)
                 WHEN is_ccitt THEN CAST(255 * (cw - ck) AS DOUBLE) / cw
                 WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
                 WHEN kind = 1 THEN CAST((doc_id // 3) % 256 AS DOUBLE)
            END AS mean_g,
            CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN is_jls_rgb THEN ROUND((doc_id // 7) % 100 + (jn - 1) / 2.0, 6)
                 WHEN is_jls OR is_tjpeg THEN ROUND(jbase + (jn - 1) / 2.0, 6)
                 WHEN is_ccitt THEN CAST(255 * (cw - ck) AS DOUBLE) / cw
                 WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
                 WHEN kind = 1 THEN CAST((doc_id // 7) % 256 AS DOUBLE)
            END AS mean_b,
            CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN is_jls_rgb THEN NULL
                 WHEN is_jls THEN ROUND(sqrt((jn * jn - 1) / 12.0), 6)
                 WHEN kind = 0 THEN CAST(0.0 AS DOUBLE) END AS lum_std,
            CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN is_jls_rgb THEN NULL
                 WHEN is_jls THEN CAST(jbase AS DOUBLE)
                 WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
            END AS lum_min,
            CASE WHEN doc_id >= 9000000 THEN NULL
+                WHEN is_jls_rgb THEN NULL
                 WHEN is_jls THEN CAST(jbase + jn - 1 AS DOUBLE)
                 WHEN kind = 0 THEN CAST(doc_id % 256 AS DOUBLE)
            END AS lum_max
@@ -4217,7 +4263,17 @@ def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fld(i: int):
         return F.element_at(f, i).cast(DoubleType())
 
+    # lum stats are checked only where they are exact on both engines:
+    # NULLed for the whole BMP/TIFF kind (arbitrary-(r,g,b) lum at 6dp
+    # is one rounding tie from divergence) and — round 10 — for the RGB
+    # lossless ramps (weighted-ramp lum sits on the same hazard)
     is_bmp = F.col("media_id") % 3 == 1
+    is_jls_rgb = (
+        (F.col("media_id") % 3 == 0)
+        & (F.expr("media_id div 3") % 2 == 1)
+        & (F.expr("media_id div 6") % 2 == 1)
+    )
+    lum_null = is_bmp | is_jls_rgb
     return feats.select(
         "media_id",
         fld(1).alias("width"),
@@ -4225,9 +4281,9 @@ def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         fld(3).alias("mean_r"),
         fld(4).alias("mean_g"),
         fld(5).alias("mean_b"),
-        F.when(~is_bmp, fld(6)).alias("lum_std"),
-        F.when(~is_bmp, fld(7)).alias("lum_min"),
-        F.when(~is_bmp, fld(8)).alias("lum_max"),
+        F.when(~lum_null, fld(6)).alias("lum_std"),
+        F.when(~lum_null, fld(7)).alias("lum_min"),
+        F.when(~lum_null, fld(8)).alias("lum_max"),
     )
 
 

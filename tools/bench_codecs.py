@@ -88,6 +88,22 @@ def main() -> None:
     measure("BMP paletted 8-bit", _bmp_bytes(indices=idx, palette=pal, bpp=8), _bmp_pixels)
     measure("GIF still", gif_bytes(idx, pal), gif_pixels)
     measure("GIF 8-frame anim", anim, gif_frames)
+
+    # round 10: CCITT fax tiers + JPEG-in-TIFF through the container
+    # walk (independent T.4/T.6 test-side encoder)
+    import random as _random
+
+    from temporai_mivdp_spark.llmdata.multimodal import _tiff_pixels
+    from tests.test_tiff_ccitt import random_raster, tiff_bilevel, tiff_jpeg
+
+    fax = random_raster(_random.Random(1), side * 4, side * 4)
+    measure("TIFF CCITT G4 (4x side, bilevel)", tiff_bilevel(fax, 4), _tiff_pixels)
+    measure("TIFF CCITT G3-1D (4x side)", tiff_bilevel(fax, 2), _tiff_pixels)
+    measure(
+        "JPEG-in-TIFF baseline 4:4:4",
+        tiff_jpeg([jpeg_bytes(rgb)], side, side, side, 3, 2),
+        _tiff_pixels,
+    )
     measure("WAV stats (10 s)", wav, _wav_stats)
     measure("WAV samples (10 s)", wav, _wav_samples)
 
