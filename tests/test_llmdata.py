@@ -2907,8 +2907,11 @@ def test_tiff_rejections_and_classify():
     assert _image_dims(good) == ("tiff", 6, 4)
     assert media_decode_status(good) == ("image", "tiff", "full")
 
+    # round 10: compression 7 is decodable when the strip IS a JPEG;
+    # this one wraps a raw raster, so the SOI check rejects it and the
+    # classifier (which peeks the strip) keeps it header_only
     jpg_in_tiff = _tiff_bytes(gray, compression=7)
-    with _pytest.raises(NotImplementedError, match="compression 7"):
+    with _pytest.raises(NotImplementedError, match="missing SOI"):
         _tiff_pixels(jpg_in_tiff)
     assert media_decode_status(jpg_in_tiff) == ("image", "tiff", "header_only")
 
