@@ -42,7 +42,7 @@ split by what the stdlib can genuinely do:
   (MP3-in-WAV, ...) get byte-rate duration math in the header tier.
 * STUBBED: hierarchical / 12-bit-arithmetic / SUBSAMPLED-lossless
   JPEG, old-style JPEG-in-TIFF (compression 6), CCITT uncompressed
-  mode, FillOrder 2, and entropy-coded audio bodies beyond FLAC
+  mode, non-bilevel FillOrder 2, and entropy-coded audio bodies beyond FLAC
   (MP3/Vorbis/Opus filterbanks) need PIL/opencv/librosa, absent in
   this container — those payloads raise ``NotImplementedError`` unless
   the deterministic fake is requested (used by tests and the oracle
@@ -1588,7 +1588,7 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
         # 8-bit chunky gray/RGB strips (compression none/PackBits/LZW,
         # predictor none/horizontal), 16-bit gray, bilevel
         # none/CCITT-G3/G4 (round 10), and new-style JPEG-in-TIFF
-        # (round 10) decode; tiled / FillOrder-2 / old-style-JPEG /
+        # (round 10) decode; tiled / non-bilevel-FillOrder-2 / old-style-JPEG /
         # uncompressed-mode-CCITT variants stay header_only
         spp = t.get(277, [1])[0]
         bps = t.get(258, [1] * spp)
@@ -1617,7 +1617,9 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
         ok = (
             322 not in t and 323 not in t
             and t.get(284, [1])[0] == 1
-            and t.get(266, [1])[0] == 1
+            # FillOrder 2 (LSB-first) decodes for the bilevel fax tiers
+            # via per-byte bit reversal (round 10)
+            and (t.get(266, [1])[0] == 1 or (bilevel and t.get(266, [1])[0] == 2))
             and spp in (1, 3)
             and (all(v == 8 for v in bps) or deep or bilevel)
             and comp_ok
@@ -2509,9 +2511,11 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
     (1), PackBits (32773), or LZW (5 — the TIFF variant: MSB-first
     codes, early width change) with optional horizontal-differencing
     predictor (tag 317 = 2) — all decodable from the public TIFF 6.0 /
-    ITU-T T.4/T.6 specs with struct+numpy alone. Tiled, paletted,
-    FillOrder-2, old-style-JPEG (6), CCITT-uncompressed-mode, or
-    16-bit-RGB TIFFs raise ``NotImplementedError``."""
+    ITU-T T.4/T.6 specs with struct+numpy alone. FillOrder 2
+    (LSB-first) decodes for the bilevel tiers via per-byte bit
+    reversal. Tiled, paletted, non-bilevel-FillOrder-2, old-style-JPEG
+    (6), CCITT-uncompressed-mode, or 16-bit-RGB TIFFs raise
+    ``NotImplementedError``."""
     e, t = _tiff_ifd(b)
     w = t.get(256, [0])[0]
     h = t.get(257, [0])[0]
@@ -2529,10 +2533,14 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
     if not offsets or not counts or len(offsets) != len(counts):
         raise NotImplementedError("TIFF missing strip offsets/counts")
     rps = t.get(278, [h])[0] or h
-    if t.get(266, [1])[0] != 1:
-        raise NotImplementedError("TIFF FillOrder 2 not supported")
     deep = spp == 1 and bps == [16]  # 16-bit gray: the medical shape
     bilevel = spp == 1 and bps == [1]  # fax / scanned-document shape
+    fill_order = t.get(266, [1])[0]
+    # FillOrder 2 (LSB-first bytes — round 10): legal per TIFF 6.0 only
+    # for bilevel fax data in practice; a per-byte bit reversal restores
+    # the MSB-first stream every decoder here consumes
+    if fill_order not in (1, 2) or (fill_order == 2 and not bilevel):
+        raise NotImplementedError("TIFF FillOrder 2 only decodes for bilevel")
     if planar != 1 or spp not in (1, 3) or not (
         deep or bilevel or all(v == 8 for v in bps)
     ):
@@ -2559,6 +2567,14 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
             strip = b[so : so + sc]
             if len(strip) < sc:
                 raise NotImplementedError("TIFF strip past end of payload")
+            if fill_order == 2:
+                # LSB-first bytes -> reverse each byte's bits once and
+                # every decoder below reads its normal MSB-first stream
+                strip = np.packbits(
+                    np.unpackbits(
+                        np.frombuffer(strip, np.uint8), bitorder="little"
+                    )
+                ).tobytes()
             nrows = min(rps, h - y)
             if comp == 1:
                 rb = (w + 7) // 8

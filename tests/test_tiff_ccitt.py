@@ -452,18 +452,36 @@ def test_garbage_bits_raise():
         mm._ccitt_decode(b"\x00\x00\x00\x00\x00\x00", 16, 1, 2, 0)
 
 
-def test_fill_order_2_rejected():
-    img = np.zeros((2, 8), np.uint8)
-    payload = tiff_bilevel(img, 4)
-    # splice a FillOrder=2 tag in by rebuilding with the generic builder
-    payload2 = _tiff_container(
-        [(256, 4, [8]), (257, 4, [2]), (258, 3, [1]), (259, 3, [4]),
-         (262, 3, [0]), (266, 3, [2]), (277, 3, [1]), (278, 4, [2])],
-        [encode_g4(img)],
-    )
+def _bit_reversed(data: bytes) -> bytes:
+    return bytes(int(f"{v:08b}"[::-1], 2) for v in data)
+
+
+def test_fill_order_2_bilevel_decodes():
+    """FillOrder 2 (LSB-first fax bytes — round 10): the same CCITT
+    stream with every byte bit-reversed and tag 266=2 must decode to
+    the identical raster."""
+    img = random_raster(random.Random(21), 19, 7)
+    for comp in (1, 2, 4):
+        strip = (
+            np.packbits(img, axis=1).tobytes() if comp == 1
+            else encode_mh(img) if comp == 2 else encode_g4(img)
+        )
+        tags = [(256, 4, [19]), (257, 4, [7]), (258, 3, [1]), (259, 3, [comp]),
+                (262, 3, [0]), (266, 3, [2]), (277, 3, [1]), (278, 4, [7])]
+        payload = _tiff_container(tags, [_bit_reversed(strip)])
+        got = as_bits_photo0(decode_gray(payload))
+        assert (got == img).all(), comp
+        assert mm.media_decode_status(payload) == ("image", "tiff", "full")
+
+
+def test_fill_order_2_non_bilevel_rejected():
+    gray_strip = bytes(range(6))  # 3x2 8-bit gray raster
+    tags = [(256, 4, [3]), (257, 4, [2]), (258, 3, [8]), (259, 3, [1]),
+            (262, 3, [1]), (266, 3, [2]), (277, 3, [1]), (278, 4, [2])]
+    payload = _tiff_container(tags, [gray_strip])
     with pytest.raises(NotImplementedError):
-        mm._tiff_pixels(payload2)
-    assert mm._tiff_pixels(payload) is not None  # control
+        mm._tiff_pixels(payload)
+    assert mm.media_decode_status(payload) == ("image", "tiff", "header_only")
 
 
 # ---------------------------------------------------------------------------
@@ -479,13 +497,9 @@ def test_decode_status_full_for_ccitt():
         assert (kind, fmt, status) == ("image", "tiff", "full"), (comp, t4)
 
 
-def test_decode_status_header_only_for_fill_order_2():
+def test_decode_status_header_only_for_uncompressed_mode_flag():
     img = np.zeros((2, 8), np.uint8)
-    payload = _tiff_container(
-        [(256, 4, [8]), (257, 4, [2]), (258, 3, [1]), (259, 3, [4]),
-         (262, 3, [0]), (266, 3, [2]), (277, 3, [1]), (278, 4, [2])],
-        [encode_g4(img)],
-    )
+    payload = tiff_bilevel(img, 3, t4opts=0b10)
     assert mm.media_decode_status(payload) == ("image", "tiff", "header_only")
 
 
