@@ -1607,6 +1607,15 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
                 (all(v == 8 for v in bps) or deep)
                 and b[so : so + 2] == b"\xff\xd8"
             )
+        elif comp == 6:
+            # old-style JPEG decodes ONLY in its interchange-format
+            # shape (tag 513 pointing at a complete SOI stream)
+            so = t.get(513, [0])[0]
+            comp_ok = (
+                (all(v == 8 for v in bps) or deep)
+                and 513 in t
+                and b[so : so + 2] == b"\xff\xd8"
+            )
         else:
             comp_ok = (
                 (all(v == 8 for v in bps) or deep)
@@ -1625,7 +1634,7 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             and comp_ok
             and t.get(262, [1])[0] in (0, 1, 2)
             and (t.get(262, [1])[0] == 2) == (spp == 3)
-            and bool(t.get(273)) and bool(t.get(279))
+            and (comp == 6 or (bool(t.get(273)) and bool(t.get(279))))
         )
         return ("image", "tiff", "full" if ok else "header_only")
     if b[:2] in (b"P5", b"P6"):
@@ -2530,7 +2539,10 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
         raise NotImplementedError("tiled TIFF not supported")
     offsets = t.get(273)
     counts = t.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
+    # old-style JPEG (6) carries its stream behind tag 513, not strips
+    if t.get(259, [1])[0] != 6 and (
+        not offsets or not counts or len(offsets) != len(counts)
+    ):
         raise NotImplementedError("TIFF missing strip offsets/counts")
     rps = t.get(278, [h])[0] or h
     deep = spp == 1 and bps == [16]  # 16-bit gray: the medical shape
@@ -2554,7 +2566,30 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
         # are spliced after each strip's SOI (its own SOI/EOI dropped)
         return _tiff_jpeg_pixels(b, t, w, h, rps, offsets, counts, photo, spp)
     if comp == 6:
-        raise NotImplementedError("old-style JPEG-in-TIFF (compression 6) not supported")
+        # old-style JPEG-in-TIFF: the 1992 draft's strip/table-offset
+        # machinery (tags 512-521) was famously incoherent and is
+        # rejected — EXCEPT the one shape real writers converged on: a
+        # complete interchange JPEG stream pointed at by
+        # JPEGInterchangeFormat (513) + length (514). Decode that via
+        # the same jpeg_pixels as compression 7 (round 10).
+        if 513 not in t:
+            raise NotImplementedError(
+                "old-style JPEG-in-TIFF without JPEGInterchangeFormat"
+            )
+        off = t[513][0]
+        ln = t.get(514, [len(b) - off])[0]
+        stream = b[off : off + ln]
+        if stream[:2] != b"\xff\xd8":
+            raise NotImplementedError("JPEGInterchangeFormat stream missing SOI")
+        from temporai_mivdp_spark.llmdata.imagecodecs import jpeg_pixels
+
+        px = jpeg_pixels(stream)
+        if px.shape[1] != w or px.shape[0] < h:
+            raise NotImplementedError("JPEG-in-TIFF stream dims disagree with IFD")
+        px = px[:h]
+        if photo == 0 and spp == 1:
+            px = (255 - px).astype(np.uint8)
+        return px
     if bilevel:
         if comp not in (1, 2, 3, 4):
             raise NotImplementedError(f"bilevel TIFF compression {comp} not supported")

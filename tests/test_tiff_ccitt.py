@@ -277,6 +277,9 @@ def _tiff_container(tags, strips, endian="<", extra_blobs=None) -> bytes:
         strip_offs.append(data_off)
         data_off += len(s)
     all_tags[273] = (4, strip_offs)
+    if 513 in all_tags:  # old-style JPEG: point at the first blob
+        all_tags[513] = (4, [strip_offs[0]])
+        all_tags[514] = (4, [len(strips[0])])
     out = bytearray(magic) + struct.pack(e + "I", ifd_off)
     out += struct.pack(e + "H", n)
     for tag in order:
@@ -591,6 +594,32 @@ def test_jpeg_in_tiff_lossless_gray_photometrics():
     g0 = mm._tiff_pixels(tiff_jpeg([jpg], 10, 6, 6, 1, 0))
     assert (g1[:, :, 0] == gray.astype(np.uint8)).all()
     assert (g0 == 255 - g1).all()
+
+
+def test_old_style_jpeg_in_tiff_interchange_decodes():
+    """Compression 6 (round 10): the one coherent old-style shape —
+    JPEGInterchangeFormat (513/514) pointing at a complete SOI stream —
+    decodes through the same jpeg_pixels; strip-fragmented/table-offset
+    variants (no tag 513) stay rejected-but-classified."""
+    from temporai_mivdp_spark.llmdata.imagecodecs import jpeg_pixels
+    from tests.test_imagecodecs import _smooth_rgb, jpeg_bytes
+
+    rgb = _smooth_rgb(10, 12, seed=6)
+    jpg = jpeg_bytes(rgb)
+    tags = [
+        (256, 4, [12]), (257, 4, [10]), (258, 3, [8, 8, 8]), (259, 3, [6]),
+        (262, 3, [2]), (277, 3, [3]), (278, 4, [10]), (513, 4, [0]),
+    ]
+    payload = _tiff_container(tags, [jpg])
+    assert (mm._tiff_pixels(payload) == jpeg_pixels(jpg)).all()
+    assert mm.media_decode_status(payload) == ("image", "tiff", "full")
+    # 513 pointing at a non-SOI region: rejected AND header_only
+    lying = bytearray(payload)
+    sig_off = payload.rfind(jpg)
+    lying[sig_off : sig_off + 2] = b"\x00\x00"
+    with pytest.raises(NotImplementedError):
+        mm._tiff_pixels(bytes(lying))
+    assert mm.media_decode_status(bytes(lying)) == ("image", "tiff", "header_only")
 
 
 def test_jpeg_in_tiff_hostile_rows():
