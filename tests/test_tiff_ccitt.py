@@ -387,6 +387,49 @@ def test_big_endian_container():
     assert (as_bits_photo0(decode_gray(payload)) == img).all()
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        comp=st.sampled_from([(1, 0), (2, 0), (3, 0), (3, 1), (4, 0)]),
+        w=st.integers(1, 90),
+        h=st.integers(1, 12),
+        runs=st.lists(st.integers(1, 40), min_size=1, max_size=40),
+        start_black=st.booleans(),
+    )
+    def test_roundtrip_property(comp, w, h, runs, start_black):
+        """Shrinking property twin of the seeded round-trip battery:
+        ANY run-structured raster survives encode→container→decode for
+        every compression variant."""
+        img = np.zeros((h, w), np.uint8)
+        i = 0
+        for y in range(h):
+            x, color = 0, start_black
+            while x < w:
+                run = min(w - x, runs[i % len(runs)])
+                i += 1
+                if color:
+                    img[y, x : x + run] = 1
+                x += run
+                color = not color
+        c, t4 = comp
+        payload = tiff_bilevel(img, c, photo=0, t4opts=t4)
+        assert (as_bits_photo0(decode_gray(payload)) == img).all()
+
+
 # ---------------------------------------------------------------------------
 # hand-pinned spec vectors (independent of BOTH table transcriptions)
 # ---------------------------------------------------------------------------
