@@ -21,8 +21,11 @@ exact constant-block battery plus a x16-twin differential against the
 8-bit decode. LOSSLESS JPEG (SOF3, T.81 Annex H — the DICOM/medical
 shape) also decodes since round 9 for single-component frames at any
 precision 2-16: predictors 1-7, point transform, restart resync,
-pinned by EXACT round-trips against a test-side Annex-H encoder.
-Hierarchical, multi-component-lossless, and 12-bit-arithmetic JPEG
+pinned by EXACT round-trips against a test-side Annex-H encoder;
+round 10 extends SOF3 to INTERLEAVED 1:1 multi-component frames (the
+DICOM RGB shape) and adds the ``raw_rgb`` container override (TIFF
+photometric 2: components stored as R,G,B — no YCbCr transform).
+Hierarchical, subsampled-lossless, and 12-bit-arithmetic JPEG
 still raise ``NotImplementedError`` — honestly;
 Huffman + arithmetic + progressive + GIF covers the overwhelming share of
 web-corpus images, and animated GIF doubles as the one video-like
@@ -567,10 +570,10 @@ def _decode_scan_arith(
                         x0 = (mx * c["hs"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    return _assemble_rgb(planes, comps, h, w, hmax, vmax)
+    return _assemble_rgb(planes, comps, h, w, hmax, vmax, frame.get("raw_rgb", False))
 
 
-def jpeg_pixels(b: bytes) -> np.ndarray:
+def jpeg_pixels(b: bytes, raw_rgb: bool = False) -> np.ndarray:
     """Decode a JFIF/JPEG payload to an (h, w, 3) RGB uint8 array.
     Supports 8-bit sequential DCT (SOF0/SOF1), 8-bit progressive DCT
     (SOF2 — spectral selection + successive approximation per ITU-T
@@ -659,6 +662,9 @@ def jpeg_pixels(b: bytes) -> np.ndarray:
                 "progressive": marker in (0xC2, 0xCA),
                 "arith": marker in (0xC9, 0xCA),
                 "lossless": lossless,
+                # round 10: container-driven RGB-stored components
+                # (TIFF photometric 2) — skip the YCbCr transform
+                "raw_rgb": raw_rgb,
             }
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} not supported")
@@ -776,12 +782,14 @@ def _decode_scan(
             except _RestartMarker:
                 raise NotImplementedError("restart marker landed mid-MCU")
             mcu_count += 1
-    return _assemble_rgb(planes, comps, h, w, hmax, vmax)
+    return _assemble_rgb(planes, comps, h, w, hmax, vmax, frame.get("raw_rgb", False))
 
 
-def _assemble_rgb(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+def _assemble_rgb(planes, comps, h, w, hmax, vmax, raw=False) -> np.ndarray:
     """Shared final stage (sequential and progressive): upsample each
-    component plane to full resolution (nearest), crop, color-convert."""
+    component plane to full resolution (nearest), crop, color-convert.
+    ``raw=True`` (round 10): the three components ARE R,G,B as stored —
+    no YCbCr transform (the TIFF photometric-2 / RGB-in-JPEG shape)."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -792,6 +800,8 @@ def _assemble_rgb(planes, comps, h, w, hmax, vmax) -> np.ndarray:
     if len(full) == 1:
         g = np.clip(full[0], 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
+    if raw:
+        return np.clip(np.stack(full, axis=2), 0, 255).astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -1076,7 +1086,8 @@ def _finish_progressive(frame, coefs, qt) -> np.ndarray:
         px = (_idct2(grid.reshape(by, bx, 8, 8)) + lvl) / sampscale
         planes.append(px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
     return _assemble_rgb(
-        planes, comps, frame["h"], frame["w"], frame["hmax"], frame["vmax"]
+        planes, comps, frame["h"], frame["w"], frame["hmax"], frame["vmax"],
+        frame.get("raw_rgb", False),
     )
 
 

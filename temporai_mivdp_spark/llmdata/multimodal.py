@@ -1497,6 +1497,25 @@ def audio_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+def _first_sos_ns(b: bytes, start: int) -> int:
+    """Component count declared by the first SOS segment at/after
+    ``start`` (0 if none before the buffer ends) — segment-length walk,
+    no entropy decode."""
+    i = start
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xDA:
+            return b[i + 4] if i + 4 < len(b) else 0
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        i += 2 + struct.unpack_from(">H", b, i + 2)[0]
+    return 0
+
+
 def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
     """(modality, codec, decode_status) for one payload — HEADER-CHEAP
     accounting of what the decode tiers can do, no pixel/sample decode:
@@ -1632,8 +1651,9 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
             and spp in (1, 3)
             and (all(v == 8 for v in bps) or deep or bilevel)
             and comp_ok
-            and t.get(262, [1])[0] in (0, 1, 2)
-            and (t.get(262, [1])[0] == 2) == (spp == 3)
+            # YCbCr (6) is decodable only under the JPEG compressions
+            and t.get(262, [1])[0] in ((0, 1, 2, 6) if comp in (6, 7) else (0, 1, 2))
+            and (t.get(262, [1])[0] in (2, 6)) == (spp == 3)
             and (comp == 6 or (bool(t.get(273)) and bool(t.get(279))))
         )
         return ("image", "tiff", "full" if ok else "header_only")
@@ -1676,6 +1696,12 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
                         nc == 3
                         and i + 10 + 3 * nc <= len(b)
                         and all(b[i + 11 + 3 * c] == 0x11 for c in range(nc))
+                        # the decoder handles ONE interleaved scan; a
+                        # non-interleaved 3-scan lossless file (legal
+                        # per Annex H) must not classify 'full'
+                        # (review fix): require the first SOS to
+                        # declare all three components
+                        and _first_sos_ns(b, i) == 3
                     )
                 )
                 ok = (
@@ -2067,7 +2093,10 @@ def _tiff_ifd(b: bytes) -> tuple[str, dict[int, list[int]]]:
         raise NotImplementedError("truncated TIFF IFD offset")
     (n,) = struct.unpack_from(e + "H", b, ifd_off)
     tags: dict[int, list[int]] = {}
-    # type 7 (UNDEFINED) is byte-sized — carries JPEGTables (tag 347)
+    # type 7 (UNDEFINED) is byte-sized; materialize it ONLY for
+    # JPEGTables (347) — real TIFFs carry multi-hundred-KB type-7 blobs
+    # (ICC profiles, Photoshop resources) that would otherwise become
+    # million-element int lists on the per-payload classify path
     sizes = {1: 1, 3: 2, 4: 4, 7: 1}
     fmts = {1: "B", 3: "H", 4: "I", 7: "B"}
     for k in range(n):
@@ -2076,8 +2105,8 @@ def _tiff_ifd(b: bytes) -> tuple[str, dict[int, list[int]]]:
             raise NotImplementedError("truncated TIFF IFD entry")
         tag, typ = struct.unpack_from(e + "HH", b, off)
         (cnt,) = struct.unpack_from(e + "I", b, off + 4)
-        if typ not in sizes:
-            continue  # RATIONAL/etc. — not needed for the decode params
+        if typ not in sizes or (typ == 7 and tag != 347):
+            continue  # RATIONAL / non-JPEGTables UNDEFINED — not needed
         total = sizes[typ] * cnt
         src = off + 8 if total <= 4 else struct.unpack_from(e + "I", b, off + 8)[0]
         if src + total > len(b):
@@ -2363,7 +2392,11 @@ def _ccitt_2d_row(br: _CcittReader, ref: list[int], w: int) -> list[int]:
             continue
         if kind == "V":
             a1 = b1 + dv
-            if a1 < 0 or a1 > w or (cur and a1 < cur[-1]):
+            # strictly right of a0 (review fix: checking cur[-1] alone
+            # let a corrupt stream place a1 behind a pass-advanced a0
+            # and return a plausible-but-wrong raster instead of the
+            # crawl-mode degrade)
+            if a1 <= a0 or a1 > w:
                 raise NotImplementedError("CCITT vertical mode out of range")
             cur.append(a1)
             a0, white = a1, not white
@@ -2416,6 +2449,12 @@ def _ccitt_decode(data: bytes, w: int, h: int, comp: int, t4opts: int) -> np.nda
       per-row tag bit selecting 1D/2D coding (2D rows reference the
       previous row); bit 2 (fill to byte before EOL) is tolerated
       implicitly by the fill scan. Uncompressed mode (bit 1) rejects.
+      Review-hardened tolerance: legacy writers emit G3-1D with NO
+      EOLs at all; the two shapes are unambiguous at the stream head
+      (an EOL opens with >= 11 zero bits, while no legal MH code
+      carries more than 7 leading zeros), so a 1D strip that does not
+      open with an EOL decodes as back-to-back rows. No-EOL 2D is
+      rejected — the per-row 1D/2D tag bit only exists after an EOL.
     comp 4 — T.6 Group 4: pure 2D against an imaginary all-white first
       reference line, no EOLs; the trailing EOFB is ignored.
     """
@@ -2425,15 +2464,29 @@ def _ccitt_decode(data: bytes, w: int, h: int, comp: int, t4opts: int) -> np.nda
     rows = np.zeros((h, w), np.uint8)
     ref: list[int] = []  # imaginary all-white line above row 0
     two_d_g3 = comp == 3 and bool(t4opts & 0b1)
+    eol_mode = True
+    if comp == 3:
+        # unambiguous head peek: >= 11 leading zero bits == EOL stream
+        lead = 0
+        for i in range(min(len(data), 8) * 8):
+            if (data[i // 8] >> (7 - i % 8)) & 1:
+                break
+            lead += 1
+        eol_mode = lead >= 11
+        if two_d_g3 and not eol_mode:
+            raise NotImplementedError("G3 2D stream without EOLs")
     for y in range(h):
         if comp == 2:
             if y:
                 br.align()
             trans = _ccitt_1d_row(br, w)
         elif comp == 3:
-            _ccitt_find_eol(br)
-            if two_d_g3 and br.read_bit() == 0:
-                trans = _ccitt_2d_row(br, ref, w)
+            if eol_mode:
+                _ccitt_find_eol(br)
+                if two_d_g3 and br.read_bit() == 0:
+                    trans = _ccitt_2d_row(br, ref, w)
+                else:
+                    trans = _ccitt_1d_row(br, w)
             else:
                 trans = _ccitt_1d_row(br, w)
         else:  # comp 4
@@ -2476,11 +2529,16 @@ def _tiff_jpeg_pixels(
     The actual entropy/pixel work is ``imagecodecs.jpeg_pixels`` — the
     same decoder every bare-JPEG payload goes through, so all its
     flavors (baseline/progressive/arithmetic/12-bit/lossless) come for
-    free inside the TIFF container."""
+    free inside the TIFF container. Photometric 6 (YCbCr, the normal
+    JFIF-in-TIFF shape) takes jpeg_pixels' own transform; photometric 2
+    means the components are STORED as R,G,B, so the transform is
+    suppressed (``raw_rgb`` — round-10 review fix: the transform used
+    to be applied to RGB-stored strips)."""
     from temporai_mivdp_spark.llmdata.imagecodecs import jpeg_pixels
 
-    if photo not in (0, 1, 2):
+    if photo not in (0, 1, 2, 6):
         raise NotImplementedError("unsupported JPEG-in-TIFF photometric")
+    raw_rgb = photo == 2
     tbl = b""
     if 347 in t:
         # tag 347 is UNDEFINED(7)-typed; _tiff_ifd surfaces it as byte
@@ -2494,7 +2552,7 @@ def _tiff_jpeg_pixels(
             raise NotImplementedError("TIFF strip past end of payload")
         if strip[:2] != b"\xff\xd8":
             raise NotImplementedError("JPEG-in-TIFF strip missing SOI")
-        px = jpeg_pixels(strip[:2] + tbl + strip[2:])
+        px = jpeg_pixels(strip[:2] + tbl + strip[2:], raw_rgb=raw_rgb)
         nrows = min(rps, h - y)
         if px.shape[1] != w or px.shape[0] < nrows:
             raise NotImplementedError("JPEG-in-TIFF strip dims disagree with IFD")
@@ -2557,7 +2615,12 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
         deep or bilevel or all(v == 8 for v in bps)
     ):
         raise NotImplementedError("only 1/8/16-bit chunky gray/RGB TIFF decodes")
-    if photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
+    # photometric 6 (YCbCr) is legal ONLY for the JPEG compressions,
+    # where jpeg_pixels' own transform produces RGB; photometric 2
+    # with JPEG means the components are STORED as R,G,B (raw_rgb)
+    if photo == 6 and comp not in (6, 7):
+        raise NotImplementedError("YCbCr TIFF only decodes under JPEG compression")
+    if photo not in (0, 1, 2, 6) or (photo in (2, 6)) != (spp == 3):
         raise NotImplementedError("unsupported TIFF photometric interpretation")
     if comp == 7:
         # new-style JPEG-in-TIFF: each strip is a complete JPEG stream
@@ -2583,7 +2646,7 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
             raise NotImplementedError("JPEGInterchangeFormat stream missing SOI")
         from temporai_mivdp_spark.llmdata.imagecodecs import jpeg_pixels
 
-        px = jpeg_pixels(stream)
+        px = jpeg_pixels(stream, raw_rgb=photo == 2)
         if px.shape[1] != w or px.shape[0] < h:
             raise NotImplementedError("JPEG-in-TIFF stream dims disagree with IFD")
         px = px[:h]

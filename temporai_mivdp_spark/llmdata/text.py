@@ -70,6 +70,27 @@ def bpe_token_estimate(col: Column) -> Column:
 _BOUNDARY_L = r"(?<![a-z0-9_])"
 _BOUNDARY_R = r"(?![a-z0-9_])"
 
+#: every counted word must itself be made of boundary-class-interior
+#: chars: the DuckDB oracle's doubled-boundary form REWRITES any char
+#: outside [a-z0-9_] inside ``pad``, so a needle containing one (an
+#: accented marker word, say) would silently count 0 there while the
+#: Spark lookaround form counts normally. Assert at import so the trap
+#: is impossible to add (review fix, round 10).
+_NEEDLE_SAFE = frozenset("abcdefghijklmnopqrstuvwxyz0123456789_")
+
+
+def _assert_needles_safe(words) -> None:
+    bad = [w for w in words if not set(w) <= _NEEDLE_SAFE]
+    if bad:
+        raise AssertionError(
+            f"boundary-counted words must be [a-z0-9_]-only: {bad}"
+        )
+
+
+_assert_needles_safe(STOPWORDS)
+for _words in LANG_MARKERS.values():
+    _assert_needles_safe(_words)
+
 
 def _count_occurrences(text: Column, word: str) -> Column:
     """Occurrences of ``word`` as a whole token — explicit-boundary regex

@@ -476,7 +476,11 @@ _PAD = (
 
 def _occ_sql(word: str) -> str:
     # explicit-boundary regex count over the doubled-boundary pad,
-    # mirroring text._count_occurrences (lookaround form, Java side)
+    # mirroring text._count_occurrences (lookaround form, Java side).
+    # The needle itself must be boundary-interior chars only — the pad
+    # doubling rewrites anything else INSIDE the needle's occurrences
+    # (import-time assertion mirrors text._assert_needles_safe)
+    text._assert_needles_safe([word])
     return (
         f"CAST(len(regexp_extract_all(pad, '[^a-z0-9_]{word}[^a-z0-9_]')) AS BIGINT)"
     )

@@ -582,15 +582,27 @@ def _split_segments(jpg: bytes):
     raise AssertionError("no SOS found")
 
 
-def test_jpeg_in_tiff_matches_bare_decode_rgb():
+def test_jpeg_in_tiff_photometrics_ycbcr_vs_rgb_stored():
+    """Photometric 6 (YCbCr, the JFIF-in-TIFF norm) takes jpeg_pixels'
+    own transform and equals the bare decode; photometric 2 means the
+    three components ARE R,G,B as stored, so the transform is
+    suppressed (review fix: the transform used to be applied to
+    photo-2 strips too)."""
     from temporai_mivdp_spark.llmdata.imagecodecs import jpeg_pixels
     from tests.test_imagecodecs import _smooth_rgb, jpeg_bytes
 
     rgb = _smooth_rgb(13, 17, seed=4)
     jpg = jpeg_bytes(rgb)
-    payload = tiff_jpeg([jpg], 17, 13, 13, 3, 2)
-    assert (mm._tiff_pixels(payload) == jpeg_pixels(jpg)).all()
-    assert mm.media_decode_status(payload) == ("image", "tiff", "full")
+    ycc = tiff_jpeg([jpg], 17, 13, 13, 3, 6)
+    assert (mm._tiff_pixels(ycc) == jpeg_pixels(jpg)).all()
+    assert mm.media_decode_status(ycc) == ("image", "tiff", "full")
+    raw = tiff_jpeg([jpg], 17, 13, 13, 3, 2)
+    assert (mm._tiff_pixels(raw) == jpeg_pixels(jpg, raw_rgb=True)).all()
+    assert mm.media_decode_status(raw) == ("image", "tiff", "full")
+    # the two interpretations genuinely differ on this payload
+    assert (mm._tiff_pixels(ycc) != mm._tiff_pixels(raw)).any()
+    # bare YCbCr payloads are unaffected by the flag default
+    assert (jpeg_pixels(jpg) == jpeg_pixels(jpg, raw_rgb=False)).all()
 
 
 def test_jpeg_in_tiff_multi_strip_stacks_rows():
@@ -598,7 +610,7 @@ def test_jpeg_in_tiff_multi_strip_stacks_rows():
 
     rgb = _smooth_rgb(12, 11, seed=8)
     top, bottom = jpeg_bytes(rgb[:6]), jpeg_bytes(rgb[6:])
-    payload = tiff_jpeg([top, bottom], 11, 12, 6, 3, 2)
+    payload = tiff_jpeg([top, bottom], 11, 12, 6, 3, 6)
     whole = mm._tiff_pixels(payload)
     from temporai_mivdp_spark.llmdata.imagecodecs import jpeg_pixels
 
@@ -619,7 +631,7 @@ def test_jpeg_in_tiff_shared_jpegtables():
     rest = b"".join(s for m, s in segs if m not in (0xC4, 0xDB))
     strip = b"\xff\xd8" + rest + tail
     payload = tiff_jpeg(
-        [strip], 14, 9, 9, 3, 2, tables=b"\xff\xd8" + tables + b"\xff\xd9"
+        [strip], 14, 9, 9, 3, 6, tables=b"\xff\xd8" + tables + b"\xff\xd9"
     )
     assert (mm._tiff_pixels(payload) == jpeg_pixels(jpg)).all()
 
@@ -639,6 +651,109 @@ def test_jpeg_in_tiff_lossless_gray_photometrics():
     assert (g0 == 255 - g1).all()
 
 
+# ---------------------------------------------------------------------------
+# round-10 self-review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_g3_1d_without_eols_decodes():
+    """Legacy fax writers emit G3-1D with no EOLs; the head peek (>=11
+    leading zeros == EOL) routes both shapes correctly."""
+    img = random_raster(random.Random(13), 23, 6)
+    bw = BitWriter()
+    for y in range(img.shape[0]):
+        encode_1d_row(bw, img[y])  # back-to-back, no EOLs, no alignment
+    payload = _tiff_container(
+        [(256, 4, [23]), (257, 4, [6]), (258, 3, [1]), (259, 3, [3]),
+         (262, 3, [0]), (277, 3, [1]), (278, 4, [6]), (292, 4, [0])],
+        [bw.tobytes()],
+    )
+    assert (as_bits_photo0(decode_gray(payload)) == img).all()
+    # the EOL form of the same raster still decodes identically
+    with_eols = tiff_bilevel(img, 3, photo=0, t4opts=0)
+    assert (decode_gray(payload) == decode_gray(with_eols)).all()
+
+
+def test_g3_2d_without_eols_rejected():
+    """No-EOL 2D G3 is unrepresentable (the 1D/2D tag bit only exists
+    after an EOL) — must raise, not misparse."""
+    img = np.eye(4, 8, dtype=np.uint8)
+    bw = BitWriter()
+    ref = []
+    for y in range(img.shape[0]):
+        encode_2d_row(bw, img[y], ref, 8)
+        ref = transitions(img[y])
+    with pytest.raises(NotImplementedError, match="without EOLs"):
+        mm._ccitt_decode(bw.tobytes(), 8, 4, 3, 0b1)
+
+
+def test_corrupt_g4_pass_then_backward_vertical_raises():
+    """Review fix: after a pass mode advances a0 without appending to
+    the current row's transitions, a vertical code landing BEHIND a0
+    must raise (it used to pass the cur[-1]-only check and return a
+    plausible-but-wrong raster)."""
+    # reference row: black run [5,10); current row bits: P (a0 -> b2=10)
+    # then VL3 against b1=w gives a1 behind a0 when ref has a late
+    # transition — craft directly: ref [5,10], codes P then VL1 applied
+    # to b1=w(16)... force the backward case with ref transitions [5,10]
+    # and w=16: after P, a0=10, white; b1 = next even-parity ref > 10 =
+    # w; VL3 -> a1 = 13 > a0 fine. To land behind a0 use ref [2,3]:
+    # after P a0=3; b1 = w; VL codes can't go behind w-3=13 > 3. So use
+    # a second ref transition pair: ref=[2,3,4,5]: P consumes b2=3;
+    # next b1 = 4 (even idx=2), VL3 -> a1 = 1 < a0=3 -> must raise.
+    bw = BitWriter()
+    # row 1 (1D-as-2D against imaginary white ref): establish ref
+    # [2,3,4,5] via H runs: w2,b1,w1,b1, then white to end
+    row1 = np.zeros(16, np.uint8)
+    row1[2] = 1
+    row1[4] = 1
+    encode_2d_row(bw, row1, [], 16)
+    # row 2: P then VL3 — hand-built corrupt sequence
+    bw.put(MODES["P"])
+    bw.put(MODES["VL3"])
+    # pad with V0s so the stream doesn't just truncate
+    bw.put(MODES["V0"] * 10)
+    with pytest.raises(NotImplementedError):
+        mm._ccitt_decode(bw.tobytes(), 16, 2, 4, 0)
+
+
+def test_non_interleaved_lossless_rgb_classifies_header_only():
+    """Review fix: a 3-scan (non-interleaved) lossless RGB file is
+    T.81-legal but the decoder handles one interleaved scan — the
+    classifier must check the first SOS's component count instead of
+    claiming 'full' from the SOF alone."""
+    import struct as s
+
+    sof = s.pack(">BHHB", 8, 4, 4, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos1 = bytes([1, 1, 0x00, 1, 0, 0])  # ns=1: first of three scans
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc4" + s.pack(">H", 2 + 17) + bytes([0] + [0] * 15 + [1]) + bytes([0])
+        + b"\xff\xc3" + s.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xda" + s.pack(">H", 2 + len(sos1)) + sos1
+        + b"\x00" * 8 + b"\xff\xd9"
+    )
+    assert mm.media_decode_status(payload) == ("image", "jpeg", "header_only")
+    # and the interleaved real fixture still classifies full
+    from tests.test_imagecodecs import _rgb_ramp, jpeg_lossless_rgb_bytes
+
+    good = jpeg_lossless_rgb_bytes(_rgb_ramp(3, 4, seed=2), 8, 1)
+    assert mm.media_decode_status(good) == ("image", "jpeg", "full")
+
+
+def test_needle_safety_assertions():
+    """Review fix: the doubled-boundary oracle form silently undercounts
+    any needle containing a char outside [a-z0-9_]; the import-time
+    assertion makes adding one impossible."""
+    from temporai_mivdp_spark.llmdata import text as t
+
+    with pytest.raises(AssertionError, match="a-z0-9_"):
+        t._assert_needles_safe(["über"])
+    t._assert_needles_safe(t.STOPWORDS)  # the shipped lists are safe
+
+
 def test_old_style_jpeg_in_tiff_interchange_decodes():
     """Compression 6 (round 10): the one coherent old-style shape —
     JPEGInterchangeFormat (513/514) pointing at a complete SOI stream —
@@ -651,11 +766,15 @@ def test_old_style_jpeg_in_tiff_interchange_decodes():
     jpg = jpeg_bytes(rgb)
     tags = [
         (256, 4, [12]), (257, 4, [10]), (258, 3, [8, 8, 8]), (259, 3, [6]),
-        (262, 3, [2]), (277, 3, [3]), (278, 4, [10]), (513, 4, [0]),
+        (262, 3, [6]), (277, 3, [3]), (278, 4, [10]), (513, 4, [0]),
     ]
     payload = _tiff_container(tags, [jpg])
     assert (mm._tiff_pixels(payload) == jpeg_pixels(jpg)).all()
     assert mm.media_decode_status(payload) == ("image", "tiff", "full")
+    # photometric 2 = RGB-stored: transform suppressed
+    tags_rgb = [t if t[0] != 262 else (262, 3, [2]) for t in tags]
+    raw = _tiff_container(tags_rgb, [jpg])
+    assert (mm._tiff_pixels(raw) == jpeg_pixels(jpg, raw_rgb=True)).all()
     # 513 pointing at a non-SOI region: rejected AND header_only
     lying = bytearray(payload)
     sig_off = payload.rfind(jpg)

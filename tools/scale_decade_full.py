@@ -158,6 +158,17 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="mivdp_decade_full_")
     try:
         media_only = bool(headline) and set(headline) <= MEDIA_ENTRIES
+        if not media_only and set(headline) & MEDIA_ENTRIES:
+            # review fix: a mixed sweep would silently inflate documents
+            # with the default shift, landing every media copy's doc_id
+            # in the hostile range (>= 9e6) and measuring NULL-row
+            # accounting instead of decode — refuse instead
+            raise SystemExit(
+                "media entries must be swept separately (their doc-id "
+                "shift conflicts with the text entries'): got "
+                + ",".join(sorted(set(headline) & MEDIA_ENTRIES))
+                + " mixed with non-media queries"
+            )
         inflate(spark, tmp, doc_shift=MEDIA_DOC_SHIFT if media_only else SHIFT)
         cells = [(name, sf) for name in headline for sf in (BASE_SF, tmp)]
         dfs = {(name, sf): QUERIES[name](spark, sf) for name, sf in cells}
