@@ -136,6 +136,10 @@ PINNED_EXTRAS = [
     # frame sampling: full GIF/AVI frame decode + tick explode, still
     # one row-local mapInPandas chain — pinned for the same reason
     "multimodal_frame_sampling",  # round-9 addition
+    # perceptual image dedup: mapInPandas hash + ONE hash-groupBy with
+    # broadcast join-back — pinned so a regression to a shuffled join
+    # or a second exchange raises a PLANS.json diff
+    "dedup_image_phash",  # round-10 addition
     # stream_tumbling_bucket / stream_dedup_keys / stream_session_agg are
     # deliberately NOT fingerprinted here: building their DataFrames
     # EXECUTES the streaming query (memory sink), and the returned

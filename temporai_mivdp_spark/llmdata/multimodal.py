@@ -2988,6 +2988,101 @@ def image_dims(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, out_schema)
 
 
+def image_dhash(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the image-tier
+    entry point of the dedup family (round 10): the classic 64-bit
+    gradient fingerprint that is invariant to container format,
+    lossless re-encoding, and uniform brightness shifts, so the SAME
+    picture shipped as PNG / TIFF / PGM / BMP (or decoded out of any
+    other ``_raster_pixels`` format) hashes identically and exact
+    dedup on the hash collapses cross-format duplicates; visually
+    near-identical images land within a few Hamming bits, which the
+    banded LSH columns bucket without an all-pairs join.
+
+    Definition (pinned — the DuckDB oracle replays it bit for bit from
+    the fixture algebra): luminance 0.299R+0.587G+0.114B, floor-nearest
+    resample to 9×8 with the SAME index convention as ``resize_image``
+    (``xi = x*w // 9``, ``yi = y*h // 8``), bit(y, x) = 1 iff
+    g[yi(y), xi(x+1)] > g[yi(y), xi(x)] for x in 0..7, y in 0..7,
+    packed row-major MSB-first into a 16-char lowercase hex string
+    (strings, not int64: bit 63 would flip the sign and the two
+    engines' overflow rules differ). ``band1..band4`` are the four
+    16-bit hex quarters — equality on ANY band is the LSH candidate
+    condition (Hamming ≤ 3 guarantees one clean band by pigeonhole).
+
+    Null payloads and (with ``strict=False``, the crawl default here)
+    malformed ones yield NULL hash/bands — accounting, not crashes,
+    same contract as ``decode_image``. Plan: one row-local
+    Arrow-batched ``mapInPandas``, zero shuffles; downstream dedup is
+    one hash-groupBy on a 16-byte key, exactly the exact-dedup shape.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("dhash", StringType(), True),
+            StructField("band1", StringType(), True),
+            StructField("band2", StringType(), True),
+            StructField("band3", StringType(), True),
+            StructField("band4", StringType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def dhash(b: bytes | None) -> str | None:
+                if b is None:
+                    return None
+                try:
+                    px = _raster_pixels(b).astype(np.float64)
+                    if px.size == 0:
+                        raise NotImplementedError("empty raster")
+                except (
+                    NotImplementedError, zlib.error, struct.error,
+                    ValueError, IndexError,
+                ):
+                    if strict:
+                        raise
+                    return None
+                lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+                h, w = lum.shape
+                yi = (np.arange(8) * h // 8).astype(np.intp)
+                xi = (np.arange(9) * w // 9).astype(np.intp)
+                g = lum[np.ix_(yi, xi)]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64).ravel()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                return f"{val:016x}"
+
+            hashes = pdf["payload"].map(dhash)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": hashes,
+                    "band1": hashes.str.slice(0, 4),
+                    "band2": hashes.str.slice(4, 8),
+                    "band3": hashes.str.slice(8, 12),
+                    "band4": hashes.str.slice(12, 16),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
+def dhash_hamming(col_a, col_b):
+    """Column expression: Hamming distance between two 16-hex dHash
+    strings — two 32-bit halves through ``conv`` + xor + ``bit_count``
+    (whole-stage codegen, no UDF). Verification step after the band
+    bucketing of ``image_dhash``."""
+    def half(c, lo, hi):
+        return F.conv(F.substring(c, lo, hi), 16, 10).cast("long")
+
+    return (
+        F.bit_count(half(col_a, 1, 8).bitwiseXOR(half(col_b, 1, 8)))
+        + F.bit_count(half(col_a, 9, 8).bitwiseXOR(half(col_b, 9, 8)))
+    )
+
+
 def resize_image(
     media: DataFrame, target_w: int, target_h: int, fake: bool = False
 ) -> DataFrame:

@@ -146,9 +146,10 @@ WINDOW_TAIL: tuple[str, ...] = (
     # by the driver; ts_sessionize keeps its oracle here
     "ts_sessionize",
     # round 7: displaced for stream_enrich — the deterministic-sampling
-    # family stays window-covered by sample_stratified,
-    # sample_temperature, and sample_token_budget (all in the window);
-    # the quota entry keeps its oracle here
+    # family stays window-covered by sample_stratified and
+    # sample_temperature (sample_token_budget, cited here originally,
+    # joined the tail late in round 10 after three driver-green
+    # rounds); the quota entry keeps its oracle here
     "sample_source_quota",
     # round 7: displaced for text_pmi — the regexp_replace clean/redact
     # chains stay window-exercised by text_quality's regex feature
@@ -406,6 +407,16 @@ WINDOW_TAIL: tuple[str, ...] = (
     # map-side-combined llm aggregate; the salting demo keeps its
     # oracle here and its skew stress test
     "a_salted_skew",
+    # round 10 (late): displaced for dedup_image_phash (the NEW image-
+    # tier dedup entry, which enters the window per the newest-least-
+    # proven policy) — three consecutive driver-green rows (r7+r8+r9);
+    # deterministic budgeted selection stays window-exercised by
+    # sample_stratified and sample_temperature (the same md5 row-local
+    # decision machinery) and the running-sum cutoff shape by
+    # shard_assign's prefix-sum packing and pipeline_docs_curation's
+    # packing stage; keeps its oracle here and its budget-boundary
+    # property test
+    "sample_token_budget",
 )
 
 

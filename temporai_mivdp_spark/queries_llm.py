@@ -4291,6 +4291,204 @@ def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the image-dedup corpus: every PICTURE (doc_id // 4)
+    is a deterministic textured gray raster — g[y,x] = (a·x + b·y + c)
+    mod 256 with per-picture a/b/c/dims — encoded in FOUR lossless
+    containers round-robin by doc_id % 4: PNG (filter-0 scanlines),
+    single-strip uncompressed gray TIFF, binary PGM, and bottom-up
+    24-bit BMP (equal channels). The same picture decodes to the
+    IDENTICAL raster from all four, so a format-robust perceptual hash
+    must collapse each quadruplet — the cross-container dedup story
+    the text tier can't tell. Adversarial ids (>= 9e6) carry the
+    hostile classes (null / torn PNG / zero-width BMP) and must yield
+    NULL hash rows."""
+
+    def gen(it):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def raster(p):
+            w2, h2 = 3 + p % 11, 3 + p % 7
+            a, b2, c = 1 + p % 7, 1 + p % 5, p % 256
+            return [
+                bytes((a * x + b2 * y + c) % 256 for x in range(w2))
+                for y in range(h2)
+            ], w2, h2
+
+        def png_rows(rows, w2, h2):
+            raw = b"".join(b"\x00" + r for r in rows)
+
+            def chunk(typ, data):
+                return (
+                    struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w2, h2, 8, 0, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+            )
+
+        def tiff_gray(rows, w2, h2):
+            strip = b"".join(rows)
+            tags = sorted([
+                (256, 4, w2), (257, 4, h2), (258, 3, 8), (259, 3, 1),
+                (262, 3, 1), (277, 3, 1), (278, 4, h2), (279, 4, len(strip)),
+            ])
+            n = len(tags) + 1
+            strips_off = 8 + 2 + 12 * n + 4
+            out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+            out += struct.pack("<H", n)
+            for tag, typ, val in sorted(tags + [(273, 4, strips_off)]):
+                if typ == 3:
+                    out += struct.pack("<HHIHH", tag, 3, 1, val, 0)
+                else:
+                    out += struct.pack("<HHII", tag, 4, 1, val)
+            out += struct.pack("<I", 0)
+            return bytes(out) + strip
+
+        def pgm(rows, w2, h2):
+            return f"P5\n{w2} {h2}\n255\n".encode() + b"".join(rows)
+
+        def bmp_gray24(rows, w2, h2):
+            pad = (4 - (3 * w2) % 4) % 4
+            px = b"".join(
+                b"".join(bytes([v, v, v]) for v in r) + b"\x00" * pad
+                for r in reversed(rows)  # BMP stores bottom-up
+            )
+            hdr = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w2, h2, 1, 24, 0, len(px), 2835, 2835, 0, 0
+            )
+            return hdr + dib + px
+
+        makers = [png_rows, tiff_gray, pgm, bmp_gray24]
+
+        def degenerate(did):
+            kind = did % 3
+            if kind == 0:
+                return None
+            if kind == 1:
+                good = png_rows(*raster(4))
+                ihdr_end = 8 + 25
+                ilen = int.from_bytes(good[ihdr_end : ihdr_end + 4], "big")
+                body = good[ihdr_end + 8 : ihdr_end + 8 + ilen]
+                cut = body[: max(2, ilen // 2)]
+                return (
+                    good[:ihdr_end]
+                    + struct.pack(">I", len(cut)) + b"IDAT" + cut
+                    + struct.pack(">I", zlib.crc32(b"IDAT" + cut) & 0xFFFFFFFF)
+                    + good[-12:]
+                )
+            return bmp_gray24([b""] * 4, 0, 4)  # zero-width BMP
+
+        for pdf in it:
+            rows_out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did >= 9_000_000:
+                    rows_out.append((did, degenerate(did)))
+                    continue
+                rows, w2, h2 = raster(did // 4)
+                rows_out.append((did, makers[did % 4](rows, w2, h2)))
+            yield pd.DataFrame(rows_out, columns=["media_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen, "media_id long, payload binary")
+
+
+def _dhash_oracle_hex() -> str:
+    """Generated SQL computing the EXPECTED dHash hex per doc from the
+    fixture algebra: lum == the gray value exactly (equal channels ×
+    weights summing to a positive constant preserve every strict
+    comparison), so bit(y, x) compares the texture at the floor-nearest
+    sample points — pure integer arithmetic DuckDB evaluates exactly.
+    Produces a 16-char lowercase hex expression over columns
+    (w2, h2, a, b, c)."""
+
+    def bit(y, x):
+        s2 = f"(a*(({x + 1}*w2)//9) + b*(({y}*h2)//8) + c) % 256"
+        s1 = f"(a*(({x}*w2)//9) + b*(({y}*h2)//8) + c) % 256"
+        return f"(CASE WHEN {s2} > {s1} THEN 1 ELSE 0 END)"
+
+    def word(rows):
+        terms = []
+        for i, (y, x) in enumerate([(y, x) for y in rows for x in range(8)]):
+            terms.append(f"{bit(y, x)} * {1 << (31 - i)}")
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    hi, lo = word(range(0, 4)), word(range(4, 8))
+    return (
+        f"lpad(lower(to_hex({hi})), 8, '0') || lpad(lower(to_hex({lo})), 8, '0')"
+    )
+
+
+@_register(
+    "dedup_image_phash",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             3 + (doc_id // 4) % 11 AS w2,
+             3 + (doc_id // 4) % 7 AS h2,
+             1 + (doc_id // 4) % 7 AS a,
+             1 + (doc_id // 4) % 5 AS b,
+             (doc_id // 4) % 256 AS c
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN doc_id >= 9000000 THEN NULL
+                  ELSE {_dhash_oracle_hex()} END AS dhash
+      FROM p
+    )
+    SELECT doc_id AS media_id, dhash,
+           substr(dhash, 1, 4) AS band1,
+           substr(dhash, 13, 4) AS band4,
+           CASE WHEN dhash IS NULL THEN NULL
+                ELSE count(*) OVER (PARTITION BY dhash) END AS n_same_hash,
+           CASE WHEN dhash IS NULL THEN NULL
+                ELSE min(doc_id) OVER (PARTITION BY dhash) END AS keeper_id
+    FROM h
+    """,
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup under the hash check (round 10): REAL
+    decode of four container formats (PNG/TIFF/PGM/BMP — every picture
+    ships as a quadruplet, `_phash_fixture`) → `multimodal.image_dhash`
+    (lum → 9×8 floor-nearest resample → 64 gradient bits → hex) →
+    exact dedup on the hash (count + min-id keeper per cluster), with
+    the banded-LSH columns surfaced. The oracle replays the WHOLE hash
+    from the texture algebra as 64 integer comparisons — a wrong
+    decode in ANY of the four container walks, a resample-convention
+    drift, a bit-packing or band-slicing bug, or a broken cluster
+    aggregation all hash-mismatch; cross-format collapse is checked
+    structurally (each quadruplet's n_same_hash counts all its
+    containers). Adversarial rows (torn PNG, zero-width BMP, NULL)
+    yield NULL hash rows — accounting, not crashes. Plan: one
+    row-local mapInPandas, then ONE hash-groupBy on the 16-byte key
+    broadcast-joined back — the exact-dedup shape, no all-pairs
+    anything."""
+    from temporai_mivdp_spark.llmdata import multimodal
+
+    media = _phash_fixture(spark, sf_dir)
+    hashes = multimodal.image_dhash(media)
+    clusters = (
+        hashes.filter(F.col("dhash").isNotNull())
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_same_hash"),
+            F.min("media_id").alias("keeper_id"),
+        )
+    )
+    return hashes.join(F.broadcast(clusters), "dhash", "left").select(
+        "media_id", "dhash", "band1", "band4", "n_same_hash", "keeper_id"
+    )
+
+
 def _video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a video-tier media frame (media_id, payload)
     deterministically from doc_id — the video twin of `_audio_fixture`.

@@ -82,6 +82,9 @@ def test_driver_window_prioritizes_least_proven_entries():
         # JPEG-in-TIFF / multi-component lossless), resetting its
         # proven-ness despite the r9 green row
         "multimodal_image_roundtrip",
+        # the new round-10 entry: perceptual image dedup (dHash over
+        # four container formats, cluster aggregation under the oracle)
+        "dedup_image_phash",
     }
     assert promotions <= window, promotions - window
     assert tuple(keys[len(keys) - len(WINDOW_TAIL):]) == WINDOW_TAIL

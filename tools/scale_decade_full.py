@@ -75,7 +75,7 @@ CHECK_EXEMPT = {"flagship_revenue_by_nation", "sim_topk_bruteforce",
 MEDIA_ENTRIES = {
     "multimodal_metadata", "multimodal_frame_sampling",
     "multimodal_image_roundtrip", "multimodal_audio_roundtrip",
-    "multimodal_video_roundtrip",
+    "multimodal_video_roundtrip", "dedup_image_phash",
 }
 MEDIA_DOC_SHIFT = 600_000
 
