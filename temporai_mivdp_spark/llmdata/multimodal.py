@@ -1509,11 +1509,36 @@ def _first_sos_ns(b: bytes, start: int) -> int:
         marker = b[i + 1]
         if marker == 0xDA:
             return b[i + 4] if i + 4 < len(b) else 0
-        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker == 0xD9:
+            # EOI terminates the stream (review fix: walking past it
+            # could misread trailer bytes as an SOS and classify an
+            # undecodable payload 'full' — jpeg_pixels breaks here too)
+            return 0
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
         i += 2 + struct.unpack_from(">H", b, i + 2)[0]
     return 0
+
+
+def _jpeg_first_sof_marker(b: bytes, start: int = 2) -> int | None:
+    """Marker byte of the first SOFn segment at/after ``start`` (None
+    if the stream ends or hits EOI first) — segment-length walk only."""
+    i = start
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        m = b[i + 1]
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return m
+        if m == 0xD9:
+            return None
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        i += 2 + struct.unpack_from(">H", b, i + 2)[0]
+    return None
 
 
 def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
@@ -1618,22 +1643,22 @@ def media_decode_status(b: bytes | None) -> tuple[str, str | None, str]:
         if bilevel:
             t4opts = t.get(292, [0])[0] if comp == 3 else t.get(293, [0])[0]
             comp_ok = comp in (1, 2, 3, 4) and pred == 1 and not (t4opts & 0b10)
-        elif comp == 7:
-            # a comp-7 claim with a non-JPEG strip is a header, not a
-            # decodable image: peek the first strip's SOI
-            so = t.get(273, [0])[0]
+        elif comp in (6, 7):
+            # comp 7: strips are JPEG streams; comp 6 decodes ONLY in
+            # its interchange-format shape (tag 513 pointing at a
+            # complete SOI stream). Peek the stream's SOI, and — since
+            # lossless returns stored planes verbatim — reject the
+            # YCbCr-photometric + SOF3 combination the pixel tier
+            # raises on (review fix)
+            so = t.get(273 if comp == 7 else 513, [0])[0]
             comp_ok = (
                 (all(v == 8 for v in bps) or deep)
+                and (comp == 7 or 513 in t)
                 and b[so : so + 2] == b"\xff\xd8"
-            )
-        elif comp == 6:
-            # old-style JPEG decodes ONLY in its interchange-format
-            # shape (tag 513 pointing at a complete SOI stream)
-            so = t.get(513, [0])[0]
-            comp_ok = (
-                (all(v == 8 for v in bps) or deep)
-                and 513 in t
-                and b[so : so + 2] == b"\xff\xd8"
+                and not (
+                    t.get(262, [1])[0] == 6
+                    and _jpeg_first_sof_marker(b, so + 2) == 0xC3
+                )
             )
         else:
             comp_ok = (
@@ -2552,6 +2577,11 @@ def _tiff_jpeg_pixels(
             raise NotImplementedError("TIFF strip past end of payload")
         if strip[:2] != b"\xff\xd8":
             raise NotImplementedError("JPEG-in-TIFF strip missing SOI")
+        if photo == 6 and _jpeg_first_sof_marker(strip) == 0xC3:
+            # lossless returns stored planes verbatim — it cannot honor
+            # a YCbCr photometric claim (review fix: this used to
+            # decode as if RGB-stored while classifying full)
+            raise NotImplementedError("YCbCr lossless JPEG-in-TIFF not supported")
         px = jpeg_pixels(strip[:2] + tbl + strip[2:], raw_rgb=raw_rgb)
         nrows = min(rps, h - y)
         if px.shape[1] != w or px.shape[0] < nrows:
@@ -2644,6 +2674,8 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
         stream = b[off : off + ln]
         if stream[:2] != b"\xff\xd8":
             raise NotImplementedError("JPEGInterchangeFormat stream missing SOI")
+        if photo == 6 and _jpeg_first_sof_marker(stream) == 0xC3:
+            raise NotImplementedError("YCbCr lossless JPEG-in-TIFF not supported")
         from temporai_mivdp_spark.llmdata.imagecodecs import jpeg_pixels
 
         px = jpeg_pixels(stream, raw_rgb=photo == 2)
@@ -3033,7 +3065,7 @@ def image_dhash(media: DataFrame, strict: bool = False) -> DataFrame:
                 if b is None:
                     return None
                 try:
-                    px = _raster_pixels(b).astype(np.float64)
+                    px = _raster_pixels(b)  # stays uint8 until sampling
                     if px.size == 0:
                         raise NotImplementedError("empty raster")
                 except (
@@ -3043,16 +3075,18 @@ def image_dhash(media: DataFrame, strict: bool = False) -> DataFrame:
                     if strict:
                         raise
                     return None
-                lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
-                h, w = lum.shape
+                # sample FIRST, then luminance on the 72 survivors —
+                # identical values (lum of sampled pixels == sampled
+                # lum) without the full-raster float64 temporaries a
+                # crawl-size image would otherwise allocate (review
+                # fix); packbits replaces the per-bit Python loop
+                h, w = px.shape[0], px.shape[1]
                 yi = (np.arange(8) * h // 8).astype(np.intp)
                 xi = (np.arange(9) * w // 9).astype(np.intp)
-                g = lum[np.ix_(yi, xi)]
-                bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64).ravel()
-                val = 0
-                for bit in bits:
-                    val = (val << 1) | int(bit)
-                return f"{val:016x}"
+                sub = px[np.ix_(yi, xi)].astype(np.float64)
+                g = sub[:, :, 0] * 0.299 + sub[:, :, 1] * 0.587 + sub[:, :, 2] * 0.114
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8).ravel()
+                return np.packbits(bits).tobytes().hex()
 
             hashes = pdf["payload"].map(dhash)
             yield pd.DataFrame(

@@ -636,6 +636,42 @@ def test_jpeg_in_tiff_shared_jpegtables():
     assert (mm._tiff_pixels(payload) == jpeg_pixels(jpg)).all()
 
 
+def test_ycbcr_lossless_in_tiff_rejected():
+    """Review fix (2nd pass): photometric 6 promises a YCbCr transform
+    the lossless path cannot provide (it returns stored planes
+    verbatim) — the combination must raise AND classify header_only
+    instead of silently decoding as RGB-stored."""
+    from tests.test_imagecodecs import _rgb_ramp, jpeg_lossless_rgb_bytes
+
+    jpg = jpeg_lossless_rgb_bytes(_rgb_ramp(4, 5, seed=7), 8, 1)
+    bad = tiff_jpeg([jpg], 5, 4, 4, 3, 6)
+    with pytest.raises(NotImplementedError, match="YCbCr lossless"):
+        mm._tiff_pixels(bad)
+    assert mm.media_decode_status(bad) == ("image", "tiff", "header_only")
+    # the same strip under photometric 2 (RGB-stored) stays decodable
+    good = tiff_jpeg([jpg], 5, 4, 4, 3, 2)
+    assert mm._tiff_pixels(good) is not None
+    assert mm.media_decode_status(good) == ("image", "tiff", "full")
+
+
+def test_first_sos_walk_stops_at_eoi():
+    """Review fix (2nd pass): an EOI before any SOS terminates the
+    classifier's SOS walk — trailer bytes after EOI must not be
+    misread as a scan header and flip a 3-component SOF3 to 'full'."""
+    import struct as s
+
+    sof = s.pack(">BHHB", 8, 4, 4, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    fake_sos_trailer = b"\xff\xda\x00\x08\x03\x01\x00\x02\x10\x03"
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc3" + s.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9" + fake_sos_trailer
+    )
+    assert mm.media_decode_status(payload) == ("image", "jpeg", "header_only")
+
+
 def test_jpeg_in_tiff_lossless_gray_photometrics():
     """A lossless (SOF3) stream inside the TIFF container — the
     composition the round-9 decoder tier makes free — under both
