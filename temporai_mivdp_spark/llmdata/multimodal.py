@@ -25,7 +25,8 @@ split by what the stdlib can genuinely do:
   strips, compression none/PackBits/LZW, both byte orders, WhiteIsZero,
   predictor — round 9; round 10 adds BILEVEL fax tiers: CCITT Modified
   Huffman, Group 3 T.4 1D/2D, Group 4 T.6, packed uncompressed bits,
-  plus new-style JPEG-in-TIFF with shared JPEGTables — the
+  plus new-style JPEG-in-TIFF with shared JPEGTables AND old-style
+  JPEG-in-TIFF (compression 6, the tag-513 interchange shape) — the
   scanned-document-archive shapes), binary Netpbm P5/P6
   (round 9), and header-only dimension
   extraction for BMP/PNG/JPEG/GIF/TIFF/PNM.
@@ -40,19 +41,23 @@ split by what the stdlib can genuinely do:
   assignments, CRC-8/16 verification; pinned bit-exactly against a
   hand-written test-side encoder). Other compressed-WAV tags
   (MP3-in-WAV, ...) get byte-rate duration math in the header tier.
-* STUBBED: hierarchical / 12-bit-arithmetic / SUBSAMPLED-lossless
-  JPEG, old-style JPEG-in-TIFF (compression 6), CCITT uncompressed
-  mode, non-bilevel FillOrder 2, and entropy-coded audio bodies beyond FLAC
-  (MP3/Vorbis/Opus filterbanks) need PIL/opencv/librosa, absent in
-  this container — those payloads raise ``NotImplementedError`` unless
+* STUBBED (FINAL boundary — see ARCHITECTURE.md "Multimodal"):
+  hierarchical / 12-bit-arithmetic / SUBSAMPLED-lossless JPEG, CCITT
+  uncompressed mode, non-bilevel FillOrder 2, and entropy-coded audio
+  bodies beyond FLAC (MP3/Vorbis/Opus filterbanks — a pure-Python
+  MDCT/filterbank is the wrong tool; the header tier accounts for them
+  exactly) — those payloads raise ``NotImplementedError`` unless
   the deterministic fake is requested (used by tests and the oracle
-  harness). ARITHMETIC-coded JPEG — sequential SOF9 and progressive
+  harness), and ``decode_status`` quantifies the skip honestly as
+  ``header_only``/``unsupported``. ARITHMETIC-coded JPEG — sequential
+  SOF9 and progressive
   SOF10 — decodes for real since round 8 (imagecodecs' T.81 QM coder,
   libjpeg-fixture-validated); 12-bit EXTENDED Huffman JPEG (Pq=1
   quant tables, 2^11 level shift, x16-twin-pinned) and
   single-component LOSSLESS JPEG (SOF3 Annex H, the DICOM gray shape,
   exact-round-trip-pinned) since round 9; INTERLEAVED 1:1
-  multi-component lossless (the DICOM RGB shape) since round 10.
+  multi-component lossless (the DICOM RGB shape) and BOTH JPEG-in-TIFF
+  styles (compression 7 and legacy compression 6) since round 10.
 
 Scale notes for the real thing:
 * media bytes ride in the same rows as metadata only up to a few MB each;
@@ -2431,6 +2436,13 @@ def _ccitt_2d_row(br: _CcittReader, ref: list[int], w: int) -> list[int]:
         start = a0 if a0 >= 0 else 0
         r1 = _ccitt_run(br, white)
         r2 = _ccitt_run(br, not white)
+        # two zero-length runs are legal bit patterns but leave a0
+        # unchanged — a hostile stream could loop here for O(stream-bits)
+        # appending empty transitions until bit exhaustion. No conforming
+        # encoder emits a zero-advance horizontal pair; degrade crawl-mode
+        # like the other out-of-range guards (advice r10)
+        if r1 + r2 == 0:
+            raise NotImplementedError("CCITT zero-advance horizontal pair")
         t1, t2 = start + r1, start + r1 + r2
         if t2 > w or t1 < start:
             raise NotImplementedError("CCITT horizontal runs overflow row")
@@ -2645,6 +2657,13 @@ def _tiff_pixels(b: bytes) -> np.ndarray:
         deep or bilevel or all(v == 8 for v in bps)
     ):
         raise NotImplementedError("only 1/8/16-bit chunky gray/RGB TIFF decodes")
+    # bps=1 tagged with a JPEG compression is a lying header (JPEG has no
+    # 1-bit mode); rejecting it here keeps this dispatch shape-for-shape
+    # consistent with media_decode_status, whose bilevel branch classifies
+    # comp 6/7 as header_only (advice r10: the JPEG tiers below used to
+    # win the dispatch and decode 'full' against that classification)
+    if bilevel and comp in (6, 7):
+        raise NotImplementedError("bilevel TIFF cannot carry JPEG compression")
     # photometric 6 (YCbCr) is legal ONLY for the JPEG compressions,
     # where jpeg_pixels' own transform produces RGB; photometric 2
     # with JPEG means the components are STORED as R,G,B (raw_rgb)

@@ -843,3 +843,50 @@ def test_jpeg_in_tiff_hostile_rows():
     with pytest.raises(NotImplementedError):
         mm._tiff_pixels(old)
     assert mm.media_decode_status(old) == ("image", "tiff", "header_only")
+
+
+# ---------------------------------------------------------------------------
+# round-11 advice fixes
+# ---------------------------------------------------------------------------
+
+
+def test_zero_advance_horizontal_pair_raises():
+    """Hostile 2D stream: horizontal mode with two zero-length runs is a
+    legal bit pattern that never advances a0 — before the round-11 guard
+    the row loop spun for O(stream-bits) appending empty transitions
+    until bit exhaustion. No conforming encoder emits the pair, so it
+    degrades crawl-mode like the other out-of-range guards."""
+    bw = BitWriter()
+    # many zero-advance pairs: without the guard each one appends two
+    # transitions and consumes 21 bits without moving a0
+    for _ in range(64):
+        bw.put(MODES["H"])
+        bw.put(WHITE_TERM[0])
+        bw.put(BLACK_TERM[0])
+    with pytest.raises(NotImplementedError, match="zero-advance"):
+        mm._ccitt_decode(bw.tobytes(), 16, 1, 4, 0)
+
+
+def test_bilevel_jpeg_compression_rejected_and_classified_header_only():
+    """A bps=1 TIFF tagged with a JPEG compression (6/7) is a lying
+    header — JPEG has no 1-bit mode. Advice r10: _tiff_pixels used to
+    dispatch comp 6/7 to the JPEG tier BEFORE the bilevel check, so such
+    a payload could decode 'full' while media_decode_status's bilevel
+    branch classified it header_only. Both must now agree: decoder
+    raises, classifier says header_only."""
+    from tests.test_imagecodecs import _smooth_rgb, jpeg_bytes
+
+    jpg = jpeg_bytes(_smooth_rgb(9, 11, seed=7))
+    for comp in (6, 7):
+        tags = [
+            (256, 4, [11]), (257, 4, [9]), (258, 3, [1]), (259, 3, [comp]),
+            (262, 3, [0]), (277, 3, [1]), (278, 4, [9]),
+        ]
+        if comp == 6:
+            tags += [(513, 4, [0]), (514, 4, [0])]  # patched to blob 0
+        payload = _tiff_container(tags, [jpg])
+        with pytest.raises(NotImplementedError, match="bilevel"):
+            mm._tiff_pixels(payload)
+        assert mm.media_decode_status(payload) == (
+            "image", "tiff", "header_only",
+        ), comp
