@@ -1,0 +1,169 @@
+"""Third measured decade for the two slowest headline queries.
+
+The round-10 verdict (item 4): ``text_langid`` and
+``dedup_ngram_jaccard`` are the two most expensive headline entries, and
+their scale claims rest on ONE measured decade (sf0.1 -> 10x,
+tools/scale_decade_full.py). This tool adds the second measured decade —
+a 100x inflation of the sf0.1 documents table (5k -> 500k docs,
+~150 MB of text) — and reports BOTH per-decade ratios, so the claims
+"the trigram explode is row-local" and "the posting-list frequency cap
+bounds the quadratic term" are tested across two decades, not
+extrapolated from one.
+
+Inflation reuses the word-salt construction from scale_decade.py, with
+one change: the salt is DELIMITED (``$1q{k}z`` instead of ``$1{k}``),
+because at 100 copies the bare-digit suffix can collide across copies
+(copy 1 of token "foo1" and copy 11 of token "foo" both yield
+"foo111"-shaped tokens when the base corpus contains digit-final
+tokens); with the ``q...z`` fence, copy k's token set is
+``{t + "q"+str(k)+"z"}`` and a cross-copy collision would require a
+base token to end in another full fence, which the fence's structure
+makes impossible for distinct k. Each copy therefore preserves the
+original token/shingle counts exactly and shares zero shingles with any
+other copy: candidate pairs grow exactly linearly, as a real corpus
+ingest would.
+
+Both queries read ONLY documents, so only documents is inflated;
+the other tables are symlink-copied as-is for sf-dir shape.
+
+Usage: python tools/scale_third_decade.py [repeats] [--check]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from temporai_mivdp_spark.queries import QUERIES  # noqa: E402
+import temporai_mivdp_spark.queries_llm  # noqa: E402,F401
+from temporai_mivdp_spark.session import get_session  # noqa: E402
+
+TARGETS = ["text_langid", "dedup_ngram_jaccard"]
+
+#: output rows are corpus-linear for both targets (langid emits one row
+#: per (lang) group with counts — constant rows but linear work — so
+#: the --check growth guard applies only to the dedup pairs)
+CHECK_LINEAR = {"dedup_ngram_jaccard"}
+
+BASE_SF = "/root/testdata/sf0.1"
+DOC_SHIFT = 10_000_000
+
+
+def inflate_documents(spark, out_dir: str, copies: int) -> None:
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    parts = []
+    for k in range(copies):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * DOC_SHIFT).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1q{k}z").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    # repartition so the 100x cell reads a realistic multi-file layout
+    # instead of one fat task per original input file
+    union.repartition(max(4, copies // 4)).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "embeddings"):
+        src = Path(BASE_SF) / f"{name}.parquet"
+        if src.exists():
+            shutil.copy(src, f"{out_dir}/{name}.parquet")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    repeats = int(args[0]) if args else 2
+    check = "--check" in sys.argv
+
+    spark = get_session(
+        app_name="mivdp-scale-third-decade",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "24g",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {}
+    try:
+        for copies in (10, 100):
+            d = tempfile.mkdtemp(prefix=f"mivdp_decade3_{copies}x_")
+            t0 = time.perf_counter()
+            inflate_documents(spark, d, copies)
+            print(
+                f"inflated {copies}x in {time.perf_counter()-t0:.1f}s -> {d}",
+                file=sys.stderr,
+                flush=True,
+            )
+            dirs[copies] = d
+
+        cells = [(n, sf) for n in TARGETS for sf in (BASE_SF, dirs[10], dirs[100])]
+        dfs = {(n, sf): QUERIES[n](spark, sf) for n, sf in cells}
+
+        def run(cell) -> None:
+            dfs[cell].write.format("noop").mode("overwrite").save()
+
+        label = {BASE_SF: "sf0.1", dirs[10]: "10x", dirs[100]: "100x"}
+        for cell in cells:
+            t0 = time.perf_counter()
+            run(cell)
+            print(
+                f"warmup {cell[0]} @{label[cell[1]]}: "
+                f"{time.perf_counter()-t0:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+
+        best = {cell: float("inf") for cell in cells}
+        for _ in range(repeats):
+            for cell in cells:
+                t0 = time.perf_counter()
+                run(cell)
+                best[cell] = min(best[cell], time.perf_counter() - t0)
+
+        if check:
+            for n in [q for q in TARGETS if q in CHECK_LINEAR]:
+                counts = {
+                    label[sf]: dfs[(n, sf)].count()
+                    for sf in (BASE_SF, dirs[10], dirs[100])
+                }
+                print(f"check {n}: rows {counts}", file=sys.stderr, flush=True)
+                base = counts["sf0.1"]
+                assert abs(counts["10x"] - 10 * base) <= 0.01 * 10 * base, counts
+                assert abs(counts["100x"] - 100 * base) <= 0.01 * 100 * base, counts
+
+        print("| query | sf0.1 s | 10x s | 100x s | decade1 | decade2 |")
+        print("|---|---|---|---|---|---|")
+        for n in TARGETS:
+            a = best[(n, BASE_SF)]
+            b = best[(n, dirs[10])]
+            c = best[(n, dirs[100])]
+            print(
+                f"| {n} | {a:.3f} | {b:.3f} | {c:.3f} "
+                f"| {b / a:.1f}× | {c / b:.1f}× |"
+            )
+    finally:
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
