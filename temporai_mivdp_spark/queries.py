@@ -104,8 +104,11 @@ CURRENT_ROUND = 11
 #: err). Maintained by hand at rotation time and cross-checked against
 #: the artifacts on disk by tests/test_entry.py::test_last_driver_round_
 #: matches_artifacts, so a stale or optimistic entry cannot survive a
-#: pytest run.
-LAST_DRIVER_ROUND: dict[str, int] = {
+#: pytest run. ``None`` marks a key REGISTERED THIS ROUND: it has no
+#: artifact yet (and cannot), so the tests instead require it to sit
+#: inside the driver window — the provision that makes adding a new
+#: catalog entry mid-round possible at all.
+LAST_DRIVER_ROUND: dict[str, int | None] = {
     "a1_a6_group_counts": 9,
     "a2_two_level_agg": 10,
     "a3_conditional_count": 9,

@@ -93,10 +93,20 @@ def test_window_rotation_invariant():
     window = set(keys[:50])
     unknown = [k for k in keys if k not in LAST_DRIVER_ROUND]
     assert not unknown, f"keys missing from LAST_DRIVER_ROUND: {unknown}"
+    # None marks a key REGISTERED THIS ROUND with no driver artifact yet;
+    # such a key must face the driver now, i.e. sit inside the window
+    # (without this provision no new entry could ever be added: it has
+    # no CORRECTNESS row, so any claimed round would fail the artifact
+    # cross-check below)
+    new_keys = [k for k, v in LAST_DRIVER_ROUND.items() if v is None]
+    outside = sorted(set(new_keys) - window)
+    assert not outside, f"new keys must enter the driver window: {outside}"
     stale = [
         k
         for k in keys
-        if k not in window and LAST_DRIVER_ROUND[k] < CURRENT_ROUND - 1
+        if k not in window
+        and LAST_DRIVER_ROUND[k] is not None
+        and LAST_DRIVER_ROUND[k] < CURRENT_ROUND - 1
     ]
     assert not stale, (
         "window-rotation invariant violated — these keys are outside the "
@@ -106,8 +116,13 @@ def test_window_rotation_invariant():
     # the map must not name retired keys either
     gone = sorted(set(LAST_DRIVER_ROUND) - set(keys))
     assert not gone, f"LAST_DRIVER_ROUND names unregistered keys: {gone}"
-    # and WINDOW_TAIL keys must all be current (they sit outside the window)
-    assert all(LAST_DRIVER_ROUND[k] >= CURRENT_ROUND - 1 for k in WINDOW_TAIL)
+    # and WINDOW_TAIL keys must all be current (they sit outside the
+    # window; a new/None key can never sit in the tail)
+    assert all(
+        LAST_DRIVER_ROUND[k] is not None
+        and LAST_DRIVER_ROUND[k] >= CURRENT_ROUND - 1
+        for k in WINDOW_TAIL
+    )
 
 
 def test_last_driver_round_matches_artifacts():
@@ -147,13 +162,21 @@ def test_last_driver_round_matches_artifacts():
     mism = {
         k: (LAST_DRIVER_ROUND[k], derived[k])
         for k in derived
-        if LAST_DRIVER_ROUND[k] != derived[k]
+        if LAST_DRIVER_ROUND[k] is not None and LAST_DRIVER_ROUND[k] != derived[k]
     }
     assert not mism, f"LAST_DRIVER_ROUND disagrees with artifacts: {mism}"
-    missing = sorted(set(LAST_DRIVER_ROUND) - set(derived))
+    # None-valued keys are new this round (no artifact CAN exist yet;
+    # the rotation test pins them inside the window instead); every key
+    # CLAIMING a round must have that green artifact row
+    claiming = {k for k, v in LAST_DRIVER_ROUND.items() if v is not None}
+    missing = sorted(claiming - set(derived))
     assert not missing, (
         f"LAST_DRIVER_ROUND claims rounds for keys with no green artifact row: {missing}"
     )
+    # and a key that HAS a green artifact row must not hide behind None
+    # (the sentinel is for genuinely new keys only)
+    hiding = sorted(set(derived) - claiming)
+    assert not hiding, f"keys marked new but already driver-green: {hiding}"
 
 
 def test_coverage_doc_mentions_every_catalog_query():

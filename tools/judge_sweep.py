@@ -203,7 +203,8 @@ def _source_files() -> list[Path]:
 
 
 def stage_leakcheck() -> dict:
-    # skip any userinfo so https://user:pw@host fixtures resolve to host
+    # skip any userinfo (user:pw@) so credential-bearing URL fixtures
+    # resolve to their host
     url_re = re.compile(r"https?://(?:[^/\s\"'<>@]*@)?([A-Za-z0-9.-]+)")
     bucket_re = re.compile(r"\b(s3|s3a|gs|abfss?|wasbs?|oci|cos)://([A-Za-z0-9._-]+)")
     env_re = re.compile(
