@@ -107,6 +107,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_freq: int | None = 1000,
+    prefilter_hot: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
@@ -117,6 +118,20 @@ def ngram_jaccard_pairs(
     boilerplate shingle shared by millions of docs would otherwise create
     a quadratic bucket (and contributes almost no discriminative signal).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``prefilter_hot`` moves the frequency cap BEFORE the posting-list
+    aggregation: a fixed-width codegen count finds the over-cap shingles
+    (a tiny set by construction — these are the corpus's boilerplate
+    lines), and a broadcast anti-join drops their rows so every
+    ``collect_list`` buffer is bounded by ``max_shingle_freq`` entries.
+    The default post-aggregation filter builds a hot shingle's FULL
+    posting list before discarding it — one shingle shared by 10M docs
+    is a 10M-entry buffer in a single aggregation task, the OOM class
+    the round-11 third-decade sweep demonstrated directly (a 4M-key
+    object-agg hash map killed a 24 GiB heap). The pre-filter costs one
+    extra fixed-width shuffle of the shingle rows, so it is opt-in:
+    leave it off when the corpus is known boilerplate-free (the bench
+    fixtures), turn it on for any real crawl at scale.
     """
     # hash-then-dedup: the 64-bit shingle hash is computed row-locally in
     # the same codegen stage as the explode, so the distinct groupBy (and
@@ -162,6 +177,17 @@ def ngram_jaccard_pairs(
     sh = sets.select(
         id_col, F.size("__set").alias("__sz"), F.explode("__set").alias("shingle")
     )
+    if prefilter_hot and max_shingle_freq is not None:
+        # over-cap shingles only: the anti-join side stays broadcastable
+        # precisely because boilerplate shingles are few (if they were
+        # many, the cap would be mis-set for the corpus)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # Posting lists bound the frequency cap (one groupBy replaces a
     # count-aggregate + semi-join), then pairs are emitted ROW-LOCALLY
     # from each posting list: posexplode the entries and explode the
@@ -185,6 +211,17 @@ def ngram_jaccard_pairs(
     #   O(pair count) — the same rows the join had to materialize — and
     #   the frequency cap already bounds the worst list at
     #   max_shingle_freq entries, so per-row slice width is bounded too.
+    # Round-11 third-decade re-audit (tools/scale_third_decade.py,
+    # 100x = 1M docs post-augment, 90M shingle rows, local[32]/24g —
+    # full table in SCALING.md): this plan 157s best; the SMJ self-join
+    # re-measured 145-373s (unstable, two extra 90M-row sorts); raising
+    # objectHashAggregate.sortBased.fallbackThreshold to 4M keys OOMs
+    # the heap (which is WHY the 128-key default exists); 256 shuffle
+    # partitions 186s (more spill files, no win). The 1.8x over-linear
+    # excess at saturation is the object-agg external sort in the two
+    # collect stages — a shared-heap artifact a real cluster doesn't
+    # accumulate (per-executor data stays at the linear operating
+    # point). The plan stands at both measured decades.
     posts = sh.groupBy("shingle").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__sz").alias("sz")))

@@ -162,6 +162,44 @@ def test_ngram_jaccard_stop_shingle_capped(spark):
     assert capped.count() == 0  # stop-shingle dropped -> no candidate blowup
 
 
+def test_ngram_jaccard_prefilter_hot_same_output(spark):
+    """prefilter_hot moves the frequency cap BEFORE the posting-list
+    aggregation (broadcast anti-join of the over-cap shingles) so a hot
+    shingle never builds its full buffer — the OOM class the round-11
+    third-decade sweep demonstrated. Semantics must be IDENTICAL to the
+    post-aggregation filter: same pairs, same jaccard values, on a
+    corpus that mixes a stop-shingle (present in every doc) with real
+    near-duplicate pairs that must survive.
+
+    Plan shape is asserted too: the pre-filtered plan must carry a
+    broadcast join, and the default plan must not."""
+    from temporai_mivdp_spark.llmdata import dedup
+
+    rows = []
+    for i in range(60):
+        rows.append((i, f"click here now unique{i} tail{i} words{i}"))
+        # near-dup twin of every 10th doc (one appended token)
+        if i % 10 == 0:
+            rows.append((1000 + i, f"click here now unique{i} tail{i} words{i} zz"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    base = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_shingle_freq=30)
+    pre = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, max_shingle_freq=30, prefilter_hot=True
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect()
+    )
+    got = canon(pre)
+    assert got == canon(base)
+    assert got, "fixture must produce surviving near-dup pairs"
+
+    pre_plan = pre._jdf.queryExecution().executedPlan().toString()
+    base_plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pre_plan, pre_plan
+    assert "BroadcastHashJoin" not in base_plan, base_plan
+
+
 def test_salted_join_spreads_hot_key_across_partitions(spark):
     """One key holds 50% of the fact rows. A plain shuffle join lands all
     of them on one reducer; salted_join must spread them over multiple
