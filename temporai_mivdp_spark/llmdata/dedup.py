@@ -325,6 +325,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    prefilter_hot: bool = False,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any band hash become candidate
@@ -344,10 +345,29 @@ def minhash_lsh_candidates(
     corpus where one band hash collides across millions of docs) the
     way ``max_shingle_freq`` bounds ngram buckets; None keeps every
     bucket — the classic LSH contract where an over-full bucket means
-    the docs really are near-identical."""
+    the docs really are near-identical.
+
+    ``prefilter_hot`` is the same buffer bound as
+    ``ngram_jaccard_pairs(prefilter_hot=True)``: the size filter above
+    runs AFTER ``collect_list``, so a degenerate bucket of 10M ids
+    still builds its full list in one aggregation task before being
+    dropped. With the flag (requires ``max_bucket_size``), a
+    fixed-width codegen count finds the over-cap (band, bh) buckets —
+    tiny by construction — and a broadcast anti-join drops their rows
+    first, bounding every list buffer by the cap. Opt-in for the same
+    reason as the jaccard twin: one extra shuffle of the band index,
+    pure overhead on corpora without degenerate buckets."""
     band_hash = lsh_band_index(
         docs, num_hashes=num_hashes, bands=bands, text_col=text_col, id_col=id_col
     )
+    if prefilter_hot and max_bucket_size is not None:
+        hot = (
+            band_hash.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bh")
+        )
+        band_hash = band_hash.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     buckets = band_hash.groupBy("band", "bh").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
     )

@@ -200,6 +200,29 @@ def test_ngram_jaccard_prefilter_hot_same_output(spark):
     assert "BroadcastHashJoin" not in base_plan, base_plan
 
 
+def test_minhash_lsh_prefilter_hot_same_output(spark):
+    """The LSH twin of the jaccard buffer bound: with prefilter_hot, a
+    degenerate (band, bh) bucket is anti-joined away before the id-list
+    aggregation, and the surviving candidate pairs are identical to the
+    post-aggregation size filter's."""
+    from temporai_mivdp_spark.llmdata import dedup
+
+    rows = []
+    for i in range(40):
+        rows.append((i, f"shared boiler plate text unique{i} tail{i}"))
+        if i % 8 == 0:
+            rows.append((1000 + i, f"shared boiler plate text unique{i} tail{i} zz"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    base = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4, max_bucket_size=10)
+    pre = dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, max_bucket_size=10, prefilter_hot=True
+    )
+    canon = lambda df: sorted((r.id_a, r.id_b) for r in df.collect())  # noqa: E731
+    assert canon(pre) == canon(base)
+    assert "BroadcastHashJoin" in pre._jdf.queryExecution().executedPlan().toString()
+
+
 def test_salted_join_spreads_hot_key_across_partitions(spark):
     """One key holds 50% of the fact rows. A plain shuffle join lands all
     of them on one reducer; salted_join must spread them over multiple
