@@ -19,6 +19,11 @@ Stages (each skippable via ``--skip name[,name...]``):
   table into per-operator {pandas, spark, growth} cells and computes
   the comparable-set spark/pandas ratio at the larger SF (the number
   the verdict grades against its 2× budget).
+* ``tiers`` — the three adversarial-corpus differentials
+  (``tools/edgecase_check.py``: degenerate / unicode / embeddings)
+  over the full catalog. Default-skipped (slowest stage, only moves
+  when operator expressions change); enable with ``--tiers`` at round
+  close-out.
 * ``leakcheck`` — static sweep for non-public surface: URLs outside a
   public-domain allowlist, cloud-bucket schemes, env-var reads outside
   the engine's documented set, and imports outside the baked-in
@@ -52,7 +57,21 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-STAGES = ("oracle", "pytest", "bench", "baseline", "leakcheck", "copycheck")
+STAGES = (
+    "oracle",
+    "pytest",
+    "bench",
+    "baseline",
+    "tiers",
+    "leakcheck",
+    "copycheck",
+)
+
+#: stages skipped unless explicitly requested (--tiers): the three
+#: adversarial-corpus sweeps re-run the full catalog three times
+#: (degenerate / unicode / embeddings) and only change when operator
+#: expressions do — the round close-out runs them, the inner loop not
+DEFAULT_SKIP = {"tiers"}
 
 #: public hosts an engine built only on public knowledge may cite
 URL_ALLOW = (
@@ -195,6 +214,35 @@ def stage_baseline() -> dict:
     }
 
 
+def stage_tiers() -> dict:
+    """The three adversarial-corpus differentials (degenerate rows,
+    unicode rows, degenerate vectors) over the full catalog — the
+    remaining manual step of the round-close checklist."""
+    out: dict = {"green": True}
+    for name, args in (
+        ("degenerate", []),
+        ("unicode", ["--unicode"]),
+        ("embeddings", ["--embeddings"]),
+    ):
+        rc, text = _run(
+            [sys.executable, "tools/edgecase_check.py", *args], 7200
+        )
+        m = re.search(r"(\d+)/(\d+) pass", text)
+        fails = [
+            ln.split(":", 1)[0].split()[-1]
+            for ln in text.splitlines()
+            if ln.startswith("FAIL")
+        ]
+        out[name] = {
+            "passed": int(m.group(1)) if m else 0,
+            "checked": int(m.group(2)) if m else 0,
+            "failed_keys": fails,
+        }
+        if rc != 0 or not m:
+            out["green"] = False
+    return out
+
+
 def _source_files() -> list[Path]:
     out = subprocess.run(
         ["git", "ls-files", "*.py"], cwd=REPO, stdout=subprocess.PIPE, text=True
@@ -330,6 +378,7 @@ def stage_copycheck(min_len: int = 26) -> dict:
 def main() -> int:
     sf_dir = "/root/testdata/sf0.01"
     skip: set[str] = set()
+    run_tiers = False
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
@@ -349,11 +398,16 @@ def main() -> int:
         elif a == "--fast":
             skip |= {"pytest", "baseline"}
             i += 1
+        elif a == "--tiers":
+            run_tiers = True
+            i += 1
         else:
             raise SystemExit(f"unknown arg {a!r} (stages: {', '.join(STAGES)})")
     unknown = skip - set(STAGES)
     if unknown:
         raise SystemExit(f"unknown stage(s) in --skip: {sorted(unknown)}")
+    if not run_tiers:
+        skip |= DEFAULT_SKIP
 
     report: dict = {"sf_dir": sf_dir, "skipped": sorted(skip), "stages": {}}
     runners = {
@@ -361,6 +415,7 @@ def main() -> int:
         "pytest": stage_pytest,
         "bench": stage_bench,
         "baseline": stage_baseline,
+        "tiers": stage_tiers,
         "leakcheck": stage_leakcheck,
         "copycheck": stage_copycheck,
     }
