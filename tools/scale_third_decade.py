@@ -24,9 +24,10 @@ other copy: candidate pairs grow exactly linearly, as a real corpus
 ingest would.
 
 Both queries read ONLY documents, so only documents is inflated;
-the other tables are symlink-copied as-is for sf-dir shape.
+the other tables are copied at sf0.1 size for sf-dir shape.
 
 Usage: python tools/scale_third_decade.py [repeats] [--check]
+       [--only name1,name2]   (any documents-only catalog queries)
 """
 
 from __future__ import annotations
@@ -88,6 +89,27 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     repeats = int(args[0]) if args else 2
     check = "--check" in sys.argv
+    targets = list(TARGETS)
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            # caller's responsibility: documents-only queries (the other
+            # tables are copied at sf0.1 size, so a query reading them
+            # would measure a mixed, meaningless cell)
+            targets = [n for n in a.split("=", 1)[1].split(",") if n in QUERIES]
+            if not targets:
+                raise SystemExit("--only matched no catalog queries")
+            # same hazard scale_decade_full guards: DOC_SHIFT lands the
+            # inflated copies' doc_ids in the media fixtures' hostile
+            # range (>= 9e6), so media entries would measure NULL-row
+            # accounting instead of decode — refuse them here
+            from scale_decade_full import MEDIA_ENTRIES
+
+            media = sorted(set(targets) & MEDIA_ENTRIES)
+            if media:
+                raise SystemExit(
+                    "media entries cannot use this tool's doc-id shift: "
+                    + ",".join(media)
+                )
 
     spark = get_session(
         app_name="mivdp-scale-third-decade",
@@ -114,7 +136,7 @@ def main() -> None:
             )
             dirs[copies] = d
 
-        cells = [(n, sf) for n in TARGETS for sf in (BASE_SF, dirs[10], dirs[100])]
+        cells = [(n, sf) for n in targets for sf in (BASE_SF, dirs[10], dirs[100])]
         dfs = {(n, sf): QUERIES[n](spark, sf) for n, sf in cells}
 
         def run(cell) -> None:
@@ -139,7 +161,7 @@ def main() -> None:
                 best[cell] = min(best[cell], time.perf_counter() - t0)
 
         if check:
-            for n in [q for q in TARGETS if q in CHECK_LINEAR]:
+            for n in [q for q in targets if q in CHECK_LINEAR]:
                 counts = {
                     label[sf]: dfs[(n, sf)].count()
                     for sf in (BASE_SF, dirs[10], dirs[100])
@@ -151,7 +173,7 @@ def main() -> None:
 
         print("| query | sf0.1 s | 10x s | 100x s | decade1 | decade2 |")
         print("|---|---|---|---|---|---|")
-        for n in TARGETS:
+        for n in targets:
             a = best[(n, BASE_SF)]
             b = best[(n, dirs[10])]
             c = best[(n, dirs[100])]
