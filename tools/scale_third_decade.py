@@ -28,6 +28,19 @@ the other tables are copied at sf0.1 size for sf-dir shape.
 
 Usage: python tools/scale_third_decade.py [repeats] [--check]
        [--only name1,name2]   (any documents-only catalog queries)
+       [--grouped]            (see below)
+
+``--grouped`` times cells grouped by scale, ascending (all sf0.1
+rounds, then all 10x, then all 100x; each scale warmed immediately
+before its own timed rounds) instead of the bench default of
+interleaving every cell per round. Interleaving guards same-sized
+cells against transient host stalls, but with 100x-asymmetric cells it
+POLLUTES the small ones: the 100x cell's heap churn and GC debt leak
+into the next small-cell sample (measured on dedup_span_coverage —
+the 10x cell's interleaved timed runs came out 3x slower than its own
+warmup). Grouped order keeps each cell's JVM state representative of
+its own scale, at the cost of host-drift sensitivity across groups —
+use grouped for per-decade ratio claims, interleaved for totals.
 """
 
 from __future__ import annotations
@@ -89,6 +102,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     repeats = int(args[0]) if args else 2
     check = "--check" in sys.argv
+    grouped = "--grouped" in sys.argv
     targets = list(TARGETS)
     for a in sys.argv[1:]:
         if a.startswith("--only="):
@@ -136,29 +150,43 @@ def main() -> None:
             )
             dirs[copies] = d
 
-        cells = [(n, sf) for n in targets for sf in (BASE_SF, dirs[10], dirs[100])]
+        scales = (BASE_SF, dirs[10], dirs[100])
+        cells = [(n, sf) for n in targets for sf in scales]
         dfs = {(n, sf): QUERIES[n](spark, sf) for n, sf in cells}
 
         def run(cell) -> None:
             dfs[cell].write.format("noop").mode("overwrite").save()
 
         label = {BASE_SF: "sf0.1", dirs[10]: "10x", dirs[100]: "100x"}
-        for cell in cells:
-            t0 = time.perf_counter()
-            run(cell)
-            print(
-                f"warmup {cell[0]} @{label[cell[1]]}: "
-                f"{time.perf_counter()-t0:.1f}s",
-                file=sys.stderr,
-                flush=True,
-            )
 
-        best = {cell: float("inf") for cell in cells}
-        for _ in range(repeats):
-            for cell in cells:
+        def warmup(subset) -> None:
+            for cell in subset:
                 t0 = time.perf_counter()
                 run(cell)
-                best[cell] = min(best[cell], time.perf_counter() - t0)
+                print(
+                    f"warmup {cell[0]} @{label[cell[1]]}: "
+                    f"{time.perf_counter()-t0:.1f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+
+        best = {cell: float("inf") for cell in cells}
+
+        def timed_rounds(subset) -> None:
+            for _ in range(repeats):
+                for cell in subset:
+                    t0 = time.perf_counter()
+                    run(cell)
+                    best[cell] = min(best[cell], time.perf_counter() - t0)
+
+        if grouped:
+            for sf in scales:  # ascending: each scale warms and times itself
+                group = [(n, s) for n, s in cells if s == sf]
+                warmup(group)
+                timed_rounds(group)
+        else:
+            warmup(cells)
+            timed_rounds(cells)
 
         if check:
             for n in [q for q in targets if q in CHECK_LINEAR]:
