@@ -213,15 +213,17 @@ def ngram_jaccard_pairs(
     #   max_shingle_freq entries, so per-row slice width is bounded too.
     # Round-11 third-decade re-audit (tools/scale_third_decade.py,
     # 100x = 1M docs post-augment, 90M shingle rows, local[32]/24g —
-    # full table in SCALING.md): this plan 157s best; the SMJ self-join
-    # re-measured 145-373s (unstable, two extra 90M-row sorts); raising
-    # objectHashAggregate.sortBased.fallbackThreshold to 4M keys OOMs
-    # the heap (which is WHY the 128-key default exists); 256 shuffle
-    # partitions 186s (more spill files, no win). The 1.8x over-linear
-    # excess at saturation is the object-agg external sort in the two
-    # collect stages — a shared-heap artifact a real cluster doesn't
-    # accumulate (per-executor data stays at the linear operating
-    # point). The plan stands at both measured decades.
+    # full tables in SCALING.md): this plan 146s best (grouped run);
+    # the SMJ self-join re-measured 145-373s (unstable, two extra
+    # 90M-row sorts); raising objectHashAggregate.sortBased.
+    # fallbackThreshold to 4M keys OOMs the heap (which is WHY the
+    # 128-key default exists); 256 shuffle partitions 186s (more spill
+    # files, no win). Second decade 13.8x vs ideal-linear 10x: the
+    # ~1.35x per-unit excess at saturation is the object-agg external
+    # sort in the two collect stages — a shared-heap artifact a real
+    # cluster doesn't accumulate (per-executor data stays at the
+    # linear operating point). The plan stands at both measured
+    # decades.
     posts = sh.groupBy("shingle").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__sz").alias("sz")))
