@@ -91,7 +91,7 @@ def _inflate_shift(df, cols: list[str], k: int):
     return out
 
 
-def inflate(spark, out_dir: str, doc_shift: int = SHIFT) -> None:
+def inflate(spark, out_dir: str, doc_shift: int = SHIFT, copies: int = COPIES) -> None:
     plans = {
         "customer": ["c_custkey"],
         "orders": ["o_orderkey", "o_custkey"],
@@ -102,17 +102,21 @@ def inflate(spark, out_dir: str, doc_shift: int = SHIFT) -> None:
     for name, shift_cols in plans.items():
         base = spark.read.parquet(f"{BASE_SF}/{name}.parquet")
         union = _inflate_shift(base, shift_cols, 0)
-        for k in range(1, COPIES):
+        for k in range(1, copies):
             union = union.unionByName(_inflate_shift(base, shift_cols, k))
-        union.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
-    # documents: word-salted copies (see scale_decade.py rationale)
+        out = union.repartition(max(8, copies)) if copies > 10 else union
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+    # documents: word-salted copies (see scale_decade.py rationale).
+    # Salt is the DELIMITED q{k}z fence from scale_third_decade.py: the
+    # bare-digit suffix can collide across copies once k reaches double
+    # digits (round-11 finding), and the fence is equally disjoint at 10.
     docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     parts = []
-    for k in range(COPIES):
+    for k in range(copies):
         parts.append(
             docs.select(
                 (F.col("doc_id") + k * doc_shift).alias("doc_id"),
-                F.regexp_replace("text", r"(\S+)", f"$1{k}").alias("text"),
+                F.regexp_replace("text", r"(\S+)", f"$1q{k}z").alias("text"),
                 "lang",
                 "source",
                 "n_chars",
@@ -135,12 +139,19 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     repeats = int(args[0]) if args else 3
     headline = list(HEADLINE)
+    copies = COPIES
+    grouped = "--grouped" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--only"):
             only = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
             # any catalog query, not just the headline set — one-off
             # sweeps of newly added entries use this
             headline = [n for n in only.split(",") if n in QUERIES]
+        elif a.startswith("--copies="):
+            # third-decade sweeps: --copies=100 --grouped (grouped keeps
+            # the big cell's heap churn out of the small cell's samples,
+            # see scale_third_decade.py)
+            copies = int(a.split("=", 1)[1])
     spark = get_session(
         app_name="mivdp-scale-decade-full",
         master="local[32]",
@@ -169,31 +180,53 @@ def main() -> None:
                 + ",".join(sorted(set(headline) & MEDIA_ENTRIES))
                 + " mixed with non-media queries"
             )
-        inflate(spark, tmp, doc_shift=MEDIA_DOC_SHIFT if media_only else SHIFT)
+        if media_only and copies > 10:
+            # MEDIA_DOC_SHIFT * (copies-1) must stay under the 9e6
+            # hostile-lattice floor; it only does for <= 10 copies
+            raise SystemExit("media sweeps support at most 10 copies")
+        inflate(
+            spark,
+            tmp,
+            doc_shift=MEDIA_DOC_SHIFT if media_only else SHIFT,
+            copies=copies,
+        )
+        big = f"{copies}x"
         cells = [(name, sf) for name in headline for sf in (BASE_SF, tmp)]
         dfs = {(name, sf): QUERIES[name](spark, sf) for name, sf in cells}
 
         def run(cell) -> None:
             dfs[cell].write.format("noop").mode("overwrite").save()
 
-        for cell in cells:
-            t0 = time.perf_counter()
-            run(cell)
-            print(
-                f"warmup {cell[0]} @{'10x' if cell[1] == tmp else 'sf0.1'}:"
-                f" {time.perf_counter() - t0:.1f}s",
-                file=sys.stderr,
-                flush=True,
-            )
-
-        best = {cell: float("inf") for cell in cells}
-        for _ in range(repeats):
-            for cell in cells:
+        def warmup(subset) -> None:
+            for cell in subset:
                 t0 = time.perf_counter()
                 run(cell)
-                best[cell] = min(best[cell], time.perf_counter() - t0)
+                print(
+                    f"warmup {cell[0]} @{big if cell[1] == tmp else 'sf0.1'}:"
+                    f" {time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
 
-        print("| query | sf0.1 s | 10x s | ratio |")
+        best = {cell: float("inf") for cell in cells}
+
+        def timed(subset) -> None:
+            for _ in range(repeats):
+                for cell in subset:
+                    t0 = time.perf_counter()
+                    run(cell)
+                    best[cell] = min(best[cell], time.perf_counter() - t0)
+
+        if grouped:
+            for sf in (BASE_SF, tmp):  # ascending scale
+                group = [c for c in cells if c[1] == sf]
+                warmup(group)
+                timed(group)
+        else:
+            warmup(cells)
+            timed(cells)
+
+        print(f"| query | sf0.1 s | {big} s | ratio |")
         print("|---|---|---|---|")
         for name in headline:
             a, b = best[(name, BASE_SF)], best[(name, tmp)]
@@ -205,8 +238,11 @@ def main() -> None:
                     continue
                 ra = dfs[(name, BASE_SF)].count()
                 rb = dfs[(name, tmp)].count()
-                ok = 8 <= rb / max(ra, 1) <= 12
-                print(f"rows {name}: {ra} -> {rb} ({'ok' if ok else 'NOT ~10x'})")
+                ok = 0.8 * copies <= rb / max(ra, 1) <= 1.2 * copies
+                print(
+                    f"rows {name}: {ra} -> {rb} "
+                    f"({'ok' if ok else f'NOT ~{copies}x'})"
+                )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
