@@ -100,6 +100,53 @@ def shingles(
     )
 
 
+def _hashed_shingle_rows(toks: DataFrame, n: int, id_col: str) -> DataFrame:
+    """(id, shingle) rows with the shingle already xxhash64'd, from a
+    pre-tokenized (id, __toks) frame. Hashing INSIDE the transform (vs.
+    after the explode) keeps the Generate node emitting 8-byte longs
+    instead of strings — measured 12% off the shingle+set stage at
+    sf0.1, same sets bit-for-bit. Shared by the posting-list build and
+    the hot-key detector so the two can never drift onto different
+    shingle identities."""
+    return toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, n))),
+            )
+        ).alias("shingle"),
+    )
+
+
+def _hot_shingle_hashes(
+    toks: DataFrame, n: int, id_col: str, cap: int, sample_inv: int
+) -> DataFrame:
+    """Shingle hashes PROVABLY over the doc-frequency cap, detected from
+    a deterministic 1/``sample_inv`` hash-sample of the documents.
+
+    The sample is a subset, so a shingle's sampled doc-frequency is a
+    lower bound on its true doc-frequency: every key this returns has
+    true df > cap (no false positives — the correctness direction; see
+    the ngram_jaccard_pairs docstring for why a count-min sketch's
+    over-estimate fails this test). ``sample_inv=1`` is the exact full
+    count. Doc-frequency is count_distinct(id) over RAW shingle rows —
+    a fixed-width two-phase hash aggregate; the per-doc collect_set
+    object-agg is never re-run on the detector branch."""
+    sampled = toks
+    if sample_inv > 1:
+        sampled = toks.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_inv)) == 0
+        )
+    return (
+        _hashed_shingle_rows(sampled, n, id_col)
+        .groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > cap)
+        .select("shingle")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -107,7 +154,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_freq: int | None = 1000,
-    prefilter_hot: bool = False,
+    prefilter_hot: bool | None = None,
+    hot_sample_inv: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
@@ -120,19 +168,61 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
 
     ``prefilter_hot`` moves the frequency cap BEFORE the posting-list
-    aggregation: a fixed-width codegen count finds the over-cap shingles
-    (a tiny set by construction — these are the corpus's boilerplate
-    lines), and a broadcast anti-join drops their rows so every
-    ``collect_list`` buffer is bounded by ``max_shingle_freq`` entries.
-    The default post-aggregation filter builds a hot shingle's FULL
-    posting list before discarding it — one shingle shared by 10M docs
-    is a 10M-entry buffer in a single aggregation task, the OOM class
-    the round-11 third-decade sweep demonstrated directly (a 4M-key
-    object-agg hash map killed a 24 GiB heap). The pre-filter costs one
-    extra fixed-width shuffle of the shingle rows, so it is opt-in:
-    leave it off when the corpus is known boilerplate-free (the bench
-    fixtures), turn it on for any real crawl at scale.
+    aggregation, bounding every ``collect_list`` buffer: without it, a
+    hot shingle's FULL posting list is built before being discarded —
+    one shingle shared by 10M docs is a 10M-entry buffer in a single
+    aggregation task, the OOM class the round-11 third-decade sweep
+    demonstrated directly (a 4M-key object-agg hash map killed a 24 GiB
+    heap). Since round 12 the prefilter is ON BY DEFAULT whenever
+    ``max_shingle_freq`` is set (``prefilter_hot=None`` resolves to
+    ``cap is not None``); pass ``False`` to restore the unbounded
+    buffers, ``True`` with no cap raises.
+
+    Detector design — why a SAMPLE and not a count-min sketch: the hot
+    set is found by counting shingle doc-frequencies over a
+    deterministic 1/``hot_sample_inv`` hash-sample of the documents
+    (``xxhash64(id) % inv == 0``). A sampled doc-frequency is a LOWER
+    bound on the true doc-frequency (the sample is a subset), so
+    dropping keys whose sampled count already exceeds the cap provably
+    drops only keys the exact post-aggregation filter would drop anyway
+    — results are bit-identical by construction, with no second
+    verification pass. A count-min sketch errs in the OTHER direction
+    (over-estimates), so thresholding it could drop under-cap keys and
+    silently change results — disqualifying, which is why
+    ``operators/sketches.py`` stays on the distinct-count side of the
+    house. The trade: keys between ``cap`` and roughly
+    ``2 * cap * hot_sample_inv`` may evade the sampled detector (they
+    still get dropped exactly, post-aggregation), so the practical
+    buffer bound is ~``2 * cap * inv`` entries instead of a hard
+    ``cap``; the OOM class (boilerplate at 10^3-10^4 x cap) is caught
+    with near-certainty (a key needs sampled_df <= cap to evade;
+    P[Binom(10M, 1/8) <= 1000] ~ e^-1.2M). ``hot_sample_inv=1``
+    degenerates to the exact full count (a hard ``cap`` bound at the
+    full detector cost).
+
+    Cost, stated honestly: Spark does not reuse the shared subtree (the
+    SMJ analysis below measured this via persist), so the detector
+    branch RE-COMPUTES scan -> tokenize -> shingle over the sampled
+    fraction — ~1/inv of the upstream pipeline plus one fixed-width
+    shuffle of ~1/inv of the shingle rows. The round-11 full-width
+    detector (every row, and derived from ``sh`` so it also re-ran the
+    per-doc set aggregation) measured +32% at the 100x cell; the
+    sampled detector replaces both terms (fraction sampled, object-agg
+    skipped — doc-frequency here is a fixed-width count_distinct over
+    raw shingle hashes). Overhead re-measured at the same 100x cell in
+    SCALING.md round 12.
     """
+    if prefilter_hot and max_shingle_freq is None:
+        raise ValueError(
+            "prefilter_hot=True requires max_shingle_freq: with no cap "
+            "there is no hot-key definition to enforce (and silently "
+            "no-opping would hand back exactly the unbounded buffers "
+            "the flag exists to prevent)"
+        )
+    if hot_sample_inv < 1:
+        raise ValueError(f"hot_sample_inv must be >= 1, got {hot_sample_inv}")
+    if prefilter_hot is None:
+        prefilter_hot = max_shingle_freq is not None
     # hash-then-dedup: the 64-bit shingle hash is computed row-locally in
     # the same codegen stage as the explode, so the distinct groupBy (and
     # every shuffle after it) carries 8 bytes per shingle instead of ~n
@@ -154,38 +244,23 @@ def ngram_jaccard_pairs(
     # the two consumers differently (no ReusedExchange). Per-doc sets are
     # bounded by document length, so the aggregation buffer is safe at
     # corpus scale.
-    # hashing INSIDE the shingle transform (vs. after the explode, as
-    # `_shingles_raw` consumers that need the string must): the Generate
-    # node then emits 8-byte longs instead of shingle strings — measured
-    # 12% off the shingle+set stage at sf0.1, same sets bit-for-bit.
     toks = docs.select(
         id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
     ).filter(F.size("__toks") >= n)
     sets = (
-        toks.select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__toks") - n),
-                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, n))),
-                )
-            ).alias("shingle"),
-        )
+        _hashed_shingle_rows(toks, n, id_col)
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("__set"))
     )
     sh = sets.select(
         id_col, F.size("__set").alias("__sz"), F.explode("__set").alias("shingle")
     )
-    if prefilter_hot and max_shingle_freq is not None:
+    if prefilter_hot:
         # over-cap shingles only: the anti-join side stays broadcastable
         # precisely because boilerplate shingles are few (if they were
         # many, the cap would be mis-set for the corpus)
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_shingle_freq)
-            .select("shingle")
+        hot = _hot_shingle_hashes(
+            toks, n, id_col, cap=max_shingle_freq, sample_inv=hot_sample_inv
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # Posting lists bound the frequency cap (one groupBy replaces a
@@ -327,7 +402,8 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
-    prefilter_hot: bool = False,
+    prefilter_hot: bool | None = None,
+    hot_sample_inv: int = 8,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any band hash become candidate
@@ -353,18 +429,46 @@ def minhash_lsh_candidates(
     ``ngram_jaccard_pairs(prefilter_hot=True)``: the size filter above
     runs AFTER ``collect_list``, so a degenerate bucket of 10M ids
     still builds its full list in one aggregation task before being
-    dropped. With the flag (requires ``max_bucket_size``), a
-    fixed-width codegen count finds the over-cap (band, bh) buckets —
-    tiny by construction — and a broadcast anti-join drops their rows
-    first, bounding every list buffer by the cap. Opt-in for the same
-    reason as the jaccard twin: one extra shuffle of the band index,
-    pure overhead on corpora without degenerate buckets."""
+    dropped. The prefilter computes the band index of a deterministic
+    1/``hot_sample_inv`` hash-sample of the docs and drops the
+    (band, bh) buckets whose SAMPLED size already exceeds the cap — a
+    lower bound on the true size, so only buckets the post-aggregation
+    filter would drop anyway are removed (results identical by
+    construction; the full rationale, the count-min-sketch rejection,
+    and the evade-window math live on ``ngram_jaccard_pairs``). Since
+    round 12 it is ON BY DEFAULT whenever ``max_bucket_size`` is set
+    (``None`` resolves to ``cap is not None``); ``False`` restores
+    unbounded list buffers, ``True`` with no cap raises. Detector cost:
+    the signature subtree over 1/inv of the docs plus one fixed-width
+    shuffle of 1/inv of the band rows (Spark does not reuse the shared
+    subtree — same measurement as the jaccard twin)."""
+    if prefilter_hot and max_bucket_size is None:
+        raise ValueError(
+            "prefilter_hot=True requires max_bucket_size: with no cap "
+            "there is no degenerate-bucket definition to enforce"
+        )
+    if hot_sample_inv < 1:
+        raise ValueError(f"hot_sample_inv must be >= 1, got {hot_sample_inv}")
+    if prefilter_hot is None:
+        prefilter_hot = max_bucket_size is not None
     band_hash = lsh_band_index(
         docs, num_hashes=num_hashes, bands=bands, text_col=text_col, id_col=id_col
     )
-    if prefilter_hot and max_bucket_size is not None:
+    if prefilter_hot:
+        sampled = docs
+        if hot_sample_inv > 1:
+            sampled = docs.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(hot_sample_inv)) == 0
+            )
         hot = (
-            band_hash.groupBy("band", "bh")
+            lsh_band_index(
+                sampled,
+                num_hashes=num_hashes,
+                bands=bands,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_bucket_size)
             .select("band", "bh")

@@ -76,13 +76,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # filler from the previous window — chosen as the newest / least-proven
 # entry, per the standing "newest faces the hard signal" policy.
 #
-# Round 11 instantiation: the head is the 35 keys green in neither r9
-# nor r10 (the staleness list in VERDICT.md round 10 "What's wrong" §2),
-# the 14 keys whose last green row is r9, and dedup_image_phash (newest
-# entry, one green row, r10) as the 50th. The tail below is exactly the
-# other 49 keys — every one driver-green in CORRECTNESS_r10.json, which
-# is the round-8 "driver-green is the promotion-out currency" rule
-# applied uniformly. Expression changes still reset proven-ness: any
+# Round 12 instantiation: the head is exactly the 49 keys whose last
+# driver-green row is CORRECTNESS_r10.json (they sat in the r11 tail),
+# plus dedup_image_phash (newest catalog entry, per the standing
+# newest-faces-the-hard-signal policy) as the 50th. The tail below is
+# exactly the other 49 keys — every one driver-green in
+# CORRECTNESS_r11.json, the round-8 "driver-green is the promotion-out
+# currency" rule applied uniformly. r11 ∪ r12 windows again cover all
+# 99 entries (intersection = dedup_image_phash). Expression changes still reset proven-ness: any
 # entry whose Spark expression or oracle changes in-round must re-enter
 # the head regardless of currency (the rule that kept the media
 # roundtrips in-window through their lattice changes).
@@ -97,7 +98,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: each round together with the LAST_DRIVER_ROUND refresh and the
 #: WINDOW_TAIL rotation; test_window_rotation_invariant fails the suite
 #: if the three drift apart.
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
 #: key -> most recent round whose driver-produced CORRECTNESS_r{N}.json
 #: holds a fully green row (rows_match + schema_match + hash_match, no
@@ -109,100 +110,100 @@ CURRENT_ROUND = 11
 #: inside the driver window — the provision that makes adding a new
 #: catalog entry mid-round possible at all.
 LAST_DRIVER_ROUND: dict[str, int | None] = {
-    "a1_a6_group_counts": 9,
+    "a1_a6_group_counts": 11,
     "a2_two_level_agg": 10,
-    "a3_conditional_count": 9,
+    "a3_conditional_count": 11,
     "a4_group_max_nanmean": 10,
-    "a5_a10_summary_counts": 6,
-    "a7_mode_vote_filter": 6,
-    "a8_winsorize": 6,
-    "a9_group_mean_impute": 6,
-    "a_salted_skew": 9,
-    "dedup_duplicate_clusters": 6,
-    "dedup_embedding_neardup": 6,
-    "dedup_exact": 6,
-    "dedup_image_phash": 10,
+    "a5_a10_summary_counts": 11,
+    "a7_mode_vote_filter": 11,
+    "a8_winsorize": 11,
+    "a9_group_mean_impute": 11,
+    "a_salted_skew": 11,
+    "dedup_duplicate_clusters": 11,
+    "dedup_embedding_neardup": 11,
+    "dedup_exact": 11,
+    "dedup_image_phash": 11,
     "dedup_incremental": 10,
-    "dedup_minhash_lsh": 6,
+    "dedup_minhash_lsh": 11,
     "dedup_ngram_jaccard": 10,
     "dedup_semantic": 10,
-    "dedup_simhash": 6,
+    "dedup_simhash": 11,
     "dedup_span_coverage": 10,
     "dsir_gumbel": 10,
-    "dsir_select": 7,
-    "embed_kmeans": 8,
+    "dsir_select": 11,
+    "embed_kmeans": 11,
     "f13_json_extract": 10,
-    "f_scalar_suite": 9,
+    "f_scalar_suite": 11,
     "flagship_revenue_by_nation": 10,
-    "ingest_jsonl": 9,
+    "ingest_jsonl": 11,
     "j4_dictionary_join": 10,
     "j6_right_merge_summary": 10,
-    "j7_lookup_first_match": 6,
-    "j8_interval_exists_label": 6,
+    "j7_lookup_first_match": 11,
+    "j8_interval_exists_label": 11,
     "j_asof_event_value": 10,
-    "j_interval_overlap": 9,
-    "j_range_bucketed": 8,
-    "layout_compaction": 8,
+    "j_interval_overlap": 11,
+    "j_range_bucketed": 11,
+    "layout_compaction": 11,
     "multimodal_audio_roundtrip": 10,
     "multimodal_frame_sampling": 10,
     "multimodal_image_roundtrip": 10,
-    "multimodal_metadata": 6,
+    "multimodal_metadata": 11,
     "multimodal_video_roundtrip": 10,
-    "o_sort_topk_first": 9,
-    "olap_rollup": 6,
-    "p2_derived_projection": 9,
-    "p3_p4_null_comparison_filter": 9,
+    "o_sort_topk_first": 11,
+    "olap_rollup": 11,
+    "p2_derived_projection": 11,
+    "p3_p4_null_comparison_filter": 11,
     "p5_semi_join_filter": 10,
-    "p6_string_match_filter": 9,
+    "p6_string_match_filter": 11,
     "p8_split_label_union": 10,
     "pipeline_docs_curation": 10,
     "pipeline_guard_corpus": 10,
     "r1_r2_pivot_onehot": 10,
     "r3_multilabel_onehot": 10,
-    "sample_source_quota": 6,
+    "sample_source_quota": 11,
     "sample_stratified": 10,
     "sample_temperature": 10,
-    "sample_token_budget": 9,
-    "sample_weighted": 9,
+    "sample_token_budget": 11,
+    "sample_weighted": 11,
     "shard_assign": 10,
-    "sim_mean_vectors": 8,
-    "sim_topk_bruteforce": 6,
-    "sim_topk_ivf": 6,
+    "sim_mean_vectors": 11,
+    "sim_topk_bruteforce": 11,
+    "sim_topk_ivf": 11,
     "sim_topk_lsh": 10,
     "sketch_distinct": 10,
-    "sketch_overlap": 8,
-    "sketch_quantile": 8,
-    "sketch_quantile_merge": 8,
+    "sketch_overlap": 11,
+    "sketch_quantile": 11,
+    "sketch_quantile_merge": 11,
     "split_leakage_safe": 10,
-    "stream_dedup_keys": 9,
-    "stream_enrich": 9,
+    "stream_dedup_keys": 11,
+    "stream_enrich": 11,
     "stream_ingest_curation": 10,
     "stream_ingest_dedup": 10,
     "stream_ingest_jsonl": 10,
     "stream_interval_join": 10,
     "stream_serve_topk": 10,
     "stream_session_agg": 10,
-    "stream_sliding_bucket": 8,
+    "stream_sliding_bucket": 11,
     "stream_tumbling_bucket": 10,
     "text_bm25": 10,
-    "text_boilerplate": 6,
-    "text_bpe_count": 6,
+    "text_boilerplate": 11,
+    "text_bpe_count": 11,
     "text_bpe_train": 10,
-    "text_chunk_overlap": 7,
-    "text_clean_redact": 6,
-    "text_encode_vocab": 8,
+    "text_chunk_overlap": 11,
+    "text_clean_redact": 11,
+    "text_encode_vocab": 11,
     "text_gopher": 10,
     "text_langid": 10,
-    "text_perplexity": 6,
+    "text_perplexity": 11,
     "text_pmi": 10,
     "text_quality": 10,
     "text_quality_model": 10,
     "text_quantile_norm": 10,
-    "text_repeated_spans": 6,
-    "text_tfidf": 6,
+    "text_repeated_spans": 11,
+    "text_tfidf": 11,
     "ts_rolling_interp_peak": 10,
-    "ts_sessionize": 6,
-    "u1_u2_union_anti_grid": 6,
+    "ts_sessionize": 11,
+    "u1_u2_union_anti_grid": 11,
     "w1_w2_hours_window_trim": 10,
     "w3_tumbling_bucket": 10,
     "w4_w8_dense_grid_indicator": 10,
@@ -210,64 +211,64 @@ LAST_DRIVER_ROUND: dict[str, int | None] = {
     "window_ranking_family": 10,
 }
 
-#: Round-11 tail: exactly the 49 keys driver-green in CORRECTNESS_r10.json
-#: minus dedup_image_phash (the newest entry stays in the head per the
-#: newest-least-proven policy — it has a single green row). Order follows
-#: the r10 window's registration order so diffs against the artifact are
-#: trivial to audit. Uniform displacement rationale: a fresh r10
-#: driver-green row IS the round-8 promotion-out currency; the head now
-#: holds every key whose evidence would otherwise age past the two-round
-#: invariant bound.
+#: Round-12 tail: exactly the 49 keys driver-green in CORRECTNESS_r11.json
+#: minus dedup_image_phash (the newest catalog entry stays in the head
+#: per the standing newest-faces-the-hard-signal policy). Order follows
+#: the r11 artifact's key order so diffs against it are trivial to
+#: audit. Uniform displacement rationale: a fresh r11 driver-green row
+#: IS the round-8 promotion-out currency; the head now holds every key
+#: whose evidence (last green r10) would otherwise age past the
+#: two-round invariant bound.
 WINDOW_TAIL: tuple[str, ...] = (
-    "flagship_revenue_by_nation",
-    "p5_semi_join_filter",
-    "p8_split_label_union",
-    "a2_two_level_agg",
-    "w1_w2_hours_window_trim",
-    "w3_tumbling_bucket",
-    "stream_tumbling_bucket",
-    "stream_session_agg",
-    "stream_interval_join",
-    "w4_w8_dense_grid_indicator",
-    "w5_w6_w7_impute_active",
-    "f13_json_extract",
-    "r1_r2_pivot_onehot",
-    "j6_right_merge_summary",
-    "r3_multilabel_onehot",
-    "a4_group_max_nanmean",
-    "j4_dictionary_join",
-    "ts_rolling_interp_peak",
-    "window_ranking_family",
-    "j_asof_event_value",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "stream_serve_topk",
-    "text_quality",
-    "text_langid",
-    "pipeline_guard_corpus",
-    "sample_stratified",
-    "sample_temperature",
-    "split_leakage_safe",
-    "sim_topk_lsh",
-    "pipeline_docs_curation",
-    "dedup_span_coverage",
-    "stream_ingest_jsonl",
-    "shard_assign",
-    "dedup_incremental",
-    "stream_ingest_dedup",
-    "stream_ingest_curation",
-    "text_bpe_train",
-    "text_quantile_norm",
-    "text_gopher",
-    "dsir_gumbel",
-    "sketch_distinct",
-    "text_pmi",
-    "text_bm25",
-    "text_quality_model",
-    "multimodal_audio_roundtrip",
-    "multimodal_image_roundtrip",
-    "multimodal_video_roundtrip",
-    "multimodal_frame_sampling",
+    "p2_derived_projection",
+    "p3_p4_null_comparison_filter",
+    "p6_string_match_filter",
+    "j7_lookup_first_match",
+    "j8_interval_exists_label",
+    "a1_a6_group_counts",
+    "a3_conditional_count",
+    "a7_mode_vote_filter",
+    "a8_winsorize",
+    "a9_group_mean_impute",
+    "a5_a10_summary_counts",
+    "stream_dedup_keys",
+    "stream_sliding_bucket",
+    "stream_enrich",
+    "o_sort_topk_first",
+    "u1_u2_union_anti_grid",
+    "f_scalar_suite",
+    "ts_sessionize",
+    "olap_rollup",
+    "a_salted_skew",
+    "j_range_bucketed",
+    "j_interval_overlap",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_neardup",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "text_bpe_count",
+    "multimodal_metadata",
+    "dedup_duplicate_clusters",
+    "text_clean_redact",
+    "sample_source_quota",
+    "text_encode_vocab",
+    "sample_token_budget",
+    "sim_mean_vectors",
+    "embed_kmeans",
+    "text_chunk_overlap",
+    "text_tfidf",
+    "text_perplexity",
+    "text_boilerplate",
+    "text_repeated_spans",
+    "ingest_jsonl",
+    "sketch_quantile_merge",
+    "dsir_select",
+    "sketch_overlap",
+    "sketch_quantile",
+    "sample_weighted",
+    "layout_compaction",
 )
 
 

@@ -25,6 +25,10 @@ def test_leakcheck_green():
 
 def test_copycheck_green():
     result = stage_copycheck()
+    if result["ref_lines_indexed"] == 0:
+        import pytest
+
+        pytest.skip("reference checkout not present on this machine")
     assert result["green"], result["overlaps"]
     # the benign tiers are bounded allowlists, not an open escape hatch:
     # a jump in any class means new verbatim-shared lines appeared and

@@ -183,9 +183,14 @@ def test_ngram_jaccard_prefilter_hot_same_output(spark):
             rows.append((1000 + i, f"click here now unique{i} tail{i} words{i} zz"))
     docs = spark.createDataFrame(rows, "doc_id: long, text: string")
 
-    base = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_shingle_freq=30)
+    base = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, max_shingle_freq=30, prefilter_hot=False
+    )
+    # hot_sample_inv=1: the exact detector — guarantees the stop-shingle
+    # is anti-joined away (sampled detection on this 66-doc fixture
+    # would be vacuous; the sampled tier has its own test below)
     pre = dedup.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.1, max_shingle_freq=30, prefilter_hot=True
+        docs, n=3, threshold=0.1, max_shingle_freq=30, hot_sample_inv=1
     )
     canon = lambda df: sorted(  # noqa: E731
         (r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect()
@@ -214,13 +219,108 @@ def test_minhash_lsh_prefilter_hot_same_output(spark):
             rows.append((1000 + i, f"shared boiler plate text unique{i} tail{i} zz"))
     docs = spark.createDataFrame(rows, "doc_id: long, text: string")
 
-    base = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4, max_bucket_size=10)
+    base = dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, max_bucket_size=10, prefilter_hot=False
+    )
     pre = dedup.minhash_lsh_candidates(
-        docs, num_hashes=8, bands=4, max_bucket_size=10, prefilter_hot=True
+        docs, num_hashes=8, bands=4, max_bucket_size=10, hot_sample_inv=1
     )
     canon = lambda df: sorted((r.id_a, r.id_b) for r in df.collect())  # noqa: E731
     assert canon(pre) == canon(base)
     assert "BroadcastHashJoin" in pre._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sampled_hot_detector_catches_boilerplate_and_is_sound(spark):
+    """The round-12 sampled detector: a deterministic 1/inv doc-sample's
+    per-shingle count is a LOWER bound on the true doc-frequency, so
+    (a) every key it flags is provably over-cap (soundness — checked
+    here against exact counts), and (b) a genuinely hot boilerplate
+    shingle (300 docs vs cap 20) is caught even at inv=4, and the
+    final pair set is identical to the unfiltered post-agg path."""
+    from pyspark.sql import functions as F
+
+    from temporai_mivdp_spark.llmdata import dedup
+    from temporai_mivdp_spark.llmdata.dedup import (
+        _hashed_shingle_rows,
+        _hot_shingle_hashes,
+    )
+    from temporai_mivdp_spark.llmdata.text import normalize_text
+
+    n_docs, cap, inv = 300, 20, 4
+    docs = spark.createDataFrame(
+        [(i, f"subscribe to our newsletter unique{i} tail{i} words{i}")
+         for i in range(n_docs)],
+        "doc_id: long, text: string",
+    )
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("__toks")
+    ).filter(F.size("__toks") >= 3)
+
+    hot = _hot_shingle_hashes(toks, 3, "doc_id", cap=cap, sample_inv=inv)
+    flagged = {r.shingle for r in hot.collect()}
+    # (b) the boilerplate shingles are caught by the sample
+    assert flagged, "detector must flag the 300-doc boilerplate shingles"
+
+    # (a) soundness: every flagged key's EXACT doc-frequency is over cap
+    exact = (
+        _hashed_shingle_rows(toks, 3, "doc_id")
+        .groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    under_cap_flagged = {
+        r.shingle for r in exact.collect() if r.df <= cap
+    } & flagged
+    assert not under_cap_flagged
+
+    # end-to-end: default (auto prefilter, sampled) == prefilter off
+    canon = lambda df: sorted(  # noqa: E731
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect()
+    )
+    assert canon(
+        dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.0, max_shingle_freq=cap, hot_sample_inv=inv
+        )
+    ) == canon(
+        dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.0, max_shingle_freq=cap, prefilter_hot=False
+        )
+    )
+
+
+def test_prefilter_hot_defaults_and_guards(spark):
+    """Round-12 defaults: prefilter_hot=None resolves to on-iff-cap-set
+    (the plan carries the detector's broadcast anti-join exactly when a
+    cap exists), and the r11 silent no-op is now a loud ValueError."""
+    import pytest
+
+    from temporai_mivdp_spark.llmdata import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma unique{i} tail{i}") for i in range(6)],
+        "doc_id: long, text: string",
+    )
+    plan = lambda df: df._jdf.queryExecution().executedPlan().toString()  # noqa: E731
+
+    with_cap = dedup.ngram_jaccard_pairs(docs, max_shingle_freq=5)
+    no_cap = dedup.ngram_jaccard_pairs(docs, max_shingle_freq=None)
+    assert "BroadcastHashJoin" in plan(with_cap)
+    assert "BroadcastHashJoin" not in plan(no_cap)
+
+    lsh_cap = dedup.minhash_lsh_candidates(docs, 8, 4, max_bucket_size=5)
+    lsh_none = dedup.minhash_lsh_candidates(docs, 8, 4)
+    assert "BroadcastHashJoin" in plan(lsh_cap)
+    assert "BroadcastHashJoin" not in plan(lsh_none)
+
+    with pytest.raises(ValueError, match="max_shingle_freq"):
+        dedup.ngram_jaccard_pairs(docs, max_shingle_freq=None, prefilter_hot=True)
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dedup.minhash_lsh_candidates(docs, 8, 4, prefilter_hot=True)
+    with pytest.raises(ValueError, match="hot_sample_inv"):
+        dedup.ngram_jaccard_pairs(docs, max_shingle_freq=5, hot_sample_inv=0)
+    with pytest.raises(ValueError, match="hot_sample_inv"):
+        dedup.minhash_lsh_candidates(
+            docs, 8, 4, max_bucket_size=5, hot_sample_inv=0
+        )
 
 
 def test_salted_join_spreads_hot_key_across_partitions(spark):

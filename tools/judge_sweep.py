@@ -48,6 +48,7 @@ inner-loop combination while iterating; the round close-out runs all.
 from __future__ import annotations
 
 import ast
+import os
 import json
 import re
 import subprocess
@@ -56,6 +57,13 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+#: Read-only reference checkout the copycheck stage indexes. Overridable
+#: so the suite is not silently environment-coupled: on a machine
+#: without the checkout, stage_copycheck reports green=False with
+#: ref_lines_indexed=0 (unrunnable != clean) and the pytest wrapper
+#: skips instead of passing vacuously.
+REFERENCE_ROOT = Path(os.environ.get("SPARK_GRAFT_REFERENCE_ROOT", "/root/reference"))
 
 STAGES = (
     "oracle",
@@ -336,7 +344,7 @@ _API_PARITY_LINES = {
 
 def stage_copycheck(min_len: int = 26) -> dict:
     ref_lines: dict[str, str] = {}
-    for path in Path("/root/reference").rglob("*"):
+    for path in REFERENCE_ROOT.rglob("*") if REFERENCE_ROOT.is_dir() else ():
         if path.suffix not in {".py", ".rs", ".go", ".cpp", ".h", ".java", ".sh"}:
             continue
         try:
@@ -366,7 +374,9 @@ def stage_copycheck(min_len: int = 26) -> dict:
                     {"repo": f"{rel}:{i}", "ref": ref_lines[s], "line": s}
                 )
     return {
-        "green": not overlaps,
+        # an empty index means the stage could not run (reference checkout
+        # absent) — report NOT-green rather than a silent false green
+        "green": bool(ref_lines) and not overlaps,
         "min_len": min_len,
         "ref_lines_indexed": len(ref_lines),
         "overlaps": overlaps[:50],
