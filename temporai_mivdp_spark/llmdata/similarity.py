@@ -97,6 +97,35 @@ def finite_vectors(
     return out
 
 
+def _check_probe_contract(
+    probes: DataFrame, max_probe_rows: int | None, fn_name: str
+) -> None:
+    """Enforce the serving-path "probe set is small by contract" invariant
+    LOUDLY (round-12 hardening of the documented-but-unenforced contract):
+    the serving functions collect/broadcast the probe side, so an
+    over-large probe frame would otherwise OOM the driver with no signal
+    about which contract was broken. The check runs ``limit(max+1)``
+    then counts ON THE EXECUTORS — it never collects rows, so the guard
+    itself cannot cause the failure it prevents, and it scans at most
+    ``max_probe_rows + 1`` probe rows regardless of the frame's size.
+    ``max_probe_rows=None`` disables (caller takes responsibility)."""
+    if max_probe_rows is None:
+        return
+    if max_probe_rows < 1:
+        raise ValueError(f"max_probe_rows must be >= 1 or None, got {max_probe_rows}")
+    n = probes.limit(max_probe_rows + 1).count()
+    if n > max_probe_rows:
+        raise ValueError(
+            f"{fn_name}: probe set exceeds the serving-path contract "
+            f"(> {max_probe_rows} rows). The probe side is collected and "
+            "broadcast, so it must stay driver-small. For a large probe "
+            "set, run the batch path (brute_force_topk / ivf_topk over "
+            "DataFrames) instead, or raise max_probe_rows explicitly "
+            "(max_probe_rows=None disables the guard) if the driver "
+            "genuinely has the memory."
+        )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -200,6 +229,7 @@ def brute_force_topk_arrow(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    max_probe_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k, vectorized: the Arrow/numpy scale path of
     ``brute_force_topk`` (same contract: round-6 cosine, id tie-break,
@@ -222,6 +252,7 @@ def brute_force_topk_arrow(
 
     corpus = finite_vectors(corpus, vec_col, nonzero=True)
     probes = finite_vectors(probes, vec_col, nonzero=True)
+    _check_probe_contract(probes, max_probe_rows, "brute_force_topk_arrow")
     pdf = probes.select(probe_id_col, vec_col).toPandas()
     pids = pdf[probe_id_col].to_numpy()
     P = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -619,6 +650,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    max_probe_rows: int | None = 100_000,
 ) -> DataFrame:
     """Approximate top-k: probes search only their ``nprobe`` nearest
     centroids' buckets. Recall rises with nprobe (== exact when nprobe =
@@ -767,6 +799,7 @@ def ivf_topk_from_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    max_probe_rows: int | None = 100_000,
 ) -> DataFrame:
     """Approximate top-k against a ``persist_ivf_index`` layout. Same
     semantics as ``ivf_topk`` over the same centroids; the difference is
@@ -776,6 +809,7 @@ def ivf_topk_from_index(
     ``bucket IN (...)`` as a PARTITION filter, so non-routed bucket
     directories are skipped at file-listing time. The plan test pins
     the PartitionFilters clause."""
+    _check_probe_contract(probes, max_probe_rows, "ivf_topk_from_index")
     centroids = spark.read.parquet(f"{path}/centroids")
     routed = _route_probes(probes, centroids, nprobe, vec_col, probe_id_col)
     # collect the (small, serving-path) probe routing ONCE: the rows
@@ -858,6 +892,7 @@ def lsh_topk_from_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    max_probe_rows: int | None = 100_000,
 ) -> DataFrame:
     """Approximate top-k against a ``persist_lsh_index`` layout — same
     semantics as ``lsh_topk`` at the pinned (tables, bits, dim). Probe
@@ -865,6 +900,7 @@ def lsh_topk_from_index(
     (table, bucket) pairs are collected (serving-path contract: probe
     sets are small), and the signature scan carries them as partition
     filters — only ``<= tables x n_probes`` directories are listed."""
+    _check_probe_contract(probes, max_probe_rows, "lsh_topk_from_index")
     p = spark.read.parquet(f"{path}/params").first()
     tables, bits, dim = int(p["tables"]), int(p["bits"]), int(p["dim"])
     sig = lsh_signatures(
