@@ -633,3 +633,178 @@ def test_stream_session_finalize_late_row_never_regresses_end(spark):
     assert (1, ts("2024-01-01 09:50:00"), ts("2024-01-01 10:00:00"), 2) in got
     # no emission may carry a regressed end for key 1
     assert not any(k == 1 and e < s for k, s, e, _ in got)
+
+
+def test_stream_tumbling_bucket_checkpoint_restart_exactly_once(spark):
+    """Recovery parity (r11 verdict "Next round" §4): kill a tumbling-
+    bucket aggregation between feeds, restart from the checkpoint, and
+    the memory-sink result must match the epoch-aligned DuckDB oracle
+    over BOTH feeds — exactly-once across the restart.
+
+    The discriminator that makes this a real state-recovery test:
+    shard 1's input FILE is deleted before the restart, so shard 1's
+    contribution can only come from the restored state store (a fresh
+    start over the surviving files would lose bucket counts — asserted
+    as the negative control). A torn-commit replay (last commit marker
+    deleted) must converge to the same result: the state store rolls
+    back to the last committed version before replaying."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import duckdb
+
+    shard1 = [
+        (1, ts("2024-01-01 00:10:00"), 5.0),
+        (1, ts("2024-01-01 01:20:00"), 7.0),
+        (2, ts("2024-01-01 00:40:00"), 1.0),
+    ]
+    shard2 = [
+        (1, ts("2024-01-01 01:50:00"), 3.0),  # adds to shard1's (1, 00:00) bucket
+        (1, ts("2024-01-01 02:05:00"), 9.0),
+        (2, ts("2024-01-01 07:00:00"), 3.0),
+    ]
+    schema = "user_id: long, ts: timestamp, value: double"
+    src = tempfile.mkdtemp(prefix="tb-restart-src-")
+    ckpt = tempfile.mkdtemp(prefix="tb-restart-ckpt-")
+
+    def run(name: str) -> None:
+        stream = st.read_parquet_stream(
+            spark, src, spark.createDataFrame(shard1, schema).schema
+        )
+        bucketed = st.stream_tumbling_bucket(
+            stream, "ts", ["user_id"], bucket_hours=2,
+            aggs=[F.count(F.lit(1)).alias("n"), F.avg("value").alias("v")],
+        )
+        q = (
+            bucketed.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(shard1, schema).coalesce(1).write.mode("append").parquet(src)
+    run("tb_epoch1")
+
+    # crash between feeds: shard 2 lands, shard 1's file is GONE
+    for f in Path(src).glob("*.parquet"):
+        f.unlink()
+    spark.createDataFrame(shard2, schema).coalesce(1).write.mode("append").parquet(src)
+    run("tb_epoch2")
+    got = {
+        (r.user_id, r.bucket_start): (r.n, round(r.v, 6))
+        for r in spark.sql("select * from tb_epoch2").collect()
+    }
+
+    # epoch-aligned DuckDB oracle over the union of both feeds
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev(user_id BIGINT, ts TIMESTAMP, value DOUBLE)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", shard1 + shard2)
+    want = {
+        (u, b): (n, round(v, 6))
+        for u, b, n, v in con.execute(
+            "SELECT user_id, to_timestamp(floor(epoch(ts) / 7200) * 7200)"
+            "::TIMESTAMP, count(*), avg(value) FROM ev GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert got == want
+    # negative control: the (1, 00:00) bucket NEEDS shard1's state —
+    # losing it would leave n=1 (shard2's lone in-bucket row)
+    assert got[(1, ts("2024-01-01 00:00:00"))] == (3, 5.0)
+
+    # torn-commit replay: drop the last commit marker (and its local-FS
+    # .crc sidecar); the replayed epoch must converge on the same table
+    commits = sorted(
+        p for p in (Path(ckpt) / "commits").iterdir()
+        if not p.name.startswith(".")
+    )
+    commits[-1].unlink()
+    crc = commits[-1].with_name(f".{commits[-1].name}.crc")
+    if crc.exists():
+        crc.unlink()
+    run("tb_replay")
+    replay = {
+        (r.user_id, r.bucket_start): (r.n, round(r.v, 6))
+        for r in spark.sql("select * from tb_replay").collect()
+    }
+    assert replay == want
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_ingest_dedup_stream_mid_feed_kill_and_resume(spark):
+    """Recovery parity for the STATEFUL ingest path: all three shards are
+    on disk before the query starts (one file per micro-batch); the
+    query is killed as soon as the first epoch commits — mid-feed, with
+    later epochs unprocessed or torn — then restarted from the
+    checkpoint. The resumed run must process exactly the remaining
+    epochs (batch ids continue, nothing reprocessed from scratch) and
+    the final survivor set must equal the full-feed expectation."""
+    import tempfile
+    import time
+    from pathlib import Path
+
+    from temporai_mivdp_spark.streaming.ingest import ingest_dedup_stream
+
+    base = " ".join(f"tok{i % 17} w{i}" for i in range(20))
+    dC = " ".join(f"body{i} tok{i % 11}" for i in range(20))
+    shards = [
+        [(1, "alpha " + base), (2, "beta unrelated " + dC)],
+        [(3, "alpha " + base), (4, " ".join(f"gamma{i} r{i % 7}" for i in range(20)))],
+        # 3 = exact dup of 1; 4 = fresh content
+        [(5, "beta unrelated " + dC + " zqx"), (6, "fresh " + " ".join(f"q{i}" for i in range(20)))],
+        # 5 = near dup of 2 (one appended token)
+    ]
+    schema = "doc_id long, text string"
+    src = tempfile.mkdtemp(prefix="kill-src-")
+    state = tempfile.mkdtemp(prefix="kill-state-")
+    out = tempfile.mkdtemp(prefix="kill-out-")
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+    # the file source orders shards by modification time; pin mtimes
+    # explicitly (widely spaced, write-order) so arrival order — and
+    # therefore which of an exact/near-dup pair survives — is
+    # deterministic under suite load, where real mtimes can collide
+    import os
+
+    now = time.time()
+    for f in sorted(Path(src).glob("*.parquet")):
+        # parquet part files sort lexicographically in write order only
+        # within a job; use the data to order: read each file's min id
+        ids = [r.doc_id for r in spark.read.parquet(str(f)).collect()]
+        shard_idx = min(ids) // 2  # shards are (1,2), (3,4), (5,6)
+        os.utime(f, (now + 100 * shard_idx, now + 100 * shard_idx))
+
+    def writer():
+        return ingest_dedup_stream(
+            spark, src, state, out, schema,
+            num_hashes=8, bands=4, max_files_per_trigger=1,
+        )
+
+    q = writer().trigger(availableNow=True).start()
+    commits = Path(f"{state}/checkpoint/commits")
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if commits.exists() and any(
+            not p.name.startswith(".") for p in commits.iterdir()
+        ):
+            break
+        time.sleep(0.05)
+    q.stop()  # kill: >=1 epoch committed, the rest unprocessed or torn
+    q.awaitTermination(60)
+    n_committed = len([p for p in commits.iterdir() if not p.name.startswith(".")])
+    assert n_committed >= 1
+
+    q2 = writer().trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 4, 6}
+    # batch ids continued across the kill: one epoch per file, no
+    # renumbering (a trailing zero-data finalizing batch is tolerated)
+    assert {r.ingest_batch for r in rows} <= {0, 1, 2}
+    n_final = len([p for p in commits.iterdir() if not p.name.startswith(".")])
+    assert n_final in (3, 4), n_final
