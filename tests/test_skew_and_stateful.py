@@ -447,3 +447,57 @@ def test_range_join_hot_key_and_wide_interval_bounded(spark):
         .count()
     )
     assert hot_keys >= 20
+
+
+def test_skew_split_join_parity_detection_and_plan(spark):
+    """skew_split_join (round 12): hot keys broadcast, cold keys plain —
+    row-set must equal the plain join exactly (inner AND left, matched
+    and unmatched facts), the detection path must find the injected hot
+    key, and the physical plan must carry exactly the hybrid shape (a
+    broadcast join for the hot side alongside the cold shuffle join)."""
+    from pyspark.sql import functions as F
+
+    from temporai_mivdp_spark.operators import skew as skew_ops
+
+    hot_n, cold_n = 5_000, 3_000
+    facts = spark.createDataFrame(
+        [(777, f"e{i}") for i in range(hot_n)]
+        + [(i % 97, f"c{i}") for i in range(cold_n)]
+        + [(555_555, "unmatched")],  # no dim row -> left-join null probe
+        "user_id: long, payload: string",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 5}") for i in range(97)] + [(777, "hotseg")],
+        "user_id: long, segment: string",
+    )
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r.user_id, r.payload, r.segment) for r in df.collect()
+    )
+    for how in ("inner", "left"):
+        plain = facts.join(dim, "user_id", how)
+        split = skew_ops.skew_split_join(
+            facts, dim, "user_id", hot_keys=[777], how=how
+        )
+        assert canon(split) == canon(plain), how
+
+    # detection path: exact pass (sample=None) must find the hot key,
+    # and a detected-keys run must still equal plain
+    detected = skew_ops.skew_split_join(
+        facts, dim, "user_id", min_share=0.25, sample=None
+    )
+    assert canon(detected) == canon(facts.join(dim, "user_id", "inner"))
+
+    plan = skew_ops.skew_split_join(
+        facts, dim, "user_id", hot_keys=[777]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # empty hot list degrades to the plain join, not an error
+    nohot = skew_ops.skew_split_join(facts, dim, "user_id", hot_keys=[])
+    assert canon(nohot) == canon(facts.join(dim, "user_id", "inner"))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inner/left"):
+        skew_ops.skew_split_join(facts, dim, "user_id", hot_keys=[777], how="right")

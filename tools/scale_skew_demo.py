@@ -66,19 +66,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="mivdp_skew_")
     try:
+        # cross-join inflation: one plan regardless of copy count (a
+        # copies-branch union chokes the analyzer past ~100 branches)
+        ks = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__k")
         ev = spark.read.parquet(f"{BASE_SF}/events.parquet").select(
-            "event_id", "user_id", "event_type"
+            "event_id", "user_id", "event_type", ks
         )
-        union = ev
-        for k in range(1, copies):
-            union = union.unionByName(
-                ev.select(
-                    (F.col("event_id") + k * SHIFT).alias("event_id"),
-                    (F.col("user_id") + k * SHIFT).alias("user_id"),
-                    "event_type",
-                )
-            )
-        hot = union.withColumn(
+        hot = ev.select(
+            (F.col("event_id") + F.col("__k") * SHIFT).alias("event_id"),
+            (F.col("user_id") + F.col("__k") * SHIFT).alias("user_id"),
+            "event_type",
+        ).withColumn(
             "user_id",
             F.when(
                 F.pmod(F.xxhash64("event_id"), F.lit(10)) < HOT_TENTH,
@@ -89,17 +87,12 @@ def main() -> None:
             f"{tmp}/events.parquet"
         )
         cust = spark.read.parquet(f"{BASE_SF}/customer.parquet").select(
-            "c_custkey", "c_mktsegment"
+            "c_custkey", "c_mktsegment", ks
         )
-        dim_u = cust
-        for k in range(1, copies):
-            dim_u = dim_u.unionByName(
-                cust.select(
-                    (F.col("c_custkey") + k * SHIFT).alias("c_custkey"),
-                    "c_mktsegment",
-                )
-            )
-        dim_u.write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+        cust.select(
+            (F.col("c_custkey") + F.col("__k") * SHIFT).alias("c_custkey"),
+            "c_mktsegment",
+        ).write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
 
         def frames():
             fact = spark.read.parquet(f"{tmp}/events.parquet")
@@ -122,6 +115,15 @@ def main() -> None:
                 j, ["segment", "event_type"], salt_buckets=32, count_name="n"
             )
 
+        def split_hot():
+            fact, dim = frames()
+            j = skew_ops.skew_split_join(
+                fact, dim, "user_id", hot_keys=[HOT_USER]
+            )
+            return skew_ops.salted_group_count(
+                j, ["segment", "event_type"], salt_buckets=32, count_name="n"
+            )
+
         variants = {
             "plain_aqe_off": (plain, {"spark.sql.adaptive.enabled": "false"}),
             "plain_aqe_on": (plain, {
@@ -129,7 +131,11 @@ def main() -> None:
                 "spark.sql.adaptive.skewJoin.enabled": "true",
             }),
             "salted_aqe_off": (salted, {"spark.sql.adaptive.enabled": "false"}),
+            "split_hot_aqe_off": (split_hot, {"spark.sql.adaptive.enabled": "false"}),
         }
+        only = [a for a in sys.argv[3:] if not a.startswith("-")]
+        if only:
+            variants = {k: v for k, v in variants.items() if k in only}
 
         # result parity across variants (salting must be invisible)
         base_rows = None
