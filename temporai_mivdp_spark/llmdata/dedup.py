@@ -1106,6 +1106,99 @@ def span_coverage(
     )
 
 
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ACTION for ``span_coverage``'s measurement: rewrite each
+    document with its cross-doc duplicated ``n``-token spans removed —
+    the exact-substring dedup of Lee et al. 2022 applied as a transform
+    rather than a report.
+
+    Keeper policy, deterministic and corpus-stable: for each duplicated
+    span hash the document with the MINIMUM id keeps every occurrence;
+    every other document removes the tokens in the union of its
+    duplicated ``[pos, pos+n)`` intervals. One occurrence of every
+    duplicated substring therefore survives in the corpus (the Lee et
+    al. invariant), rerun/repartition-stable because min-id is order-
+    independent.
+
+    Output: ``(doc_id, text_clean, n_tokens, removed_tokens)`` — one row
+    per non-null-text doc; ``text_clean`` is the surviving tokens of the
+    NORMALIZED text joined by single spaces (normalization is shared
+    with every other dedup operator; the un-normalized original is the
+    caller's to keep). Docs shorter than ``n`` tokens pass through.
+
+    Scale shape: identical to ``span_coverage`` through survivor
+    detection (row-local span hashes, fixed-width (hash, id, pos)
+    shuffles, two-level doc-count — no posting lists), plus a min-id
+    per hash carried by the same aggregate. Removable positions then
+    come back to each doc ONCE as a collect_set bounded by document
+    length (the per-doc bound every other collect in this file relies
+    on), and the rewrite is one row-local higher-order filter — the
+    position set is expanded from merged intervals, so membership is
+    O(1) array_contains against at most n_tokens entries. Nothing
+    downstream of the survivor join shuffles anything wider than
+    (id, pos)."""
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
+    )
+    sized = toks.select(id_col, "__toks", F.size("__toks").alias("n_tokens"))
+    spans = sized.filter(F.col("n_tokens") >= n).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, n))),
+            )
+        ).alias("pos", "__h"),
+    )
+    survivors = (
+        spans.groupBy("__h", id_col)
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"), F.min(id_col).alias("__keeper"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h", "__keeper")
+    )
+    removable = (
+        spans.join(survivors, "__h")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(id_col, "pos")
+    )
+    # per-doc removable position SET: expand each [pos, pos+n) and
+    # dedup — bounded by n_tokens entries regardless of span overlap
+    rm = removable.groupBy(id_col).agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("pos"), F.col("pos") + n - 1))
+            )
+        ).alias("__rm")
+    )
+    out = sized.join(rm, id_col, "left")
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.coalesce(F.array_contains(F.col("__rm"), s["i"]), F.lit(False)),
+    )
+    return out.select(
+        id_col,
+        F.when(F.col("__rm").isNull(), F.concat_ws(" ", F.col("__toks")))
+        .otherwise(F.concat_ws(" ", F.transform(kept, lambda s: s["t"])))
+        .alias("text_clean"),
+        F.col("n_tokens"),
+        # size(NULL) is -1 under legacy sizeOfNull; branch explicitly
+        F.when(F.col("__rm").isNull(), F.lit(0))
+        .otherwise(F.size("__rm"))
+        .cast("long")
+        .alias("removed_tokens"),
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 16,

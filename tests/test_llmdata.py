@@ -5277,3 +5277,121 @@ def test_ms_adpcm_truncated_metadata_matches_sample_tier():
         trunc = data[: len(data) - cut]
         decoded = _ms_adpcm_samples(trunc, ch, align)
         assert len(decoded) == _ms_data_samples(len(trunc), ch, align), cut
+
+
+def test_remove_duplicated_spans_matches_bruteforce(spark):
+    """remove_duplicated_spans (round 12) vs an independent brute-force
+    Python restatement of the Lee et al. policy: per duplicated n-token
+    span, the min-id doc keeps it, every other doc removes the union of
+    its duplicated [pos, pos+n) intervals; short docs pass through.
+    Also pins the corpus invariant (one occurrence of every duplicated
+    span survives) and the coverage link (removed_tokens equals
+    span_coverage's covered_tokens on non-keeper docs with no
+    keeper-side overlap)."""
+    import re
+
+    n, min_docs = 3, 2
+    boiler = "subscribe to our newsletter today please"
+    rows = [
+        (10, f"alpha beta gamma {boiler} delta epsilon zeta eta"),
+        (20, f"{boiler} one two three four five six"),
+        (30, "uniquex " * 8),  # in-doc repeats only: single doc, kept whole
+        (40, "short text"),  # 2 tokens < n -> pass-through
+        (50, f"seven eight nine {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.removed_tokens)
+        for r in dedup.remove_duplicated_spans(
+            docs, n=n, min_docs=min_docs
+        ).collect()
+    }
+
+    # brute force, same normalization (lower, collapse ws, trim)
+    norm = {
+        d: re.sub(r"\s+", " ", t.lower()).strip().split(" ") for d, t in rows
+    }
+    from collections import defaultdict
+
+    span_docs = defaultdict(set)
+    for d, toks in norm.items():
+        for i in range(len(toks) - n + 1):
+            span_docs[tuple(toks[i : i + n])].add(d)
+    dup = {s: ds for s, ds in span_docs.items() if len(ds) >= min_docs}
+    want = {}
+    for d, toks in norm.items():
+        remove = set()
+        for i in range(len(toks) - n + 1):
+            s = tuple(toks[i : i + n])
+            if s in dup and d != min(dup[s]):
+                remove.update(range(i, i + n))
+        clean = " ".join(t for i, t in enumerate(toks) if i not in remove)
+        want[d] = (clean, len(toks), len(remove))
+    assert got == want
+
+    # invariant: every duplicated span still occurs somewhere
+    surviving = " || ".join(v[0] for v in got.values())
+    for s in dup:
+        assert " ".join(s) in surviving, s
+    # and the hot boilerplate actually got removed from non-keepers
+    assert got[20][2] > 0 and got[50][2] > 0 and got[10][2] == 0
+
+
+def test_remove_duplicated_spans_randomized_differential(spark):
+    """Seeded random corpora (shared phrase snippets spliced into random
+    filler) against the same brute-force restatement — the policy holds
+    under overlap patterns a hand fixture doesn't reach (spans crossing
+    splice boundaries, multiple hot phrases, in-doc repetition of a
+    cross-doc span)."""
+    import random
+    import re
+    from collections import defaultdict
+
+    n, min_docs = 3, 2
+    rng = random.Random(12012)
+    phrases = [
+        ["the", "quick", "brown", "fox", "jumps"],
+        ["terms", "of", "service", "apply", "here", "now"],
+        ["click", "to", "accept", "cookies"],
+    ]
+    rows = []
+    for d in range(40):
+        toks = []
+        for _ in range(rng.randint(1, 4)):
+            toks += [f"w{rng.randint(0, 30)}" for _ in range(rng.randint(0, 6))]
+            if rng.random() < 0.7:
+                toks += rng.choice(phrases)
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    got = {
+        r.doc_id: (r.text_clean, r.removed_tokens)
+        for r in dedup.remove_duplicated_spans(
+            docs, n=n, min_docs=min_docs
+        ).collect()
+    }
+
+    norm = {
+        d: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        for d, t in rows
+        if t is not None
+    }
+    span_docs = defaultdict(set)
+    for d, toks in norm.items():
+        for i in range(len(toks) - n + 1):
+            span_docs[tuple(toks[i : i + n])].add(d)
+    dup = {s for s, ds in span_docs.items() if len(ds) >= min_docs}
+    keeper = {s: min(ds) for s, ds in span_docs.items() if len(ds) >= min_docs}
+    want = {}
+    for d, toks in norm.items():
+        remove = set()
+        for i in range(len(toks) - n + 1):
+            s = tuple(toks[i : i + n])
+            if s in dup and d != keeper[s]:
+                remove.update(range(i, i + n))
+        want[d] = (
+            " ".join(t for i, t in enumerate(toks) if i not in remove),
+            len(remove),
+        )
+    assert got == want
