@@ -32,7 +32,7 @@ from temporai_mivdp_spark.operators import (
     timeseries as ts_ops,
 )
 from temporai_mivdp_spark.functions import scalars
-from temporai_mivdp_spark.sources import load_table
+from temporai_mivdp_spark.sources import fan_out, load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -314,7 +314,11 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (tiny) aggregated set. Mirrors cohort extraction where icustays ⋈
     patients ⋈ admissions (day_intervals_cohort_v1.py:83,138-186).
     """
-    lineitem = _t(spark, sf_dir, "lineitem")
+    # adaptive fan-out of the fact side (guide §2.5: the testdata file is
+    # one row group = a one-task scan): the four broadcast probes + the
+    # revenue arithmetic parallelize; keyed on l_orderkey (deterministic,
+    # no round-robin pre-sort). No-op when the scan has real splits.
+    lineitem = fan_out(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "X")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -502,7 +506,10 @@ def j8_interval_exists_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8/W9: readmission labeling — "any later visit within gap days"
     (day_intervals_cohort_v1.py:268-323 Python loop) as an equi+interval
     self-join aggregated back to one row per visit."""
-    orders = _t(spark, sf_dir, "orders")
+    # adaptive fan-out keyed on the window's partition key: the one
+    # exchange parallelizes the scan AND is reused by the per-customer
+    # window (no second exchange — guide §2.4)
+    orders = fan_out(_t(spark, sf_dir, "orders"), "o_custkey")
     labeled = join_ops.interval_exists_label(
         orders.select("o_custkey", "o_orderkey", "o_orderdate"),
         group_key="o_custkey",
@@ -565,8 +572,12 @@ def a2_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2(+A1,J6): "mean events per stay per item" two-level aggregation
     (feature_preproc_icu.py:328-339) — one nested groupBy instead of two
     aggs + right merge."""
+    # adaptive fan-out on the OUTER key: hash partitioning on l_partkey
+    # satisfies both the (l_partkey, l_orderkey) inner grouping and the
+    # l_partkey outer grouping, so the whole two-level aggregation runs
+    # exchange-free above the one adaptive exchange (2 exchanges -> 1)
     out = agg_ops.two_level_agg(
-        _t(spark, sf_dir, "lineitem"),
+        fan_out(_t(spark, sf_dir, "lineitem"), "l_partkey"),
         inner_keys=["l_partkey", "l_orderkey"],
         outer_keys=["l_partkey"],
     )
@@ -615,8 +626,12 @@ def a7_mode_vote_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds a minority value. Window-function form of the reference's
     per-itemid Python loop; cutoff 0.5 here so both branches fire on the
     synthetic data."""
+    # adaptive fan-out on the vote group key: the counts aggregation, its
+    # window statistics, and the broadcast join-back probe all sit above
+    # one reused exchange (previously 3 exchanges over a one-task scan)
     out = agg_ops.mode_vote_filter(
-        _t(spark, sf_dir, "lineitem"), group_key="l_partkey", vote_col="l_linestatus", cut_off=0.5
+        fan_out(_t(spark, sf_dir, "lineitem"), "l_partkey"),
+        group_key="l_partkey", vote_col="l_linestatus", cut_off=0.5
     )
     return out.select("l_orderkey", "l_linenumber", "l_partkey", "l_linestatus")
 
@@ -641,8 +656,12 @@ def a8_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/X3: per-group percentile winsorization
     (outlier_removal.py:11-37) with EXACT linear-interpolated percentiles
     matching numpy/duckdb ``quantile_cont``."""
+    # adaptive fan-out keyed on l_orderkey (high-cardinality; the window
+    # key l_returnflag has 3 values and would collapse the fan-out): the
+    # rank-window branch's map side and the clamp join-back probe
+    # parallelize; the per-flag window sort keeps its own exchange
     out = agg_ops.winsorize(
-        _t(spark, sf_dir, "lineitem"),
+        fan_out(_t(spark, sf_dir, "lineitem"), "l_orderkey"),
         group_key="l_returnflag",
         value_col="l_extendedprice",
         lower_pct=5.0,
@@ -782,7 +801,10 @@ def w3_tumbling_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: tumbling-bucket aggregation — the reference's
     ``for i in range(0, los, bucket)`` loop (data_generation_icu.py:522-604)
     as one groupBy on floor(h/bucket) with map-side combine."""
-    events = _t(spark, sf_dir, "events").withColumn(
+    # adaptive fan-out on user_id: the anchor window AND the bucket
+    # aggregation both reuse the one exchange; the one-task scan's
+    # timestamp math parallelizes
+    events = fan_out(_t(spark, sf_dir, "events"), "user_id").withColumn(
         "__anchor", F.min("ts").over(Window.partitionBy("user_id"))
     )
     hourly = ts_ops.hours_from_anchor(events, "ts", "__anchor", out_col="h")
@@ -1236,6 +1258,9 @@ def w4_w8_dense_grid_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4+W8: dense grid reindex + 0/1 occurrence indicator
     (data_generation_icu.py:651-656,793-803): explode a sequence per
     series, left-join observations, indicator on match."""
+    # fan_out measured here and REJECTED (wash to +0.04s, paired A/B):
+    # the per-row map work (hour() + projection) is too light to repay
+    # the extra exchange; the distinct/join stages already parallelize
     events = _t(spark, sf_dir, "events")
     users = events.select("user_id").dropDuplicates().withColumn("__len", F.lit(24))
     grid = ts_ops.dense_grid(users, "__len", hour_col="hour").drop("__len")
@@ -1279,7 +1304,9 @@ def w5_w6_w7_impute_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stop hour, signal = stop - hour > 0; 'purchase' events act as 24h
     prescriptions). Both window stacks share the user_id partitioning, so
     one shuffle feeds the event-time sort and the hour sort."""
-    events = _t(spark, sf_dir, "events").withColumn(
+    # adaptive fan-out on user_id: every window stack below (anchor,
+    # ffill/bfill, active-signal) shares the one exchange's partitioning
+    events = fan_out(_t(spark, sf_dir, "events"), "user_id").withColumn(
         "v", F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(F.col("value"))
     ).withColumn(
         "__anchor", F.min("ts").over(Window.partitionBy("user_id"))

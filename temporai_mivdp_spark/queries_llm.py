@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from temporai_mivdp_spark.llmdata import bpe, dedup, sampling, similarity, text
+from temporai_mivdp_spark.sources import fan_out
 from temporai_mivdp_spark.queries import (
     ORACLE,
     QUERIES,
@@ -33,13 +34,24 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ mutated copy (near-dup seed), see module docstring."""
+    """documents ∪ mutated copy (near-dup seed), see module docstring.
+
+    The union is fanned out by doc_id (sources.fan_out — a structural
+    no-op when the scan already has parallelism): the consumers are the
+    dedup operators, whose first aggregation is doc_id-keyed
+    (collect_set / signature min), so the one adaptive exchange both
+    parallelizes the tokenize/shingle map side and is REUSED as those
+    aggregations' required partitioning. Composite consumers
+    (pipeline_guard_corpus) re-derive shingles in several subtrees —
+    each sits above this same exchange, which Spark's exchange reuse
+    dedups at runtime (ReusedExchange), where the previous shape
+    re-scanned the parquet per subtree."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zqx")).alias("text"),
     )
-    return docs.unionByName(mutated)
+    return fan_out(docs.unionByName(mutated), "doc_id")
 
 
 _AUG_SQL = (
@@ -343,7 +355,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 probe vectors — the exact-search
     baseline (zip_with/aggregate dot products, probes broadcast)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # adaptive fan-out: the corpus-side dot products + map-side
+    # WindowGroupLimit parallelize instead of running on the one-task scan
+    emb = fan_out(_t(spark, sf_dir, "embeddings"), "vec_id")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
@@ -522,7 +536,10 @@ _STOP_SUM = " + ".join(_occ_sql(w) for w in text.STOPWORDS)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals (C4/Gopher-style cheap filters) plus word-2gram
     repetition fractions — projection joined with the repetition agg."""
-    docs = _t(spark, sf_dir, "documents")
+    # adaptive fan-out by doc_id: the quality projection and the bigram
+    # explode+counts branches both parallelize above ONE reused exchange,
+    # and the doc-keyed repetition aggregates inherit its partitioning
+    docs = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     q = text.quality_features(docs)
     rep = text.repetition_features(docs, n=2)
     return q.join(rep, "doc_id", "left").select(
@@ -629,7 +646,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle cheap tier, `text.language_id`): 93% held-out accuracy
     over 20 languages / six scripts vs the marker tier's 58% on its
     four (tests/test_llmdata.py)."""
-    docs = _t(spark, sf_dir, "documents").select(
+    # fan_out BEFORE the derived columns: the token arithmetic and the
+    # trigram explode+score both run above the one adaptive exchange
+    # (32-way instead of the single-row-group scan's one task), and the
+    # doc_id-keyed score aggregation + the left join-back reuse its
+    # partitioning instead of adding their own exchange (guide §2.4/§2.5)
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    docs = docs.select(
         "doc_id",
         "text",
         text.token_count(F.col("text")).alias("n_tokens"),
@@ -748,6 +771,10 @@ def text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined sum). The oracle replays merge application as a
     recursive CTE over the same inlined merge table, so the check is
     scale-factor-independent."""
+    # fan_out measured here and REJECTED (+0.1s at sf0.1, paired A/B):
+    # the heavy stage is the word-TYPE aggregation + Arrow merge kernel,
+    # both already downstream of their own exchange; the doc-side map
+    # work is too light to repay an extra corpus shuffle
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     tiers = docs.select(
         "doc_id",

@@ -11,6 +11,7 @@ into the reader, and chunking is Spark's own partitioned scan.
 
 from temporai_mivdp_spark.sources.readers import (
     TESTDATA_TABLES,
+    fan_out,
     load_table,
     load_tables,
     read_csv_gz,
@@ -27,6 +28,7 @@ from temporai_mivdp_spark.sources.sinks import (
 __all__ = [
     "TESTDATA_TABLES",
     "compact_parquet",
+    "fan_out",
     "load_table",
     "load_tables",
     "read_csv_gz",

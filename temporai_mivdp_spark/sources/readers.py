@@ -68,6 +68,42 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive scan fan-out for narrow inputs (optimization guide
+    §2.5, "input skew": an unsplittable/too-few-splits input starves the
+    map side — repartition immediately after the read).
+
+    A parquet file is splittable only at row-group boundaries; a
+    one-row-group file scans as ONE task, so every row-local derivation
+    above it (normalize / tokenize / explode / broadcast probe / partial
+    aggregation — the CPU-heavy part of the text and fact operators) runs
+    on one core while the rest of the machine idles. When the upstream
+    plan yields at most half the session's ``defaultParallelism``,
+    redistribute to ``defaultParallelism`` partitions; otherwise return
+    ``df`` unchanged. At production scale a large table scans into
+    thousands of splits, so this is a structural no-op there — the
+    exchange only ever exists when the scan is narrower than the machine,
+    and its cost is one shuffle of the (small, by construction) input.
+
+    ``keys`` picks HASH partitioning on those columns so that downstream
+    aggregations/windows keyed on them (or on a superset) reuse this
+    exchange instead of planning their own (guide §2.4: two operations
+    keyed the same way share one exchange). Choose a high-cardinality
+    key; with no ``keys`` the split is round-robin (deterministic under
+    retry via Spark's sort-before-repartition). Row placement never
+    affects results — every catalog entry is partitioning-stable by
+    construction (md5-deterministic sampling, commutative aggregates),
+    pinned by tests.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 > target:
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 def read_csv_gz(
     spark: SparkSession,
     path: str,

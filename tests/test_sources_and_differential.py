@@ -18,7 +18,7 @@ from pyspark.sql.types import (
 from temporai_mivdp_spark.mivdp import datagen as dg
 from temporai_mivdp_spark.mivdp.differential import densify_chart_pandas
 from temporai_mivdp_spark.sources import read_csv_gz, read_tsv, write_csv_gz, write_parquet
-from tests.conftest import ts
+from tests.conftest import SF_SMOKE, ts
 
 
 def test_csv_gz_roundtrip_with_schema_and_projection(spark):
@@ -220,3 +220,32 @@ def test_compact_parquet_file_count_tracks_bytes(spark):
             spark.read.parquet(dst).selectExpr("sum(id)", "count(*)").first()
             == spark.read.parquet(src).selectExpr("sum(id)", "count(*)").first()
         )
+
+
+def test_fan_out_adaptive(spark):
+    """fan_out (guide §2.5 adaptive scan fan-out): a narrow scan is
+    redistributed to defaultParallelism, an already-parallel frame is
+    returned untouched, and the rows are invariant either way."""
+    from temporai_mivdp_spark.sources import fan_out, load_table
+
+    target = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    assert docs.rdd.getNumPartitions() < target  # one-row-group fixture
+
+    fanned = fan_out(docs, "doc_id")
+    assert fanned.rdd.getNumPartitions() == target
+    # hash partitioning on the key: a doc_id-keyed aggregation reuses the
+    # fan-out exchange instead of adding its own
+    from temporai_mivdp_spark import plans
+
+    agg = fanned.groupBy("doc_id").count()
+    assert plans.count_exchanges(agg) == 1, plans.plan_summary(agg)
+
+    # no-op above the adaptive threshold
+    wide = docs.repartition(target)
+    assert fan_out(wide, "doc_id") is wide
+
+    # row invariance
+    a = sorted(r.doc_id for r in docs.collect())
+    b = sorted(r.doc_id for r in fanned.collect())
+    assert a == b
