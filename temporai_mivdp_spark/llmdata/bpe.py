@@ -264,6 +264,7 @@ def bpe_token_count(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
+    dense: bool = True,
 ) -> DataFrame:
     """Per-document REAL BPE token count under a trained merge table:
     ``(id_col, out_col)``, one row per input document (empty/blank docs
@@ -274,7 +275,14 @@ def bpe_token_count(
     the pandas UDF once per TYPE, a word-keyed join (AQE broadcasts the
     type table when it fits) carries ``n_pieces`` back, and one doc-keyed
     sum of ``occurrences × n_pieces`` finishes. The corpus never passes
-    through Python."""
+    through Python.
+
+    ``dense=False`` skips the all-ids densification (an extra full scan
+    of ``docs`` plus an id-keyed dropDuplicates shuffle, guide §2.4) and
+    returns only docs with >= 1 word — rows the caller must left-join
+    and zero-fill itself. Use it when the caller already holds a frame
+    with every id (e.g. ``text_bpe_count``'s cheap-tier projection):
+    same result, one corpus pass and one shuffle fewer."""
     tok = (
         docs.select(
             id_col,
@@ -295,6 +303,8 @@ def bpe_token_count(
         .groupBy(id_col)
         .agg(F.sum(F.col("__occ") * F.col("n_pieces")).alias(out_col))
     )
+    if not dense:
+        return per_doc
     return (
         docs.select(id_col)
         .dropDuplicates([id_col])

@@ -119,6 +119,33 @@ def _hashed_shingle_rows(toks: DataFrame, n: int, id_col: str) -> DataFrame:
     )
 
 
+def _hashed_shingle_sets(toks: DataFrame, n: int, id_col: str) -> DataFrame:
+    """(id, __set) with __set = the DISTINCT xxhash64 shingles of the
+    document, computed ROW-LOCALLY with ``array_distinct`` in the same
+    codegen stage as the shingle transform.
+
+    This is the per-document shingle set that earlier rounds built as
+    ``explode -> groupBy(id).agg(collect_set)`` — an ObjectHashAggregate
+    pair whose hash map over every shingle row was the measured
+    external-sort cost at the 100x cell (SCALING.md round 11). A
+    document's shingles all live in one row's array, so the set is a
+    row-local fact: ``array_distinct`` produces the identical set with
+    zero aggregation, zero shuffle buffer, and no object-agg fallback
+    path. Requires ``id_col`` to uniquely identify documents (the dedup
+    contract throughout this module): duplicate-id rows would previously
+    have had their sets UNIONED by the groupBy, whereas here each row
+    keeps its own set."""
+    return toks.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, n))),
+            )
+        ).alias("__set"),
+    )
+
+
 def _hot_shingle_hashes(
     toks: DataFrame, n: int, id_col: str, cap: int, sample_inv: int
 ) -> DataFrame:
@@ -130,18 +157,30 @@ def _hot_shingle_hashes(
     true df > cap (no false positives — the correctness direction; see
     the ngram_jaccard_pairs docstring for why a count-min sketch's
     over-estimate fails this test). ``sample_inv=1`` is the exact full
-    count. Doc-frequency is count_distinct(id) over RAW shingle rows —
-    a fixed-width two-phase hash aggregate; the per-doc collect_set
-    object-agg is never re-run on the detector branch."""
+    count. Doc-frequency is a plain count over ROW-LOCAL distinct
+    shingle sets (``_hashed_shingle_sets``): each unique-id document
+    contributes each of its shingles exactly once, so the count equals
+    the count_distinct(id) the round-11 detector computed, minus the
+    (shingle, id) dedup level count_distinct expands to — a fixed-width
+    one-level hash aggregate, no object agg anywhere."""
     sampled = toks
     if sample_inv > 1:
         sampled = toks.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_inv)) == 0
         )
+    # explode_outer, NOT explode: InferFiltersFromGenerate would add
+    # size(__set) > 0 for a plain explode and push the whole
+    # tokenize+shingle+array_distinct expression below the fan-out
+    # exchange into the scan filter — re-running the heaviest map work
+    # single-threaded on the scan (measured 2.4x on the whole query).
+    # The outer generate is exempt from that rule, and the >= n token
+    # filter already guarantees every set is non-empty, so no null
+    # shingle rows can occur and results are identical.
     return (
-        _hashed_shingle_rows(sampled, n, id_col)
+        _hashed_shingle_sets(sampled, n, id_col)
+        .select(F.explode_outer("__set").alias("shingle"))
         .groupBy("shingle")
-        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") > cap)
         .select("shingle")
     )
@@ -234,26 +273,33 @@ def ngram_jaccard_pairs(
     # codegen'd hash while the DuckDB oracle keeps md5; both engines see
     # the same sets. (MinHash can NOT do this: its hash values feed the
     # band signatures, so it stays on the portable md5-based family.)
-    # ONE shuffle by id builds the distinct set AND its size: collect_set
-    # dedups in the aggregation buffer, F.size reads the set length, and
-    # the explode rebuilds (id, shingle, sz) rows with the size riding
-    # along. The earlier plan spent two full shuffles on the same facts —
-    # a distinct groupBy(id, shingle) followed by a window count
-    # repartitioned by id — and a third variant (separate sizes aggregate
-    # + join-back at the end) re-scans the corpus because Catalyst prunes
-    # the two consumers differently (no ReusedExchange). Per-doc sets are
-    # bounded by document length, so the aggregation buffer is safe at
-    # corpus scale.
+    # ZERO shuffles build the distinct set AND its size: a document's
+    # shingles all live in one row's array, so ``array_distinct`` is the
+    # set, ``F.size`` its cardinality, and the explode emits
+    # (id, sz, shingle) rows — all in the scan's codegen stage. History:
+    # rounds 5-11 built the set as explode -> groupBy(id).collect_set —
+    # an ObjectHashAggregate pair whose hash map over every raw shingle
+    # row was the measured external-sort excess at the 100x cell
+    # (SCALING.md r11: the two collect_* stages), and before that a
+    # distinct groupBy(id, shingle) + window count cost two full
+    # shuffles. Round 12 removed the aggregation outright (guide §1.2:
+    # fix the distributed algorithm first); a groupBy(id, shingle)
+    # dedup + count-window variant was also measured and rejected
+    # (tools/exp_jaccard_setsize.py: +12% at 30x vs collect_set).
+    # Contract: id_col uniquely identifies documents (see
+    # _hashed_shingle_sets — duplicate ids previously got their sets
+    # unioned across rows; every caller in this repo dedups by a key).
     toks = docs.select(
         id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
     ).filter(F.size("__toks") >= n)
-    sets = (
-        _hashed_shingle_rows(toks, n, id_col)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("__set"))
-    )
+    # explode_outer for the same reason as _hot_shingle_hashes: a plain
+    # explode gets an inferred size(__set) > 0 filter pushed to the scan,
+    # duplicating the whole shingle pipeline below the fan-out exchange
+    # on one task. Sets are provably non-empty (size(__toks) >= n), so
+    # outer vs inner is a no-op on the data.
+    sets = _hashed_shingle_sets(toks, n, id_col)
     sh = sets.select(
-        id_col, F.size("__set").alias("__sz"), F.explode("__set").alias("shingle")
+        id_col, F.size("__set").alias("__sz"), F.explode_outer("__set").alias("shingle")
     )
     if prefilter_hot:
         # over-cap shingles only: the anti-join side stays broadcastable
@@ -602,26 +648,29 @@ def benchmark_contamination(
     threshold). Filter/flag on either downstream.
 
     Scale shape: the benchmark side is eval-set sized (thousands of
-    rows), so its distinct shingle sets broadcast; the corpus side is one
-    collect_set shuffle keyed by doc id (bounded by document length) and
-    never meets itself — cost is corpus-linear, unlike the near-dup
-    self-joins. Shingle identity goes through ``xxhash64`` (only set
-    cardinalities survive into the output, so any collision-free hash
-    gives the same answer — same argument as ``ngram_jaccard_pairs``).
+    rows), so its distinct shingle sets broadcast; the corpus side's
+    distinct sets are ROW-LOCAL ``array_distinct`` facts
+    (``_hashed_shingle_sets`` — zero aggregation, no per-doc object-agg
+    buffer; round 12, same move as ``ngram_jaccard_pairs``) and the
+    corpus never meets itself — cost is corpus-linear, unlike the
+    near-dup self-joins. ``explode_outer`` for the same
+    InferFiltersFromGenerate reason documented there. Shingle identity
+    goes through ``xxhash64`` (only set cardinalities survive into the
+    output, so any collision-free hash gives the same answer — same
+    argument as ``ngram_jaccard_pairs``).
     """
-    bsets = (
-        _shingles_raw(bench, n=n, text_col=text_col, id_col=id_col)
-        .select(F.col(id_col).alias("__bid"), F.xxhash64("shingle").alias("__sh"))
-        .groupBy("__bid")
-        .agg(F.collect_set("__sh").alias("__set"))
-        .select("__bid", F.size("__set").alias("__bsz"), F.explode("__set").alias("__sh"))
+    btoks = bench.select(
+        F.col(id_col).alias("__bid"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
+    ).filter(F.size("__toks") >= n)
+    bsets = _hashed_shingle_sets(btoks, n, "__bid").select(
+        "__bid", F.size("__set").alias("__bsz"), F.explode_outer("__set").alias("__sh")
     )
-    dsh = (
-        _shingles_raw(docs, n=n, text_col=text_col, id_col=id_col)
-        .select(id_col, F.xxhash64("shingle").alias("__sh"))
-        .groupBy(id_col)
-        .agg(F.collect_set("__sh").alias("__set"))
-        .select(id_col, F.explode("__set").alias("__sh"))
+    dtoks = docs.select(
+        id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    dsh = _hashed_shingle_sets(dtoks, n, id_col).select(
+        id_col, F.explode_outer("__set").alias("__sh")
     )
     # long/long division -> IEEE double, bit-identical across engines;
     # the threshold compare must happen on that exact value (the DuckDB

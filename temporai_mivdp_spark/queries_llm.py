@@ -781,8 +781,14 @@ def text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.token_count(F.col("text")).alias("n_tokens"),
         text.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_estimate"),
     )
-    counted = bpe.bpe_token_count(docs, bpe.pretrained_merges(spark))
-    return tiers.join(counted, "doc_id")
+    # dense=False + left join: `tiers` already carries every doc_id, so
+    # the library's all-ids densification (a third corpus scan + an
+    # id-keyed dropDuplicates shuffle) is pure duplication here —
+    # left-join its sparse form and zero-fill instead (guide §2.4).
+    counted = bpe.bpe_token_count(docs, bpe.pretrained_merges(spark), dense=False)
+    return tiers.join(counted, "doc_id", "left").withColumn(
+        "bpe_tokens", F.coalesce("bpe_tokens", F.lit(0).cast("long"))
+    )
 
 
 @_register(

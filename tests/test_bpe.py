@@ -341,3 +341,32 @@ def test_pipeline_curation_packs_on_real_counts(spark):
     if moved.any():
         assert (pdf.pack_id[moved] == real_pack[moved]).all()
         assert (pdf.pack_id[moved] != est_pack[moved]).all()
+
+
+def test_bpe_token_count_sparse_matches_dense(spark):
+    """dense=False (round 12): skips the all-ids densification scan and
+    returns only docs with >= 1 word; a caller-side left join + zero-fill
+    must reproduce the dense result exactly (the text_bpe_count shape)."""
+    docs = spark.createDataFrame(
+        [(1, "banana banana"), (2, ""), (3, "   "), (4, None), (5, "xyzzy")],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(
+        spark.createDataFrame(
+            [(0, "banana repeated banana often")], "doc_id long, text string"
+        ),
+        num_merges=10,
+    )
+    from pyspark.sql import functions as F
+
+    dense = {r.doc_id: r.bpe_tokens for r in bpe.bpe_token_count(docs, merges).collect()}
+    sparse = bpe.bpe_token_count(docs, merges, dense=False)
+    assert {r.doc_id for r in sparse.collect()} == {1, 5}  # wordless docs absent
+    refilled = {
+        r.doc_id: r.bpe_tokens
+        for r in docs.select("doc_id")
+        .join(sparse, "doc_id", "left")
+        .withColumn("bpe_tokens", F.coalesce("bpe_tokens", F.lit(0).cast("long")))
+        .collect()
+    }
+    assert refilled == dense

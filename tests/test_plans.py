@@ -248,3 +248,26 @@ def test_span_coverage_window_is_per_document(spark):
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "doc_id" in spec, spec
+
+
+def test_jaccard_set_build_is_row_local(spark):
+    """Round 12: the per-doc shingle set is array_distinct of the
+    row-local shingle array — zero collect_set ObjectHashAggregate (the
+    measured 100x external-sort cost, SCALING.md r11). The only object
+    aggs left are the posting-list collect_list pair (partial+final).
+    Also pin the explode_outer fix: a plain explode gets an inferred
+    size(array_distinct(...)) > 0 filter PUSHED INTO THE SCAN, re-running
+    the whole shingle pipeline single-threaded below the fan-out
+    exchange."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    assert "collect_set" not in plan, "per-doc set must be row-local"
+    assert "array_distinct" in plan
+    s = plans.plan_summary(df)
+    assert s.get("ObjectHashAggregate", 0) == 2, s  # posting lists only
+    for line in plan.splitlines():
+        if "Filter" in line and "collect" not in line:
+            assert "array_distinct" not in line, (
+                "shingle-set expression leaked into a filter (inferred "
+                "generate filter pushed to the scan):\n" + line
+            )

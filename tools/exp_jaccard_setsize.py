@@ -1,9 +1,12 @@
 """A/B experiment (round 12): per-doc shingle-set construction inside
 ngram_jaccard_pairs.
 
-A (shipped): groupBy(id).agg(collect_set) -> size + explode — ObjectHashAgg.
-B (candidate): groupBy(id, shingle) fixed-width dedup -> count(*) over
-   (partition by id) — HashAggregate + Window, no object agg.
+A (shipped rounds 5-11): groupBy(id).agg(collect_set) -> size + explode
+   — ObjectHashAgg pair.
+B (candidate, REJECTED at 30x: +12%): groupBy(id, shingle) fixed-width
+   dedup -> count(*) over (partition by id) — HashAggregate + Window.
+C (shipped round 12): row-local array_distinct sets (the live
+   ngram_jaccard_pairs) — zero set-building aggregation.
 
 Both sit above the same doc_id-fanned corpus, so with hash(doc_id)
 partitioning every stage of either variant is exchange-free until the
@@ -108,12 +111,15 @@ def main() -> None:
     ).join(F.broadcast(hot), "shingle", "left_anti")
     qa = _pairs(sh_a, id_col, threshold, cap)
 
-    # B: fixed-width dedup + window size
-    dist = _hashed_shingle_rows(toks, n, id_col).distinct()
-    sh_b = dist.withColumn(
-        "__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    ).join(F.broadcast(hot), "shingle", "left_anti")
-    qb = _pairs(sh_b, id_col, threshold, cap)
+    # B: fixed-width dedup + window size — REJECTED round 12 (min 32.6s
+    # vs A's 29.0s at 30x, identical results); kept here as the record.
+    # C: the live ngram_jaccard_pairs (row-local array_distinct sets,
+    # explode_outer, sampled hot prefilter) — shipped since round 12.
+    from temporai_mivdp_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    qb = ngram_jaccard_pairs(
+        corpus, n=n, threshold=threshold, max_shingle_freq=cap, hot_sample_inv=8
+    )
 
     # result equivalence
     ra = sorted(map(tuple, qa.collect()))
@@ -129,7 +135,7 @@ def main() -> None:
         t0 = time.perf_counter(); qa.write.format("noop").mode("overwrite").save(); ta.append(time.perf_counter() - t0)
         t0 = time.perf_counter(); qb.write.format("noop").mode("overwrite").save(); tb.append(time.perf_counter() - t0)
     print(f"A collect_set : min={min(ta):.3f} all={[round(x,3) for x in ta]}")
-    print(f"B dedup+window: min={min(tb):.3f} all={[round(x,3) for x in tb]}")
+    print(f"C row-local set: min={min(tb):.3f} all={[round(x,3) for x in tb]}")
     spark.stop()
 
 
