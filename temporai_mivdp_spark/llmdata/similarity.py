@@ -316,6 +316,12 @@ def _centroid_array(centroids: DataFrame, centroid_id_col: str, vec_col: str) ->
     rows = centroids.select(
         F.col(centroid_id_col).alias("cid"), F.col(vec_col).alias("cvec")
     ).collect()
+    if not rows:
+        raise ValueError(
+            "empty centroid set: assignment against zero centroids has no "
+            "meaning (and a zero-length literal array would make every "
+            "bucket NULL downstream)"
+        )
     structs = []
     for r in sorted(rows, key=lambda r: r["cid"]):
         vec = [float(x) for x in r["cvec"]]
@@ -372,7 +378,19 @@ def assign_ivf_buckets(
             lambda s: F.struct(s["sim"].alias("sim"), (-s["cid"]).alias("negcid")),
         )
     )
-    bucket = (-best["negcid"]).cast("long").alias("bucket")
+    # coalesce to a sentinel that is UNREACHABLE (the centroid array is
+    # literal and non-empty — _centroid_array raises otherwise — so
+    # array_max never sees an empty array): its purpose is NULLABILITY,
+    # not values. A nullable bucket makes every downstream equi-join
+    # infer isnotnull(bucket) and push it below the aggregation into the
+    # corpus scan, where it RE-EVALUATES this whole centroid-scoring
+    # expression once per row in the filter and again in the projection
+    # (2x the n_centroids x dim FLOPs of the assignment pass — the
+    # round-12 plan audit caught it in embed_kmeans). Non-nullable
+    # expressions generate no isnotnull constraint.
+    bucket = F.coalesce((-best["negcid"]).cast("long"), F.lit(-1).cast("long")).alias(
+        "bucket"
+    )
     if keep_all:
         return corpus.withColumn("bucket", bucket)
     return corpus.select(id_col, vec_col, bucket)
