@@ -944,10 +944,8 @@ def lsh_topk_from_index(
         .withColumn("table", F.col("table").cast("int"))
         .withColumn("bucket", F.col("bucket").cast("long"))
     )
-    candidates = (
-        c_sig.join(F.broadcast(p_sig), ["table", "bucket"])
-        .filter(F.col(id_col) != F.col("__pid"))
-        .dropDuplicates(["__pid", id_col])
+    candidates = c_sig.join(F.broadcast(p_sig), ["table", "bucket"]).filter(
+        F.col(id_col) != F.col("__pid")
     )
     sim = candidates.withColumn("__pn", _norm(F.col("__pvec"))).withColumn(
         "__cn", _norm(F.col(vec_col))
@@ -955,9 +953,13 @@ def lsh_topk_from_index(
         "cosine",
         F.round(_dot(F.col("__pvec"), F.col(vec_col)) / (F.col("__pn") * F.col("__cn")), 6),
     )
+    # score-then-dedup on the narrow projection — same rewrite and
+    # rationale as lsh_topk (keys-only HashAggregate instead of a
+    # SortAggregate carrying both embedding arrays through the shuffle)
+    deduped = sim.select("__pid", id_col, "cosine").dropDuplicates()
     w = Window.partitionBy("__pid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        deduped.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("__pid").alias(probe_id_col),
@@ -1075,11 +1077,8 @@ def lsh_topk(
         "table",
         "bucket",
     )
-    candidates = (
-        c_sig.join(F.broadcast(p_sig), ["table", "bucket"])
-        .filter(F.col(id_col) != F.col("__pid"))
-        # a pair matching in several tables must score once
-        .dropDuplicates(["__pid", id_col])
+    candidates = c_sig.join(F.broadcast(p_sig), ["table", "bucket"]).filter(
+        F.col(id_col) != F.col("__pid")
     )
     sim = candidates.withColumn("__pn", _norm(F.col("__pvec"))).withColumn(
         "__cn", _norm(F.col(vec_col))
@@ -1087,9 +1086,20 @@ def lsh_topk(
         "cosine",
         F.round(_dot(F.col("__pvec"), F.col(vec_col)) / (F.col("__pn") * F.col("__cn")), 6),
     )
+    # a pair matching in several tables must rank once. Dedup AFTER
+    # scoring, on the narrow (probe, id, cosine) projection: cosine is a
+    # deterministic expression of the two vectors, so duplicates carry
+    # bit-identical values and keys-only dropDuplicates is exact — a
+    # fixed-width HashAggregate whose exchange ships 24 bytes/candidate.
+    # Deduping BEFORE scoring (rounds 5-11) had to carry both embedding
+    # arrays through the dedup as first() aggregates — a SortAggregate
+    # (arrays are not hash-mutable buffer types) over ~2x dim floats per
+    # candidate (round-12 plan audit). Re-scoring a <= tables-way
+    # duplicate is row-local FLOPs; the array shuffle was the real cost.
+    deduped = sim.select("__pid", id_col, "cosine").dropDuplicates()
     w = Window.partitionBy("__pid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        deduped.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("__pid").alias(probe_id_col),
