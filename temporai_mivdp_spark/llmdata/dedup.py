@@ -1091,9 +1091,18 @@ def span_coverage(
        across docs, not on hash values, so the native codegen hash is
        safe; same argument as ``ngram_jaccard_pairs``) and every wide
        shuffle moves fixed-width (hash, id, pos) rows, never span text.
-    2. Survivor detection is the two-level aggregate of
-       ``repeated_spans``: (hash, doc) map-side combine, then a
-       doc-count per hash — no posting lists, no distinct-count sketch.
+    2. Survivor detection counts docs per hash over ROW-LOCAL
+       per-doc-distinct span hashes (``array_distinct`` of the span
+       array, round 12 — same move as ``ngram_jaccard_pairs``): each
+       unique-id doc contributes a hash once, so ONE map-side-combined
+       ``groupBy(hash).count`` replaces the earlier two-level
+       (hash, doc) → hash aggregate — the (hash, doc) dedup pair (a
+       hash map over every raw span row; plus its own exchange whenever
+       the input is not already id-partitioned) is gone. No posting
+       lists, no distinct-count sketch. ``explode_outer`` for the
+       InferFiltersFromGenerate pushdown reason documented on
+       ``ngram_jaccard_pairs`` (sets are provably non-empty under the
+       ``n_tokens >= n`` filter).
     3. Positions join back to survivors on the 8-byte hash (plain
        shuffled equality join; survivors are the small side but can
        exceed broadcast at corpus scale, so the planner decides).
@@ -1118,8 +1127,17 @@ def span_coverage(
         ).alias("pos", "__h"),
     )
     survivors = (
-        spans.groupBy("__h", id_col)
-        .agg(F.count(F.lit(1)).alias("__occ"))
+        sized.filter(F.col("n_tokens") >= n)
+        .select(
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__toks") - n),
+                        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, n))),
+                    )
+                )
+            ).alias("__h")
+        )
         .groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
