@@ -359,13 +359,30 @@ def ngram_jaccard_pairs(
         F.col("__ea.sz").alias("sa"),
         F.explode(F.expr("slice(__entries, __pos + 2, size(__entries))")).alias("__eb"),
     )
-    inter = (
-        pairs.select(
-            "id_a", "sa", F.col("__eb.id").alias("id_b"), F.col("__eb.sz").alias("sb")
+    # Size filter (the prefix-filter family's cheapest member, round 12):
+    # jaccard = inter/(sa+sb-inter) is monotone-increasing in inter, and
+    # inter <= min(sa, sb), so a pair's best achievable jaccard is
+    # min/(sa+sb-min). Evaluating that bound with the SAME IEEE-double
+    # expression as the final filter makes the emit-side drop provably
+    # lossless (a pair is dropped only when even inter == min(sa, sb)
+    # fails the final >=). One row-local comparison per emitted pair,
+    # applied BEFORE the pair-count exchange: pairs of very different
+    # set sizes never cross the wire. Selectivity is corpus-dependent
+    # (near-zero on the augmented bench corpus, whose pairs are
+    # same-doc-sized by construction; strong on length-heterogeneous
+    # crawls at the same threshold).
+    sized_pairs = pairs.select(
+        "id_a", "sa", F.col("__eb.id").alias("id_b"), F.col("__eb.sz").alias("sb")
+    )
+    if threshold > 0.0:
+        best = F.least(F.col("sa"), F.col("sb"))
+        sized_pairs = sized_pairs.filter(
+            best / (F.col("sa") + F.col("sb") - best) >= threshold
         )
+    inter = (
         # sa/sb are functionally dependent on the ids, so grouping by them
         # too changes nothing semantically and saves the join-back
-        .groupBy("id_a", "id_b", "sa", "sb")
+        sized_pairs.groupBy("id_a", "id_b", "sa", "sb")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
     jac = inter.withColumn(
