@@ -96,6 +96,43 @@ def test_winsorize_drop_mode_removes_outliers(spark):
     assert xs[0] == 6.0 and xs[-1] == 95.0
 
 
+def test_winsorize_exact_selection_bracket_path_matches_numpy(spark):
+    """The round-12 GK-bracketed selection plan has two regimes: groups
+    <= _WINSORIZE_SMALL_N recover order statistics from the whole
+    collected group; larger groups rely on the sketch brackets plus
+    rank arithmetic. This pins the BRACKET regime (n > 4096, which the
+    hypothesis property test's n<=80 never reaches) against numpy,
+    with heavy ties sitting exactly on the cut ranks — the adversarial
+    case for the tie-run count arithmetic — and a tiny group alongside
+    so both regimes execute in one plan. A bracket violation raises
+    (raise_error guard) rather than silently unclamping."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    big_smooth = rng.uniform(-1e6, 1e6, size=9000).tolist()
+    # ~p5 and ~p95 of this layout land inside the tie runs
+    big_ties = [0.0] * 600 + [5.0] * 8000 + [9.0] * 600
+    small = rng.uniform(0, 100, size=50).tolist()
+    rows = (
+        [("smooth", float(v)) for v in big_smooth]
+        + [("ties", float(v)) for v in big_ties]
+        + [("small", float(v)) for v in small]
+    )
+    df = spark.createDataFrame(rows, "g: string, x: double")
+    out = agg_ops.winsorize(df, "g", "x", lower_pct=5, upper_pct=95, impute=True)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.g, []).append(r.x)
+    for name, vals in (("smooth", big_smooth), ("ties", big_ties), ("small", small)):
+        p_lo, p_hi = np.percentile(vals, 5), np.percentile(vals, 95)
+        want = sorted(float(min(max(v, p_lo), p_hi)) for v in vals)
+        have = sorted(got[name])
+        assert len(have) == len(want), name
+        assert all(
+            abs(a - b) < 1e-9 * max(1.0, abs(b)) for a, b in zip(have, want)
+        ), name
+
+
 def test_two_level_agg(spark):
     rows = [(10, 1), (10, 1), (10, 2), (20, 3)]
     df = spark.createDataFrame(rows, ["item", "stay"])
