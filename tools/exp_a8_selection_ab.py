@@ -20,6 +20,10 @@ is why the min-over-interleaved methodology from bench.py applies):
                                            sort wall is now visible; the
                                            selection plan stays on
                                            map-side-combined aggregates)
+    100x   60M    20M        78.093 s      13.723 s  (5.7x, min of 3; the
+                                           wall compounds per decade, the
+                                           selection cells stay near
+                                           linear)
 
 Usage: SCALE=30 REPS=5 CHECK=1 python tools/exp_a8_selection_ab.py
 """
