@@ -7,7 +7,7 @@ The table is written as 32 files: at real scale a scan has thousands of
 splits, so a single-file layout would time the synthetic file's one-task
 read (measured: 3.2 s of a 4.4 s cell at 10x), not the plans.
 
-CHECK=1 asserts both variants' full results hash-identical before timing.
+MIVDP_CHECK=1 asserts both variants' full results hash-identical before timing.
 
 Measured (this host, local[32], min over 5 interleaved reps; the host's
 documented multi-second noise windows make single reps swing 2-4x, which
@@ -25,7 +25,7 @@ is why the min-over-interleaved methodology from bench.py applies):
                                            selection cells stay near
                                            linear)
 
-Usage: SCALE=30 REPS=5 CHECK=1 python tools/exp_a8_selection_ab.py
+Usage: MIVDP_SCALE=30 REPS=5 MIVDP_CHECK=1 python tools/exp_a8_selection_ab.py
 """
 import os
 import sys
@@ -40,9 +40,9 @@ from temporai_mivdp_spark.operators import aggregates as agg_ops
 from temporai_mivdp_spark.session import get_session
 from temporai_mivdp_spark.sources.readers import fan_out
 
-SCALE = int(os.environ.get("SCALE", "10"))
+SCALE = int(os.environ.get("MIVDP_SCALE", "10"))
 REPS = int(os.environ.get("REPS", "5"))
-CHECK = os.environ.get("CHECK", "0") == "1"
+CHECK = os.environ.get("MIVDP_CHECK", "0") == "1"
 
 spark = get_session(
     app_name=f"a8-scale-{SCALE}x",
