@@ -76,14 +76,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # filler from the previous window — chosen as the newest / least-proven
 # entry, per the standing "newest faces the hard signal" policy.
 #
-# Round 12 instantiation: the head is exactly the 49 keys whose last
-# driver-green row is CORRECTNESS_r10.json (they sat in the r11 tail),
-# plus dedup_image_phash (newest catalog entry, per the standing
-# newest-faces-the-hard-signal policy) as the 50th. The tail below is
-# exactly the other 49 keys — every one driver-green in
-# CORRECTNESS_r11.json, the round-8 "driver-green is the promotion-out
-# currency" rule applied uniformly. r11 ∪ r12 windows again cover all
-# 99 entries (intersection = dedup_image_phash). Expression changes still reset proven-ness: any
+# Round 13 instantiation: the head is exactly the 49 keys whose last
+# driver-green row is CORRECTNESS_r11.json (they sat in the r12 tail —
+# including a8_winsorize / embed_kmeans / sim_topk_ivf / the dedup_exact
+# family, whose round-12 library rewrites the r12 verdict explicitly
+# asked the driver to re-confirm), plus dedup_image_phash (newest
+# catalog entry, per the standing newest-faces-the-hard-signal policy)
+# as the 50th. The tail below is exactly the other 49 keys — every one
+# driver-green in CORRECTNESS_r12.json, the round-8 "driver-green is
+# the promotion-out currency" rule applied uniformly. r12 ∪ r13 windows
+# again cover all 99 entries (intersection = dedup_image_phash).
+# Expression changes still reset proven-ness: any
 # entry whose Spark expression or oracle changes in-round must re-enter
 # the head regardless of currency (the rule that kept the media
 # roundtrips in-window through their lattice changes).
@@ -98,7 +101,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: each round together with the LAST_DRIVER_ROUND refresh and the
 #: WINDOW_TAIL rotation; test_window_rotation_invariant fails the suite
 #: if the three drift apart.
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 #: key -> most recent round whose driver-produced CORRECTNESS_r{N}.json
 #: holds a fully green row (rows_match + schema_match + hash_match, no
@@ -111,9 +114,9 @@ CURRENT_ROUND = 12
 #: catalog entry mid-round possible at all.
 LAST_DRIVER_ROUND: dict[str, int | None] = {
     "a1_a6_group_counts": 11,
-    "a2_two_level_agg": 10,
+    "a2_two_level_agg": 12,
     "a3_conditional_count": 11,
-    "a4_group_max_nanmean": 10,
+    "a4_group_max_nanmean": 12,
     "a5_a10_summary_counts": 11,
     "a7_mode_vote_filter": 11,
     "a8_winsorize": 11,
@@ -122,153 +125,155 @@ LAST_DRIVER_ROUND: dict[str, int | None] = {
     "dedup_duplicate_clusters": 11,
     "dedup_embedding_neardup": 11,
     "dedup_exact": 11,
-    "dedup_image_phash": 11,
-    "dedup_incremental": 10,
+    "dedup_image_phash": 12,
+    "dedup_incremental": 12,
     "dedup_minhash_lsh": 11,
-    "dedup_ngram_jaccard": 10,
-    "dedup_semantic": 10,
+    "dedup_ngram_jaccard": 12,
+    "dedup_semantic": 12,
     "dedup_simhash": 11,
-    "dedup_span_coverage": 10,
-    "dsir_gumbel": 10,
+    "dedup_span_coverage": 12,
+    "dsir_gumbel": 12,
     "dsir_select": 11,
     "embed_kmeans": 11,
-    "f13_json_extract": 10,
+    "f13_json_extract": 12,
     "f_scalar_suite": 11,
-    "flagship_revenue_by_nation": 10,
+    "flagship_revenue_by_nation": 12,
     "ingest_jsonl": 11,
-    "j4_dictionary_join": 10,
-    "j6_right_merge_summary": 10,
+    "j4_dictionary_join": 12,
+    "j6_right_merge_summary": 12,
     "j7_lookup_first_match": 11,
     "j8_interval_exists_label": 11,
-    "j_asof_event_value": 10,
+    "j_asof_event_value": 12,
     "j_interval_overlap": 11,
     "j_range_bucketed": 11,
     "layout_compaction": 11,
-    "multimodal_audio_roundtrip": 10,
-    "multimodal_frame_sampling": 10,
-    "multimodal_image_roundtrip": 10,
+    "multimodal_audio_roundtrip": 12,
+    "multimodal_frame_sampling": 12,
+    "multimodal_image_roundtrip": 12,
     "multimodal_metadata": 11,
-    "multimodal_video_roundtrip": 10,
+    "multimodal_video_roundtrip": 12,
     "o_sort_topk_first": 11,
     "olap_rollup": 11,
     "p2_derived_projection": 11,
     "p3_p4_null_comparison_filter": 11,
-    "p5_semi_join_filter": 10,
+    "p5_semi_join_filter": 12,
     "p6_string_match_filter": 11,
-    "p8_split_label_union": 10,
-    "pipeline_docs_curation": 10,
-    "pipeline_guard_corpus": 10,
-    "r1_r2_pivot_onehot": 10,
-    "r3_multilabel_onehot": 10,
+    "p8_split_label_union": 12,
+    "pipeline_docs_curation": 12,
+    "pipeline_guard_corpus": 12,
+    "r1_r2_pivot_onehot": 12,
+    "r3_multilabel_onehot": 12,
     "sample_source_quota": 11,
-    "sample_stratified": 10,
-    "sample_temperature": 10,
+    "sample_stratified": 12,
+    "sample_temperature": 12,
     "sample_token_budget": 11,
     "sample_weighted": 11,
-    "shard_assign": 10,
+    "shard_assign": 12,
     "sim_mean_vectors": 11,
     "sim_topk_bruteforce": 11,
     "sim_topk_ivf": 11,
-    "sim_topk_lsh": 10,
-    "sketch_distinct": 10,
+    "sim_topk_lsh": 12,
+    "sketch_distinct": 12,
     "sketch_overlap": 11,
     "sketch_quantile": 11,
     "sketch_quantile_merge": 11,
-    "split_leakage_safe": 10,
+    "split_leakage_safe": 12,
     "stream_dedup_keys": 11,
     "stream_enrich": 11,
-    "stream_ingest_curation": 10,
-    "stream_ingest_dedup": 10,
-    "stream_ingest_jsonl": 10,
-    "stream_interval_join": 10,
-    "stream_serve_topk": 10,
-    "stream_session_agg": 10,
+    "stream_ingest_curation": 12,
+    "stream_ingest_dedup": 12,
+    "stream_ingest_jsonl": 12,
+    "stream_interval_join": 12,
+    "stream_serve_topk": 12,
+    "stream_session_agg": 12,
     "stream_sliding_bucket": 11,
-    "stream_tumbling_bucket": 10,
-    "text_bm25": 10,
+    "stream_tumbling_bucket": 12,
+    "text_bm25": 12,
     "text_boilerplate": 11,
     "text_bpe_count": 11,
-    "text_bpe_train": 10,
+    "text_bpe_train": 12,
     "text_chunk_overlap": 11,
     "text_clean_redact": 11,
     "text_encode_vocab": 11,
-    "text_gopher": 10,
-    "text_langid": 10,
+    "text_gopher": 12,
+    "text_langid": 12,
     "text_perplexity": 11,
-    "text_pmi": 10,
-    "text_quality": 10,
-    "text_quality_model": 10,
-    "text_quantile_norm": 10,
+    "text_pmi": 12,
+    "text_quality": 12,
+    "text_quality_model": 12,
+    "text_quantile_norm": 12,
     "text_repeated_spans": 11,
     "text_tfidf": 11,
-    "ts_rolling_interp_peak": 10,
+    "ts_rolling_interp_peak": 12,
     "ts_sessionize": 11,
     "u1_u2_union_anti_grid": 11,
-    "w1_w2_hours_window_trim": 10,
-    "w3_tumbling_bucket": 10,
-    "w4_w8_dense_grid_indicator": 10,
-    "w5_w6_w7_impute_active": 10,
-    "window_ranking_family": 10,
+    "w1_w2_hours_window_trim": 12,
+    "w3_tumbling_bucket": 12,
+    "w4_w8_dense_grid_indicator": 12,
+    "w5_w6_w7_impute_active": 12,
+    "window_ranking_family": 12,
 }
 
-#: Round-12 tail: exactly the 49 keys driver-green in CORRECTNESS_r11.json
+#: Round-13 tail: exactly the 49 keys driver-green in CORRECTNESS_r12.json
 #: minus dedup_image_phash (the newest catalog entry stays in the head
 #: per the standing newest-faces-the-hard-signal policy). Order follows
-#: the r11 artifact's key order so diffs against it are trivial to
-#: audit. Uniform displacement rationale: a fresh r11 driver-green row
+#: the r12 artifact's key order so diffs against it are trivial to
+#: audit. Uniform displacement rationale: a fresh r12 driver-green row
 #: IS the round-8 promotion-out currency; the head now holds every key
-#: whose evidence (last green r10) would otherwise age past the
-#: two-round invariant bound.
+#: whose evidence (last green r11) would otherwise age past the
+#: two-round invariant bound — including the round-12 library-rewrite
+#: consumers (a8_winsorize, embed_kmeans, sim_topk_ivf, dedup_exact
+#: family) the r12 verdict flagged for driver re-confirmation.
 WINDOW_TAIL: tuple[str, ...] = (
-    "p2_derived_projection",
-    "p3_p4_null_comparison_filter",
-    "p6_string_match_filter",
-    "j7_lookup_first_match",
-    "j8_interval_exists_label",
-    "a1_a6_group_counts",
-    "a3_conditional_count",
-    "a7_mode_vote_filter",
-    "a8_winsorize",
-    "a9_group_mean_impute",
-    "a5_a10_summary_counts",
-    "stream_dedup_keys",
-    "stream_sliding_bucket",
-    "stream_enrich",
-    "o_sort_topk_first",
-    "u1_u2_union_anti_grid",
-    "f_scalar_suite",
-    "ts_sessionize",
-    "olap_rollup",
-    "a_salted_skew",
-    "j_range_bucketed",
-    "j_interval_overlap",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_neardup",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "text_bpe_count",
-    "multimodal_metadata",
-    "dedup_duplicate_clusters",
-    "text_clean_redact",
-    "sample_source_quota",
-    "text_encode_vocab",
-    "sample_token_budget",
-    "sim_mean_vectors",
-    "embed_kmeans",
-    "text_chunk_overlap",
-    "text_tfidf",
-    "text_perplexity",
-    "text_boilerplate",
-    "text_repeated_spans",
-    "ingest_jsonl",
-    "sketch_quantile_merge",
-    "dsir_select",
-    "sketch_overlap",
-    "sketch_quantile",
-    "sample_weighted",
-    "layout_compaction",
+    "flagship_revenue_by_nation",
+    "p5_semi_join_filter",
+    "p8_split_label_union",
+    "a2_two_level_agg",
+    "w1_w2_hours_window_trim",
+    "w3_tumbling_bucket",
+    "stream_tumbling_bucket",
+    "stream_session_agg",
+    "stream_interval_join",
+    "w4_w8_dense_grid_indicator",
+    "w5_w6_w7_impute_active",
+    "f13_json_extract",
+    "r1_r2_pivot_onehot",
+    "j6_right_merge_summary",
+    "r3_multilabel_onehot",
+    "a4_group_max_nanmean",
+    "j4_dictionary_join",
+    "ts_rolling_interp_peak",
+    "window_ranking_family",
+    "j_asof_event_value",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "stream_serve_topk",
+    "text_quality",
+    "text_langid",
+    "pipeline_guard_corpus",
+    "sample_stratified",
+    "sample_temperature",
+    "split_leakage_safe",
+    "sim_topk_lsh",
+    "pipeline_docs_curation",
+    "dedup_span_coverage",
+    "stream_ingest_jsonl",
+    "shard_assign",
+    "dedup_incremental",
+    "stream_ingest_dedup",
+    "stream_ingest_curation",
+    "text_bpe_train",
+    "text_quantile_norm",
+    "text_gopher",
+    "dsir_gumbel",
+    "sketch_distinct",
+    "text_pmi",
+    "text_bm25",
+    "text_quality_model",
+    "multimodal_audio_roundtrip",
+    "multimodal_image_roundtrip",
+    "multimodal_video_roundtrip",
+    "multimodal_frame_sampling",
 )
 
 
