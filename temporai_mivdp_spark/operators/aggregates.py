@@ -150,6 +150,91 @@ _WINSORIZE_ACCURACY = 10_000
 #: the target ranks (see _exact_bounds_by_selection).
 _WINSORIZE_SMALL_N = 4096
 
+#: Inputs at or below this many non-null rows take the round-11 window
+#: plan (one sort into #groups partitions) instead of the two-pass
+#: selection. Round-12 measured the crossover on the 32-split synthetic
+#: lineitem (tools/exp_a8_selection_ab.py, interleaved min-of-5,
+#: hash-identical results): 600k rows window 0.910 / selection 0.971;
+#: 6M rows 6.98 / 7.47; 18M rows 16.04 / 8.42; 60M rows 78.09 / 13.72.
+#: The gate sits at the measured parity point — below it the sort
+#: provably wins (the selection plan's fixed two-aggregate tax costs
+#: more than sorting the whole input), above it the per-group sort wall
+#: compounds per decade while selection stays near linear. The gate is
+#: SCALE-ADAPTIVE by construction (it compares the observed input size,
+#: one cheap count at plan-build time, never a constant tuned to a core
+#: count), and both tiers return bit-identical bounds (r12 §a8selection
+#: equivalence evidence), so the choice is invisible in results.
+_WINSORIZE_SORT_GATE_ROWS = 6_000_000
+
+#: Ceiling for the adaptive GK accuracy: percentile_approx buffers grow
+#: ~linearly with accuracy, so past this point a tighter sketch costs
+#: more memory than the pass-2 candidate set it saves. At the cap the
+#: strictly-between multiset is <= 34n/2e5 = 0.017% of each group —
+#: per-group row counts up to ~1.2e10 keep the single-row collect_list
+#: buffer under ~2M entries (16 MB); the ceiling is documented in
+#: SCALING.md (a8 scale notes).
+_WINSORIZE_ACCURACY_CAP = 200_000
+
+
+def _adaptive_accuracy(n_total: int) -> int:
+    """GK accuracy derived from the observed input size (r12-verdict
+    item: the pass-2 collect_list bound must be absolute, not relative).
+    34*n/accuracy entries per group-cut with accuracy = n/30_000 keeps
+    the candidate multiset <= ~1M entries REGARDLESS of n (any group's
+    n is <= n_total, so n_total is a valid conservative bound), until
+    the cap where sketch memory takes over (see
+    _WINSORIZE_ACCURACY_CAP)."""
+    return max(_WINSORIZE_ACCURACY, min(_WINSORIZE_ACCURACY_CAP, n_total // 30_000))
+
+
+def _exact_bounds_by_window(
+    dfnn: DataFrame,
+    keys: Sequence[str],
+    p_lo: float,
+    p_hi: float,
+) -> DataFrame:
+    """Per-group EXACT linear-interpolated percentile bounds via the
+    round-11 rank-window plan: one sort of each group's rows
+    (row_number over partitionBy(keys) orderBy(v)), the target order
+    statistics read off the two adjacent ranks, interpolated with the
+    same IEEE expression the selection tier evaluates. Below
+    _WINSORIZE_SORT_GATE_ROWS this is the cheaper plan — a single
+    Tungsten radix sort beats the selection tier's two full aggregate
+    passes (+ sketch inserts) until the per-group sort becomes the
+    scaling wall (measured crossover in the gate's docstring)."""
+    w_rank = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
+    w_grp = w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = dfnn.withColumn("__rn", F.row_number().over(w_rank) - 1).withColumn(
+        "__n", F.count(F.lit(1)).over(w_grp)
+    )
+
+    def order_stats(p: float, out: str):
+        idx = (F.col("__n") - 1) * F.lit(p)
+        lo_i, hi_i = F.floor(idx), F.ceil(idx)
+        return [
+            F.max(F.when(F.col("__rn") == lo_i, F.col("__v"))).alias(f"__{out}_vl"),
+            F.max(F.when(F.col("__rn") == hi_i, F.col("__v"))).alias(f"__{out}_vh"),
+            F.max(idx - lo_i).alias(f"__{out}_frac"),
+        ]
+
+    stats = ranked.filter(
+        (F.col("__rn") == F.floor((F.col("__n") - 1) * F.lit(p_lo)))
+        | (F.col("__rn") == F.ceil((F.col("__n") - 1) * F.lit(p_lo)))
+        | (F.col("__rn") == F.floor((F.col("__n") - 1) * F.lit(p_hi)))
+        | (F.col("__rn") == F.ceil((F.col("__n") - 1) * F.lit(p_hi)))
+    ).groupBy(*keys).agg(*order_stats(p_lo, "lo"), *order_stats(p_hi, "hi"))
+    return stats.select(
+        *keys,
+        (
+            F.col("__lo_vl")
+            + (F.col("__lo_vh") - F.col("__lo_vl")) * F.col("__lo_frac")
+        ).alias("__lo"),
+        (
+            F.col("__hi_vl")
+            + (F.col("__hi_vh") - F.col("__hi_vl")) * F.col("__hi_frac")
+        ).alias("__hi"),
+    )
+
 
 def _exact_bounds_by_selection(
     dfnn: DataFrame,
@@ -288,6 +373,7 @@ def winsorize(
     upper_pct: float,
     impute: bool = False,
     exact: bool = True,
+    exact_sort_gate_rows: int = _WINSORIZE_SORT_GATE_ROWS,
 ) -> DataFrame:
     """A8/X3: per-group percentile outlier handling
     (outlier_removal.py:11-37; called feature_preproc_icu.py:257-279).
@@ -297,27 +383,68 @@ def winsorize(
 
     ``exact=True`` computes linear-interpolated exact percentiles
     (numpy's default / DuckDB ``quantile_cont`` — required for oracle
-    parity) via GK-bracketed distributed selection
-    (``_exact_bounds_by_selection``): two map-side-combined aggregation
-    passes, no per-group sort anywhere. History: ``F.percentile`` was
-    rejected in round 4 (~4x slower — a TypedImperativeAggregate whose
-    partial buffers hold EVERY value, concatenated not merged across
-    the shuffle); rounds 4-11 shipped a window row_number plan
-    (Tungsten radix sort, spill-safe) whose structural limit was the
-    sort of every group's rows into #groups reducer partitions — at a
-    3-value group key that is 1/3 of the data per task no matter the
-    cluster. The selection plan keeps exactness (bit-identical bounds,
-    adversarially validated) with hash aggregates only. ``exact=False``
+    parity). Two bit-identical tiers, chosen by a size gate (one cheap
+    count at plan-build time — r13; crossover measurements in
+    ``_WINSORIZE_SORT_GATE_ROWS``'s docstring):
+
+    * at or below the gate: the rank-window plan
+      (``_exact_bounds_by_window``) — one Tungsten radix sort, the
+      cheapest exact plan while every group's rows sort in one task's
+      memory budget;
+    * above it: GK-bracketed distributed selection
+      (``_exact_bounds_by_selection``) — two map-side-combined
+      aggregation passes, no per-group sort anywhere, with the sketch
+      accuracy derived from the observed input size
+      (``_adaptive_accuracy``) so the pass-2 candidate buffer is
+      absolutely bounded, and the small-group threshold derived from
+      that accuracy so the bracket guarantee always covers the target
+      ranks (accuracy/5 + 1; the guarantee needs 15n/accuracy >= ~3
+      ranks of slack).
+
+    History: ``F.percentile`` was rejected in round 4 (~4x slower — a
+    TypedImperativeAggregate whose partial buffers hold EVERY value,
+    concatenated not merged across the shuffle); rounds 4-11 shipped
+    the window plan alone, whose structural limit was the sort of
+    every group's rows into #groups reducer partitions — at a 3-value
+    group key that is 1/3 of the data per task no matter the cluster;
+    round 12 shipped the selection plan alone, which paid a fixed
+    two-pass tax below the crossover (driver-measured 0.59x at sf0.1).
+    The gate keeps both regimes at their measured best. ``exact=False``
     remains the cheapest tier: one ``percentile_approx`` pass, bounded
     rank error, for callers that don't need oracle-exact cuts.
+
+    NaN discipline: ``exact=True`` assumes the value column is NaN-free
+    (nulls are the missing-data representation throughout the engine
+    and are filtered here; every catalog/mivdp caller satisfies this).
+    NaN breaks the selection tier's rank arithmetic — all bracket
+    comparisons are false for NaN, so with enough NaNs the loud
+    ``raise_error`` guard fires rather than a silent wrong answer.
     """
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
     v = F.col(value_col)
     if exact:
         dfnn = df.filter(v.isNotNull()).select(*keys, v.alias("__v"))
-        bounds = _exact_bounds_by_selection(
-            dfnn, keys, lower_pct / 100.0, upper_pct / 100.0
-        )
+        # Size gate (r12-verdict item 3a): one count at plan-build time
+        # picks the provably-cheaper exact tier. The count is a
+        # column-pruned aggregate job (not a result cache — each build
+        # recomputes it from the input), deterministic in the data, and
+        # the two tiers are result-identical, so the gate can never
+        # change what the query computes.
+        n_total = dfnn.count()
+        if n_total <= exact_sort_gate_rows:
+            bounds = _exact_bounds_by_window(
+                dfnn, keys, lower_pct / 100.0, upper_pct / 100.0
+            )
+        else:
+            accuracy = _adaptive_accuracy(n_total)
+            bounds = _exact_bounds_by_selection(
+                dfnn,
+                keys,
+                lower_pct / 100.0,
+                upper_pct / 100.0,
+                accuracy=accuracy,
+                small_n=max(_WINSORIZE_SMALL_N, accuracy // 5 + 1),
+            )
     else:
         bounds = df.groupBy(*keys).agg(
             F.percentile_approx(v, F.lit(lower_pct / 100.0), F.lit(10_000)).alias("__lo"),

@@ -105,7 +105,10 @@ def test_winsorize_exact_selection_bracket_path_matches_numpy(spark):
     with heavy ties sitting exactly on the cut ranks — the adversarial
     case for the tie-run count arithmetic — and a tiny group alongside
     so both regimes execute in one plan. A bracket violation raises
-    (raise_error guard) rather than silently unclamping."""
+    (raise_error guard) rather than silently unclamping.
+
+    exact_sort_gate_rows=0 forces the selection tier (the r13 size gate
+    would otherwise route this 18k-row input to the window plan)."""
     import numpy as np
 
     rng = np.random.RandomState(7)
@@ -119,7 +122,10 @@ def test_winsorize_exact_selection_bracket_path_matches_numpy(spark):
         + [("small", float(v)) for v in small]
     )
     df = spark.createDataFrame(rows, "g: string, x: double")
-    out = agg_ops.winsorize(df, "g", "x", lower_pct=5, upper_pct=95, impute=True)
+    out = agg_ops.winsorize(
+        df, "g", "x", lower_pct=5, upper_pct=95, impute=True,
+        exact_sort_gate_rows=0,
+    )
     got = {}
     for r in out.collect():
         got.setdefault(r.g, []).append(r.x)
@@ -131,6 +137,44 @@ def test_winsorize_exact_selection_bracket_path_matches_numpy(spark):
         assert all(
             abs(a - b) < 1e-9 * max(1.0, abs(b)) for a, b in zip(have, want)
         ), name
+
+
+def test_winsorize_size_gate_tiers_are_result_identical(spark):
+    """The r13 size gate picks between the window and selection exact
+    tiers at plan-build time; this pins that the two tiers clip a mixed
+    smooth/tie/small corpus identically (the property the gate's
+    transparency rests on) and that the adaptive-accuracy derivation is
+    monotone, capped, and keeps the bracket-guarantee coupling
+    small_n >= accuracy/5 + 1 (ADVICE r12: a caller-raised accuracy
+    without a raised small_n could leave groups whose brackets may not
+    cover the target ranks)."""
+    import numpy as np
+
+    from temporai_mivdp_spark.operators.aggregates import (
+        _WINSORIZE_ACCURACY,
+        _WINSORIZE_ACCURACY_CAP,
+        _adaptive_accuracy,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = (
+        [("a", float(v)) for v in rng.uniform(-1e3, 1e3, size=5000)]
+        + [("b", 7.0)] * 4500
+        + [("c", float(v)) for v in rng.uniform(0, 1, size=9)]
+    )
+    df = spark.createDataFrame(rows, "g: string, x: double")
+    kw = dict(group_key="g", value_col="x", lower_pct=10, upper_pct=90, impute=True)
+    via_window = agg_ops.winsorize(df, exact_sort_gate_rows=10**9, **kw)
+    via_selection = agg_ops.winsorize(df, exact_sort_gate_rows=0, **kw)
+    a = sorted((r.g, r.x) for r in via_window.collect())
+    b = sorted((r.g, r.x) for r in via_selection.collect())
+    assert a == b
+
+    # adaptive accuracy: floor at the default, linear middle, hard cap
+    assert _adaptive_accuracy(0) == _WINSORIZE_ACCURACY
+    assert _adaptive_accuracy(300_000_000) == 10_000
+    assert _adaptive_accuracy(900_000_000) == 30_000
+    assert _adaptive_accuracy(10**13) == _WINSORIZE_ACCURACY_CAP
 
 
 def test_two_level_agg(spark):
