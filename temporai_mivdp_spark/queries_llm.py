@@ -54,6 +54,36 @@ def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_out(docs.unionByName(mutated), "doc_id")
 
 
+def _materialized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-run stage boundary for the guard composition (r12 verdict
+    item 5; guide §3.3 "materialising an intermediate truncates the
+    plan"): write the augmented corpus ONCE to a RUN-KEYED scratch
+    parquet and return the read-back frame, so the composition's many
+    consumers (jaccard shingle sets + hot-key detector, exact
+    contamination corpus side, all-ids frame, leakage-safe split) feed
+    from one cheap columnar read instead of each re-deriving the
+    scan → union → mutate subtree (Catalyst does not share subtrees
+    across consumers, and the detector's sample pushdown defeats even
+    runtime ReusedExchange for its branch — r12 audit).
+
+    NOT a cache: the path is keyed on a fresh uuid per BUILD (never on
+    the dataset), every build recomputes the write from the parquet
+    inputs, and the app-scoped scratch dir is removed at exit
+    (`_curation_scratch_dir`'s atexit + TTL sweep). This is the
+    ingest_jsonl / curation-checkpoint pattern: the write happens at
+    plan-build time (one extra job, measured in OPTIMIZATION_r13.md),
+    the returned frame's plan starts at the read-back."""
+    import os
+    import uuid
+
+    corpus = _augmented(spark, sf_dir)
+    path = os.path.join(
+        _curation_scratch_dir(spark), f"guard_corpus_{uuid.uuid4().hex}"
+    )
+    corpus.write.mode("overwrite").parquet(path)
+    return fan_out(spark.read.parquet(path), "doc_id")
+
+
 _AUG_SQL = (
     "SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 1000000 AS doc_id, text || ' zqx' AS text FROM documents"
@@ -1003,7 +1033,13 @@ def pipeline_guard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster id (near-dup pairs never straddle train/test). The
     oracle replays every stage: recursive-CTE components, md5 bucket
     split on the identical cluster key."""
-    corpus = _augmented(spark, sf_dir)
+    # per-run corpus materialization (r12 verdict item 5): the guard
+    # composition consumes the augmented corpus in five-plus subtrees;
+    # one run-keyed scratch-parquet write at build time replaces the
+    # per-consumer scan → union → mutate re-derivations with cheap
+    # columnar reads (see _materialized_corpus for the non-cache
+    # argument; measured in OPTIMIZATION_r13.md §guardmat)
+    corpus = _materialized_corpus(spark, sf_dir)
     bench = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 13 == 0)

@@ -222,6 +222,31 @@ def test_compact_parquet_file_count_tracks_bytes(spark):
         )
 
 
+def test_materialized_corpus_roundtrip_and_run_keying(spark):
+    """The guard composition's per-run stage boundary (r13): the
+    materialized corpus must be row-identical to the lazy augmented
+    frame (long+string parquet roundtrip is exact), and two builds must
+    write to DISTINCT run-keyed paths — the property that makes it a
+    stage boundary, not a cache (r12 verdict item 5: 'path keyed on the
+    run, not the dataset')."""
+    from temporai_mivdp_spark.queries_llm import _augmented, _materialized_corpus
+
+    lazy = _augmented(spark, SF_SMOKE)
+    mat1 = _materialized_corpus(spark, SF_SMOKE)
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, mat1.collect()))
+
+    def scan_paths(df):
+        import re
+
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return set(re.findall(r"guard_corpus_[0-9a-f]{32}", plan))
+
+    mat2 = _materialized_corpus(spark, SF_SMOKE)
+    p1, p2 = scan_paths(mat1), scan_paths(mat2)
+    assert len(p1) == 1 and len(p2) == 1
+    assert p1 != p2  # run-keyed: every build materializes afresh
+
+
 def test_fan_out_adaptive(spark):
     """fan_out (guide §2.5 adaptive scan fan-out): a narrow scan is
     redistributed to defaultParallelism, an already-parallel frame is
