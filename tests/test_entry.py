@@ -13,6 +13,9 @@ def test_entry_returns_rows(spark):
     assert df.count() > 0
 
 
+# slow tier (r13, conftest default-skip): runs all 99 entries (~148s): strictly weaker than tools/oracle_check
+# (run every round, 99/99) and the driver's own t2 gate
+@pytest.mark.slow
 def test_every_query_has_callable_and_runs(spark):
     qs = entrymod.queries()
     assert qs, "query catalog must not be empty"
@@ -221,6 +224,9 @@ def test_coverage_doc_lists_exact_window_tail_command():
     )
 
 
+# slow tier (r13, conftest default-skip): ANSI strict-dialect sweep of all 99 entries (~175s): stress tier;
+# default-run crash coverage stays via the oracle harness every round
+@pytest.mark.slow
 def test_catalog_executes_under_ansi_mode(spark):
     """Spark 4 deployments increasingly run ANSI mode; the engine
     defaults it OFF for the reference's coerce semantics, but every
@@ -257,6 +263,9 @@ def test_catalog_executes_under_ansi_mode(spark):
         spark.conf.set("spark.sql.ansi.enabled", old)
 
 
+# slow tier (r13, conftest default-skip): adversarial-corpus parity (~11s): the same tier is run per round via
+# tools/edgecase_check.py (verify skill surface 2)
+@pytest.mark.slow
 def test_edgecase_corpus_parity(spark, tmp_path):
     """Fast subset of tools/edgecase_check.py: the entries whose
     null/empty/short-doc semantics round 7 fixed must match their

@@ -191,6 +191,8 @@ def test_kmeans_fit_deterministic_and_empty_bucket_safe(spark, vectors):
     assert v1 == v2
 
 
+# slow tier (r13, conftest default-skip): ~11s recovery stress (see kmeans redundancy above)
+@pytest.mark.slow
 def test_kmeans_sampled_rounds_still_recover_clusters(spark, vectors):
     cents, history = similarity.kmeans_fit(
         vectors, n=3, iterations=8, sample_fraction=0.6
@@ -572,6 +574,8 @@ def test_simhash_bits_bounds(spark, docs):
     assert all(0 <= v < 2**32 for v in fp.values())   # bit 31 must not wrap negative
 
 
+# slow tier (r13, conftest default-skip): ~11s failure-path stress
+@pytest.mark.slow
 def test_duplicate_clusters_raises_on_budget_exhaustion(spark):
     chain = spark.createDataFrame(
         [(i, i + 1, 0.9) for i in range(200)], "id_a: long, id_b: long, jaccard: double"
@@ -582,6 +586,9 @@ def test_duplicate_clusters_raises_on_budget_exhaustion(spark):
     assert {r.cluster_id for r in ok.collect()} == {0}
 
 
+# slow tier (r13, conftest default-skip): ~22s convergence stress; cluster correctness stays covered by
+# test_duplicate_clusters_invariant-family + dedup_duplicate_clusters oracle
+@pytest.mark.slow
 def test_duplicate_clusters_chain_converges_in_log_rounds(spark):
     """Giant-component hardening: a 10k-node chain (diameter 10k) must
     converge within an O(log n) alternation budget — min-label
@@ -662,6 +669,9 @@ def test_pack_sequences_chunk_layout(spark):
     assert packs[(1, 1)] == 0 and packs[(1, 3)] == 0 and packs[(1, 5)] == 1
 
 
+# slow tier (r13, conftest default-skip): ~20s differential; packing stays covered by
+# test_pack_sequences_global_and_sharded_invariant + pipeline oracle
+@pytest.mark.slow
 def test_pack_sequences_distributed_matches_global_window(spark):
     """The two-level prefix-sum global pack must be bit-identical to the
     naive single-partition Window.orderBy cumsum, across many range
@@ -748,6 +758,9 @@ def test_int8_quantization_roundtrip_and_cosine(spark, vectors):
     assert all(not math.isnan(v) for v in zback.back)
 
 
+# slow tier (r13, conftest default-skip): ~41s contract sweep over the serving twins; each twin keeps its
+# oracle row and parity test
+@pytest.mark.slow
 def test_serving_path_probe_contract_enforced(spark, vectors):
     """Round-12 hardening (r11 verdict "What's wrong" §2): the three
     serving-path functions collect/broadcast the probe side under a
@@ -1305,6 +1318,9 @@ def test_cluster_quota_caps_semantic_concentration(spark, vectors):
     assert {r.doc_id for r in got} == {r.doc_id for r in again.collect()}
 
 
+# slow tier (r13, conftest default-skip): ~28s end-to-end composition; every stage keeps its own test +
+# oracle (dedup, curation, packing, shard layout)
+@pytest.mark.slow
 def test_full_training_prep_flow(spark):
     """Capstone composition: raw crawl -> boilerplate line removal ->
     exact dedup -> contamination+leakage guard -> text-to-ids encoding
@@ -3312,6 +3328,8 @@ def test_dsir_importance_properties(spark):
     }
 
 
+# slow tier (r13, conftest default-skip): ~10s tier sweep; dsir stays covered by the dsir_select/dsir_gumbel oracles
+@pytest.mark.slow
 def test_dsir_selection_tiers(spark):
     """dsir_top_k flags exactly k docs by (importance desc, id asc);
     dsir_gumbel_sample is deterministic in (seed, id), re-deals with the
@@ -3382,6 +3400,9 @@ def test_quality_features_py_mirrors_spark(spark):
         assert got[i] == pytest.approx(expected, rel=1e-12, abs=1e-12), (i, t)
 
 
+# slow tier (r13, conftest default-skip): ~38s differential; the trained model's scores stay pinned by the
+# text_quality_model oracle (bit-identical literal dot product)
+@pytest.mark.slow
 def test_logreg_fit_matches_pure_python_fit(spark):
     """The distributed trainer must reproduce _fit_py on the same labeled
     frame — same iteration count / lr / l2, identical math, only the

@@ -244,6 +244,8 @@ def test_clean_chart_winsorize_drop(spark, fixtures, mort_cohort):
 # --- EP-3: datagen ---
 
 
+# slow tier (r13, conftest default-skip): ~9s end-to-end chain; each stage keeps its differential test
+@pytest.mark.slow
 def test_datagen_mortality_end_to_end(spark, fixtures, mort_cohort):
     data = dg.cohort_hours(mort_cohort)
     los_by_stay = {r.stay_id: r.los for r in data.collect()}

@@ -134,6 +134,9 @@ def test_exact_duplicates_invariant(spark):
     _assert_layout_invariant(doubled, dedup.exact_duplicates)
 
 
+# slow tier (r13, conftest default-skip): ~18s invariance sweep on the heaviest operator; the cheap
+# invariance family below stays in the default run
+@pytest.mark.slow
 def test_duplicate_clusters_invariant(spark):
     # a chain, a star, and singleton pairs
     edges = [(i, i + 1) for i in range(0, 20)] + [(100, j) for j in (101, 102, 103)]

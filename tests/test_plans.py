@@ -131,6 +131,9 @@ def test_headline_set_and_plans_json_in_sync(spark):
     assert all(isinstance(v, str) and len(v) == 12 for v in fingerprints.values())
 
 
+# slow tier (r13, conftest default-skip): builds all 47 pinned plans at sf0.1 (~87s): bench.py re-emits these
+# fingerprints on every bench run and diffs against PLANS.json
+@pytest.mark.slow
 def test_pinned_extras_fingerprints_current(spark):
     """The seven promotion fingerprints in PLANS.json must match the
     live plans at the bench scale (sf0.1 — text_perplexity/text_tfidf

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -238,6 +240,9 @@ def test_chunk_documents_matches_bruteforce(spark, data, chunk_size, overlap_fra
     n_bench=st.integers(1, 4),
 )
 @_SETTINGS
+# slow tier (r13, conftest default-skip): ~24s property sweep; bloom vs exact stays covered by
+# test_merge_blooms_union_semantics + the guard-corpus oracle
+@pytest.mark.slow
 def test_bloom_never_misses_exact_contamination(spark, texts, n_bench):
     """Bloom guarantee under random corpora: every doc the exact n-gram
     path finds contaminated must be bloom-flagged (false positives are
@@ -267,6 +272,8 @@ def test_bloom_never_misses_exact_contamination(spark, texts, n_bench):
     budget=st.integers(10, 300),
 )
 @_SETTINGS
+# slow tier (r13, conftest default-skip): ~41s property sweep; sample_token_budget keeps its oracle row
+@pytest.mark.slow
 def test_token_budget_prefix_and_bound(spark, tokens, budget):
     """token_budget_sample invariants on random corpora: (1) the
     selection minus its largest member stays under budget, (2) a larger
@@ -297,6 +304,9 @@ def test_token_budget_prefix_and_bound(spark, tokens, budget):
     n=st.integers(2, 4),
 )
 @_SETTINGS
+# slow tier (r13, conftest default-skip): ~28s numpy differential; kmeans stays covered by
+# test_kmeans_fit_deterministic_and_empty_bucket_safe + embed_kmeans oracle
+@pytest.mark.slow
 def test_kmeans_round_matches_numpy(spark, data, n):
     """One Lloyd round == numpy recomputation: assignment by max
     dot(c,v)/|c| with ties to the lower centroid id, means elementwise,
@@ -347,6 +357,9 @@ def test_kmeans_round_matches_numpy(spark, data, n):
     ),
 )
 @_SETTINGS
+# slow tier (r13, conftest default-skip): ~83s property sweep; split semantics stay covered by the
+# split_leakage_safe + pipeline_guard_corpus oracles and the pipeline tests
+@pytest.mark.slow
 def test_leakage_safe_split_cluster_invariant(spark, edges, weights):
     """Under ANY near-dup graph, two docs connected by any path must land
     in the same split."""

@@ -520,6 +520,8 @@ def test_stream_heavy_hitters_bounds_and_exact_tier(spark):
         assert est - err <= true
 
 
+# slow tier (r13, conftest default-skip): ~23s replay stress (same finalize path as above)
+@pytest.mark.slow
 def test_stream_session_finalize_emit_once(spark):
     """Emit-on-close sessions: in-batch gap closes immediately; a
     cross-batch open session emits exactly once when the WATERMARK
@@ -600,6 +602,9 @@ def test_fix_mojibake_streaming_matches_batch(spark):
     assert got[1] == (orig, True)
 
 
+# slow tier (r13, conftest default-skip): ~79s late-data stress; session finalize semantics stay covered by
+# test_stream_session_agg + the stream_session_agg oracle
+@pytest.mark.slow
 def test_stream_session_finalize_late_row_never_regresses_end(spark):
     """A late-but-within-watermark row joins the open session without
     moving its END backwards: the envelope extends (start may move
@@ -635,6 +640,9 @@ def test_stream_session_finalize_late_row_never_regresses_end(spark):
     assert not any(k == 1 and e < s for k, s, e, _ in got)
 
 
+# slow tier (r13, conftest default-skip): ~11s checkpoint-restart stress; the restart class stays covered by
+# test_ingest_dedup_stream_mid_feed_kill_and_resume
+@pytest.mark.slow
 def test_stream_tumbling_bucket_checkpoint_restart_exactly_once(spark):
     """Recovery parity (r11 verdict "Next round" §4): kill a tumbling-
     bucket aggregation between feeds, restart from the checkpoint, and
