@@ -279,7 +279,14 @@ def main() -> None:
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
+        # cpus/default_parallelism (r12 verdict item 2): the driver's
+        # core-count sweep flagged suspect_cpus_ignored because nothing in
+        # the artifacts proved the session honored $SPARK_GRAFT_CPUS; the
+        # sidecar now records the session's actual parallelism (stdout
+        # line unchanged — the <1900-char driver contract).
         json.dump({**payload, "plans": plans,
+                   "cpus": int(cpus),
+                   "default_parallelism": spark.sparkContext.defaultParallelism,
                    "queries_median": medians,
                    "queries_per_calibration": normalized,
                    "queries_per_shuffle_calibration": norm_shuffle},
