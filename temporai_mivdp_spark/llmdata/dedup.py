@@ -186,6 +186,143 @@ def _hot_shingle_hashes(
     )
 
 
+def _posting_pairs_streamed(
+    sh: DataFrame, id_col: str, max_shingle_freq: int | None
+) -> DataFrame:
+    """Candidate pairs from (id, __sz, shingle) rows WITHOUT building
+    posting lists: repartition by shingle, sort within partitions by
+    (shingle, id), and stream the sorted runs through a ``mapInArrow``
+    pair generator — each co-occurrence run is visible as a contiguous
+    slice, pairs are emitted with one buffered run at a time (bounded by
+    the doc-frequency cap when set), and no aggregation buffer exists
+    anywhere.
+
+    Replaces the rounds-5-12 ``groupBy(shingle).agg(sort_array(
+    collect_list(struct(id, sz))))`` posting build — an
+    ObjectHashAggregate whose hash map over every shingle row falls back
+    to sort-based aggregation past 128 keys and external-sorts struct
+    rows while materializing per-key array buffers: the repo's own
+    worst 100x cell (SCALING.md r11/r12). The sort this plan pays
+    instead is a Tungsten radix sort over fixed-width rows, and the
+    pair emit streams out of it. Measured (tools/exp_jaccard_posting.py,
+    interleaved min-of-R, identical pair output asserted): sf0.1
+    2.305 -> 1.955 s; 30x inflation 60.6 -> 23.2 s (2.6x); the
+    materialize+self-join alternative ties at 30x but loses at sf0.1
+    (3.669) and needs a per-run scratch write. This is the engine's one
+    Arrow boundary outside the multimodal family — guide §4.2's
+    sanctioned shape (whole batches to vectorized numpy, constructed
+    once per task, ~20 bytes/row across the boundary), not a row-wise
+    UDF.
+
+    The emit is vectorized ACROSS runs by run-length classes: runs of
+    equal length L form an (m, L) index matrix and ``np.triu_indices``
+    broadcasts the within-run pair template over all m runs at once —
+    no per-run Python loop (at the 100x cell most runs have L=2, so a
+    per-run loop would execute ~45M Python iterations; the class loop
+    executes at most #distinct-lengths <= cap iterations per batch).
+    Doc ids pass through ``pyarrow.Array.take`` so any orderable id
+    type works (the catalog's long ids take the same vectorized path).
+
+    The cap (``max_shingle_freq``) is applied exactly here: a run's
+    length IS the shingle's doc frequency, so dropping runs longer than
+    the cap reproduces the old ``__df <= cap`` posting filter
+    bit-for-bit. With ``max_shingle_freq=None`` runs are unbounded —
+    the same class the unbounded ``collect_list`` had, but streamed
+    (one run buffered per task, not one buffer per hash-map key)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_type = sh.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("sa", IntegerType()),
+            StructField("id_b", id_type),
+            StructField("sb", IntegerType()),
+        ]
+    )
+    cap = max_shingle_freq
+
+    def emit(batches):
+        out_fields = None
+        carry_sh = np.empty(0, dtype=np.int64)
+        carry_sz = np.empty(0, dtype=np.int64)
+        carry_id = None  # pa.Array of the id type
+
+        def run_pairs(shv, idv, szv, complete_only):
+            """Pairs from complete runs; returns (batch|None, consumed)."""
+            if len(shv) == 0:
+                return None, 0
+            starts = np.flatnonzero(np.r_[True, shv[1:] != shv[:-1]])
+            last_start = int(starts[-1])
+            if complete_only:
+                end = last_start
+                starts = starts[:-1]
+            else:
+                end = len(shv)
+            if len(starts) == 0:
+                return None, end
+            lens = np.diff(np.r_[starts, end])
+            ia_parts, ib_parts = [], []
+            for L in np.unique(lens):
+                if L < 2 or (cap is not None and L > cap):
+                    continue
+                s = starts[lens == L]
+                idx = s[:, None] + np.arange(L)
+                ia, ib = np.triu_indices(int(L), 1)
+                ia_parts.append(idx[:, ia].ravel())
+                ib_parts.append(idx[:, ib].ravel())
+            if not ia_parts:
+                return None, end
+            ia = np.concatenate(ia_parts)
+            ib = np.concatenate(ib_parts)
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    idv.take(pa.array(ia)),
+                    pa.array(szv[ia].astype(np.int32), pa.int32()),
+                    idv.take(pa.array(ib)),
+                    pa.array(szv[ib].astype(np.int32), pa.int32()),
+                ],
+                schema=out_fields,
+            )
+            return batch, end
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if out_fields is None:
+                idt = b.column(1).type
+                out_fields = pa.schema(
+                    [("id_a", idt), ("sa", pa.int32()),
+                     ("id_b", idt), ("sb", pa.int32())]
+                )
+                carry_id = pa.array([], type=idt)
+            shv = np.concatenate([carry_sh, b.column(0).to_numpy()])
+            idv = pa.concat_arrays([carry_id, b.column(1)])
+            szv = np.concatenate(
+                [carry_sz, b.column(2).to_numpy().astype(np.int64)]
+            )
+            out, cut = run_pairs(shv, idv, szv, complete_only=True)
+            carry_sh, carry_id, carry_sz = (
+                shv[cut:], idv.slice(cut), szv[cut:]
+            )
+            if out is not None and out.num_rows:
+                yield out
+        if out_fields is not None:
+            out, _ = run_pairs(carry_sh, carry_id, carry_sz, False)
+            if out is not None and out.num_rows:
+                yield out
+
+    sorted_sh = (
+        sh.select("shingle", F.col(id_col).alias("__pid"), "__sz")
+        .repartition(F.col("shingle"))
+        .sortWithinPartitions("shingle", "__pid")
+    )
+    return sorted_sh.mapInArrow(emit, out_schema)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -309,56 +446,27 @@ def ngram_jaccard_pairs(
             toks, n, id_col, cap=max_shingle_freq, sample_inv=hot_sample_inv
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    # Posting lists bound the frequency cap (one groupBy replaces a
-    # count-aggregate + semi-join), then pairs are emitted ROW-LOCALLY
-    # from each posting list: posexplode the entries and explode the
-    # strictly-later tail slice of the SAME row's list. sort_array
-    # orders entries by id (ids are unique per shingle), so pairing each
-    # entry with its tail gives id_a < id_b with no orientation branch.
-    # History of this stage, all measured at sf0.1:
-    # * nested-transform HOF emit — 3.7-8s with multi-second GC outliers
-    #   (lambda bodies run interpreted); rejected.
-    # * shuffled-hash SELF-JOIN of the posexploded lists on shingle —
-    #   stable 2.0s, but the physical plan instantiates the whole
-    #   scan->shingle->set->posts subtree TWICE (one per join side) and
-    #   neither exchange reuse nor AQE stage reuse deduplicates it
-    #   (verified: persisting `posts` cut 20% — impossible if the stage
-    #   were reused). Two full corpus scans + four heavy aggregation
-    #   exchanges at 100 TB.
-    # * this explode(slice(tail)) emit — equal wall-clock at sf0.1
-    #   (1.98s vs 2.04s) with the subtree computed ONCE and zero join:
-    #   pairs leave the posts partitions map-side and meet their one
-    #   exchange at the (id_a, id_b) count. Slice allocations total
-    #   O(pair count) — the same rows the join had to materialize — and
-    #   the frequency cap already bounds the worst list at
-    #   max_shingle_freq entries, so per-row slice width is bounded too.
-    # Round-11 third-decade re-audit (tools/scale_third_decade.py,
-    # 100x = 1M docs post-augment, 90M shingle rows, local[32]/24g —
-    # full tables in SCALING.md): this plan 146s best (grouped run);
-    # the SMJ self-join re-measured 145-373s (unstable, two extra
-    # 90M-row sorts); raising objectHashAggregate.sortBased.
-    # fallbackThreshold to 4M keys OOMs the heap (which is WHY the
-    # 128-key default exists); 256 shuffle partitions 186s (more spill
-    # files, no win). Second decade 13.8x vs ideal-linear 10x: the
-    # ~1.35x per-unit excess at saturation is the object-agg external
-    # sort in the two collect stages — a shared-heap artifact a real
-    # cluster doesn't accumulate (per-executor data stays at the
-    # linear operating point). The plan stands at both measured
-    # decades.
-    posts = sh.groupBy("shingle").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__sz").alias("sz")))
-        ).alias("__entries"),
-        F.count(F.lit(1)).alias("__df"),
-    )
-    if max_shingle_freq is not None:
-        posts = posts.filter(F.col("__df") <= max_shingle_freq)
-    ea = posts.select(F.posexplode("__entries").alias("__pos", "__ea"), "__entries")
-    pairs = ea.select(
-        F.col("__ea.id").alias("id_a"),
-        F.col("__ea.sz").alias("sa"),
-        F.explode(F.expr("slice(__entries, __pos + 2, size(__entries))")).alias("__eb"),
-    )
+    # Pair emit: sorted-run streaming (round 13, r12-verdict item 4) —
+    # repartition(shingle) + sortWithinPartitions + mapInArrow pair
+    # generation, replacing the posting-list
+    # groupBy(shingle).collect_list(struct(id, sz)) whose object-agg
+    # hash map was the repo's documented worst 100x cell (external sort
+    # of struct rows + per-key array buffers). Full rationale, bounds
+    # and measurements in _posting_pairs_streamed; the exact
+    # max_shingle_freq posting filter is applied inside the emit (a
+    # run's length IS the doc frequency). History of this stage, all
+    # measured at sf0.1 unless noted:
+    # * nested-transform HOF emit — 3.7-8s, GC outliers; rejected (r11).
+    # * shuffled-hash SELF-JOIN on shingle — stable 2.0s but the plan
+    #   instantiates the whole scan->shingle->set subtree twice;
+    #   rejected (r11). Re-tried in r13 over a per-run materialized
+    #   (id, sz, shingle) parquet: 3.669s at sf0.1, ties the streamed
+    #   emit at 30x — rejected (tools/exp_jaccard_posting.py variant B).
+    # * posting collect_list + posexplode/slice emit (shipped r5-r12) —
+    #   2.305s at sf0.1, 60.6s at 30x (this session's interleaved A/B).
+    # * sorted-run streamed emit (shipped r13) — 1.955s at sf0.1,
+    #   23.2s at 30x, identical pair output asserted at both scales.
+    sized_pairs = _posting_pairs_streamed(sh, id_col, max_shingle_freq)
     # Size filter (the prefix-filter family's cheapest member, round 12):
     # jaccard = inter/(sa+sb-inter) is monotone-increasing in inter, and
     # inter <= min(sa, sb), so a pair's best achievable jaccard is
@@ -371,9 +479,6 @@ def ngram_jaccard_pairs(
     # (near-zero on the augmented bench corpus, whose pairs are
     # same-doc-sized by construction; strong on length-heterogeneous
     # crawls at the same threshold).
-    sized_pairs = pairs.select(
-        "id_a", "sa", F.col("__eb.id").alias("id_b"), F.col("__eb.sz").alias("sb")
-    )
     if threshold > 0.0:
         best = F.least(F.col("sa"), F.col("sb"))
         sized_pairs = sized_pairs.filter(
